@@ -1,0 +1,93 @@
+"""Runtime configuration for the TPU-native simulator.
+
+The reference's configuration is compile-time only: CMake options become
+preprocessor defines (GRAPHICS/CONSTRAINTS/VERLET/RK2, reference
+CMakeLists.txt:9-14) and physics constants are hardcoded (contact NORMAL=20000
+at object.cu:29, magnet cutoff 0.14 at sim.cu:1228, occupancy-grid geometry at
+sim.h:179-182).  Here all of that is a runtime dataclass; anything that affects
+the traced step function is hashable so it can key jit caches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import numpy as np
+
+
+class Integrator(enum.Enum):
+    """Integration scheme (reference: #ifdef RK2/VERLET/else in sim.cu:1282-1363)."""
+
+    EULER = "euler"
+    VERLET = "verlet"
+    RK2 = "rk2"
+
+
+class ScatterMode(enum.Enum):
+    """Strategy for accumulating per-spring forces onto masses.
+
+    The reference uses atomicAdd scatter (sim.cu:1189-1196), which is both
+    nondeterministic and contention-bound.  Both TPU strategies below are
+    deterministic:
+
+    - GATHER: precomputed per-mass incidence lists (padded to max degree);
+      each mass gathers and sums the forces of its incident springs.  Pure
+      gather + reduction -> no scatter at all; the preferred TPU path.
+    - SEGMENT: ``jax.ops.segment_sum`` over endpoint indices sorted by segment.
+    """
+
+    GATHER = "gather"
+    SEGMENT = "segment"
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Hashable, trace-affecting simulator configuration."""
+
+    integrator: Integrator = Integrator.EULER
+    # Reference clamps post-Euler speed to <= 1 m/s (sim.cu:1358-1361).  NOTE:
+    # this clamp makes the reference's *own* energy-conservation tests
+    # (test/physics/simple_unittest.cpp, energy_unittest.cpp) unpassable,
+    # since free-fall from ~1-3 m exceeds 1 m/s; those tests predate the
+    # clamp.  Default True for kernel-semantics parity; the ported energy
+    # tests set it False.
+    velocity_clamp: bool = True
+    # float32 is the TPU-native choice; float64 works on CPU (jax x64) for
+    # debugging/parity studies.  Reference is all-double (vec.h).
+    dtype: str = "float32"
+    scatter: ScatterMode = ScatterMode.GATHER
+    # Contact-penalty normal coefficient (reference object.cu:29).
+    normal_coeff: float = 20000.0
+    # Magnet interaction cutoff in meters (reference sim.cu:1228).
+    magnet_cutoff: float = 0.14
+    # Steps dispatched per on-device fori_loop chunk when no breakpoint is
+    # nearer.  Bounds host `time()` granularity and re-dispatch overhead.
+    max_chunk_steps: int = 1000
+    # Persistent external force semantics.  The reference zeroes
+    # ``extern_force`` every step (sim.cu:1365) even though its docs and
+    # external_unittest treat setExternalForce as persistent; we keep the
+    # user-set force persistent and use a separate per-step accumulator for
+    # magnet forces (which is what the reset actually services).  Setting
+    # this False replicates the reference's zero-after-first-step behavior.
+    persistent_extern_force: bool = True
+
+    @property
+    def np_dtype(self):
+        return np.dtype(self.dtype)
+
+
+# Spring type codes (reference: enum SpringType, spring.h:17-18).  Integer
+# values match the reference enum order so marshalled state is comparable.
+PASSIVE_SOFT = 0
+PASSIVE_STIFF = 1
+ACTIVE_CONTRACT_THEN_EXPAND = 2
+ACTIVE_EXPAND_THEN_CONTRACT = 3
+ACTUATED_EXPAND = 4
+ACTUATED_CONTRACT = 5
+
+# Local constraint type codes (reference: enum CONSTRAINT_TYPE, object.h:225-227).
+CONSTRAINT_PLANE = 0
+CONTACT_PLANE = 1
+BALL = 2
+DIRECTION = 3

@@ -1,0 +1,320 @@
+"""Force computation: springs, scatter, global/local constraints, magnets.
+
+All functions are pure; they consume/produce ``[3, N]``-layout component-major
+arrays.  Each docstring cites the reference CUDA code whose behavior it
+reproduces (reference = /root/reference, GitWyd/Titan).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    ACTIVE_CONTRACT_THEN_EXPAND,
+    ACTIVE_EXPAND_THEN_CONTRACT,
+    ACTUATED_CONTRACT,
+    ACTUATED_EXPAND,
+    SimConfig,
+    ScatterMode,
+)
+from ..state import MassState, SpringState, GlobalConstraints, LocalConstraints, Topology
+
+
+def spring_forces(
+    masses: MassState,
+    springs: SpringState,
+    t: jax.Array,
+    dt: jax.Array,
+    has_breathing: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-spring Hooke + axial damping force, plus actuation.
+
+    Reference kernel: computeSpringForces (sim.cu:1157-1200).
+      d = pos_right - pos_left
+      ACTIVE_CONTRACT_THEN_EXPAND: scale = 1 - 0.2 sin(omega t)
+      ACTIVE_EXPAND_THEN_CONTRACT: scale = 1 + 0.2 sin(omega t)
+      ACTUATED_EXPAND:   rest += rate*dt while rest < l_max (no clamp at l_max)
+      ACTUATED_CONTRACT: rest -= rate*dt while rest > l_min
+      f = k (rest*scale - |d|) d_hat + dot(v_l - v_r, d_hat) * damping * d_hat
+    Springs with an invalid endpoint contribute nothing (sim.cu:1163).
+    Zero-length springs are guarded to zero force (the reference would produce
+    NaN; documented deviation, strictly safer).
+
+    Returns (force [3, S] to be applied +f at right / -f at left, new_rest [S]).
+    """
+    left, right = springs.left, springs.right
+    d = masses.pos[:, right] - masses.pos[:, left]            # [3, S]
+    length = jnp.sqrt(jnp.sum(d * d, axis=0))                 # [S]
+    inv_len = jnp.where(length > 0, 1.0 / jnp.where(length > 0, length, 1.0), 0.0)
+    unit = d * inv_len                                        # [3, S]
+
+    rest = springs.rest
+    if has_breathing:
+        styp = springs.type
+        sin_wt = jnp.sin(springs.omega * t)
+        scale = jnp.where(
+            styp == ACTIVE_CONTRACT_THEN_EXPAND, 1.0 - 0.2 * sin_wt,
+            jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT, 1.0 + 0.2 * sin_wt, 1.0),
+        )
+        rest = jnp.where(
+            (styp == ACTUATED_EXPAND) & (rest < springs.l_max),
+            rest + springs.rate * dt,
+            jnp.where(
+                (styp == ACTUATED_CONTRACT) & (rest > springs.l_min),
+                rest - springs.rate * dt,
+                rest,
+            ),
+        )
+    else:
+        scale = 1.0
+
+    dv = masses.vel[:, left] - masses.vel[:, right]           # v_l - v_r, [3, S]
+    axial_dv = jnp.sum(dv * unit, axis=0)                     # [S]
+    mag = springs.k * (rest * scale - length) + axial_dv * springs.damping
+    f = mag * unit                                            # [3, S]
+
+    pair_valid = (
+        springs.valid & masses.valid[left] & masses.valid[right]
+    )
+    f = jnp.where(pair_valid, f, 0.0)
+    return f, rest
+
+
+def scatter_spring_forces(
+    f_springs: jax.Array,
+    topo: Topology,
+    fixed: jax.Array,
+    n_masses: int,
+    mode: ScatterMode,
+) -> jax.Array:
+    """Accumulate +f on right endpoints, -f on left, skipping fixed masses.
+
+    Replaces the reference's atomicVecAdd scatter (sim.cu:1189-1196,
+    vec.cu:13-37) with a deterministic reduction.  GATHER mode turns the
+    scatter into a per-mass gather over precomputed incidence lists; SEGMENT
+    mode uses a sorted segment-sum.
+    """
+    if mode == ScatterMode.GATHER:
+        # Append a zero column so the padding index S reads zeros.
+        zero = jnp.zeros((3, 1), dtype=f_springs.dtype)
+        fpad = jnp.concatenate([f_springs, zero], axis=1)     # [3, S+1]
+        comps = []
+        for c in range(3):
+            g = jnp.take(fpad[c], topo.inc_idx, axis=0)       # [N, D]
+            comps.append(jnp.sum(g * topo.inc_sign, axis=1))  # [N]
+        mf = jnp.stack(comps, axis=0)                         # [3, N]
+    else:
+        both = jnp.concatenate([f_springs, -f_springs], axis=1)  # [3, 2S]
+        sortd = both[:, topo.seg_perm]
+        comps = [
+            jax.ops.segment_sum(
+                sortd[c], topo.seg_ids, num_segments=n_masses,
+                indices_are_sorted=True,
+            )
+            for c in range(3)
+        ]
+        mf = jnp.stack(comps, axis=0)
+    # Spring forces are not applied to fixed masses (sim.cu:1187-1193).
+    return jnp.where(fixed, 0.0, mf)
+
+
+def _vdot(a: jax.Array, n: jax.Array) -> jax.Array:
+    """dot of [3, N] field with [3] or [3, N] vector -> [N]."""
+    return jnp.sum(a * (n[:, None] if n.ndim == 1 else n), axis=0)
+
+
+def apply_contact_plane(
+    f: jax.Array, pos: jax.Array, vel: jax.Array,
+    normal: jax.Array, offset: jax.Array, fk: jax.Array, fs: jax.Array,
+    normal_coeff: float,
+) -> jax.Array:
+    """One global contact plane, applied to all masses.
+
+    Reference: CudaContactPlane::applyForce (object.cu:76-109).
+      disp = dot(pos, n) - offset
+      friction (only if disp < 0 and any friction coeff > 0), computed from
+      the force accumulated SO FAR (order matters):
+        kinetic (|v_perp| > 1e-16): f -= v_perp * fk*|f_n| / |v_perp|
+        static  (otherwise):        f -= f_perp if fs*|f_n| > |f_perp|
+      then penalty: f += (disp < 0) * (-disp) * NORMAL * n
+    ``normal``/``offset``/``fk``/``fs`` are scalars or [] arrays for one plane.
+    """
+    n = normal  # [3] (global plane) or [3, N] (per-mass local plane)
+    nb = n[:, None] if n.ndim == 1 else n                     # broadcastable
+    disp = _vdot(pos, n) - offset                             # [N]
+    fn_mag = _vdot(f, n)                                      # [N] signed
+    f_n = fn_mag * nb                                         # [3, N]
+    inside = disp < 0
+    has_friction = (fs > 0) | (fk > 0)
+
+    v_perp = vel - _vdot(vel, n) * nb                         # [3, N]
+    v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))       # [N]
+    kinetic = v_norm > 1e-16
+    fn_abs = jnp.abs(fn_mag)                                  # |f_n| (norm of normal comp)
+
+    safe_vn = jnp.where(kinetic, v_norm, 1.0)
+    f_kin = f - v_perp * (fk * fn_abs / safe_vn)              # kinetic branch
+    f_perp = f - f_n
+    fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
+    f_sta = jnp.where(fs * fn_abs > fp_norm, f - f_perp, f)   # static branch
+
+    f_fric = jnp.where(kinetic, f_kin, f_sta)
+    f = jnp.where(inside & has_friction, f_fric, f)
+
+    contact = jnp.where(inside, -disp * normal_coeff, 0.0)    # [N]
+    return f + contact * nb
+
+
+def apply_ball(
+    f: jax.Array, pos: jax.Array, center: jax.Array, radius: jax.Array,
+    normal_coeff: float,
+) -> jax.Array:
+    """One global ball constraint: radial penalty inside the ball.
+
+    Reference: CudaBall::applyForce (object.cu:56-59):
+      f += (|pos - c| <= r) ? NORMAL * (pos - c) / |pos - c| : 0
+    Guarded at dist == 0 (reference would NaN).
+    """
+    d = pos - center[:, None]                                 # [3, N]
+    dist = jnp.sqrt(jnp.sum(d * d, axis=0))                   # [N]
+    safe = jnp.where(dist > 0, dist, 1.0)
+    push = jnp.where((dist <= radius) & (dist > 0), normal_coeff / safe, 0.0)
+    return f + d * push
+
+
+def apply_constraint_plane(
+    f: jax.Array, vel: jax.Array, normal: jax.Array, friction: jax.Array,
+    active: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-mass constraint plane: project out normal force and velocity.
+
+    Reference: CudaConstraintPlane::applyForce (object.cu:118-127).  NOTE the
+    reference computes |v| BEFORE zeroing the normal velocity component, then
+    uses the UPDATED velocity over the OLD norm in the friction term.
+    ``normal`` is [3, N] (per-mass), ``active`` is [N] bool.
+    """
+    nf = _vdot(f, normal)                                     # [N]
+    f2 = f - normal * nf
+    v_norm = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+    moving = v_norm >= 1e-16
+    v2 = vel - normal * _vdot(vel, normal)
+    safe_vn = jnp.where(moving, v_norm, 1.0)
+    f3 = f2 - friction * nf * v2 / safe_vn
+    f_out = jnp.where(active, jnp.where(moving, f3, f2), f)
+    v_out = jnp.where(active & moving, v2, vel)
+    return f_out, v_out
+
+
+def apply_direction(
+    f: jax.Array, vel: jax.Array, tangent: jax.Array, friction: jax.Array,
+    active: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-mass direction constraint: allow motion only along a tangent.
+
+    Reference: CudaDirection::applyForce (object.cu:136-144):
+      nf = f - dot(f, t) t;  f -= nf
+      if |v| >= 1e-16: v = t dot(v, t);  f += -|nf| * friction * t
+    """
+    nf = f - tangent * _vdot(f, tangent)                      # [3, N]
+    f2 = f - nf
+    v_norm = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+    moving = v_norm >= 1e-16
+    nf_norm = jnp.sqrt(jnp.sum(nf * nf, axis=0))
+    f3 = f2 - nf_norm * friction * tangent
+    f_out = jnp.where(active, jnp.where(moving, f3, f2), f)
+    v_out = jnp.where(active & moving, tangent * _vdot(vel, tangent), vel)
+    return f_out, v_out
+
+
+def apply_global_constraints(
+    f: jax.Array, masses: MassState, gcon: GlobalConstraints,
+    n_planes: int, n_balls: int, normal_coeff: float,
+) -> jax.Array:
+    """All global planes then all balls, in registration order (sim.cu:1303-1309)."""
+    for p in range(n_planes):
+        f = apply_contact_plane(
+            f, masses.pos, masses.vel,
+            gcon.plane_normal[p], gcon.plane_offset[p],
+            gcon.plane_fk[p], gcon.plane_fs[p], normal_coeff,
+        )
+    for b in range(n_balls):
+        f = apply_ball(f, masses.pos, gcon.ball_center[b], gcon.ball_radius[b],
+                       normal_coeff)
+    return f
+
+
+def apply_local_constraints(
+    f: jax.Array, vel: jax.Array, masses: MassState, lcon: LocalConstraints,
+    caps: Tuple[int, int, int, int], normal_coeff: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-mass local constraints in reference order: contact planes, balls,
+    constraint planes, directions (sim.cu:1311-1326).  Slot j of a type is
+    active for mass n iff j < count[n]."""
+    cap_cp, cap_ball, cap_pl, cap_dir = caps
+    for j in range(cap_cp):
+        active = j < lcon.cp_count
+        n = lcon.cp_normal[:, j, :].T                         # [3, N]
+        f_new = apply_contact_plane(
+            f, masses.pos, vel, n, lcon.cp_offset[:, j],
+            lcon.cp_fk[:, j], lcon.cp_fs[:, j], normal_coeff,
+        )
+        f = jnp.where(active, f_new, f)
+    for j in range(cap_ball):
+        active = j < lcon.ball_count
+        c = lcon.ball_center[:, j, :].T                       # [3, N]
+        d = masses.pos - c
+        dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+        safe = jnp.where(dist > 0, dist, 1.0)
+        push = jnp.where((dist <= lcon.ball_radius[:, j]) & (dist > 0),
+                         normal_coeff / safe, 0.0)
+        f = jnp.where(active, f + d * push, f)
+    for j in range(cap_pl):
+        active = (j < lcon.pl_count)
+        f, vel = apply_constraint_plane(
+            f, vel, lcon.pl_normal[:, j, :].T, lcon.pl_friction[:, j], active,
+        )
+    for j in range(cap_dir):
+        active = (j < lcon.dir_count)
+        f, vel = apply_direction(
+            f, vel, lcon.dir_tangent[:, j, :].T, lcon.dir_friction[:, j], active,
+        )
+    return f, vel
+
+
+def magnet_forces(masses: MassState, cutoff: float) -> jax.Array:
+    """All-pairs magnet interaction within ``cutoff`` (masked O(N^2)).
+
+    Reference: computeExternalMagnetForce (sim.cu:1223-1241), driven through a
+    2-D occupancy grid (sim.cu:1250-1281).  For each receiver i and source j:
+      temp = pos_i - pos_j; if |temp| < 0.14:
+        shell:  += |inter| * stiffness_i * temp_hat   when inter < 0,
+                where inter = |temp| - (rad_i + rad_j)
+        magnet: -= mag_scale_j * max_mag_force_i / max(|temp|^2, 1e-12) * temp_hat
+    The TPU version is a masked dense pairwise computation -- deterministic,
+    no grid rebuild, exact within the cutoff (the reference grid is an
+    approximation that can overflow cells).  Magnet scenes are small-N (robot
+    links); a cell-binned variant can be added for large N.
+    """
+    pos = masses.pos                                          # [3, N]
+    diff = pos[:, :, None] - pos[:, None, :]                  # [3, N, N] (i, j)
+    dist2 = jnp.sum(diff * diff, axis=0)                      # [N, N]
+    dist = jnp.sqrt(dist2)
+    n = pos.shape[1]
+    eye = jnp.eye(n, dtype=bool)
+    pair_ok = (
+        (dist < cutoff) & ~eye
+        & masses.valid[:, None] & masses.valid[None, :]
+    )
+    safe_dist = jnp.where(dist > 0, dist, 1.0)
+    unit = diff / safe_dist                                   # [3, N, N]
+    inter = dist - (masses.mag_rad[:, None] + masses.mag_rad[None, :])
+    shell = jnp.where(inter < 0, jnp.abs(inter) * masses.mag_stiffness[:, None], 0.0)
+    attract = (
+        masses.mag_scale[None, :] * masses.mag_maxf[:, None]
+        / jnp.maximum(dist2, 1e-12)
+    )
+    coeff = jnp.where(pair_ok, shell - attract, 0.0)          # [N, N]
+    return jnp.sum(unit * coeff[None, :, :], axis=2)          # [3, N]

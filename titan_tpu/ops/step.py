@@ -1,0 +1,161 @@
+"""The fused step function: springs -> scatter -> mass forces -> integrate.
+
+This is the TPU-native replacement for the reference's hot loop
+(execute(), sim.cu:1770-1812): one pure function ``step(state) -> state``
+traced once per static scene shape, run on device inside ``lax.fori_loop``
+chunks so the host never intervenes between steps (the reference pays >= 3
+cudaDeviceSynchronize per step plus a full occupancy-grid rebuild).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Integrator
+from ..state import MassState, SimState, SceneShape
+from . import forces as F
+from . import integrators as I
+
+
+def _mass_forces(
+    state: SimState, masses: MassState, f: jax.Array, shape: SceneShape,
+) -> Tuple[jax.Array, jax.Array]:
+    """Accumulate all non-spring forces onto ``f`` and apply velocity-mutating
+    constraints, following the reference order (massForcesAndUpdate,
+    sim.cu:1296-1332): magnets, gravity, persistent external force, global
+    planes/balls, local constraints, drag.
+
+    Returns (force [3, N], possibly-modified vel [3, N]).
+    """
+    cfg = shape.config
+    if shape.has_magnets:
+        # fixed masses early-return before the magnet pass (sim.cu:1292-1298)
+        # but still act as field sources; receivers that are fixed never
+        # integrate so the extra force is harmless -- masked for clarity.
+        f = f + jnp.where(masses.fixed, 0.0, F.magnet_forces(masses, cfg.magnet_cutoff))
+    f = f + masses.m * state.g[:, None]
+    f = f + masses.extern_force
+    f = F.apply_global_constraints(
+        f, masses, state.gcon, shape.n_planes, shape.n_balls, cfg.normal_coeff,
+    )
+    vel = masses.vel
+    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+    if any(caps):
+        f, vel = F.apply_local_constraints(
+            f, vel, masses, state.lcon, caps, cfg.normal_coeff,
+        )
+    if shape.has_drag:
+        # -C |v|^2 v_hat == -C |v| v; exactly 0 at |v| = 0, no guard needed
+        # (reference guards the 0/0 explicitly, sim.cu:1329-1332).
+        vn = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+        f = f - masses.drag * vn * vel
+    return f, vel
+
+
+def build_step_fn(shape: SceneShape) -> Callable[[SimState], SimState]:
+    """Build the pure single-step function for a static scene shape."""
+    cfg = shape.config
+
+    def spring_pass(state: SimState, masses: MassState, t):
+        f_sp, new_rest = F.spring_forces(
+            masses, state.springs, t, state.dt, shape.has_breathing,
+        )
+        f = F.scatter_spring_forces(
+            f_sp, state.topo, masses.fixed, shape.n_masses, cfg.scatter,
+        )
+        return f, new_rest
+
+    def finish(masses: MassState, pos, vel, acc, dt):
+        """Write back integration results, freezing fixed and invalid masses.
+
+        Fixed masses early-return before any update (sim.cu:1292-1294);
+        invalid (deleted/padding) masses are frozen too -- the reference
+        lets them keep integrating garbage until compaction, we don't.
+        """
+        move = masses.valid & ~masses.fixed
+        new = dataclasses.replace(
+            masses,
+            pos=jnp.where(move, pos, masses.pos),
+            vel=jnp.where(move, vel, masses.vel),
+            acc=jnp.where(move, acc, masses.acc),
+            T=masses.T + jnp.where(move, dt, 0.0),
+        )
+        if not cfg.persistent_extern_force:
+            # strict reference parity: extern_force zeroed after each step
+            # for non-fixed masses (sim.cu:1365).
+            new = dataclasses.replace(
+                new, extern_force=jnp.where(move, 0.0, masses.extern_force),
+            )
+        return new
+
+    if cfg.integrator is Integrator.RK2:
+        def step(state: SimState) -> SimState:
+            # Reference RK2 (sim.cu:1778-1799): two spring+mass passes per dt;
+            # the spring actuation rest mutation runs in BOTH passes at the
+            # full dt rate (a reference quirk, reproduced).
+            masses, dt = state.masses, state.dt
+            f1, rest1 = spring_pass(state, masses, state.t)
+            state = dataclasses.replace(
+                state, springs=dataclasses.replace(state.springs, rest=rest1))
+            f1, vel1 = _mass_forces(state, masses, f1, shape)
+            masses1 = dataclasses.replace(masses, vel=vel1)
+            pos_h, vel_h, acc1 = I.rk2_half(masses.pos, vel1, f1, masses.m, dt)
+            half = finish(masses1, pos_h, vel_h, acc1, 0.5 * dt)
+
+            f2, rest2 = spring_pass(state, half, state.t + 0.5 * dt)
+            state = dataclasses.replace(
+                state, springs=dataclasses.replace(state.springs, rest=rest2))
+            f2, vel2 = _mass_forces(state, half, f2, shape)
+            pos, vel, acc2 = I.rk2_full(masses.pos, masses1.vel, vel2, f2,
+                                        masses.m, dt)
+            out = finish(dataclasses.replace(half, vel=vel2), pos, vel, acc2,
+                         0.5 * dt)
+            # restore untouched pos/vel for frozen masses relative to original
+            move = masses.valid & ~masses.fixed
+            out = dataclasses.replace(
+                out,
+                pos=jnp.where(move, out.pos, masses.pos),
+                vel=jnp.where(move, out.vel, masses.vel),
+            )
+            return dataclasses.replace(state, masses=out, t=state.t + dt)
+    else:
+        def step(state: SimState) -> SimState:
+            masses, dt = state.masses, state.dt
+            f, new_rest = spring_pass(state, masses, state.t)
+            state = dataclasses.replace(
+                state, springs=dataclasses.replace(state.springs, rest=new_rest))
+            f, vel = _mass_forces(state, masses, f, shape)
+            if cfg.integrator is Integrator.VERLET:
+                pos, vel, acc = I.verlet(masses.pos, vel, masses.acc, f,
+                                         masses.m, dt)
+            else:
+                pos, vel, acc = I.euler(masses.pos, vel, f, masses.m, dt,
+                                        cfg.velocity_clamp)
+            new_masses = finish(masses, pos, vel, acc, dt)
+            return dataclasses.replace(state, masses=new_masses, t=state.t + dt)
+
+    return step
+
+
+def build_chunk_fn(shape: SceneShape, donate: bool = False):
+    """Jitted ``chunk(state, n_steps) -> state``: n_steps of on-device stepping.
+
+    ``n_steps`` is a traced scalar so one compilation serves every chunk
+    length.  Buffers are NOT donated by default: the control plane hands out
+    state snapshots to concurrent ``getAll()`` readers, which donation would
+    invalidate.  The benchmark path (which owns its state exclusively) passes
+    donate=True to update HBM in place.
+    """
+    step = build_step_fn(shape)
+
+    def chunk(state: SimState, n_steps) -> SimState:
+        return jax.lax.fori_loop(0, n_steps, lambda i, s: step(s), state)
+
+    if donate:
+        return jax.jit(chunk, donate_argnums=0)
+    return jax.jit(chunk)

@@ -1,0 +1,775 @@
+"""The simulation control plane: the reference's ``titan::Simulation`` API
+(sim.h:38-122) rebuilt without threads-and-busy-wait races.
+
+Architecture (vs reference L4, SURVEY.md):
+- The reference runs a dedicated GPU thread that launches two kernels per dt
+  and spin-waits on unsynchronized static bools (sim.cu:36-40, 1704-1841).
+  Here a single worker thread dispatches *chunks* of steps as one jitted
+  ``lax.fori_loop`` call; JAX dispatch is asynchronous, so the device runs
+  ahead while the host sleeps on proper condition variables.  One
+  ``Simulation`` per process is NOT required (the reference's static members
+  force that; we have no statics).
+- State lives on device as an immutable pytree snapshot per chunk boundary;
+  ``getAll()`` from any thread grabs a consistent snapshot (the reference
+  reads device memory mid-kernel -- torn reads it tolerates by luck).
+- Breakpoints are a heap of stop times.  The worker sizes each chunk to land
+  exactly on the next breakpoint (reference: per-step check at sim.cu:1707).
+  A breakpoint inserted *while a chunk is in flight* takes effect at the next
+  chunk boundary, i.e. it may be overshot by at most
+  ``config.max_chunk_steps * dt`` sim-seconds (default 0.1 s); set
+  breakpoints while paused for exact stops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import math
+import threading
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import builders
+from ..config import (PASSIVE_SOFT, PASSIVE_STIFF, SimConfig, ScatterMode)
+from ..containers import Beam, Container, Cube, Lattice, RobotLink
+from ..entities import HandleSeq, Mass, Spring
+from ..ops import build_chunk_fn
+from ..state import (GlobalConstraints, LocalConstraints, MassState,
+                     SceneShape, SimState, SpringState, Topology, pad_to)
+from ..store import HostStore
+from ..vec import Vec
+
+# step-function cache: one compiled chunk fn per static scene shape
+_CHUNK_CACHE: Dict[SceneShape, object] = {}
+
+
+def _chunk_for(shape: SceneShape):
+    fn = _CHUNK_CACHE.get(shape)
+    if fn is None:
+        fn = build_chunk_fn(shape)
+        _CHUNK_CACHE[shape] = fn
+    return fn
+
+
+class Simulation:
+    """TPU-native mass-spring simulation with the reference's control API."""
+
+    def __init__(self, config: Optional[SimConfig] = None):
+        self.config = config or SimConfig()
+        self._store = HostStore()
+        self.containers = []
+        self._planes = []  # (unit normal [3], offset, fk, fs)
+        self._balls = []   # (center [3], radius)
+        self._dt = 0.0001                       # reference default, sim.cu:78
+        self._global_acc = np.array([0.0, 0.0, -9.81])  # sim.cu:86
+        self._T = 0.0
+        self._steps = 0
+        self._bpts = []
+        self._lock = threading.RLock()
+        self._cv = threading.Condition(self._lock)
+        self._running = False
+        self._started = False
+        self._ended = False
+        self._structure_dirty = False
+        self._state: Optional[SimState] = None
+        self._shape: Optional[SceneShape] = None
+        self._chunk = None
+        self._worker: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------------ guards
+    def _check_not_ended(self, msg="Cannot modify simulation after the end of the simulation."):
+        if self._ended:
+            raise RuntimeError("The simulation has ended. " + msg)
+
+    def _check_can_edit(self):
+        self._check_not_ended()
+        if self._started and self._running:
+            raise RuntimeError("The simulation is running. Stop the simulation to make changes.")
+
+    # ------------------------------------------------------------ entity lists
+    @property
+    def masses(self):
+        return HandleSeq(self, Mass, lambda: self._store.n_masses)
+
+    @property
+    def springs(self):
+        return HandleSeq(self, Spring, lambda: self._store.n_springs)
+
+    def getMassByIndex(self, i: int) -> Mass:
+        assert 0 <= i < self._store.n_masses
+        return Mass(self, i)
+
+    def getSpringByIndex(self, i: int) -> Spring:
+        assert 0 <= i < self._store.n_springs
+        return Spring(self, i)
+
+    def getContainerByIndex(self, i: int) -> Container:
+        return self.containers[i]
+
+    # ------------------------------------------------------------------ create
+    def createMass(self, pos=None) -> Mass:
+        """Reference sim.cu:274-290.  No-arg form uses the default Mass()
+        (m = 1.0, origin, mass.cu:8-19); positional form Mass(pos) (m = 0.1,
+        mass.h:18)."""
+        self._check_can_edit()
+        self._sync_store_before_structural_edit()
+        if pos is None:
+            i = self._store.add_mass((0.0, 0.0, 0.0), m=1.0)
+        else:
+            i = self._store.add_mass(_np3(pos), m=0.1)
+        if self._started:
+            self._structure_dirty = True
+        return Mass(self, i)
+
+    def createSpring(self, m1: Optional[Mass] = None,
+                     m2: Optional[Mass] = None) -> Spring:
+        """Reference sim.cu:325-345; two-mass form sets rest = distance."""
+        self._check_can_edit()
+        self._sync_store_before_structural_edit()
+        if m1 is None or m2 is None:
+            i = self._store.add_spring()
+        else:
+            d = self._store.pos[m2._i] - self._store.pos[m1._i]
+            rest = math.sqrt(float(np.dot(d, d)))
+            i = self._store.add_spring(m1._i, m2._i, k=10000.0, rest=rest)
+        if self._started:
+            self._structure_dirty = True
+        return Spring(self, i)
+
+    # ------------------------------------------------------------------ delete
+    def deleteMass(self, m: Mass) -> None:
+        """Soft delete: the valid flag is the reference's own mechanism
+        (mass.h:120, invalidate kernel sim.cu:343-351); springs with an
+        invalid endpoint exert no force (sim.cu:1163)."""
+        self._check_can_edit()
+        self._sync_store_before_structural_edit()
+        self._store.valid[m._i] = False
+        if self._started:
+            self._structure_dirty = True
+
+    def deleteSpring(self, s: Spring) -> None:
+        self._check_can_edit()
+        self._sync_store_before_structural_edit()
+        self._store.s_valid[s._i] = False
+        if self._started:
+            self._structure_dirty = True
+
+    def deleteContainer(self, c: Container) -> None:
+        """Reference sim.cu:416-564 (bulk invalidate + compaction)."""
+        self._check_can_edit()
+        self._sync_store_before_structural_edit()
+        self._store.valid[c._mass_idx] = False
+        self._store.s_valid[c._spring_idx] = False
+        if c in self.containers:
+            self.containers.remove(c)
+        if self._started:
+            self._structure_dirty = True
+
+    # -------------------------------------------------------------- containers
+    def createContainer(self) -> Container:
+        self._check_not_ended("New objects cannot be created.")
+        c = Container(self)
+        self.containers.append(c)
+        return c
+
+    def _register_built(self, c: Container) -> Container:
+        if self._started:
+            self._structure_dirty = True
+        self.containers.append(c)
+        return c
+
+    def createCube(self, center, side_length: float = 1.0) -> Cube:
+        self._check_not_ended("New objects cannot be created.")
+        self._check_can_edit()
+        self._sync_store_before_structural_edit()
+        return self._register_built(Cube(self, center, side_length))
+
+    def createLattice(self, center, dims, nx: int = 10, ny: int = 10,
+                      nz: int = 10) -> Lattice:
+        self._check_not_ended("New objects cannot be created.")
+        self._check_can_edit()
+        self._sync_store_before_structural_edit()
+        return self._register_built(Lattice(self, center, dims, nx, ny, nz))
+
+    def createBeam(self, center, dims, nx: int = 10, ny: int = 10,
+                   nz: int = 10) -> Beam:
+        self._check_not_ended("New objects cannot be created.")
+        self._check_can_edit()
+        self._sync_store_before_structural_edit()
+        return self._register_built(Beam(self, center, dims, nx, ny, nz))
+
+    def createRobotLink(self, pos1, pos2, mass: float, max_exp_length: float,
+                        min_exp_length: float, expansion_rate: float,
+                        k: float, magnetic_force: float,
+                        radius: float = 0.015) -> RobotLink:
+        self._check_not_ended("New objects cannot be created.")
+        self._check_can_edit()
+        self._sync_store_before_structural_edit()
+        return self._register_built(RobotLink(
+            self, pos1, pos2, mass, max_exp_length, min_exp_length,
+            expansion_rate, k, magnetic_force, radius))
+
+    def importFromSTL(self, path: str, density: float = 10.0,
+                      num_rays: int = 5) -> Container:
+        """Reference sim.cu:2085-2151; implementation in titan_tpu.stl."""
+        self._check_not_ended("Cannot import new STL objects")
+        self._check_can_edit()
+        self._sync_store_before_structural_edit()
+        from ..stl import import_from_stl
+        return self._register_built(import_from_stl(self, path, density, num_rays))
+
+    # ------------------------------------------------------- global constraints
+    def createPlane(self, abc, d: float, friction_k: float = 0.0,
+                    friction_s: float = 0.0) -> None:
+        """Half-space constraint ax+by+cz < d (reference sim.cu:2251-2276).
+        Note the reference's argument order is (K, S) for the friction
+        overload (sim.h:64)."""
+        self._check_not_ended("New objects cannot be created.")
+        n = _np3(abc)
+        n = n / math.sqrt(float(np.dot(n, n)))
+        self._planes.append((n, float(d), float(friction_k), float(friction_s)))
+        if self._started:
+            self._structure_dirty = True
+
+    def createBall(self, center, r: float) -> None:
+        """Reference sim.cu:2278-2288."""
+        self._check_not_ended("New constraints cannot be added.")
+        self._balls.append((_np3(center), float(r)))
+        if self._started:
+            self._structure_dirty = True
+
+    def clearConstraints(self) -> None:
+        """Clears global constraints only (reference sim.cu:2290-2293)."""
+        self._planes.clear()
+        self._balls.clear()
+        if self._started:
+            self._structure_dirty = True
+
+    # ------------------------------------------------------------- bulk setters
+    def setAllSpringConstantValues(self, k: float) -> None:
+        """Host-side only until set/setAll, like the reference (sim.cu:769-777)."""
+        self._check_not_ended()
+        self._store.k[: self._store.n_springs] = k
+
+    def defaultRestLengths(self) -> None:
+        self._check_not_ended()
+        st = self._store
+        s = st.n_springs
+        attached = (st.left[:s] >= 0) & (st.right[:s] >= 0)
+        li = np.where(attached, st.left[:s], 0)
+        ri = np.where(attached, st.right[:s], 0)
+        d = st.pos[ri] - st.pos[li]
+        st.rest[:s] = np.where(
+            attached, np.sqrt(np.sum(d * d, axis=1)), st.rest[:s])
+
+    def setAllMassValues(self, m: float) -> None:
+        """NOTE: the reference *adds* m to every mass (sim.cu:789-796)."""
+        self._check_not_ended()
+        self._store.m[: self._store.n_masses] += m
+
+    def setTimeStep(self, delta_t: float) -> None:
+        """Live: the reference reads dt from a member each step (sim.cu:798-808)."""
+        self._check_not_ended()
+        if delta_t <= 0:
+            raise RuntimeError("Cannot set time step to negative or zero value.")
+        with self._lock:
+            self._dt = float(delta_t)
+            if self._state is not None:
+                self._state = dataclasses.replace(
+                    self._state,
+                    dt=jnp.asarray(delta_t, dtype=self.config.np_dtype))
+
+    def getTimeStep(self) -> float:
+        return self._dt
+
+    def setGlobalAcceleration(self, global_acc) -> None:
+        """Reference sim.cu:2334-2340 (throws while running)."""
+        if self._running:
+            raise RuntimeError("The simulation is running. The global force "
+                               "parameter cannot be changed during runtime")
+        self._global_acc = _np3(global_acc)
+        if self._state is not None:
+            self._state = dataclasses.replace(
+                self._state,
+                g=jnp.asarray(self._global_acc, dtype=self.config.np_dtype))
+
+    # ------------------------------------------------------------- marshalling
+    def _scene_shape(self) -> SceneShape:
+        st, cfg = self._store, self.config
+        n, s = st.n_masses, st.n_springs
+        N, S = pad_to(n), pad_to(max(s, 1))
+        caps = _local_caps(st)
+        has_breathing = bool(np.any(
+            (st.s_type[:s] != PASSIVE_SOFT) & (st.s_type[:s] != PASSIVE_STIFF)))
+        has_magnets = bool(np.any(st.mag_maxf[:n] != 0.0)
+                           or np.any(st.mag_rad[:n] != 0.0))
+        has_drag = bool(np.any(st.drag[:n] != 0.0))
+        # max incidence degree
+        valid_sp = st.s_valid[:s] & (st.left[:s] >= 0) & (st.right[:s] >= 0)
+        if np.any(valid_sp):
+            ids = np.concatenate([st.right[:s][valid_sp], st.left[:s][valid_sp]])
+            max_deg = int(np.bincount(ids, minlength=n).max())
+        else:
+            max_deg = 1
+        return SceneShape(
+            n_masses=N, n_springs=S, max_degree=max(max_deg, 1),
+            n_planes=len(self._planes), n_balls=len(self._balls),
+            cap_cp=caps[0], cap_ball=caps[1], cap_pl=caps[2], cap_dir=caps[3],
+            has_magnets=has_magnets, has_drag=has_drag,
+            has_breathing=has_breathing, config=cfg,
+        )
+
+    def _marshal(self) -> None:
+        """Build the device state pytree from the host store (replaces
+        toArray/massToArray/springToArray, reference sim.cu:940-1041)."""
+        st, cfg = self._store, self.config
+        dt = cfg.np_dtype
+        shape = self._scene_shape()
+        n, s = st.n_masses, st.n_springs
+        N, S = shape.n_masses, shape.n_springs
+
+        def vec3(a):  # host [cap,3] f64 -> device [3,N] cfg-dtype
+            out = np.zeros((3, N), dtype=dt)
+            out[:, :n] = a[:n].T
+            return jnp.asarray(out)
+
+        def sc(a, fill=0.0, dtype=None):
+            out = np.full(N, fill, dtype=dtype or dt)
+            out[:n] = a[:n]
+            return jnp.asarray(out)
+
+        masses = MassState(
+            pos=vec3(st.pos), vel=vec3(st.vel), acc=vec3(st.acc),
+            extern_force=vec3(st.extern_force),
+            m=sc(st.m, fill=1.0), T=sc(st.T),
+            fixed=sc(st.fixed, fill=False, dtype=bool),
+            valid=sc(st.valid, fill=False, dtype=bool),
+            drag=sc(st.drag),
+            mag_rad=sc(st.mag_rad), mag_stiffness=sc(st.mag_stiffness),
+            mag_maxf=sc(st.mag_maxf), mag_scale=sc(st.mag_scale),
+        )
+
+        def ssc(a, fill=0.0, dtype=None):
+            out = np.full(S, fill, dtype=dtype or dt)
+            out[:s] = a[:s]
+            return jnp.asarray(out)
+
+        left = np.zeros(S, dtype=np.int32)
+        right = np.zeros(S, dtype=np.int32)
+        attached = (st.left[:s] >= 0) & (st.right[:s] >= 0)
+        left[:s] = np.where(attached, st.left[:s], 0)
+        right[:s] = np.where(attached, st.right[:s], 0)
+        s_valid = np.zeros(S, dtype=bool)
+        s_valid[:s] = st.s_valid[:s] & attached
+
+        springs = SpringState(
+            left=jnp.asarray(left), right=jnp.asarray(right),
+            valid=jnp.asarray(s_valid),
+            k=ssc(st.k), rest=ssc(st.rest), damping=ssc(st.damping),
+            type=ssc(st.s_type, dtype=np.int8),
+            omega=ssc(st.omega), l_max=ssc(st.l_max), l_min=ssc(st.l_min),
+            rate=ssc(st.rate),
+        )
+
+        # incidence topology from the currently-valid springs
+        if cfg.scatter == ScatterMode.GATHER:
+            inc_idx, inc_sign = builders.build_incidence(
+                left[:s], right[:s], N, S, valid=s_valid[:s])
+            # pad degree axis to the shape's max_degree
+            D = shape.max_degree
+            if inc_idx.shape[1] < D:
+                padc = D - inc_idx.shape[1]
+                inc_idx = np.pad(inc_idx, ((0, 0), (0, padc)),
+                                 constant_values=S)
+                inc_sign = np.pad(inc_sign, ((0, 0), (0, padc)))
+            seg_perm = np.zeros(2, dtype=np.int32)
+            seg_ids = np.zeros(2, dtype=np.int32)
+        else:
+            perm, ids = builders.build_segment_sort(left, right)
+            seg_perm, seg_ids = perm, ids
+            inc_idx = np.zeros((1, 1), dtype=np.int32)
+            inc_sign = np.zeros((1, 1))
+        topo = Topology(
+            inc_idx=jnp.asarray(inc_idx),
+            inc_sign=jnp.asarray(inc_sign.astype(dt)),
+            seg_perm=jnp.asarray(seg_perm), seg_ids=jnp.asarray(seg_ids),
+        )
+
+        P, B = len(self._planes), len(self._balls)
+        gcon = GlobalConstraints(
+            plane_normal=jnp.asarray(
+                np.array([p[0] for p in self._planes], dtype=dt).reshape(P, 3)),
+            plane_offset=jnp.asarray(np.array([p[1] for p in self._planes], dtype=dt)),
+            plane_fk=jnp.asarray(np.array([p[2] for p in self._planes], dtype=dt)),
+            plane_fs=jnp.asarray(np.array([p[3] for p in self._planes], dtype=dt)),
+            ball_center=jnp.asarray(
+                np.array([b[0] for b in self._balls], dtype=dt).reshape(B, 3)),
+            ball_radius=jnp.asarray(np.array([b[1] for b in self._balls], dtype=dt)),
+        )
+
+        lcon = _marshal_local(st, N, shape, dt)
+
+        self._shape = shape
+        self._state = SimState(
+            t=jnp.asarray(self._T, dtype=dt),
+            dt=jnp.asarray(self._dt, dtype=dt),
+            g=jnp.asarray(self._global_acc, dtype=dt),
+            masses=masses, springs=springs, gcon=gcon, lcon=lcon, topo=topo,
+        )
+        self._chunk = _chunk_for(shape)
+        self._structure_dirty = False
+
+    # ----------------------------------------------------------------- control
+    def start(self) -> None:
+        """Marshal the scene and launch the worker (reference sim.cu:1547-1591)."""
+        self._check_not_ended("Cannot call sim.start() after the end of the simulation.")
+        if self._store.n_masses == 0:
+            raise RuntimeError("No masses have been added. Please add masses "
+                               "before starting the simulation.")
+        if self._dt <= 0:
+            raise RuntimeError("Simulation timestep is invalid. Please choose "
+                               "a positive non-zero value.")
+        self._T = 0.0
+        self._marshal()
+        self._started = True
+        self._running = True
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="titan-tpu-worker")
+        self._worker.start()
+
+    def _run(self) -> None:
+        """Worker loop: chunked on-device stepping between breakpoints."""
+        prev_state = None
+        while True:
+            with self._cv:
+                while not self._running and not self._ended:
+                    self._cv.wait()
+                if self._ended:
+                    self._cv.notify_all()
+                    return
+                nxt = self._bpts[0] if self._bpts else None
+                if nxt is not None and nxt <= self._T + 1e-12:
+                    heapq.heappop(self._bpts)
+                    self._running = False
+                    self._cv.notify_all()
+                    continue
+                dt = self._dt
+                if nxt is None:
+                    n = self.config.max_chunk_steps
+                else:
+                    n = int(math.ceil((nxt - self._T) / dt - 1e-9))
+                    n = max(1, min(n, self.config.max_chunk_steps))
+                state, chunk = self._state, self._chunk
+            new_state = chunk(state, jnp.int32(n))
+            if prev_state is not None:
+                # bound dispatch pipelining to ~2 chunks in flight
+                jax.block_until_ready(prev_state.t)
+            prev_state = state
+            with self._cv:
+                self._state = new_state
+                self._T += n * dt
+                self._steps += n
+                self._cv.notify_all()
+
+    def setBreakpoint(self, time: float) -> None:
+        """Reference sim.cu:814-820 (here with an actual mutex)."""
+        self._check_not_ended("Cannot set breakpoints after the end of the simulation run.")
+        with self._cv:
+            heapq.heappush(self._bpts, float(time))
+            self._cv.notify_all()
+
+    def pause(self, t: float) -> None:
+        """Pause at sim time t, blocking the caller (reference sim.cu:1843-1850)."""
+        self._check_not_ended("Control functions cannot be called.")
+        self.setBreakpoint(t)
+        self.waitForEvent()
+
+    def resume(self) -> None:
+        """Reference sim.cu:1684-1702; re-marshals if the scene changed."""
+        self._check_not_ended("Cannot resume the simulation.")
+        if not self._started:
+            raise RuntimeError("The simulation has not started. You cannot "
+                               "resume a simulation before calling sim.start().")
+        if self._store.n_masses == 0:
+            raise RuntimeError("No masses have been added.")
+        with self._cv:
+            if self._structure_dirty:
+                self._marshal()
+            self._running = True
+            self._cv.notify_all()
+
+    def wait(self, t: float) -> None:
+        """Block the host for t sim-seconds (reference sim.cu:1852-1861).
+
+        Deviation (deliberate): the reference merely spins the host while the
+        GPU keeps free-running, so the state observed after wait() depends on
+        wall-clock timing.  Here wait() parks the simulation at exactly
+        time()+t via a breakpoint, making every get() after a wait()
+        deterministic; the reference tests' own ``wait -> getAll -> resume``
+        pattern then samples exact times.  If the sim is already paused this
+        returns immediately, like the reference.
+        """
+        self._check_not_ended("Control functions cannot be called.")
+        with self._cv:
+            if not self._running:
+                return
+            target = self._T + t
+        self.pause(target)
+
+    def waitUntil(self, t: float) -> None:
+        """Park at sim time t (same deterministic semantics as wait())."""
+        self._check_not_ended("Control functions cannot be called.")
+        with self._cv:
+            if not self._running or self._T > t:
+                return
+        self.pause(t)
+
+    def waitForEvent(self) -> None:
+        self._check_not_ended("Control functions cannot be called.")
+        with self._cv:
+            self._cv.wait_for(lambda: not self._running)
+
+    def stop(self, t: Optional[float] = None) -> None:
+        """Stop and free (reference sim.cu:1517-1545)."""
+        if self._running:
+            self.setBreakpoint(self.time() if t is None else t)
+            self.waitForEvent()
+        with self._cv:
+            self._ended = True
+            self._cv.notify_all()
+        if self._worker is not None:
+            self._worker.join(timeout=30)
+        self._state = None
+        self._chunk = None
+
+    def reset(self) -> None:
+        """Back to a fresh pre-start simulation (reference sim.cu:102-129)."""
+        with self._cv:
+            self._ended = True
+            self._cv.notify_all()
+        if self._worker is not None:
+            self._worker.join(timeout=30)
+        self.__init__(self.config)
+
+    def time(self) -> float:
+        with self._lock:
+            return self._T
+
+    def running(self) -> bool:
+        return self._running
+
+    def printPositions(self) -> None:
+        self._check_not_ended("You cannot view parameters of the simulation "
+                              "after it has been stopped.")
+        st = self._store
+        for i in range(st.n_masses):
+            print(f"{i}: ({st.pos[i, 0]}, {st.pos[i, 1]}, {st.pos[i, 2]})")
+
+    # --------------------------------------------------------------- get / set
+    def _snapshot(self) -> SimState:
+        with self._lock:
+            state = self._state
+        if state is None:
+            raise RuntimeError("Simulation not started.")
+        return state
+
+    def getAll(self) -> None:
+        """Device -> host readback of all mass state (+ spring rest lengths).
+
+        Reference getAll/massFromArray (sim.cu:643-654, 1094-1116); the
+        reference's springFromArray is an acknowledged no-op (sim.cu:1118) so
+        actuated rest lengths never reach the host there -- here they do.
+        """
+        if not self._started or self._state is None:
+            return
+        state = self._snapshot()
+        st = self._store
+        n, s = st.n_masses, st.n_springs
+        host = jax.device_get((state.masses, state.springs.rest, state.masses.T))
+        m_state, rest, mT = host
+        st.pos[:n] = np.asarray(m_state.pos)[:, :n].T
+        st.vel[:n] = np.asarray(m_state.vel)[:, :n].T
+        st.acc[:n] = np.asarray(m_state.acc)[:, :n].T
+        st.extern_force[:n] = np.asarray(m_state.extern_force)[:, :n].T
+        st.m[:n] = np.asarray(m_state.m)[:n]
+        st.T[:n] = np.asarray(mT)[:n]
+        st.valid[:n] = np.asarray(m_state.valid)[:n]
+        st.rest[:s] = np.asarray(rest)[:s]
+
+    def setAll(self) -> None:
+        """Host -> device push of everything (reference setAll, sim.cu:720-765)."""
+        if not self._started or self._state is None:
+            return
+        if self._running:
+            raise RuntimeError("The simulation is running. Stop the simulation to make changes.")
+        with self._cv:
+            self._marshal()
+
+    def get(self, obj) -> None:
+        """Per-object readback (reference sim.cu:589-654).  get(Spring) pulls
+        only the rest length, matching spring.cu:10-14."""
+        if not self._started or self._state is None:
+            return
+        if isinstance(obj, Mass):
+            self._pull_masses(np.array([obj._i]))
+        elif isinstance(obj, Spring):
+            rest = jax.device_get(self._snapshot().springs.rest[obj._i])
+            self._store.rest[obj._i] = float(rest)
+        elif isinstance(obj, Container):
+            self._pull_masses(obj._mass_idx)
+            if len(obj._spring_idx):
+                rest = jax.device_get(self._snapshot().springs.rest)
+                self._store.rest[obj._spring_idx] = np.asarray(rest)[obj._spring_idx]
+        else:
+            raise TypeError(type(obj))
+
+    def _pull_masses(self, idx: np.ndarray) -> None:
+        state = self._snapshot()
+        st = self._store
+        m = state.masses
+        pos, vel, acc, ext, mm, mT = jax.device_get(
+            (m.pos, m.vel, m.acc, m.extern_force, m.m, m.T))
+        st.pos[idx] = np.asarray(pos)[:, idx].T
+        st.vel[idx] = np.asarray(vel)[:, idx].T
+        st.acc[idx] = np.asarray(acc)[:, idx].T
+        st.extern_force[idx] = np.asarray(ext)[:, idx].T
+        st.m[idx] = np.asarray(mm)[idx]
+        st.T[idx] = np.asarray(mT)[idx]
+
+    def set(self, obj) -> None:
+        """Per-object host -> device push (reference sim.cu:604-765).  Only
+        the object's own rows are written; everything else keeps its device
+        value (so un-get() host staleness can't clobber live state)."""
+        if not self._started or self._state is None:
+            return
+        if self._running:
+            raise RuntimeError("The simulation is running. Stop the simulation to make changes.")
+        if self._structure_dirty:
+            return  # full re-marshal at resume supersedes partial pushes
+        if isinstance(obj, Mass):
+            self._push_masses(np.array([obj._i]))
+        elif isinstance(obj, Spring):
+            self._push_springs(np.array([obj._i]))
+        elif isinstance(obj, Container):
+            self._push_masses(obj._mass_idx)
+            self._push_springs(obj._spring_idx)
+        else:
+            raise TypeError(type(obj))
+
+    def _push_masses(self, idx: np.ndarray) -> None:
+        if len(idx) == 0:
+            return
+        st, dt = self._store, self.config.np_dtype
+        with self._cv:
+            m = self._state.masses
+            m = dataclasses.replace(
+                m,
+                pos=m.pos.at[:, idx].set(st.pos[idx].T.astype(dt)),
+                vel=m.vel.at[:, idx].set(st.vel[idx].T.astype(dt)),
+                extern_force=m.extern_force.at[:, idx].set(
+                    st.extern_force[idx].T.astype(dt)),
+                m=m.m.at[idx].set(st.m[idx].astype(dt)),
+                fixed=m.fixed.at[idx].set(st.fixed[idx]),
+                valid=m.valid.at[idx].set(st.valid[idx]),
+                drag=m.drag.at[idx].set(st.drag[idx].astype(dt)),
+                mag_rad=m.mag_rad.at[idx].set(st.mag_rad[idx].astype(dt)),
+                mag_stiffness=m.mag_stiffness.at[idx].set(
+                    st.mag_stiffness[idx].astype(dt)),
+                mag_maxf=m.mag_maxf.at[idx].set(st.mag_maxf[idx].astype(dt)),
+                mag_scale=m.mag_scale.at[idx].set(st.mag_scale[idx].astype(dt)),
+            )
+            self._state = dataclasses.replace(self._state, masses=m)
+
+    def _push_springs(self, idx: np.ndarray) -> None:
+        if len(idx) == 0:
+            return
+        st, dt = self._store, self.config.np_dtype
+        with self._cv:
+            sp = self._state.springs
+            sp = dataclasses.replace(
+                sp,
+                k=sp.k.at[idx].set(st.k[idx].astype(dt)),
+                rest=sp.rest.at[idx].set(st.rest[idx].astype(dt)),
+                damping=sp.damping.at[idx].set(st.damping[idx].astype(dt)),
+                type=sp.type.at[idx].set(st.s_type[idx]),
+                omega=sp.omega.at[idx].set(st.omega[idx].astype(dt)),
+                l_max=sp.l_max.at[idx].set(st.l_max[idx].astype(dt)),
+                l_min=sp.l_min.at[idx].set(st.l_min[idx].astype(dt)),
+                rate=sp.rate.at[idx].set(st.rate[idx].astype(dt)),
+            )
+            self._state = dataclasses.replace(self._state, springs=sp)
+
+    # ------------------------------------------------------------ struct edits
+    def _mark_structure_dirty(self) -> None:
+        if self._started:
+            self._sync_store_before_structural_edit()
+            self._structure_dirty = True
+
+    def _sync_store_before_structural_edit(self) -> None:
+        """Before the first structural edit after a pause, pull the live
+        device state into the store so the re-marshal at resume() doesn't
+        lose simulation progress for untouched entities."""
+        if self._started and not self._structure_dirty and self._state is not None:
+            if self._running:
+                raise RuntimeError("The simulation is running. Stop the "
+                                   "simulation to make changes.")
+            self.getAll()
+
+
+def _np3(v) -> np.ndarray:
+    if isinstance(v, Vec):
+        return v.numpy()
+    return np.asarray(v, dtype=np.float64).reshape(3)
+
+
+def _local_caps(st: HostStore):
+    cap_cp = cap_ball = cap_pl = cap_dir = 0
+    for rec in st.local.values():
+        cap_cp = max(cap_cp, len(rec.contact_planes))
+        cap_ball = max(cap_ball, len(rec.balls))
+        cap_pl = max(cap_pl, len(rec.constraint_planes))
+        cap_dir = max(cap_dir, len(rec.directions))
+    return cap_cp, cap_ball, cap_pl, cap_dir
+
+
+def _marshal_local(st: HostStore, N: int, shape: SceneShape, dt) -> LocalConstraints:
+    cp, cb, cpl, cd = shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir
+    lc = LocalConstraints(
+        cp_normal=np.zeros((N, cp, 3), dtype=dt),
+        cp_offset=np.zeros((N, cp), dtype=dt),
+        cp_fk=np.zeros((N, cp), dtype=dt),
+        cp_fs=np.zeros((N, cp), dtype=dt),
+        cp_count=np.zeros(N, dtype=np.int32),
+        ball_center=np.zeros((N, cb, 3), dtype=dt),
+        ball_radius=np.zeros((N, cb), dtype=dt),
+        ball_count=np.zeros(N, dtype=np.int32),
+        pl_normal=np.zeros((N, cpl, 3), dtype=dt),
+        pl_friction=np.zeros((N, cpl), dtype=dt),
+        pl_count=np.zeros(N, dtype=np.int32),
+        dir_tangent=np.zeros((N, cd, 3), dtype=dt),
+        dir_friction=np.zeros((N, cd), dtype=dt),
+        dir_count=np.zeros(N, dtype=np.int32),
+    )
+    for i, rec in st.local.items():
+        if not st.valid[i]:
+            continue
+        for j, (nrm, off) in enumerate(rec.contact_planes):
+            lc.cp_normal[i, j] = nrm
+            lc.cp_offset[i, j] = off
+        lc.cp_count[i] = len(rec.contact_planes)
+        for j, (c, r) in enumerate(rec.balls):
+            lc.ball_center[i, j] = c
+            lc.ball_radius[i, j] = r
+        lc.ball_count[i] = len(rec.balls)
+        for j, (nrm, fr) in enumerate(rec.constraint_planes):
+            lc.pl_normal[i, j] = nrm
+            lc.pl_friction[i, j] = fr
+        lc.pl_count[i] = len(rec.constraint_planes)
+        for j, (tg, fr) in enumerate(rec.directions):
+            lc.dir_tangent[i, j] = tg
+            lc.dir_friction[i, j] = fr
+        lc.dir_count[i] = len(rec.directions)
+    return jax.tree_util.tree_map(jnp.asarray, lc)

@@ -1,0 +1,192 @@
+"""Device-resident simulation state: one pytree of SoA arrays.
+
+This replaces the reference's entire entity/marshalling machinery: the
+``CUDA_MASS``/``CUDA_SPRING`` AoS mirror structs (mass.h:89-126,
+spring.h:77-97), per-object cudaMalloc + pointer tables (sim.cu:933-1041), and
+the device pointer graph (springs referencing masses by device pointer,
+spring.h:83-84).  Masses are rows of ``[3, N]`` component-major arrays;
+springs reference masses by int32 index; "deleted" entities are rows with
+``valid=False`` (the reference's soft-delete flag, mass.h:120, which here
+doubles as the padding mask that satisfies XLA's static-shape requirement).
+
+Layout note: vectors are stored component-major ``[3, N]`` (not ``[N, 3]``)
+so that the long axis lands on TPU vector lanes and per-component gathers are
+1-D gathers over a contiguous row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SimConfig
+
+
+def _pytree_dataclass(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_pytree_dataclass
+@dataclasses.dataclass
+class MassState:
+    """Per-mass state arrays; N is the padded mass capacity.
+
+    Mirrors CUDA_MASS (reference mass.h:89-126) minus the pointer plumbing.
+    ``extern_force`` is the *persistent* user force (see
+    SimConfig.persistent_extern_force); the per-step magnet accumulation the
+    reference also stored there is recomputed functionally each step.
+    """
+
+    pos: jax.Array          # [3, N]
+    vel: jax.Array          # [3, N]
+    acc: jax.Array          # [3, N] (carried for Verlet + acceleration())
+    extern_force: jax.Array  # [3, N]
+    m: jax.Array            # [N]
+    T: jax.Array            # [N] per-mass local time (reference mass.h:23)
+    fixed: jax.Array        # [N] bool (reference LOCAL_CONSTRAINTS.fixed)
+    valid: jax.Array        # [N] bool soft-delete / padding mask
+    drag: jax.Array         # [N] drag coefficient (reference setDrag)
+    # Magnet properties (reference mass.h:27-31)
+    mag_rad: jax.Array      # [N] shell radius
+    mag_stiffness: jax.Array  # [N] shell spring constant
+    mag_maxf: jax.Array     # [N] max pull force
+    mag_scale: jax.Array    # [N] susceptibility scale factor
+
+
+@_pytree_dataclass
+@dataclasses.dataclass
+class SpringState:
+    """Per-spring state arrays; S is the padded spring capacity.
+
+    Mirrors CUDA_SPRING (reference spring.h:77-97) with endpoint indices in
+    place of device pointers.  ``rest`` is mutable *state* (ACTUATED_* springs
+    integrate it on device, reference sim.cu:1173-1181).
+    """
+
+    left: jax.Array    # [S] int32 index into mass arrays
+    right: jax.Array   # [S] int32
+    valid: jax.Array   # [S] bool
+    k: jax.Array       # [S]
+    rest: jax.Array    # [S]
+    damping: jax.Array  # [S]
+    type: jax.Array    # [S] int8 (SpringType codes, config.py)
+    omega: jax.Array   # [S] breathing frequency
+    l_max: jax.Array   # [S] actuator max length
+    l_min: jax.Array   # [S] actuator min length
+    rate: jax.Array    # [S] actuator expansion rate [m/s]
+
+
+@_pytree_dataclass
+@dataclasses.dataclass
+class GlobalConstraints:
+    """Global contact planes and balls (reference CUDA_GLOBAL_CONSTRAINTS,
+    object.h:171-177; applied per mass per step at sim.cu:1303-1309).
+
+    Counts are static (len of arrays); arrays sized exactly.
+    """
+
+    plane_normal: jax.Array  # [P, 3] unit normals
+    plane_offset: jax.Array  # [P]
+    plane_fk: jax.Array      # [P] kinetic friction coeff
+    plane_fs: jax.Array      # [P] static friction coeff
+    ball_center: jax.Array   # [B, 3]
+    ball_radius: jax.Array   # [B]
+
+
+@_pytree_dataclass
+@dataclasses.dataclass
+class LocalConstraints:
+    """Per-mass local constraint slots (reference CUDA_LOCAL_CONSTRAINTS,
+    object.h:203-220; applied at sim.cu:1311-1326).
+
+    Fixed per-type capacities (C*, usually 0) with per-mass counts; a slot j
+    is active iff j < count.  Capacities are part of the static scene shape;
+    scenes without local constraints trace no constraint code at all.
+    """
+
+    cp_normal: jax.Array   # [N, Ccp, 3] contact planes
+    cp_offset: jax.Array   # [N, Ccp]
+    cp_fk: jax.Array       # [N, Ccp]
+    cp_fs: jax.Array       # [N, Ccp]
+    cp_count: jax.Array    # [N] int32
+    ball_center: jax.Array  # [N, Cb, 3]
+    ball_radius: jax.Array  # [N, Cb]
+    ball_count: jax.Array   # [N] int32
+    pl_normal: jax.Array   # [N, Cpl, 3] constraint planes
+    pl_friction: jax.Array  # [N, Cpl]
+    pl_count: jax.Array    # [N] int32
+    dir_tangent: jax.Array  # [N, Cd, 3] direction constraints
+    dir_friction: jax.Array  # [N, Cd]
+    dir_count: jax.Array   # [N] int32
+
+
+@_pytree_dataclass
+@dataclasses.dataclass
+class Topology:
+    """Precomputed spring->mass incidence for gather-mode force accumulation.
+
+    For mass n, ``inc_idx[n, d]`` is a spring index (S = padding -> zero row)
+    and ``inc_sign[n, d]`` is +1 if n is the spring's right endpoint, -1 if
+    left (reference applies +f to right, -f to left, sim.cu:1189-1196).
+    """
+
+    inc_idx: jax.Array   # [N, D] int32 in [0, S]
+    inc_sign: jax.Array  # [N, D] dtype matching state, in {+1, -1, 0}
+    # For SEGMENT mode: permutation sorting concat(right, left) by mass id.
+    seg_perm: jax.Array  # [2S] int32
+    seg_ids: jax.Array   # [2S] int32 sorted segment ids
+
+
+@_pytree_dataclass
+@dataclasses.dataclass
+class SimState:
+    """The full simulation state: everything the step function reads/writes."""
+
+    t: jax.Array            # [] sim time (breathing springs read it)
+    dt: jax.Array           # [] timestep (mutable at pause without retrace)
+    g: jax.Array            # [3] global acceleration
+    masses: MassState
+    springs: SpringState
+    gcon: GlobalConstraints
+    lcon: LocalConstraints
+    topo: Topology
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneShape:
+    """Static (hashable) scene descriptor that keys the traced step function."""
+
+    n_masses: int       # padded N
+    n_springs: int      # padded S
+    max_degree: int     # D
+    n_planes: int
+    n_balls: int
+    cap_cp: int         # local constraint capacities
+    cap_ball: int
+    cap_pl: int
+    cap_dir: int
+    has_magnets: bool
+    has_drag: bool
+    has_breathing: bool  # any ACTIVE_*/ACTUATED_* springs
+    config: SimConfig
+
+
+def pad_to(n: int, mult: int = 128) -> int:
+    """Round up to a TPU-lane-friendly multiple (min tile lane dim = 128)."""
+    return max(mult, ((n + mult - 1) // mult) * mult)
+
+
+def device_put_state(state: SimState, sharding: Any = None) -> SimState:
+    if sharding is None:
+        return jax.device_put(state)
+    return jax.device_put(state, sharding)
+
+
+def state_to_numpy(state: SimState) -> SimState:
+    """Fetch the whole state to host numpy (single D2H transfer per leaf)."""
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(state))
