@@ -1,0 +1,216 @@
+"""Control-plane tests: breakpoints, pause/resume, live parameter mutation,
+dynamic topology edits at pause boundaries, stop semantics.
+
+These exercise the reference's L4 control surface (sim.h:91-109,
+SURVEY.md section 3.3) on the chunked-dispatch TPU runtime."""
+
+import numpy as np
+import pytest
+
+from titan_tpu import Simulation, SimConfig, Vec
+
+
+def _free_fall_sim(**cfg):
+    sim = Simulation(SimConfig(velocity_clamp=False, **cfg))
+    m = sim.createMass(Vec(0, 0, 0))
+    sim.setTimeStep(0.0001)
+    sim.setGlobalAcceleration(Vec(0, 0, -1.0))
+    return sim, m
+
+
+def test_breakpoint_pause_resume():
+    sim, m = _free_fall_sim()
+    sim.start()
+    sim.pause(0.5)
+    assert not sim.running()
+    assert sim.time() == pytest.approx(0.5, abs=1e-6)
+    sim.getAll()
+    z_half = m.pos[2]
+    assert z_half == pytest.approx(-0.5 * 0.25, abs=1e-3)
+    sim.resume()
+    assert sim.running()
+    sim.pause(1.0)
+    sim.getAll()
+    assert m.pos[2] == pytest.approx(-0.5, abs=1e-3)
+    sim.stop()
+
+
+def test_multiple_breakpoints_in_order():
+    sim, m = _free_fall_sim()
+    sim.setBreakpoint(0.3)
+    sim.setBreakpoint(0.1)
+    sim.setBreakpoint(0.2)
+    sim.start()
+    for expect in (0.1, 0.2, 0.3):
+        sim.waitForEvent()
+        assert sim.time() == pytest.approx(expect, abs=1e-6)
+        sim.resume()
+    sim.pause(0.4)
+    sim.stop()
+
+
+def test_stop_semantics():
+    sim, _ = _free_fall_sim()
+    sim.start()
+    sim.pause(0.1)
+    sim.stop()
+    with pytest.raises(RuntimeError):
+        sim.createMass(Vec(0, 0, 0))
+    with pytest.raises(RuntimeError):
+        sim.setBreakpoint(1.0)
+    with pytest.raises(RuntimeError):
+        sim.resume()
+
+
+def test_live_timestep_change():
+    sim, m = _free_fall_sim()
+    sim.start()
+    sim.pause(0.1)
+    sim.setTimeStep(0.001)  # 10x coarser
+    sim.resume()
+    sim.pause(0.5)
+    sim.getAll()
+    # trajectory stays analytic regardless of dt
+    assert m.pos[2] == pytest.approx(-0.5 * 0.25, abs=1e-2)
+    sim.stop()
+
+
+def test_live_spring_constant_mutation():
+    """North-star config 3: live k mutation via breakpoints."""
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    m1 = sim.createMass(Vec(0, 0, 0))
+    m2 = sim.createMass(Vec(1.5, 0, 0))
+    s = sim.createSpring(m1, m2)
+    s._rest = 1.0  # stretched -> oscillates
+    s._k = 100.0
+    sim.setGlobalAcceleration(Vec(0, 0, 0))
+    sim.setTimeStep(0.0001)
+    sim.start()
+    sim.pause(0.05)
+    sim.get(s)
+    s._k = 0.0  # kill the spring force
+    sim.set(s)
+    sim.getAll()
+    v_before = np.array(list(sim.masses[0].vel))
+    sim.resume()
+    sim.pause(0.3)
+    sim.getAll()
+    v_after = np.array(list(sim.masses[0].vel))
+    # no force anymore -> velocity unchanged
+    np.testing.assert_allclose(v_after, v_before, atol=1e-5)
+    sim.stop()
+
+
+def test_create_mass_while_running_raises():
+    sim, _ = _free_fall_sim()
+    sim.start()
+    with pytest.raises(RuntimeError):
+        # creating while running is an error (reference sim.cu:235-237)
+        sim.createMass(Vec(5, 5, 5))
+    sim.pause(0.1)
+    sim.stop()
+
+
+def test_create_mass_after_start():
+    sim, m = _free_fall_sim()
+    sim.start()
+    sim.pause(0.5)
+    m2 = sim.createMass(Vec(5, 5, 5))
+    sim.resume()
+    sim.pause(1.0)
+    sim.getAll()
+    # old mass kept its in-flight trajectory (z = -t^2/2)
+    assert m.pos[2] == pytest.approx(-0.5, abs=1e-3)
+    # new mass fell from its own creation time (~0.5s of fall)
+    dt_fall = 1.0 - 0.5
+    assert m2.pos[2] == pytest.approx(5 - 0.5 * dt_fall ** 2, abs=2e-2)
+    sim.stop()
+
+
+def test_create_spring_after_start():
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    m1 = sim.createMass(Vec(0, 0, 0))
+    m2 = sim.createMass(Vec(2.0, 0, 0))
+    sim.setGlobalAcceleration(Vec(0, 0, 0))
+    sim.setTimeStep(0.0001)
+    sim.start()
+    sim.pause(0.1)
+    s = sim.createSpring(m1, m2)  # rest = current distance -> no force yet
+    s._rest = 1.0
+    s._k = 10.0  # now pulls them together
+    s._damping = 2.0  # settle toward rest separation
+    sim.resume()
+    sim.pause(1.5)
+    sim.getAll()
+    sep = m2.pos[0] - m1.pos[0]
+    assert sep == pytest.approx(1.0, abs=0.3)  # relaxed toward rest length
+    sim.stop()
+
+
+def test_delete_mass_and_spring():
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    m1 = sim.createMass(Vec(0, 0, 0))
+    m2 = sim.createMass(Vec(2.0, 0, 0))
+    s = sim.createSpring(m1, m2)
+    s._rest = 1.0
+    s._k = 10.0
+    sim.setGlobalAcceleration(Vec(0, 0, 0))
+    sim.setTimeStep(0.0001)
+    sim.start()
+    sim.pause(0.05)
+    sim.deleteSpring(s)
+    sim.getAll()
+    v1 = np.array(list(m1.vel))
+    sim.resume()
+    sim.pause(0.5)
+    sim.getAll()
+    np.testing.assert_allclose(np.array(list(m1.vel)), v1, atol=1e-5)
+    sim.stop()
+
+
+def test_delete_mass_disables_its_springs():
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    m1 = sim.createMass(Vec(0, 0, 0))
+    m2 = sim.createMass(Vec(2.0, 0, 0))
+    s = sim.createSpring(m1, m2)
+    s._rest = 1.0
+    s._k = 10.0
+    sim.setGlobalAcceleration(Vec(0, 0, 0))
+    sim.setTimeStep(0.0001)
+    sim.start()
+    sim.pause(0.05)
+    sim.deleteMass(m2)
+    sim.resume()
+    sim.pause(0.5)
+    sim.getAll()
+    pos2 = np.array(list(m2.pos))
+    # deleted mass is frozen; spring exerts nothing (invalid endpoint)
+    sim.resume()
+    sim.pause(0.7)
+    sim.getAll()
+    np.testing.assert_allclose(np.array(list(m2.pos)), pos2, atol=1e-6)
+    sim.stop()
+
+
+def test_wait_is_deterministic():
+    sim, m = _free_fall_sim()
+    sim.start()
+    times = []
+    while sim.time() < 0.5:
+        sim.wait(0.1)
+        times.append(sim.time())
+        sim.resume()
+    sim.stop()
+    np.testing.assert_allclose(times, [0.1, 0.2, 0.3, 0.4, 0.5], atol=1e-9)
+
+
+def test_reset():
+    sim, _ = _free_fall_sim()
+    sim.start()
+    sim.pause(0.1)
+    sim.reset()
+    assert len(sim.masses) == 0
+    sim.createMass(Vec(0, 0, 0))
+    sim.start()
+    sim.pause(0.1)
+    sim.stop()

@@ -112,8 +112,10 @@ class Mass:
         self._sim._store.mag_scale[self._i] = v
 
     def isMagnetic(self) -> bool:
-        """Reference mass.h:32: (bool) round(max_mag_force)."""
-        return bool(round(self.max_mag_force))
+        """Reference mass.h:32: (bool) round(max_mag_force).  Uses C round
+        semantics (half away from zero) -- Python's round() would give
+        round(0.5) == 0."""
+        return bool(math.floor(abs(self.max_mag_force) + 0.5))
 
     # -- constraints (reference mass.h:39-47, mass.cu:102-161) -----------------
     def fix(self) -> None:
