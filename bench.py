@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark: spring-updates/sec on one chip at the ~1M-spring config.
+
+Workload (BASELINE.md): a 43x43x43 lattice -- 79,507 masses / 984,438 springs
+-- under gravity on a contact plane, reference-default semantics (Euler with
+velocity clamp, dt = 1e-4), float32, stepped entirely on device in donated
+fori_loop chunks.
+
+Prints ONE JSON line:
+  {"metric": "spring_updates_per_sec", "value": ..., "unit": "springs/s",
+   "vs_baseline": ...}
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md).  We use
+a documented structural estimate of Titan's throughput at this config on a
+V100-class GPU as the stand-in baseline: the spring kernel's AoS pointer
+chasing moves ~500 B/spring/step through HBM (2x CUDA_MASS reads of ~200 B +
+atomic writes), so ~1M springs => ~500 MB/step => <=1800 steps/s at 900 GB/s
+=> ~2e9 spring-updates/s, consistent with the ICRA'20 paper's headline of
+"millions of springs in real time".  vs_baseline = value / 2e9, so >= 2.0
+means the BASELINE.json north-star (>= 2x Titan) is met.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+TITAN_GPU_PROXY_SPRING_UPDATES_PER_SEC = 2.0e9
+
+
+def build_bench_scene(nx: int = 43):
+    from titan_tpu import Simulation, SimConfig, Vec
+
+    sim = Simulation(SimConfig())  # reference defaults: Euler + clamp, f32
+    sim.createLattice(Vec(0, 0, 5), Vec(4, 4, 4), nx, nx, nx)
+    sim.setAllSpringConstantValues(1000.0)
+    sim.setTimeStep(0.0001)
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    sim.defaultRestLengths()
+    sim.createPlane(Vec(0, 0, 1), 0)
+    sim._T = 0.0
+    sim._marshal()
+    return sim
+
+
+def main():
+    from titan_tpu.ops.step import build_chunk_fn
+
+    t_setup = time.perf_counter()
+    sim = build_bench_scene(43)
+    n_springs = sim._store.n_springs
+    n_masses = sim._store.n_masses
+    setup_s = time.perf_counter() - t_setup
+
+    chunk = build_chunk_fn(sim._shape, donate=True)
+    state = sim._state
+
+    def sync(st):
+        # NOTE: on the tunneled 'axon' TPU platform block_until_ready does
+        # not reliably wait; a device_get of the scalar time does.
+        return float(jax.device_get(st.t))
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    state = chunk(state, jnp.int32(1))
+    sync(state)
+    compile_s = time.perf_counter() - t0
+
+    state = chunk(state, jnp.int32(200))
+    sync(state)
+
+    # timed run
+    steps = 2000
+    t0 = time.perf_counter()
+    state = chunk(state, jnp.int32(steps))
+    final_t = sync(state)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = steps / elapsed
+    sps = n_springs * steps_per_sec
+    print(json.dumps({
+        "metric": "spring_updates_per_sec",
+        "value": round(sps),
+        "unit": "springs/s",
+        "vs_baseline": round(sps / TITAN_GPU_PROXY_SPRING_UPDATES_PER_SEC, 3),
+        "steps_per_sec": round(steps_per_sec, 1),
+        "n_springs": n_springs,
+        "n_masses": n_masses,
+        "device": str(jax.devices()[0]),
+        "compile_s": round(compile_s, 2),
+        "setup_s": round(setup_s, 2),
+        "final_t": final_t,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -164,6 +164,58 @@ def build_incidence(
     return inc_idx, inc_sign
 
 
+def build_stencil_groups(
+    left: np.ndarray, right: np.ndarray, valid: np.ndarray,
+    n_masses: int, max_families: int = 26, min_count: int = 16,
+):
+    """Bucket springs by constant index offset (delta = right - left).
+
+    Returns (families, remainder_idx):
+      families: list of (delta, spring_idx [c], left_pos [c]) where every
+        left_pos is unique within the family (one spring per (delta, left)).
+      remainder_idx: spring indices that didn't fit any family.
+
+    A lattice's 13 spring families each have a constant delta (reference
+    object.cu:250-291), so regular scenes bucket completely; irregular
+    springs (cross-agent links, STL remainders) fall through to the general
+    gather path.  Families below ``min_count`` springs aren't worth a full
+    [N]-wide stencil pass and stay in the remainder.
+    """
+    s = left.shape[0]
+    alive = np.flatnonzero(valid)
+    delta = right[alive] - left[alive]
+    remainder = []
+    families = []
+    # process offsets by popularity
+    vals, counts = np.unique(delta, return_counts=True)
+    order = np.argsort(-counts)
+    threshold = max(min_count, n_masses // 256)
+    for gi in order:
+        d, c = int(vals[gi]), int(counts[gi])
+        sel = alive[delta == d]
+        if d == 0 or c < threshold or len(families) >= max_families:
+            remainder.append(sel)
+            continue
+        lp = left[sel]
+        if np.unique(lp).shape[0] != c:
+            # duplicate (delta, left) pairs: keep the first spring per slot
+            # in the family, push the rest to the remainder
+            first = np.zeros(c, dtype=bool)
+            seen = {}
+            for i, v in enumerate(lp):
+                if v not in seen:
+                    seen[v] = True
+                    first[i] = True
+            families.append((d, sel[first], lp[first]))
+            remainder.append(sel[~first])
+        else:
+            families.append((d, sel, lp))
+    rem = (np.concatenate(remainder) if remainder
+           else np.zeros(0, dtype=np.int64))
+    rem.sort()  # keep remainder in original emission order
+    return families, rem
+
+
 def build_segment_sort(
     left: np.ndarray, right: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:

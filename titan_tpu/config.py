@@ -57,6 +57,15 @@ class SimConfig:
     # debugging/parity studies.  Reference is all-double (vec.h).
     dtype: str = "float32"
     scatter: ScatterMode = ScatterMode.GATHER
+    # Bucket springs with a constant endpoint index offset into roll-based
+    # stencil families (see StencilState) -- the TPU hot path, ~485x faster
+    # than index gathers at the 1M-spring config.  False forces everything
+    # through the general gather/segment path (debugging / irregular scenes).
+    use_stencil: bool = True
+    # Stencil bucketing knobs: families with fewer springs than
+    # max(stencil_min_count, n_masses // 256) stay in the remainder.
+    stencil_max_families: int = 26
+    stencil_min_count: int = 16
     # Contact-penalty normal coefficient (reference object.cu:29).
     normal_coeff: float = 20000.0
     # Magnet interaction cutoff in meters (reference sim.cu:1228).

@@ -83,6 +83,63 @@ def spring_forces(
     return f, rest
 
 
+def stencil_spring_forces(
+    masses: MassState,
+    st,  # StencilState
+    deltas: tuple,
+    t: jax.Array,
+    dt: jax.Array,
+    has_breathing: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Spring forces for offset-bucketed families via lane rotations.
+
+    Family f connects left mass n to right mass n + deltas[f]; the endpoint
+    'gather' is jnp.roll(x, -delta) and the force 'scatter' back onto the
+    right endpoint is jnp.roll(f, +delta).  Same physics as spring_forces()
+    (reference computeSpringForces, sim.cu:1157-1200), zero irregular memory
+    traffic.  Returns (accumulated mass force [3, N], new rest [F, N]).
+
+    Roll wrap-around is harmless: wrapped lanes correspond to mask=False
+    slots whose force is zeroed before the inverse rotation.
+    """
+    pos, vel, valid = masses.pos, masses.vel, masses.valid
+    f_acc = jnp.zeros_like(pos)
+    new_rest = st.rest
+    for fi, d in enumerate(deltas):
+        pos_r = jnp.roll(pos, -d, axis=1)
+        vel_r = jnp.roll(vel, -d, axis=1)
+        diff = pos_r - pos                                   # right - left
+        length = jnp.sqrt(jnp.sum(diff * diff, axis=0))      # [N]
+        inv_len = jnp.where(length > 0,
+                            1.0 / jnp.where(length > 0, length, 1.0), 0.0)
+        unit = diff * inv_len
+
+        rest = st.rest[fi]
+        if has_breathing:
+            styp = st.type[fi]
+            sin_wt = jnp.sin(st.omega[fi] * t)
+            scale = jnp.where(
+                styp == ACTIVE_CONTRACT_THEN_EXPAND, 1.0 - 0.2 * sin_wt,
+                jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
+                          1.0 + 0.2 * sin_wt, 1.0))
+            rest = jnp.where(
+                (styp == ACTUATED_EXPAND) & (rest < st.l_max[fi]),
+                rest + st.rate[fi] * dt,
+                jnp.where((styp == ACTUATED_CONTRACT) & (rest > st.l_min[fi]),
+                          rest - st.rate[fi] * dt, rest))
+            new_rest = new_rest.at[fi].set(rest)
+        else:
+            scale = 1.0
+
+        axial_dv = jnp.sum((vel - vel_r) * unit, axis=0)     # v_l - v_r
+        mag = st.k[fi] * (rest * scale - length) + axial_dv * st.damping[fi]
+        pair_ok = st.mask[fi] & valid & jnp.roll(valid, -d)
+        f = jnp.where(pair_ok, mag, 0.0) * unit              # [3, N]
+        # -f at the left endpoint (index n), +f at the right (n + d)
+        f_acc = f_acc - f + jnp.roll(f, d, axis=1)
+    return f_acc, new_rest
+
+
 def scatter_spring_forces(
     f_springs: jax.Array,
     topo: Topology,

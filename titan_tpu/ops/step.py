@@ -62,13 +62,34 @@ def build_step_fn(shape: SceneShape) -> Callable[[SimState], SimState]:
     cfg = shape.config
 
     def spring_pass(state: SimState, masses: MassState, t):
-        f_sp, new_rest = F.spring_forces(
-            masses, state.springs, t, state.dt, shape.has_breathing,
+        """Stencil families (regular topology, roll-based) + general
+        gather/segment remainder.  Returns (force [3, N], new stencil rest
+        [F, N], new remainder rest [S])."""
+        f = jnp.zeros_like(masses.pos)
+        st_rest = state.stencil.rest
+        rem_rest = state.springs.rest
+        if shape.stencil_deltas:
+            f, st_rest = F.stencil_spring_forces(
+                masses, state.stencil, shape.stencil_deltas, t, state.dt,
+                shape.has_breathing,
+            )
+        if shape.has_remainder:
+            f_sp, rem_rest = F.spring_forces(
+                masses, state.springs, t, state.dt, shape.has_breathing,
+            )
+            f = f + F.scatter_spring_forces(
+                f_sp, state.topo, masses.fixed, shape.n_masses, cfg.scatter,
+            )
+        # spring forces are never applied to fixed masses (sim.cu:1187-1193)
+        f = jnp.where(masses.fixed, 0.0, f)
+        return f, st_rest, rem_rest
+
+    def put_rests(state: SimState, st_rest, rem_rest) -> SimState:
+        return dataclasses.replace(
+            state,
+            stencil=dataclasses.replace(state.stencil, rest=st_rest),
+            springs=dataclasses.replace(state.springs, rest=rem_rest),
         )
-        f = F.scatter_spring_forces(
-            f_sp, state.topo, masses.fixed, shape.n_masses, cfg.scatter,
-        )
-        return f, new_rest
 
     def finish(masses: MassState, pos, vel, acc, dt):
         """Write back integration results, freezing fixed and invalid masses.
@@ -99,17 +120,16 @@ def build_step_fn(shape: SceneShape) -> Callable[[SimState], SimState]:
             # the spring actuation rest mutation runs in BOTH passes at the
             # full dt rate (a reference quirk, reproduced).
             masses, dt = state.masses, state.dt
-            f1, rest1 = spring_pass(state, masses, state.t)
-            state = dataclasses.replace(
-                state, springs=dataclasses.replace(state.springs, rest=rest1))
+            f1, st_rest1, rem_rest1 = spring_pass(state, masses, state.t)
+            state = put_rests(state, st_rest1, rem_rest1)
             f1, vel1 = _mass_forces(state, masses, f1, shape)
             masses1 = dataclasses.replace(masses, vel=vel1)
             pos_h, vel_h, acc1 = I.rk2_half(masses.pos, vel1, f1, masses.m, dt)
             half = finish(masses1, pos_h, vel_h, acc1, 0.5 * dt)
 
-            f2, rest2 = spring_pass(state, half, state.t + 0.5 * dt)
-            state = dataclasses.replace(
-                state, springs=dataclasses.replace(state.springs, rest=rest2))
+            f2, st_rest2, rem_rest2 = spring_pass(state, half,
+                                                  state.t + 0.5 * dt)
+            state = put_rests(state, st_rest2, rem_rest2)
             f2, vel2 = _mass_forces(state, half, f2, shape)
             pos, vel, acc2 = I.rk2_full(masses.pos, masses1.vel, vel2, f2,
                                         masses.m, dt)
@@ -126,9 +146,8 @@ def build_step_fn(shape: SceneShape) -> Callable[[SimState], SimState]:
     else:
         def step(state: SimState) -> SimState:
             masses, dt = state.masses, state.dt
-            f, new_rest = spring_pass(state, masses, state.t)
-            state = dataclasses.replace(
-                state, springs=dataclasses.replace(state.springs, rest=new_rest))
+            f, st_rest, rem_rest = spring_pass(state, masses, state.t)
+            state = put_rests(state, st_rest, rem_rest)
             f, vel = _mass_forces(state, masses, f, shape)
             if cfg.integrator is Integrator.VERLET:
                 pos, vel, acc = I.verlet(masses.pos, vel, masses.acc, f,

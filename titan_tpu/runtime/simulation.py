@@ -38,7 +38,8 @@ from ..containers import Beam, Container, Cube, Lattice, RobotLink
 from ..entities import HandleSeq, Mass, Spring
 from ..ops import build_chunk_fn
 from ..state import (GlobalConstraints, LocalConstraints, MassState,
-                     SceneShape, SimState, SpringState, Topology, pad_to)
+                     SceneShape, SimState, SpringState, StencilState,
+                     Topology, pad_to)
 from ..store import HostStore
 from ..vec import Vec
 
@@ -297,39 +298,61 @@ class Simulation:
                 g=jnp.asarray(self._global_acc, dtype=self.config.np_dtype))
 
     # ------------------------------------------------------------- marshalling
-    def _scene_shape(self) -> SceneShape:
+    def _marshal(self) -> None:
+        """Build the device state pytree from the host store (replaces
+        toArray/massToArray/springToArray, reference sim.cu:940-1041).
+
+        Springs are split into roll-based stencil families (regular topology,
+        the TPU hot path -- see StencilState) and a general gather/segment
+        remainder; host index maps (_sp_family/_sp_slot) record where each
+        spring landed so readback and pushes can find it."""
         st, cfg = self._store, self.config
+        dt = cfg.np_dtype
         n, s = st.n_masses, st.n_springs
-        N, S = pad_to(n), pad_to(max(s, 1))
+        N = pad_to(n)
+
+        # ---- spring partition: stencil families vs remainder
+        attached_all = (st.left[:s] >= 0) & (st.right[:s] >= 0)
+        placeable = st.s_valid[:s] & attached_all
+        if cfg.use_stencil:
+            families, rem_idx = builders.build_stencil_groups(
+                st.left[:s], st.right[:s], placeable, n,
+                max_families=cfg.stencil_max_families,
+                min_count=cfg.stencil_min_count)
+        else:
+            families, rem_idx = [], np.flatnonzero(placeable)
+        deltas = tuple(int(d) for d, _, _ in families)
+        s_rem = int(rem_idx.shape[0])
+        S = pad_to(max(s_rem, 1))
+
+        # host map: where did spring i land?
+        self._sp_family = np.full(s, -1, dtype=np.int32)
+        self._sp_slot = np.full(s, -1, dtype=np.int64)
+        for fi, (_, sidx, lpos) in enumerate(families):
+            self._sp_family[sidx] = fi
+            self._sp_slot[sidx] = lpos
+        self._sp_slot[rem_idx] = np.arange(s_rem)
+
+        # ---- static shape
         caps = _local_caps(st)
         has_breathing = bool(np.any(
             (st.s_type[:s] != PASSIVE_SOFT) & (st.s_type[:s] != PASSIVE_STIFF)))
         has_magnets = bool(np.any(st.mag_maxf[:n] != 0.0)
                            or np.any(st.mag_rad[:n] != 0.0))
         has_drag = bool(np.any(st.drag[:n] != 0.0))
-        # max incidence degree
-        valid_sp = st.s_valid[:s] & (st.left[:s] >= 0) & (st.right[:s] >= 0)
-        if np.any(valid_sp):
-            ids = np.concatenate([st.right[:s][valid_sp], st.left[:s][valid_sp]])
+        if s_rem:
+            ids = np.concatenate([st.right[rem_idx], st.left[rem_idx]])
             max_deg = int(np.bincount(ids, minlength=n).max())
         else:
             max_deg = 1
-        return SceneShape(
+        shape = SceneShape(
             n_masses=N, n_springs=S, max_degree=max(max_deg, 1),
+            stencil_deltas=deltas, has_remainder=s_rem > 0,
             n_planes=len(self._planes), n_balls=len(self._balls),
             cap_cp=caps[0], cap_ball=caps[1], cap_pl=caps[2], cap_dir=caps[3],
             has_magnets=has_magnets, has_drag=has_drag,
             has_breathing=has_breathing, config=cfg,
         )
-
-    def _marshal(self) -> None:
-        """Build the device state pytree from the host store (replaces
-        toArray/massToArray/springToArray, reference sim.cu:940-1041)."""
-        st, cfg = self._store, self.config
-        dt = cfg.np_dtype
-        shape = self._scene_shape()
-        n, s = st.n_masses, st.n_springs
-        N, S = shape.n_masses, shape.n_springs
 
         def vec3(a):  # host [cap,3] f64 -> device [3,N] cfg-dtype
             out = np.zeros((3, N), dtype=dt)
@@ -352,18 +375,18 @@ class Simulation:
             mag_maxf=sc(st.mag_maxf), mag_scale=sc(st.mag_scale),
         )
 
+        # ---- remainder springs (general gather/segment path)
         def ssc(a, fill=0.0, dtype=None):
             out = np.full(S, fill, dtype=dtype or dt)
-            out[:s] = a[:s]
+            out[:s_rem] = a[rem_idx]
             return jnp.asarray(out)
 
         left = np.zeros(S, dtype=np.int32)
         right = np.zeros(S, dtype=np.int32)
-        attached = (st.left[:s] >= 0) & (st.right[:s] >= 0)
-        left[:s] = np.where(attached, st.left[:s], 0)
-        right[:s] = np.where(attached, st.right[:s], 0)
+        left[:s_rem] = st.left[rem_idx]
+        right[:s_rem] = st.right[rem_idx]
         s_valid = np.zeros(S, dtype=bool)
-        s_valid[:s] = st.s_valid[:s] & attached
+        s_valid[:s_rem] = True  # rem_idx already filtered to valid+attached
 
         springs = SpringState(
             left=jnp.asarray(left), right=jnp.asarray(right),
@@ -374,11 +397,36 @@ class Simulation:
             rate=ssc(st.rate),
         )
 
-        # incidence topology from the currently-valid springs
-        if cfg.scatter == ScatterMode.GATHER:
+        # ---- stencil families
+        F = len(families)
+        stencil_np = {
+            "mask": np.zeros((F, N), dtype=bool),
+            "k": np.zeros((F, N), dtype=dt),
+            "rest": np.zeros((F, N), dtype=dt),
+            "damping": np.zeros((F, N), dtype=dt),
+            "type": np.zeros((F, N), dtype=np.int8),
+            "omega": np.zeros((F, N), dtype=dt),
+            "l_max": np.zeros((F, N), dtype=dt),
+            "l_min": np.zeros((F, N), dtype=dt),
+            "rate": np.zeros((F, N), dtype=dt),
+        }
+        for fi, (_, sidx, lpos) in enumerate(families):
+            stencil_np["mask"][fi, lpos] = True
+            stencil_np["k"][fi, lpos] = st.k[sidx]
+            stencil_np["rest"][fi, lpos] = st.rest[sidx]
+            stencil_np["damping"][fi, lpos] = st.damping[sidx]
+            stencil_np["type"][fi, lpos] = st.s_type[sidx]
+            stencil_np["omega"][fi, lpos] = st.omega[sidx]
+            stencil_np["l_max"][fi, lpos] = st.l_max[sidx]
+            stencil_np["l_min"][fi, lpos] = st.l_min[sidx]
+            stencil_np["rate"][fi, lpos] = st.rate[sidx]
+        stencil = StencilState(
+            **{k: jnp.asarray(v) for k, v in stencil_np.items()})
+
+        # ---- incidence topology for the remainder
+        if s_rem and cfg.scatter == ScatterMode.GATHER:
             inc_idx, inc_sign = builders.build_incidence(
-                left[:s], right[:s], N, S, valid=s_valid[:s])
-            # pad degree axis to the shape's max_degree
+                left[:s_rem], right[:s_rem], N, S)
             D = shape.max_degree
             if inc_idx.shape[1] < D:
                 padc = D - inc_idx.shape[1]
@@ -387,11 +435,16 @@ class Simulation:
                 inc_sign = np.pad(inc_sign, ((0, 0), (0, padc)))
             seg_perm = np.zeros(2, dtype=np.int32)
             seg_ids = np.zeros(2, dtype=np.int32)
-        else:
+        elif s_rem:
             perm, ids = builders.build_segment_sort(left, right)
             seg_perm, seg_ids = perm, ids
             inc_idx = np.zeros((1, 1), dtype=np.int32)
             inc_sign = np.zeros((1, 1))
+        else:
+            inc_idx = np.full((N, 1), S, dtype=np.int32)
+            inc_sign = np.zeros((N, 1))
+            seg_perm = np.zeros(2, dtype=np.int32)
+            seg_ids = np.zeros(2, dtype=np.int32)
         topo = Topology(
             inc_idx=jnp.asarray(inc_idx),
             inc_sign=jnp.asarray(inc_sign.astype(dt)),
@@ -417,7 +470,8 @@ class Simulation:
             t=jnp.asarray(self._T, dtype=dt),
             dt=jnp.asarray(self._dt, dtype=dt),
             g=jnp.asarray(self._global_acc, dtype=dt),
-            masses=masses, springs=springs, gcon=gcon, lcon=lcon, topo=topo,
+            masses=masses, springs=springs, stencil=stencil,
+            gcon=gcon, lcon=lcon, topo=topo,
         )
         self._chunk = _chunk_for(shape)
         self._structure_dirty = False
@@ -441,27 +495,34 @@ class Simulation:
         self._worker.start()
 
     def _run(self) -> None:
-        """Worker loop: chunked on-device stepping between breakpoints."""
+        """Worker loop: chunked on-device stepping toward breakpoints.
+
+        Determinism note: the reference's GPU thread free-runs from start()
+        and pause(t) races it (whoever passes t first wins; tolerable there
+        because the GPU advances slowly in wall-clock terms).  A TPU chunk
+        advances 0.1 sim-seconds per millisecond, so free-running would make
+        every pause overshoot nondeterministically.  Instead the worker only
+        steps toward *pending breakpoints*: sim time advances exactly to
+        what the host asked for (wait/pause/waitUntil all set breakpoints)
+        and every observed time is exact and reproducible.
+        """
         prev_state = None
         while True:
             with self._cv:
-                while not self._running and not self._ended:
+                while not self._ended and not (self._running and self._bpts):
                     self._cv.wait()
                 if self._ended:
                     self._cv.notify_all()
                     return
-                nxt = self._bpts[0] if self._bpts else None
-                if nxt is not None and nxt <= self._T + 1e-12:
+                nxt = self._bpts[0]
+                if nxt <= self._T + 1e-12:
                     heapq.heappop(self._bpts)
                     self._running = False
                     self._cv.notify_all()
                     continue
                 dt = self._dt
-                if nxt is None:
-                    n = self.config.max_chunk_steps
-                else:
-                    n = int(math.ceil((nxt - self._T) / dt - 1e-9))
-                    n = max(1, min(n, self.config.max_chunk_steps))
+                n = int(math.ceil((nxt - self._T) / dt - 1e-9))
+                n = max(1, min(n, self.config.max_chunk_steps))
                 state, chunk = self._state, self._chunk
             new_state = chunk(state, jnp.int32(n))
             if prev_state is not None:
@@ -588,16 +649,30 @@ class Simulation:
         state = self._snapshot()
         st = self._store
         n, s = st.n_masses, st.n_springs
-        host = jax.device_get((state.masses, state.springs.rest, state.masses.T))
-        m_state, rest, mT = host
+        m_state, rem_rest, st_rest = jax.device_get(
+            (state.masses, state.springs.rest, state.stencil.rest))
         st.pos[:n] = np.asarray(m_state.pos)[:, :n].T
         st.vel[:n] = np.asarray(m_state.vel)[:, :n].T
         st.acc[:n] = np.asarray(m_state.acc)[:, :n].T
         st.extern_force[:n] = np.asarray(m_state.extern_force)[:, :n].T
         st.m[:n] = np.asarray(m_state.m)[:n]
-        st.T[:n] = np.asarray(mT)[:n]
+        st.T[:n] = np.asarray(m_state.T)[:n]
         st.valid[:n] = np.asarray(m_state.valid)[:n]
-        st.rest[:s] = np.asarray(rest)[:s]
+        self._pull_rest_into_store(np.asarray(rem_rest), np.asarray(st_rest))
+
+    def _pull_rest_into_store(self, rem_rest: np.ndarray,
+                              st_rest: np.ndarray) -> None:
+        """Reassemble host spring rest lengths from the stencil/remainder
+        split using the marshal-time index maps."""
+        st = self._store
+        s = st.n_springs
+        fam, slot = self._sp_family[:s], self._sp_slot[:s]
+        in_st = fam >= 0
+        if np.any(in_st):
+            st.rest[:s][in_st] = st_rest[fam[in_st], slot[in_st]]
+        in_rem = (fam < 0) & (slot >= 0)
+        if np.any(in_rem):
+            st.rest[:s][in_rem] = rem_rest[slot[in_rem]]
 
     def setAll(self) -> None:
         """Host -> device push of everything (reference setAll, sim.cu:720-765)."""
@@ -616,15 +691,27 @@ class Simulation:
         if isinstance(obj, Mass):
             self._pull_masses(np.array([obj._i]))
         elif isinstance(obj, Spring):
-            rest = jax.device_get(self._snapshot().springs.rest[obj._i])
-            self._store.rest[obj._i] = float(rest)
+            self._pull_springs_rest(np.array([obj._i]))
         elif isinstance(obj, Container):
             self._pull_masses(obj._mass_idx)
             if len(obj._spring_idx):
-                rest = jax.device_get(self._snapshot().springs.rest)
-                self._store.rest[obj._spring_idx] = np.asarray(rest)[obj._spring_idx]
+                self._pull_springs_rest(obj._spring_idx)
         else:
             raise TypeError(type(obj))
+
+    def _pull_springs_rest(self, idx: np.ndarray) -> None:
+        state = self._snapshot()
+        rem_rest, st_rest = jax.device_get(
+            (state.springs.rest, state.stencil.rest))
+        rem_rest, st_rest = np.asarray(rem_rest), np.asarray(st_rest)
+        st = self._store
+        fam, slot = self._sp_family[idx], self._sp_slot[idx]
+        in_st = fam >= 0
+        if np.any(in_st):
+            st.rest[idx[in_st]] = st_rest[fam[in_st], slot[in_st]]
+        in_rem = (fam < 0) & (slot >= 0)
+        if np.any(in_rem):
+            st.rest[idx[in_rem]] = rem_rest[slot[in_rem]]
 
     def _pull_masses(self, idx: np.ndarray) -> None:
         state = self._snapshot()
@@ -663,6 +750,14 @@ class Simulation:
         if len(idx) == 0:
             return
         st, dt = self._store, self.config.np_dtype
+        # feature flips the current trace can't express -> re-marshal
+        needs_magnets = bool(np.any(st.mag_maxf[idx] != 0.0)
+                             or np.any(st.mag_rad[idx] != 0.0))
+        needs_drag = bool(np.any(st.drag[idx] != 0.0))
+        if ((needs_magnets and not self._shape.has_magnets)
+                or (needs_drag and not self._shape.has_drag)):
+            self._remarshal_preserving_store_rows(mass_idx=idx, spring_idx=None)
+            return
         with self._cv:
             m = self._state.masses
             m = dataclasses.replace(
@@ -687,20 +782,63 @@ class Simulation:
         if len(idx) == 0:
             return
         st, dt = self._store, self.config.np_dtype
+        # a pushed spring may enable features the current trace lacks
+        # (e.g. RobotLink.expand() flips a passive spring to ACTUATED on a
+        # scene traced with has_breathing=False) -> full re-marshal instead
+        if not self._shape.has_breathing and bool(np.any(
+                (st.s_type[idx] != PASSIVE_SOFT)
+                & (st.s_type[idx] != PASSIVE_STIFF))):
+            self._remarshal_preserving_store_rows(
+                mass_idx=None, spring_idx=idx)
+            return
+        fam, slot = self._sp_family[idx], self._sp_slot[idx]
+        in_st = fam >= 0
+        in_rem = (fam < 0) & (slot >= 0)
+        fields = [("k", "k"), ("rest", "rest"), ("damping", "damping"),
+                  ("type", "s_type"), ("omega", "omega"), ("l_max", "l_max"),
+                  ("l_min", "l_min"), ("rate", "rate")]
         with self._cv:
-            sp = self._state.springs
-            sp = dataclasses.replace(
-                sp,
-                k=sp.k.at[idx].set(st.k[idx].astype(dt)),
-                rest=sp.rest.at[idx].set(st.rest[idx].astype(dt)),
-                damping=sp.damping.at[idx].set(st.damping[idx].astype(dt)),
-                type=sp.type.at[idx].set(st.s_type[idx]),
-                omega=sp.omega.at[idx].set(st.omega[idx].astype(dt)),
-                l_max=sp.l_max.at[idx].set(st.l_max[idx].astype(dt)),
-                l_min=sp.l_min.at[idx].set(st.l_min[idx].astype(dt)),
-                rate=sp.rate.at[idx].set(st.rate[idx].astype(dt)),
-            )
-            self._state = dataclasses.replace(self._state, springs=sp)
+            if np.any(in_st):
+                stc = self._state.stencil
+                fi, sl, si = fam[in_st], slot[in_st], idx[in_st]
+                updates = {}
+                for dev_f, host_f in fields:
+                    host = getattr(st, host_f)[si]
+                    arr = getattr(stc, dev_f)
+                    updates[dev_f] = arr.at[fi, sl].set(
+                        host.astype(arr.dtype))
+                stc = dataclasses.replace(stc, **updates)
+                self._state = dataclasses.replace(self._state, stencil=stc)
+            if np.any(in_rem):
+                sp = self._state.springs
+                ri, si = slot[in_rem], idx[in_rem]
+                updates = {}
+                for dev_f, host_f in fields:
+                    host = getattr(st, host_f)[si]
+                    arr = getattr(sp, dev_f)
+                    updates[dev_f] = arr.at[ri].set(host.astype(arr.dtype))
+                sp = dataclasses.replace(sp, **updates)
+                self._state = dataclasses.replace(self._state, springs=sp)
+
+    def _remarshal_preserving_store_rows(self, mass_idx, spring_idx) -> None:
+        """set() needed a feature the current trace lacks (breathing springs,
+        magnets, drag): pull live device state into the store WITHOUT
+        clobbering the user's just-edited rows, then re-marshal."""
+        st = self._store
+        saved = {}
+        if spring_idx is not None:
+            for f in ("k", "rest", "damping", "s_type", "omega", "l_max",
+                      "l_min", "rate"):
+                saved[("s", f)] = getattr(st, f)[spring_idx].copy()
+        if mass_idx is not None:
+            for f in ("pos", "vel", "extern_force", "m", "fixed", "drag",
+                      "mag_rad", "mag_stiffness", "mag_maxf", "mag_scale"):
+                saved[("m", f)] = getattr(st, f)[mass_idx].copy()
+        self.getAll()
+        for (kind, f), vals in saved.items():
+            getattr(st, f)[spring_idx if kind == "s" else mass_idx] = vals
+        with self._cv:
+            self._marshal()
 
     # ------------------------------------------------------------ struct edits
     def _mark_structure_dirty(self) -> None:

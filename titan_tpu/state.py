@@ -127,6 +127,38 @@ class LocalConstraints:
 
 @_pytree_dataclass
 @dataclasses.dataclass
+class StencilState:
+    """Offset-bucketed ("stencil") spring families: the TPU-native hot path.
+
+    Observation: in a lattice, each of the 13 spring families connects mass n
+    to mass n + delta_f for a CONSTANT index offset delta_f (reference
+    object.cu:250-291 with index order k + j*nz + i*ny*nz), and no mass has
+    two springs of the same family.  For such springs the endpoint gather is
+    a lane rotation (jnp.roll) and the force scatter is the inverse rotation
+    -- no gather/scatter at all, pure VPU stencil work.  Measured on one TPU
+    v5e chip this is ~485x faster than the index-gather path at the 1M-spring
+    benchmark config.
+
+    Springs are bucketed by delta at marshal time; any spring that doesn't
+    fit a family (irregular topology, duplicate (delta, left) pairs, rare
+    offsets) stays in the general SpringState remainder.  All arrays are
+    [F, N] indexed by (family, left-mass index); ``mask`` marks where a
+    spring actually exists.  ``rest`` is mutable state (actuators).
+    """
+
+    mask: jax.Array     # [F, N] bool
+    k: jax.Array        # [F, N]
+    rest: jax.Array     # [F, N]
+    damping: jax.Array  # [F, N]
+    type: jax.Array     # [F, N] int8
+    omega: jax.Array    # [F, N]
+    l_max: jax.Array    # [F, N]
+    l_min: jax.Array    # [F, N]
+    rate: jax.Array     # [F, N]
+
+
+@_pytree_dataclass
+@dataclasses.dataclass
 class Topology:
     """Precomputed spring->mass incidence for gather-mode force accumulation.
 
@@ -151,7 +183,8 @@ class SimState:
     dt: jax.Array           # [] timestep (mutable at pause without retrace)
     g: jax.Array            # [3] global acceleration
     masses: MassState
-    springs: SpringState
+    springs: SpringState    # remainder (non-stencil) springs
+    stencil: StencilState
     gcon: GlobalConstraints
     lcon: LocalConstraints
     topo: Topology
@@ -162,8 +195,10 @@ class SceneShape:
     """Static (hashable) scene descriptor that keys the traced step function."""
 
     n_masses: int       # padded N
-    n_springs: int      # padded S
-    max_degree: int     # D
+    n_springs: int      # padded S (remainder springs only)
+    max_degree: int     # D (incidence degree of the remainder topology)
+    stencil_deltas: tuple  # static index offsets, one per stencil family
+    has_remainder: bool    # any springs outside the stencil families
     n_planes: int
     n_balls: int
     cap_cp: int         # local constraint capacities
