@@ -234,3 +234,38 @@ def test_magnet_shell_overlap():
     f = np.asarray(F.magnet_forces(m, 0.14))
     inter = d - 0.03
     np.testing.assert_allclose(f[0, 0], -abs(inter) * 5000.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("d", [1, 43, 127, 128, 129, 1807, -1, -43, -128, -1807])
+def test_roll_decomposition(d):
+    """_roll_gather/_roll_scatter on the [R,128] view == flat np.roll."""
+    N = 1024
+    x = np.arange(3 * N, dtype=np.float32).reshape(3, N // 128, 128)
+    got_g = np.asarray(F._roll_gather(jnp.asarray(x), d))
+    want_g = np.roll(x.reshape(3, N), -d, axis=1).reshape(3, N // 128, 128)
+    np.testing.assert_array_equal(got_g, want_g)
+    got_s = np.asarray(F._roll_scatter(jnp.asarray(x), d))
+    want_s = np.roll(x.reshape(3, N), d, axis=1).reshape(3, N // 128, 128)
+    np.testing.assert_array_equal(got_s, want_s)
+
+
+def test_stencil_matches_gather_path():
+    """Whole-sim cross-check: stencil on vs off gives the same trajectory."""
+    from titan_tpu import Simulation, SimConfig, Vec
+
+    res = []
+    for use_stencil in (True, False):
+        sim = Simulation(SimConfig(velocity_clamp=False,
+                                   use_stencil=use_stencil))
+        sim.createLattice(Vec(0, 0, 5), Vec(2, 2, 2), 4, 4, 4)
+        sim.createPlane(Vec(0, 0, 1), 0)
+        sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+        sim.setTimeStep(0.0001)
+        for s in sim.springs:
+            s._damping = 0.1
+        sim.start()
+        sim.pause(0.5)
+        sim.getAll()
+        res.append(sim._store.pos[: sim._store.n_masses].copy())
+        sim.stop()
+    np.testing.assert_allclose(res[0], res[1], atol=2e-4)

@@ -49,6 +49,12 @@ def lattice_springs(nx: int, ny: int, nz: int) -> Tuple[np.ndarray, np.ndarray]:
       F12: (i,j+1,k+1)->(i+1,j,k)
       F13: (i,j+1,k)->(i+1,j,k)        [j<ny-1, i<nx-1]
     """
+    if nx * ny * nz >= 64_000:  # native fast path for big scenes
+        from . import native
+        got = native.lattice_springs(nx, ny, nz)
+        if got is not None:
+            return got
+
     I, J, K = np.meshgrid(
         np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
     )

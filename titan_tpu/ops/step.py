@@ -71,7 +71,8 @@ def build_step_fn(shape: SceneShape) -> Callable[[SimState], SimState]:
         if shape.stencil_deltas:
             f, st_rest = F.stencil_spring_forces(
                 masses, state.stencil, shape.stencil_deltas, t, state.dt,
-                shape.has_breathing,
+                shape.has_breathing, has_damping=shape.has_damping,
+                all_valid=shape.all_valid,
             )
         if shape.has_remainder:
             f_sp, rem_rest = F.spring_forces(

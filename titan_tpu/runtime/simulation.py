@@ -340,6 +340,8 @@ class Simulation:
         has_magnets = bool(np.any(st.mag_maxf[:n] != 0.0)
                            or np.any(st.mag_rad[:n] != 0.0))
         has_drag = bool(np.any(st.drag[:n] != 0.0))
+        has_damping = bool(np.any(st.damping[:s] != 0.0))
+        all_valid = bool(np.all(st.valid[:n])) and n == N
         if s_rem:
             ids = np.concatenate([st.right[rem_idx], st.left[rem_idx]])
             max_deg = int(np.bincount(ids, minlength=n).max())
@@ -351,7 +353,8 @@ class Simulation:
             n_planes=len(self._planes), n_balls=len(self._balls),
             cap_cp=caps[0], cap_ball=caps[1], cap_pl=caps[2], cap_dir=caps[3],
             has_magnets=has_magnets, has_drag=has_drag,
-            has_breathing=has_breathing, config=cfg,
+            has_breathing=has_breathing, has_damping=has_damping,
+            all_valid=all_valid, config=cfg,
         )
 
         def vec3(a):  # host [cap,3] f64 -> device [3,N] cfg-dtype
