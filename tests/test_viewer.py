@@ -1,0 +1,36 @@
+"""Recorder / viewer exports (replaces the reference's GL renderer, C19)."""
+
+import os
+
+import numpy as np
+
+from titan_tpu import Simulation, SimConfig, Vec
+from titan_tpu.runtime.viewer import Recorder
+
+
+def test_record_and_export(tmp_path):
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    sim.createCube(Vec(0, 0, 2), 1.0)
+    sim.createPlane(Vec(0, 0, 1), 0)
+    sim.setTimeStep(0.0001)
+    rec = Recorder(sim, cadence=0.01)
+    sim.start()
+    rec.run_until(0.1)
+    sim.stop()
+
+    assert len(rec.frames) == 11  # t = 0.00 .. 0.10
+    assert np.allclose(rec.times, np.arange(11) * 0.01, atol=1e-9)
+    # frames actually evolve (the cube falls)
+    assert rec.frames[-1][:, 2].mean() < rec.frames[0][:, 2].mean()
+
+    npz = str(tmp_path / "traj.npz")
+    rec.save_npz(npz)
+    with np.load(npz) as d:
+        assert d["frames"].shape == (11, 8, 3)
+        assert d["left"].shape[0] == 28
+
+    html = str(tmp_path / "view.html")
+    rec.export_html(html)
+    content = open(html).read()
+    assert "titan-tpu viewer" in content and "frames" in content
+    assert os.path.getsize(html) > 1000

@@ -1,0 +1,158 @@
+"""Out-of-loop visualization: record frames, export standalone viewers.
+
+The reference renders masses/springs with CUDA-GL interop inside the step
+loop (sim.cu:1944-2052, disabled for tests).  The TPU equivalent decouples
+rendering from stepping entirely: a ``Recorder`` snapshots positions at the
+reference's render cadence (every 0.01 sim-seconds, sim.cu:1816), and the
+trajectory exports to
+
+- ``.npz``  (frames + spring topology) for offline tooling,
+- ``.html`` (a single self-contained file with an interactive 3-D
+  point/line canvas viewer -- zero dependencies),
+- ``.png``  frames via matplotlib when it's installed.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+import numpy as np
+
+RENDER_DT = 0.01  # reference render cadence (sim.cu:1816)
+
+
+class Recorder:
+    """Record mass positions every ``cadence`` sim-seconds.
+
+        rec = Recorder(sim)
+        sim.start()
+        rec.run_until(3.0)      # steps the sim, capturing frames
+        sim.stop()
+        rec.export_html("out.html")
+    """
+
+    def __init__(self, sim, cadence: float = RENDER_DT,
+                 max_masses: Optional[int] = None):
+        self.sim = sim
+        self.cadence = cadence
+        self.max_masses = max_masses
+        self.frames: List[np.ndarray] = []
+        self.times: List[float] = []
+
+    def capture(self) -> None:
+        self.sim.getAll()
+        n = self.sim._store.n_masses
+        if self.max_masses:
+            n = min(n, self.max_masses)
+        self.frames.append(self.sim._store.pos[:n].astype(np.float32).copy())
+        self.times.append(self.sim.time())
+
+    def run_until(self, t_end: float) -> None:
+        """Advance the (started) simulation, capturing at the cadence."""
+        if not self.frames:
+            self.capture()
+        while self.sim.time() < t_end - 1e-12:
+            self.sim.wait(min(self.cadence, t_end - self.sim.time()))
+            self.capture()
+            self.sim.resume() if self.sim.time() < t_end - 1e-12 else None
+
+    # -- exports ---------------------------------------------------------
+    def save_npz(self, path: str) -> None:
+        st = self.sim._store
+        s = st.n_springs
+        np.savez_compressed(
+            path,
+            frames=np.stack(self.frames),
+            times=np.asarray(self.times),
+            left=st.left[:s], right=st.right[:s],
+            s_valid=st.s_valid[:s])
+
+    def export_png(self, path_pattern: str, every: int = 1) -> int:
+        """Write frames as PNGs via matplotlib (if installed); returns count."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return 0
+        count = 0
+        for fi in range(0, len(self.frames), every):
+            fig = plt.figure(figsize=(6, 6))
+            ax = fig.add_subplot(projection="3d")
+            f = self.frames[fi]
+            ax.scatter(f[:, 0], f[:, 1], f[:, 2], s=2)
+            ax.set_title(f"t = {self.times[fi]:.3f}s")
+            fig.savefig(path_pattern.format(fi))
+            plt.close(fig)
+            count += 1
+        return count
+
+    def export_html(self, path: str, max_springs: int = 20000) -> None:
+        """Single-file interactive viewer (rotate/play), no dependencies."""
+        frames = np.stack(self.frames)            # [T, n, 3]
+        st = self.sim._store
+        s = min(st.n_springs, max_springs)
+        edges = np.stack([st.left[:s], st.right[:s]], axis=1)
+        edges = edges[(edges[:, 0] >= 0) & (edges[:, 1] >= 0)
+                      & (edges < frames.shape[1]).all(axis=1)]
+        data = {
+            "times": [round(float(t), 5) for t in self.times],
+            "frames": np.round(frames, 4).tolist(),
+            "edges": edges.tolist(),
+        }
+        html = _HTML_TEMPLATE.replace("/*DATA*/", json.dumps(data))
+        with open(path, "w") as fh:
+            fh.write(html)
+
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>titan-tpu viewer</title>
+<style>body{margin:0;background:#111;color:#eee;font-family:monospace}
+canvas{display:block}#hud{position:fixed;top:8px;left:8px}</style></head>
+<body><div id="hud"></div><canvas id="c"></canvas><script>
+const D = /*DATA*/;
+const cv = document.getElementById('c'), ctx = cv.getContext('2d');
+let W, H; function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight;}
+rs(); addEventListener('resize', rs);
+let yaw = 0.6, pitch = 0.4, dist = 2.5, fi = 0, playing = true;
+let drag = false, lx, ly;
+cv.onmousedown = e => {drag = true; lx = e.clientX; ly = e.clientY;};
+onmouseup = () => drag = false;
+onmousemove = e => { if (drag) { yaw += (e.clientX-lx)*0.01;
+  pitch += (e.clientY-ly)*0.01; lx = e.clientX; ly = e.clientY; } };
+cv.onwheel = e => { dist *= Math.exp(e.deltaY*0.001); };
+onkeydown = e => { if (e.key === ' ') playing = !playing; };
+// bounding box for normalization
+let mn = [1e9,1e9,1e9], mx = [-1e9,-1e9,-1e9];
+for (const f of D.frames) for (const p of f) for (let i=0;i<3;i++)
+  { mn[i]=Math.min(mn[i],p[i]); mx[i]=Math.max(mx[i],p[i]); }
+const ctr = mn.map((v,i)=>(v+mx[i])/2);
+const scl = 1/Math.max(mx[0]-mn[0], mx[1]-mn[1], mx[2]-mn[2], 1e-9);
+function proj(p){
+  let x=(p[0]-ctr[0])*scl, y=(p[1]-ctr[1])*scl, z=(p[2]-ctr[2])*scl;
+  let x1=x*Math.cos(yaw)-y*Math.sin(yaw), y1=x*Math.sin(yaw)+y*Math.cos(yaw);
+  let y2=y1*Math.cos(pitch)-z*Math.sin(pitch);
+  let z2=y1*Math.sin(pitch)+z*Math.cos(pitch);
+  const f=1/(dist - y2*0.5);
+  return [W/2 + x1*f*W*0.6, H/2 - z2*f*W*0.6];
+}
+function draw(){
+  ctx.fillStyle='#111'; ctx.fillRect(0,0,W,H);
+  const f = D.frames[fi], pts = f.map(proj);
+  ctx.strokeStyle='rgba(120,170,255,0.25)';
+  ctx.beginPath();
+  for (const [a,b] of D.edges){ ctx.moveTo(pts[a][0],pts[a][1]);
+    ctx.lineTo(pts[b][0],pts[b][1]); }
+  ctx.stroke();
+  ctx.fillStyle='#ff5a5a';
+  for (const p of pts) ctx.fillRect(p[0]-1.5, p[1]-1.5, 3, 3);
+  document.getElementById('hud').textContent =
+    't=' + D.times[fi].toFixed(3) + 's  frame ' + (fi+1) + '/' +
+    D.frames.length + '  (drag=rotate, wheel=zoom, space=pause)';
+  if (playing) fi = (fi + 1) % D.frames.length;
+  requestAnimationFrame(draw);
+}
+draw();
+</script></body></html>
+"""
