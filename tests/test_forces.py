@@ -237,16 +237,16 @@ def test_magnet_shell_overlap():
 
 
 @pytest.mark.parametrize("d", [1, 43, 127, 128, 129, 1807, -1, -43, -128, -1807])
-def test_roll_decomposition(d):
-    """_roll_gather/_roll_scatter on the [R,128] view == flat np.roll."""
+def test_roll_helpers(d):
+    """_roll_gather reads flat index n+d; _roll_scatter is its inverse."""
     N = 1024
-    x = np.arange(3 * N, dtype=np.float32).reshape(3, N // 128, 128)
+    x = np.arange(3 * N, dtype=np.float32).reshape(3, N)
     got_g = np.asarray(F._roll_gather(jnp.asarray(x), d))
-    want_g = np.roll(x.reshape(3, N), -d, axis=1).reshape(3, N // 128, 128)
-    np.testing.assert_array_equal(got_g, want_g)
+    np.testing.assert_array_equal(got_g, np.roll(x, -d, axis=1))
     got_s = np.asarray(F._roll_scatter(jnp.asarray(x), d))
-    want_s = np.roll(x.reshape(3, N), d, axis=1).reshape(3, N // 128, 128)
-    np.testing.assert_array_equal(got_s, want_s)
+    np.testing.assert_array_equal(got_s, np.roll(x, d, axis=1))
+    np.testing.assert_array_equal(
+        np.asarray(F._roll_scatter(F._roll_gather(jnp.asarray(x), d), d)), x)
 
 
 def test_stencil_matches_gather_path():

@@ -83,34 +83,21 @@ def spring_forces(
     return f, rest
 
 
-def _lane_iota() -> jax.Array:
-    return jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-
-
 def _roll_gather(x: jax.Array, d: int) -> jax.Array:
-    """Flattened roll reading index n+d, on a [..., R, 128] view.
+    """Roll reading flat index n+d along the last axis.
 
-    Arbitrary-shift rolls on a very wide minor dimension compile and run
-    poorly on TPU; decomposed into whole-row rolls (cheap sublane moves) plus
-    one <128-lane rotation they run ~1.7x faster at the 1M-spring config.
-    d may be negative (divmod keeps 0 <= r < 128).
+    A plain lane roll measures fastest here: an alternative that decomposes
+    the shift on a [R, 128] view into sublane row-rolls + one <128 lane
+    rotation was 1.36x faster in an isolated spring-pass microbenchmark but
+    1.56x SLOWER inside the full fused step (A/B at the 1M-spring config),
+    so the simple form stays.
     """
-    q, r = divmod(d, 128)
-    if r == 0:
-        return jnp.roll(x, -q, axis=-2)
-    a = jnp.roll(jnp.roll(x, -q, axis=-2), -r, axis=-1)
-    b = jnp.roll(jnp.roll(x, -(q + 1), axis=-2), -r, axis=-1)
-    return jnp.where(_lane_iota() < 128 - r, a, b)
+    return jnp.roll(x, -d, axis=-1)
 
 
 def _roll_scatter(x: jax.Array, d: int) -> jax.Array:
     """Inverse of _roll_gather: place value from n at n+d."""
-    q, r = divmod(d, 128)
-    if r == 0:
-        return jnp.roll(x, q, axis=-2)
-    a = jnp.roll(jnp.roll(x, q, axis=-2), r, axis=-1)
-    b = jnp.roll(jnp.roll(x, q + 1, axis=-2), r, axis=-1)
-    return jnp.where(_lane_iota() >= r, a, b)
+    return jnp.roll(x, d, axis=-1)
 
 
 def stencil_spring_forces(
@@ -134,61 +121,46 @@ def stencil_spring_forces(
     Roll wrap-around is harmless: wrapped lanes correspond to mask=False
     slots whose force is zeroed before the inverse rotation.
     """
-    n = masses.pos.shape[-1]
-    assert n % 128 == 0, "mass capacity must be lane-padded (pad_to)"
-    R = n // 128
-    # free reshape to the roll-friendly [.., R, 128] view
-    pos = masses.pos.reshape(3, R, 128)
-    vel = masses.vel.reshape(3, R, 128)
-    valid = masses.valid.reshape(R, 128)
-    nf = len(deltas)
-    st_mask = st.mask.reshape(nf, R, 128)
-    st_k = st.k.reshape(nf, R, 128)
-    st_rest_v = st.rest.reshape(nf, R, 128)
-    st_damping = st.damping.reshape(nf, R, 128)
-
+    pos, vel, valid = masses.pos, masses.vel, masses.valid
     f_acc = jnp.zeros_like(pos)
     new_rest = st.rest
     for fi, d in enumerate(deltas):
         pos_r = _roll_gather(pos, d)
         diff = pos_r - pos                                   # right - left
-        length = jnp.sqrt(jnp.sum(diff * diff, axis=0))      # [R, 128]
+        length = jnp.sqrt(jnp.sum(diff * diff, axis=0))      # [N]
         inv_len = jnp.where(length > 0,
                             1.0 / jnp.where(length > 0, length, 1.0), 0.0)
         unit = diff * inv_len
 
-        rest = st_rest_v[fi]
+        rest = st.rest[fi]
         if has_breathing:
-            styp = st.type.reshape(nf, R, 128)[fi]
-            sin_wt = jnp.sin(st.omega.reshape(nf, R, 128)[fi] * t)
+            styp = st.type[fi]
+            sin_wt = jnp.sin(st.omega[fi] * t)
             scale = jnp.where(
                 styp == ACTIVE_CONTRACT_THEN_EXPAND, 1.0 - 0.2 * sin_wt,
                 jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
                           1.0 + 0.2 * sin_wt, 1.0))
-            l_max = st.l_max.reshape(nf, R, 128)[fi]
-            l_min = st.l_min.reshape(nf, R, 128)[fi]
-            rate = st.rate.reshape(nf, R, 128)[fi]
             rest = jnp.where(
-                (styp == ACTUATED_EXPAND) & (rest < l_max),
-                rest + rate * dt,
-                jnp.where((styp == ACTUATED_CONTRACT) & (rest > l_min),
-                          rest - rate * dt, rest))
-            new_rest = new_rest.at[fi].set(rest.reshape(n))
+                (styp == ACTUATED_EXPAND) & (rest < st.l_max[fi]),
+                rest + st.rate[fi] * dt,
+                jnp.where((styp == ACTUATED_CONTRACT) & (rest > st.l_min[fi]),
+                          rest - st.rate[fi] * dt, rest))
+            new_rest = new_rest.at[fi].set(rest)
         else:
             scale = 1.0
 
-        mag = st_k[fi] * (rest * scale - length)
+        mag = st.k[fi] * (rest * scale - length)
         if has_damping:
             vel_r = _roll_gather(vel, d)
             axial_dv = jnp.sum((vel - vel_r) * unit, axis=0)  # v_l - v_r
-            mag = mag + axial_dv * st_damping[fi]
-        pair_ok = st_mask[fi]
+            mag = mag + axial_dv * st.damping[fi]
+        pair_ok = st.mask[fi]
         if not all_valid:
             pair_ok = pair_ok & valid & _roll_gather(valid, d)
-        f = jnp.where(pair_ok, mag, 0.0) * unit              # [3, R, 128]
+        f = jnp.where(pair_ok, mag, 0.0) * unit              # [3, N]
         # -f at the left endpoint (index n), +f at the right (n + d)
         f_acc = f_acc - f + _roll_scatter(f, d)
-    return f_acc.reshape(3, n), new_rest
+    return f_acc, new_rest
 
 
 def scatter_spring_forces(
