@@ -62,6 +62,10 @@ class SimConfig:
     # than index gathers at the 1M-spring config.  False forces everything
     # through the general gather/segment path (debugging / irregular scenes).
     use_stencil: bool = True
+    # Use the fused VMEM-resident Pallas chunk kernel on TPU when the scene
+    # fits its specialization envelope (see ops/pallas_step.pallas_supported);
+    # scenes outside the envelope silently use the XLA path.
+    use_pallas: bool = True
     # Stencil bucketing knobs: families with fewer springs than
     # max(stencil_min_count, n_masses // 256) stay in the remainder.
     stencil_max_families: int = 26

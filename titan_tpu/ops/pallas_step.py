@@ -1,0 +1,195 @@
+"""VMEM-resident multi-step Pallas kernel: the single-chip fast path.
+
+The XLA chunk (ops/step.py) round-trips pos/vel/params through HBM every
+step.  For scenes that fit VMEM, this kernel keeps the whole state in VMEM
+across an entire chunk of steps -- HBM is touched once per chunk, and each
+step is pure VPU work (stencil rolls + elementwise physics).  Measured 1.7x
+faster than the already-stencilized XLA path at the 1M-spring benchmark
+config (9.3k vs 5.4k steps/s on one TPU v5e chip).
+
+Specialization envelope (checked by ``pallas_supported``); scenes outside it
+use the XLA path and get identical physics:
+  - float32, all springs in stencil families (no remainder), no breathing,
+    no spring damping
+  - Euler integrator (velocity clamp optional)
+  - gravity, persistent external force, fixed masses
+  - global contact planes (incl. static+kinetic friction) and balls
+  - no local constraints, no magnets, no drag, no soft-deleted masses
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Integrator
+from ..state import SceneShape, SimState
+
+# VMEM budget: pos/vel/const_f in + pos/vel/acc out + k/rest [F,N] + minv +
+# fixed + per-family temporaries.  Leave headroom under the chip's VMEM.
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def pallas_supported(shape: SceneShape) -> bool:
+    cfg = shape.config
+    if cfg.integrator is not Integrator.EULER:
+        return False
+    if cfg.dtype != "float32":
+        return False
+    if not cfg.use_stencil or not shape.stencil_deltas:
+        return False
+    if shape.has_remainder or shape.has_breathing or shape.has_damping:
+        return False
+    if shape.has_magnets or shape.has_drag or not shape.all_valid:
+        return False
+    if any((shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)):
+        return False
+    if not cfg.persistent_extern_force:
+        return False
+    n, f = shape.n_masses, len(shape.stencil_deltas)
+    vmem_bytes = 4 * n * (3 * 6 + 2 * f + 2) + 4 * n * 3 * 4  # arrays + temps
+    return vmem_bytes < _VMEM_BUDGET
+
+
+def _build_kernel(shape: SceneShape):
+    deltas = shape.stencil_deltas
+    n = shape.n_masses
+    n_planes, n_balls = shape.n_planes, shape.n_balls
+    clamp = shape.config.velocity_clamp
+    normal_coeff = shape.config.normal_coeff
+
+    def kernel(nsteps_ref, scal_ref, plane_ref, ball_ref,
+               pos_ref, vel_ref, cforce_ref, minv_ref, fixed_ref,
+               k_ref, rest_ref,
+               opos_ref, ovel_ref, oacc_ref):
+        dt = scal_ref[0]
+        opos_ref[:] = pos_ref[:]
+        ovel_ref[:] = vel_ref[:]
+        oacc_ref[:] = jnp.zeros_like(pos_ref[:])
+        not_fixed = 1.0 - fixed_ref[:]          # [1, N] f32 mask
+
+        def body(step, _):
+            pos = opos_ref[:]
+            vel = ovel_ref[:]
+            # springs: stencil families, masked via k_eff == 0 padding
+            f_acc = cforce_ref[:]               # m*g + persistent extern
+            for fi, d in enumerate(deltas):
+                pr = pltpu.roll(pos, (-d) % n, 1)
+                diff = pr - pos
+                ln = jnp.sqrt(jnp.sum(diff * diff, axis=0))
+                inv = jnp.where(ln > 0, 1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
+                mag = k_ref[fi] * (rest_ref[fi] - ln)
+                f = (mag * inv) * diff
+                f_acc = f_acc - f + pltpu.roll(f, d % n, 1)
+            # global contact planes (object.cu:76-109 semantics, in order)
+            for p in range(n_planes):
+                nx, ny, nz = plane_ref[p, 0], plane_ref[p, 1], plane_ref[p, 2]
+                off, fk, fs = plane_ref[p, 3], plane_ref[p, 4], plane_ref[p, 5]
+                disp = pos[0] * nx + pos[1] * ny + pos[2] * nz - off  # [N]
+                fn_mag = f_acc[0] * nx + f_acc[1] * ny + f_acc[2] * nz
+                nvec = jnp.stack([jnp.full_like(disp, nx),
+                                  jnp.full_like(disp, ny),
+                                  jnp.full_like(disp, nz)])
+                f_n = fn_mag * nvec
+                inside = disp < 0
+                has_fric = (fs > 0) | (fk > 0)
+                vdotn = vel[0] * nx + vel[1] * ny + vel[2] * nz
+                v_perp = vel - vdotn * nvec
+                v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))
+                kinetic = v_norm > 1e-16
+                fn_abs = jnp.abs(fn_mag)
+                safe_vn = jnp.where(kinetic, v_norm, 1.0)
+                f_kin = f_acc - v_perp * (fk * fn_abs / safe_vn)
+                f_perp = f_acc - f_n
+                fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
+                f_sta = jnp.where(fs * fn_abs > fp_norm, f_acc - f_perp, f_acc)
+                f_fric = jnp.where(kinetic, f_kin, f_sta)
+                f_acc = jnp.where(inside & has_fric, f_fric, f_acc)
+                contact = jnp.where(inside, -disp * normal_coeff, 0.0)
+                f_acc = f_acc + contact * nvec
+            for b in range(n_balls):
+                cx, cy, cz = ball_ref[b, 0], ball_ref[b, 1], ball_ref[b, 2]
+                rad = ball_ref[b, 3]
+                d0 = pos[0] - cx
+                d1 = pos[1] - cy
+                d2 = pos[2] - cz
+                dist = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
+                safe = jnp.where(dist > 0, dist, 1.0)
+                push = jnp.where((dist <= rad) & (dist > 0),
+                                 normal_coeff / safe, 0.0)
+                f_acc = f_acc + jnp.stack([d0, d1, d2]) * push
+            # Euler (sim.cu:1355-1362); fixed masses frozen (sim.cu:1292-1294)
+            acc = f_acc * minv_ref[:]
+            v2 = vel + acc * dt
+            if clamp:
+                vn = jnp.sqrt(jnp.sum(v2 * v2, axis=0))
+                v2 = jnp.where(vn > 1.0, v2 / jnp.where(vn > 0, vn, 1.0), v2)
+            v2 = v2 * not_fixed + vel * fixed_ref[:]
+            opos_ref[:] = pos + v2 * dt * not_fixed
+            ovel_ref[:] = v2
+            oacc_ref[:] = acc * not_fixed
+            return 0
+
+        jax.lax.fori_loop(0, nsteps_ref[0], body, 0)
+
+    return kernel
+
+
+def build_pallas_chunk(shape: SceneShape):
+    """Jitted chunk(state, n_steps) -> state using the fused VMEM kernel."""
+    kernel = _build_kernel(shape)
+    n = shape.n_masses
+    n_planes, n_balls = max(shape.n_planes, 1), max(shape.n_balls, 1)
+
+    @jax.jit
+    def chunk(state: SimState, n_steps) -> SimState:
+        m = state.masses
+        # loop invariants, precomputed outside the kernel:
+        # masked springs exert zero force -> fold mask into k
+        k_eff = jnp.where(state.stencil.mask, state.stencil.k, 0.0)
+        minv = (1.0 / m.m)[None, :]
+        fixed = m.fixed.astype(m.pos.dtype)[None, :]
+        const_f = m.extern_force + m.m * state.g[:, None]
+        scal = state.dt.astype(jnp.float32)[None]
+        planes = jnp.zeros((n_planes, 6), jnp.float32)
+        if shape.n_planes:
+            planes = planes.at[: shape.n_planes].set(jnp.concatenate([
+                state.gcon.plane_normal,
+                state.gcon.plane_offset[:, None],
+                state.gcon.plane_fk[:, None],
+                state.gcon.plane_fs[:, None]], axis=1).astype(jnp.float32))
+        balls = jnp.zeros((n_balls, 4), jnp.float32)
+        if shape.n_balls:
+            balls = balls.at[: shape.n_balls].set(jnp.concatenate([
+                state.gcon.ball_center,
+                state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
+
+        pos, vel, acc = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,   # nsteps, scal (SMEM)
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pltpu.SMEM)]
+                         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+                out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            ),
+            out_shape=[jax.ShapeDtypeStruct((3, n), m.pos.dtype)
+                       for _ in range(3)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_BUDGET + 24 * 1024 * 1024),
+        )(jnp.asarray([n_steps], jnp.int32), scal, planes, balls,
+          m.pos, m.vel, const_f, minv, fixed,
+          k_eff, state.stencil.rest)
+
+        dtn = jnp.asarray(n_steps, state.dt.dtype) * state.dt
+        new_masses = dataclasses.replace(
+            m, pos=pos, vel=vel, acc=acc,
+            T=m.T + jnp.where(m.fixed, 0.0, dtn))
+        return dataclasses.replace(state, masses=new_masses, t=state.t + dtn)
+
+    return chunk

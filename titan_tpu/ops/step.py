@@ -162,15 +162,29 @@ def build_step_fn(shape: SceneShape) -> Callable[[SimState], SimState]:
     return step
 
 
+def _on_tpu() -> bool:
+    try:
+        return "TPU" in jax.devices()[0].device_kind.upper()
+    except Exception:
+        return False
+
+
 def build_chunk_fn(shape: SceneShape, donate: bool = False):
     """Jitted ``chunk(state, n_steps) -> state``: n_steps of on-device stepping.
 
-    ``n_steps`` is a traced scalar so one compilation serves every chunk
-    length.  Buffers are NOT donated by default: the control plane hands out
-    state snapshots to concurrent ``getAll()`` readers, which donation would
-    invalidate.  The benchmark path (which owns its state exclusively) passes
-    donate=True to update HBM in place.
+    On TPU, scenes inside the fused Pallas kernel's envelope use the
+    VMEM-resident multi-step kernel (ops/pallas_step.py); everything else
+    runs the fori_loop over the XLA step.  ``n_steps`` is a traced scalar so
+    one compilation serves every chunk length.  Buffers are NOT donated by
+    default: the control plane hands out state snapshots to concurrent
+    ``getAll()`` readers, which donation would invalidate.  The benchmark
+    path (which owns its state exclusively) passes donate=True.
     """
+    if shape.config.use_pallas and _on_tpu():
+        from .pallas_step import pallas_supported, build_pallas_chunk
+        if pallas_supported(shape):
+            return build_pallas_chunk(shape)
+
     step = build_step_fn(shape)
 
     def chunk(state: SimState, n_steps) -> SimState:

@@ -341,7 +341,9 @@ class Simulation:
                            or np.any(st.mag_rad[:n] != 0.0))
         has_drag = bool(np.any(st.drag[:n] != 0.0))
         has_damping = bool(np.any(st.damping[:s] != 0.0))
-        all_valid = bool(np.all(st.valid[:n])) and n == N
+        # all_valid = no soft-deleted REAL masses; padding slots are
+        # already excluded by the stencil mask / remainder valid flags
+        all_valid = bool(np.all(st.valid[:n]))
         if s_rem:
             ids = np.concatenate([st.right[rem_idx], st.left[rem_idx]])
             max_deg = int(np.bincount(ids, minlength=n).max())
