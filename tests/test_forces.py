@@ -269,3 +269,16 @@ def test_stencil_matches_gather_path():
         res.append(sim._store.pos[: sim._store.n_masses].copy())
         sim.stop()
     np.testing.assert_allclose(res[0], res[1], atol=2e-4)
+
+
+def test_magnet_chunked_matches_direct():
+    rng = np.random.default_rng(5)
+    n = 50
+    m = _masses(rng.uniform(-0.1, 0.1, (n, 3)),
+                mag_rad=np.full(n, 0.01),
+                mag_stiffness=np.full(n, 5000.0),
+                mag_maxf=rng.uniform(0, 2, n),
+                mag_scale=rng.uniform(0.5, 1.5, n))
+    direct = np.asarray(F.magnet_forces(m, 0.14, chunk=n))
+    chunked = np.asarray(F.magnet_forces(m, 0.14, chunk=16))
+    np.testing.assert_allclose(chunked, direct, rtol=2e-5, atol=1e-5)

@@ -364,7 +364,8 @@ def apply_local_constraints(
     return f, vel
 
 
-def magnet_forces(masses: MassState, cutoff: float) -> jax.Array:
+def magnet_forces(masses: MassState, cutoff: float,
+                  chunk: int = 2048) -> jax.Array:
     """All-pairs magnet interaction within ``cutoff`` (masked O(N^2)).
 
     Reference: computeExternalMagnetForce (sim.cu:1223-1241), driven through a
@@ -379,22 +380,52 @@ def magnet_forces(masses: MassState, cutoff: float) -> jax.Array:
     links); a cell-binned variant can be added for large N.
     """
     pos = masses.pos                                          # [3, N]
-    diff = pos[:, :, None] - pos[:, None, :]                  # [3, N, N] (i, j)
-    dist2 = jnp.sum(diff * diff, axis=0)                      # [N, N]
-    dist = jnp.sqrt(dist2)
     n = pos.shape[1]
-    eye = jnp.eye(n, dtype=bool)
-    pair_ok = (
-        (dist < cutoff) & ~eye
-        & masses.valid[:, None] & masses.valid[None, :]
-    )
-    safe_dist = jnp.where(dist > 0, dist, 1.0)
-    unit = diff / safe_dist                                   # [3, N, N]
-    inter = dist - (masses.mag_rad[:, None] + masses.mag_rad[None, :])
-    shell = jnp.where(inter < 0, jnp.abs(inter) * masses.mag_stiffness[:, None], 0.0)
-    attract = (
-        masses.mag_scale[None, :] * masses.mag_maxf[:, None]
-        / jnp.maximum(dist2, 1e-12)
-    )
-    coeff = jnp.where(pair_ok, shell - attract, 0.0)          # [N, N]
-    return jnp.sum(unit * coeff[None, :, :], axis=2)          # [3, N]
+
+    def against_sources(src_pos, src_rad, src_scale, src_valid, src_idx):
+        """Force on every receiver i from a chunk of sources j; [3, N]."""
+        diff = pos[:, :, None] - src_pos[:, None, :]          # [3, N, C]
+        dist2 = jnp.sum(diff * diff, axis=0)                  # [N, C]
+        dist = jnp.sqrt(dist2)
+        self_pair = (
+            jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0)
+            == src_idx[None, :])
+        pair_ok = ((dist < cutoff) & ~self_pair
+                   & masses.valid[:, None] & src_valid[None, :])
+        safe_dist = jnp.where(dist > 0, dist, 1.0)
+        inter = dist - (masses.mag_rad[:, None] + src_rad[None, :])
+        shell = jnp.where(
+            inter < 0, jnp.abs(inter) * masses.mag_stiffness[:, None], 0.0)
+        attract = (src_scale[None, :] * masses.mag_maxf[:, None]
+                   / jnp.maximum(dist2, 1e-12))
+        coeff = jnp.where(pair_ok, (shell - attract) / safe_dist, 0.0)
+        return jnp.sum(diff * coeff[None, :, :], axis=2)      # [3, N]
+
+    if n <= chunk:
+        return against_sources(pos, masses.mag_rad, masses.mag_scale,
+                               masses.valid,
+                               jnp.arange(n, dtype=jnp.int32))
+
+    # big scenes: scan over source chunks to bound the [3, N, C] temporary
+    # (O(N^2) compute remains; a cell-binned neighbor structure is the
+    # planned upgrade if large magnetic scenes ever matter -- the reference
+    # only uses magnets for few-mass RobotLink scenes)
+    n_chunks = (n + chunk - 1) // chunk
+    n_pad = n_chunks * chunk
+    pad = lambda a, fill=0: jnp.pad(a, [(0, 0)] * (a.ndim - 1)
+                                    + [(0, n_pad - n)], constant_values=fill)
+    src_pos = pad(pos).reshape(3, n_chunks, chunk).transpose(1, 0, 2)
+    src_rad = pad(masses.mag_rad).reshape(n_chunks, chunk)
+    src_scale = pad(masses.mag_scale).reshape(n_chunks, chunk)
+    src_valid = pad(masses.valid).reshape(n_chunks, chunk)
+    src_idx = pad(jnp.arange(n, dtype=jnp.int32), fill=-1).reshape(
+        n_chunks, chunk)
+
+    def scan_body(acc, xs):
+        sp, sr, ss, sv, si = xs
+        return acc + against_sources(sp, sr, ss, sv, si), None
+
+    init = jnp.zeros_like(pos)
+    total, _ = jax.lax.scan(
+        scan_body, init, (src_pos, src_rad, src_scale, src_valid, src_idx))
+    return total
