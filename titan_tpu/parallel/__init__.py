@@ -2,4 +2,5 @@ from .batched import (  # noqa: F401
     BatchedScenes, build_batched_step, make_batched_state, shard_batched_state,
 )
 from .sharded import build_sharded_chunk, shard_state  # noqa: F401
+from .halo import build_halo_chunk, halo_supported, place  # noqa: F401
 from .mesh import make_mesh  # noqa: F401
