@@ -209,7 +209,7 @@ def _vdot(a: jax.Array, n: jax.Array) -> jax.Array:
 def apply_contact_plane(
     f: jax.Array, pos: jax.Array, vel: jax.Array,
     normal: jax.Array, offset: jax.Array, fk: jax.Array, fs: jax.Array,
-    normal_coeff: float,
+    normal_coeff: float, static_friction_hint: bool = True,
 ) -> jax.Array:
     """One global contact plane, applied to all masses.
 
@@ -225,24 +225,25 @@ def apply_contact_plane(
     n = normal  # [3] (global plane) or [3, N] (per-mass local plane)
     nb = n[:, None] if n.ndim == 1 else n                     # broadcastable
     disp = _vdot(pos, n) - offset                             # [N]
-    fn_mag = _vdot(f, n)                                      # [N] signed
-    f_n = fn_mag * nb                                         # [3, N]
     inside = disp < 0
-    has_friction = (fs > 0) | (fk > 0)
 
-    v_perp = vel - _vdot(vel, n) * nb                         # [3, N]
-    v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))       # [N]
-    kinetic = v_norm > 1e-16
-    fn_abs = jnp.abs(fn_mag)                                  # |f_n| (norm of normal comp)
-
-    safe_vn = jnp.where(kinetic, v_norm, 1.0)
-    f_kin = f - v_perp * (fk * fn_abs / safe_vn)              # kinetic branch
-    f_perp = f - f_n
-    fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
-    f_sta = jnp.where(fs * fn_abs > fp_norm, f - f_perp, f)   # static branch
-
-    f_fric = jnp.where(kinetic, f_kin, f_sta)
-    f = jnp.where(inside & has_friction, f_fric, f)
+    # ``static_friction_hint=False`` means the caller knows at trace time
+    # that both coefficients are zero -> skip the friction math entirely.
+    if static_friction_hint:
+        fn_mag = _vdot(f, n)                                  # [N] signed
+        f_n = fn_mag * nb                                     # [3, N]
+        has_friction = (fs > 0) | (fk > 0)
+        v_perp = vel - _vdot(vel, n) * nb                     # [3, N]
+        v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))   # [N]
+        kinetic = v_norm > 1e-16
+        fn_abs = jnp.abs(fn_mag)                              # |normal comp|
+        safe_vn = jnp.where(kinetic, v_norm, 1.0)
+        f_kin = f - v_perp * (fk * fn_abs / safe_vn)          # kinetic branch
+        f_perp = f - f_n
+        fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
+        f_sta = jnp.where(fs * fn_abs > fp_norm, f - f_perp, f)  # static br.
+        f_fric = jnp.where(kinetic, f_kin, f_sta)
+        f = jnp.where(inside & has_friction, f_fric, f)
 
     contact = jnp.where(inside, -disp * normal_coeff, 0.0)    # [N]
     return f + contact * nb
@@ -312,6 +313,7 @@ def apply_direction(
 def apply_global_constraints(
     f: jax.Array, masses: MassState, gcon: GlobalConstraints,
     n_planes: int, n_balls: int, normal_coeff: float,
+    plane_friction: tuple = (),
 ) -> jax.Array:
     """All global planes then all balls, in registration order (sim.cu:1303-1309)."""
     for p in range(n_planes):
@@ -319,6 +321,8 @@ def apply_global_constraints(
             f, masses.pos, masses.vel,
             gcon.plane_normal[p], gcon.plane_offset[p],
             gcon.plane_fk[p], gcon.plane_fs[p], normal_coeff,
+            static_friction_hint=(plane_friction[p] if p < len(plane_friction)
+                                  else True),
         )
     for b in range(n_balls):
         f = apply_ball(f, masses.pos, gcon.ball_center[b], gcon.ball_radius[b],

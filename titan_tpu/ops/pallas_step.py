@@ -59,6 +59,7 @@ def _build_kernel(shape: SceneShape):
     deltas = shape.stencil_deltas
     n = shape.n_masses
     n_planes, n_balls = shape.n_planes, shape.n_balls
+    plane_friction = shape.plane_friction
     clamp = shape.config.velocity_clamp
     normal_coeff = shape.config.normal_coeff
 
@@ -90,25 +91,27 @@ def _build_kernel(shape: SceneShape):
                 nx, ny, nz = plane_ref[p, 0], plane_ref[p, 1], plane_ref[p, 2]
                 off, fk, fs = plane_ref[p, 3], plane_ref[p, 4], plane_ref[p, 5]
                 disp = pos[0] * nx + pos[1] * ny + pos[2] * nz - off  # [N]
-                fn_mag = f_acc[0] * nx + f_acc[1] * ny + f_acc[2] * nz
                 nvec = jnp.stack([jnp.full_like(disp, nx),
                                   jnp.full_like(disp, ny),
                                   jnp.full_like(disp, nz)])
-                f_n = fn_mag * nvec
                 inside = disp < 0
-                has_fric = (fs > 0) | (fk > 0)
-                vdotn = vel[0] * nx + vel[1] * ny + vel[2] * nz
-                v_perp = vel - vdotn * nvec
-                v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))
-                kinetic = v_norm > 1e-16
-                fn_abs = jnp.abs(fn_mag)
-                safe_vn = jnp.where(kinetic, v_norm, 1.0)
-                f_kin = f_acc - v_perp * (fk * fn_abs / safe_vn)
-                f_perp = f_acc - f_n
-                fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
-                f_sta = jnp.where(fs * fn_abs > fp_norm, f_acc - f_perp, f_acc)
-                f_fric = jnp.where(kinetic, f_kin, f_sta)
-                f_acc = jnp.where(inside & has_fric, f_fric, f_acc)
+                if plane_friction[p]:  # static: skip when both coeffs == 0
+                    fn_mag = (f_acc[0] * nx + f_acc[1] * ny + f_acc[2] * nz)
+                    f_n = fn_mag * nvec
+                    has_fric = (fs > 0) | (fk > 0)
+                    vdotn = vel[0] * nx + vel[1] * ny + vel[2] * nz
+                    v_perp = vel - vdotn * nvec
+                    v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))
+                    kinetic = v_norm > 1e-16
+                    fn_abs = jnp.abs(fn_mag)
+                    safe_vn = jnp.where(kinetic, v_norm, 1.0)
+                    f_kin = f_acc - v_perp * (fk * fn_abs / safe_vn)
+                    f_perp = f_acc - f_n
+                    fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
+                    f_sta = jnp.where(fs * fn_abs > fp_norm,
+                                      f_acc - f_perp, f_acc)
+                    f_fric = jnp.where(kinetic, f_kin, f_sta)
+                    f_acc = jnp.where(inside & has_fric, f_fric, f_acc)
                 contact = jnp.where(inside, -disp * normal_coeff, 0.0)
                 f_acc = f_acc + contact * nvec
             for b in range(n_balls):

@@ -42,6 +42,7 @@ def _mass_forces(
     f = f + masses.extern_force
     f = F.apply_global_constraints(
         f, masses, state.gcon, shape.n_planes, shape.n_balls, cfg.normal_coeff,
+        plane_friction=shape.plane_friction,
     )
     vel = masses.vel
     caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)

@@ -108,7 +108,7 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
         f_acc = f_acc + m.m * state.g[:, None] + m.extern_force
         f_acc = F.apply_global_constraints(
             f_acc, m, state.gcon, shape.n_planes, shape.n_balls,
-            cfg.normal_coeff)
+            cfg.normal_coeff, plane_friction=shape.plane_friction)
         pos2, vel2, acc = euler(pos, m.vel, f_acc, m.m, state.dt,
                                 cfg.velocity_clamp)
         move = m.valid & ~m.fixed

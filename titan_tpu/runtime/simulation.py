@@ -353,6 +353,7 @@ class Simulation:
             n_masses=N, n_springs=S, max_degree=max(max_deg, 1),
             stencil_deltas=deltas, has_remainder=s_rem > 0,
             n_planes=len(self._planes), n_balls=len(self._balls),
+            plane_friction=tuple(bool(p[2] or p[3]) for p in self._planes),
             cap_cp=caps[0], cap_ball=caps[1], cap_pl=caps[2], cap_dir=caps[3],
             has_magnets=has_magnets, has_drag=has_drag,
             has_breathing=has_breathing, has_damping=has_damping,

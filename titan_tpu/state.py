@@ -201,6 +201,7 @@ class SceneShape:
     has_remainder: bool    # any springs outside the stencil families
     n_planes: int
     n_balls: int
+    plane_friction: tuple  # per-plane static flag: any friction coeff set
     cap_cp: int         # local constraint capacities
     cap_ball: int
     cap_pl: int
