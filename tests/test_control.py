@@ -214,3 +214,20 @@ def test_reset():
     sim.start()
     sim.pause(0.1)
     sim.stop()
+
+
+def test_nan_detection():
+    """check_finite=True turns divergence into a raised error (the reference
+    silently propagates NaN; SURVEY.md section 5.3)."""
+    from titan_tpu.runtime.simulation import SimulationDivergedError
+    sim = Simulation(SimConfig(velocity_clamp=False, check_finite=True))
+    m1 = sim.createMass(Vec(0, 0, 0))
+    m2 = sim.createMass(Vec(1, 0, 0))
+    s = sim.createSpring(m1, m2)
+    s._k = 1e30  # absurd stiffness -> f32 overflow -> inf/NaN
+    s._rest = 5.0  # stretched, so the force actually fires
+    sim.setGlobalAcceleration(Vec(0, 0, 0))
+    sim.setTimeStep(0.1)
+    with pytest.raises(SimulationDivergedError):
+        sim.start()
+        sim.pause(10.0)

@@ -77,6 +77,12 @@ class SimConfig:
     # Steps dispatched per on-device fori_loop chunk when no breakpoint is
     # nearer.  Bounds host `time()` granularity and re-dispatch overhead.
     max_chunk_steps: int = 1000
+    # Debug-mode failure detection (SURVEY.md section 5.3: the reference has
+    # none; its OG overflow printf-and-continues).  When True the worker
+    # checks the state for NaN/Inf after every chunk and raises
+    # SimulationDivergedError with the sim time, instead of silently
+    # propagating garbage.
+    check_finite: bool = False
     # Persistent external force semantics.  The reference zeroes
     # ``extern_force`` every step (sim.cu:1365) even though its docs and
     # external_unittest treat setExternalForce as persistent; we keep the

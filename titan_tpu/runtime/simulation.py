@@ -47,6 +47,10 @@ from ..vec import Vec
 _CHUNK_CACHE: Dict[SceneShape, object] = {}
 
 
+class SimulationDivergedError(RuntimeError):
+    """Raised (check_finite=True) when the state contains NaN/Inf."""
+
+
 def _chunk_for(shape: SceneShape):
     fn = _CHUNK_CACHE.get(shape)
     if fn is None:
@@ -76,6 +80,7 @@ class Simulation:
         self._ended = False
         self._structure_dirty = False
         self._state: Optional[SimState] = None
+        self._diverged_at: Optional[float] = None
         self._shape: Optional[SceneShape] = None
         self._chunk = None
         self._worker: Optional[threading.Thread] = None
@@ -531,6 +536,16 @@ class Simulation:
                 n = max(1, min(n, self.config.max_chunk_steps))
                 state, chunk = self._state, self._chunk
             new_state = chunk(state, jnp.int32(n))
+            if self.config.check_finite:
+                ok = bool(jax.device_get(
+                    jnp.isfinite(new_state.masses.pos).all()
+                    & jnp.isfinite(new_state.masses.vel).all()))
+                if not ok:
+                    with self._cv:
+                        self._running = False
+                        self._diverged_at = self._T + n * dt
+                        self._cv.notify_all()
+                    return
             if prev_state is not None:
                 # bound dispatch pipelining to ~2 chunks in flight
                 jax.block_until_ready(prev_state.t)
@@ -598,6 +613,9 @@ class Simulation:
         self._check_not_ended("Control functions cannot be called.")
         with self._cv:
             self._cv.wait_for(lambda: not self._running)
+        if self._diverged_at is not None:
+            raise SimulationDivergedError(
+                f"simulation state contains NaN/Inf at t <= {self._diverged_at}")
 
     def stop(self, t: Optional[float] = None) -> None:
         """Stop and free (reference sim.cu:1517-1545)."""
