@@ -56,8 +56,11 @@ def build_bench_scene(nx: int = 43):
 def main():
     from titan_tpu.ops.step import build_chunk_fn
 
+    # default 43^3 (~1M springs, the BASELINE.md benchmark point);
+    # TITAN_BENCH_NX=100 runs the 100^3 stress config (12.7M springs)
+    nx = int(os.environ.get("TITAN_BENCH_NX", "43"))
     t_setup = time.perf_counter()
-    sim = build_bench_scene(43)
+    sim = build_bench_scene(nx)
     n_springs = sim._store.n_springs
     n_masses = sim._store.n_masses
     setup_s = time.perf_counter() - t_setup
@@ -80,7 +83,7 @@ def main():
     sync(state)
 
     # timed run
-    steps = 2000
+    steps = 2000 if nx <= 64 else 300
     t0 = time.perf_counter()
     state = chunk(state, jnp.int32(steps))
     final_t = sync(state)

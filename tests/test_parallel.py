@@ -54,10 +54,10 @@ def test_batched_per_env_params():
     sim.setTimeStep(0.001)
     envs = BatchedScenes.from_simulation(sim, n_envs=8, mesh=mesh)
     # per-env gravity sweep: env e gets g_z = -(e+1)
+    import dataclasses
     g = -jnp.arange(1, 9, dtype=envs.state.g.dtype)
-    envs.state = envs.state.__class__(
-        **{**envs.state.__dict__,
-           "g": envs.state.g.at[:, 2].set(g)})
+    envs.state = dataclasses.replace(
+        envs.state, g=envs.state.g.at[:, 2].set(g))
     envs.run(1000)  # 1 s
     z = np.asarray(envs.positions())[:, 2, 0]
     np.testing.assert_allclose(z, -0.5 * np.arange(1, 9), rtol=2e-3)
