@@ -1,0 +1,268 @@
+"""Grid-tiled Pallas step kernel for scenes too big for the VMEM-resident
+kernel (ops/pallas_step.py) -- e.g. the 100^3 config (1M masses / 12.7M
+springs).
+
+Per step, the grid walks column tiles of T masses.  Position arrays are
+pre-padded with H = max|delta| zeros on both sides, so each tile DMAs one
+halo'd window pos[t*T : t*T + T + 2H] from HBM; spring forces for every
+family are computed over the window with STATIC slices (no rolls, no
+gathers), and the tile's accumulated force takes the left contribution at
+window offset H+n and the right contribution at H+n-delta.  Everything else
+(gravity+extern, planes, balls, Euler) happens on the tile.
+
+Envelope: same physics envelope as pallas_step (stencil-only, Euler, no
+breathing/damping/magnets/drag/local constraints, all masses valid), but
+unbounded N.  HBM traffic per step ~= state + params once (the XLA path
+re-materializes per family); measured ~5x the XLA path at 100^3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Integrator
+from ..state import SceneShape, SimState
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def tiled_supported(shape: SceneShape) -> bool:
+    """Physics envelope of pallas_step, any N (only tile geometry checked)."""
+    cfg = shape.config
+    if cfg.integrator is not Integrator.EULER or cfg.dtype != "float32":
+        return False
+    if not cfg.use_stencil or not shape.stencil_deltas:
+        return False
+    if (shape.has_remainder or shape.has_breathing or shape.has_damping
+            or shape.has_magnets or shape.has_drag or not shape.all_valid):
+        return False
+    if any((shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)):
+        return False
+    if not cfg.persistent_extern_force:
+        return False
+    h = _round_up(max(abs(d) for d in shape.stencil_deltas), 128)
+    # VMEM per tile: pos window + k/rest windows + temps; keep under ~40MB
+    t = _tile_size(h)
+    w = t + 2 * h
+    nf = len(shape.stencil_deltas)
+    return 4 * w * (3 + 2 * nf + 9) < 40 * 1024 * 1024
+
+
+def _tile_size(h: int) -> int:
+    """Tile size: >= 4 halos wide (<= 1.5x window overhead), lane-aligned.
+    The mass array is padded up to a tile multiple inside the chunk."""
+    return _round_up(max(4 * h, 8192), 128)
+
+
+def _build_kernel(shape: SceneShape, t_size: int, h: int):
+    deltas = shape.stencil_deltas
+    w = t_size + 2 * h
+    n_planes, n_balls = shape.n_planes, shape.n_balls
+    plane_friction = shape.plane_friction
+    clamp = shape.config.velocity_clamp
+    normal_coeff = shape.config.normal_coeff
+
+    def kernel(scal_ref, plane_ref, ball_ref,
+               pos_hbm, k_hbm, rest_hbm,          # ANY (manual DMA)
+               vel_ref, cforce_ref, minv_ref, fixed_ref,  # blocked VMEM
+               opos_ref, ovel_ref, oacc_ref,       # blocked VMEM out
+               pos_win, param_win, sem):           # scratch
+        t = pl.program_id(0)
+        dt = scal_ref[0]
+        start = t * t_size
+
+        # pos is padded to 4 component rows: Mosaic requires DMA slices
+        # aligned to the (4, 128) HBM tiling
+        cp = pltpu.make_async_copy(
+            pos_hbm.at[:, pl.ds(start, w)], pos_win, sem.at[0])
+        cp.start()
+        kcp = pltpu.make_async_copy(
+            k_hbm.at[:, pl.ds(start, w)], param_win.at[0], sem.at[1])
+        kcp.start()
+        rcp = pltpu.make_async_copy(
+            rest_hbm.at[:, pl.ds(start, w)], param_win.at[1], sem.at[2])
+        rcp.start()
+        cp.wait()
+        kcp.wait()
+        rcp.wait()
+
+        pos = pos_win[0:3, h:h + t_size]           # tile center (3 rows)
+        f_acc = cforce_ref[:]
+        for fi, d in enumerate(deltas):
+            # spring force for every spring whose LEFT index is in the
+            # window: f_w[j] belongs to left mass (start - h + j)
+            pw = pos_win[0:3, :]
+            pr = jnp.concatenate(
+                [pw[:, d:], pw[:, :d]], axis=1) if d >= 0 else \
+                jnp.concatenate([pw[:, d:], pw[:, :w + d]], axis=1)
+            diff = pr - pw                         # [3, W]
+            ln = jnp.sqrt(jnp.sum(diff * diff, axis=0))
+            inv = jnp.where(ln > 0, 1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
+            mag = param_win[0, fi] * (param_win[1, fi] - ln)
+            f = (mag * inv) * diff                 # [3, W]
+            # left contribution at window offset h + n
+            f_acc = f_acc - f[:, h:h + t_size]
+            # right contribution comes from the spring at n - d
+            f_acc = f_acc + f[:, h - d:h - d + t_size]
+        # planes / balls / integration on the tile
+        vel = vel_ref[:]
+        for p in range(n_planes):
+            nx, ny, nz = plane_ref[p, 0], plane_ref[p, 1], plane_ref[p, 2]
+            off, fk, fs = plane_ref[p, 3], plane_ref[p, 4], plane_ref[p, 5]
+            disp = pos[0] * nx + pos[1] * ny + pos[2] * nz - off
+            nvec = jnp.stack([jnp.full_like(disp, nx),
+                              jnp.full_like(disp, ny),
+                              jnp.full_like(disp, nz)])
+            inside = disp < 0
+            if plane_friction[p]:
+                fn_mag = f_acc[0] * nx + f_acc[1] * ny + f_acc[2] * nz
+                f_n = fn_mag * nvec
+                has_fric = (fs > 0) | (fk > 0)
+                vdotn = vel[0] * nx + vel[1] * ny + vel[2] * nz
+                v_perp = vel - vdotn * nvec
+                v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))
+                kinetic = v_norm > 1e-16
+                fn_abs = jnp.abs(fn_mag)
+                safe_vn = jnp.where(kinetic, v_norm, 1.0)
+                f_kin = f_acc - v_perp * (fk * fn_abs / safe_vn)
+                f_perp = f_acc - f_n
+                fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
+                f_sta = jnp.where(fs * fn_abs > fp_norm,
+                                  f_acc - f_perp, f_acc)
+                f_fric = jnp.where(kinetic, f_kin, f_sta)
+                f_acc = jnp.where(inside & has_fric, f_fric, f_acc)
+            contact = jnp.where(inside, -disp * normal_coeff, 0.0)
+            f_acc = f_acc + contact * nvec
+        for b in range(n_balls):
+            cx, cy, cz = ball_ref[b, 0], ball_ref[b, 1], ball_ref[b, 2]
+            rad = ball_ref[b, 3]
+            d0, d1, d2 = pos[0] - cx, pos[1] - cy, pos[2] - cz
+            dist = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
+            safe = jnp.where(dist > 0, dist, 1.0)
+            push = jnp.where((dist <= rad) & (dist > 0),
+                             normal_coeff / safe, 0.0)
+            f_acc = f_acc + jnp.stack([d0, d1, d2]) * push
+
+        not_fixed = 1.0 - fixed_ref[:]
+        acc = f_acc * minv_ref[:]
+        v2 = vel + acc * dt
+        if clamp:
+            vn = jnp.sqrt(jnp.sum(v2 * v2, axis=0))
+            v2 = jnp.where(vn > 1.0, v2 / jnp.where(vn > 0, vn, 1.0), v2)
+        v2 = v2 * not_fixed + vel * fixed_ref[:]
+        opos_ref[:] = pos + v2 * dt * not_fixed
+        ovel_ref[:] = v2
+        oacc_ref[:] = acc * not_fixed
+
+    return kernel
+
+
+def build_tiled_chunk(shape: SceneShape):
+    """Jitted chunk(state, n_steps): fori_loop of per-step tiled launches."""
+    n = shape.n_masses
+    h = _round_up(max(abs(d) for d in shape.stencil_deltas), 128)
+    t_size = _tile_size(h)
+    n_tiles = -(-n // t_size)            # ceil: last tile covers padding
+    n_t = n_tiles * t_size
+    pad_n = n_t - n
+    w = t_size + 2 * h
+    kernel = _build_kernel(shape, t_size, h)
+    n_planes, n_balls = max(shape.n_planes, 1), max(shape.n_balls, 1)
+    # family dim padded to the sublane tiling so HBM DMA slices are aligned
+    nf = len(shape.stencil_deltas)
+    nf_pad = _round_up(nf, 8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # scal
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # planes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # balls
+            pl.BlockSpec(memory_space=pltpu.ANY),    # pos (padded, HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # k   (padded, HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # rest(padded, HBM)
+            pl.BlockSpec((3, t_size), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),   # vel
+            pl.BlockSpec((3, t_size), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),   # cforce
+            pl.BlockSpec((1, t_size), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),   # minv
+            pl.BlockSpec((1, t_size), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),   # fixed
+        ],
+        out_specs=[
+            pl.BlockSpec((3, t_size), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, t_size), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, t_size), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, w), jnp.float32),          # pos window (4 rows)
+            pltpu.VMEM((2, nf_pad, w), jnp.float32),  # k/rest windows
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+
+    step_call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((3, n_t), jnp.float32)
+                   for _ in range(3)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )
+
+    @jax.jit
+    def chunk(state: SimState, n_steps) -> SimState:
+        m = state.masses
+        k_eff = jnp.where(state.stencil.mask, state.stencil.k, 0.0)
+        fpad = nf_pad - k_eff.shape[0]
+        k_pad = jnp.pad(k_eff, ((0, fpad), (h, h + pad_n)))
+        rest_pad = jnp.pad(state.stencil.rest, ((0, fpad), (h, h + pad_n)))
+        # tile-padding masses get minv=0 -> zero acceleration, inert
+        minv = jnp.pad((1.0 / m.m)[None, :], ((0, 0), (0, pad_n)))
+        fixed = jnp.pad(m.fixed.astype(m.pos.dtype)[None, :],
+                        ((0, 0), (0, pad_n)))
+        const_f = jnp.pad(m.extern_force + m.m * state.g[:, None],
+                          ((0, 0), (0, pad_n)))
+        scal = state.dt.astype(jnp.float32)[None]
+        planes = jnp.zeros((n_planes, 6), jnp.float32)
+        if shape.n_planes:
+            planes = planes.at[: shape.n_planes].set(jnp.concatenate([
+                state.gcon.plane_normal,
+                state.gcon.plane_offset[:, None],
+                state.gcon.plane_fk[:, None],
+                state.gcon.plane_fs[:, None]], axis=1).astype(jnp.float32))
+        balls = jnp.zeros((n_balls, 4), jnp.float32)
+        if shape.n_balls:
+            balls = balls.at[: shape.n_balls].set(jnp.concatenate([
+                state.gcon.ball_center,
+                state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
+
+        def body(i, carry):
+            pos, vel, _ = carry
+            pos_pad = jnp.pad(pos, ((0, 1), (h, h + pad_n)))
+            vel_pad = jnp.pad(vel, ((0, 0), (0, pad_n)))
+            p2, v2, a2 = step_call(scal, planes, balls, pos_pad, k_pad,
+                                   rest_pad, vel_pad, const_f, minv, fixed)
+            return p2[:, :n], v2[:, :n], a2[:, :n]
+
+        pos, vel, acc = jax.lax.fori_loop(
+            0, n_steps, body, (m.pos, m.vel, m.acc))
+
+        dtn = jnp.asarray(n_steps, state.dt.dtype) * state.dt
+        new_m = dataclasses.replace(
+            m, pos=pos, vel=vel, acc=acc,
+            T=m.T + jnp.where(m.fixed, 0.0, dtn))
+        return dataclasses.replace(state, masses=new_m, t=state.t + dtn)
+
+    return chunk

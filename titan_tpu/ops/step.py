@@ -185,6 +185,9 @@ def build_chunk_fn(shape: SceneShape, donate: bool = False):
         from .pallas_step import pallas_supported, build_pallas_chunk
         if pallas_supported(shape):
             return build_pallas_chunk(shape)
+        from .pallas_tiled import tiled_supported, build_tiled_chunk
+        if tiled_supported(shape):
+            return build_tiled_chunk(shape)
 
     step = build_step_fn(shape)
 
