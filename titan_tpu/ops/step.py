@@ -10,7 +10,6 @@ cudaDeviceSynchronize per step plus a full occupancy-grid rebuild).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Tuple
 
 import jax

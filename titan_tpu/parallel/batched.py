@@ -12,7 +12,6 @@ linear multi-chip scaling with zero collectives (embarrassingly parallel).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -13,11 +13,7 @@ springs only cross adjacent shards) is the planned optimization.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.step import build_step_fn
