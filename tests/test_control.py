@@ -231,3 +231,20 @@ def test_nan_detection():
     with pytest.raises(SimulationDivergedError):
         sim.start()
         sim.pause(10.0)
+
+
+def test_resume_after_divergence_raises():
+    from titan_tpu.runtime.simulation import SimulationDivergedError
+    sim = Simulation(SimConfig(velocity_clamp=False, check_finite=True))
+    m1 = sim.createMass(Vec(0, 0, 0))
+    m2 = sim.createMass(Vec(1, 0, 0))
+    s = sim.createSpring(m1, m2)
+    s._k = 1e30
+    s._rest = 5.0
+    sim.setGlobalAcceleration(Vec(0, 0, 0))
+    sim.setTimeStep(0.1)
+    with pytest.raises(SimulationDivergedError):
+        sim.start()
+        sim.pause(10.0)
+    with pytest.raises(SimulationDivergedError):
+        sim.resume()

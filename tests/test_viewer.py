@@ -34,3 +34,14 @@ def test_record_and_export(tmp_path):
     content = open(html).read()
     assert "titan-tpu viewer" in content and "frames" in content
     assert os.path.getsize(html) > 1000
+
+
+def test_measure_throughput():
+    from titan_tpu.runtime.profiling import measure_throughput
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    sim.createCube(Vec(0, 0, 2), 1.0)
+    sim.setTimeStep(0.0001)
+    rep = measure_throughput(sim, steps=200, warmup_steps=10)
+    assert rep.steps_per_sec > 0
+    assert rep.spring_updates_per_sec == rep.steps_per_sec * 28
+    assert "steps/s" in str(rep)

@@ -575,6 +575,10 @@ class Simulation:
         if not self._started:
             raise RuntimeError("The simulation has not started. You cannot "
                                "resume a simulation before calling sim.start().")
+        if self._diverged_at is not None:
+            raise SimulationDivergedError(
+                f"simulation state contains NaN/Inf at t <= {self._diverged_at}"
+                "; cannot resume")
         if self._store.n_masses == 0:
             raise RuntimeError("No masses have been added.")
         with self._cv:
