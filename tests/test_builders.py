@@ -97,3 +97,15 @@ def test_incidence_roundtrip():
 def test_beam_fixed_mask():
     fixed = builders.beam_fixed_mask(3, 2, 2)
     assert fixed[:4].all() and not fixed[4:].any()
+
+
+def test_momentum_util():
+    from titan_tpu import Simulation, SimConfig, Vec
+    from titan_tpu.testutil import momentum
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    m = sim.createMass(Vec(1, 0, 0))
+    m.vel = Vec(0, 2, 0)
+    # linear p = m*v = (0, 0.2, 0); angular = p x pos = (0,0.2,0)x(1,0,0)
+    # = (0*0-0*0, 0*1-0*0, 0*0-0.2*1) = (0, 0, -0.2); sum = (0, 0.2, -0.2)
+    got = momentum(sim)
+    assert abs(got[1] - 0.2) < 1e-12 and abs(got[2] + 0.2) < 1e-12

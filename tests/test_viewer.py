@@ -45,3 +45,18 @@ def test_measure_throughput():
     assert rep.steps_per_sec > 0
     assert rep.spring_updates_per_sec == rep.steps_per_sec * 28
     assert "steps/s" in str(rep)
+
+
+def test_viewport_and_fps():
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    sim.createMass(Vec(0, 0, 1))
+    sim.setViewport(Vec(15, 15, 7), Vec(0, 0, 2), Vec(0, 0, 1))
+    sim.moveViewport(Vec(1, 0, 0))
+    assert sim._camera[0][0] == 16
+    assert sim.fps() == -1.0  # no recorder attached
+    rec = Recorder(sim, cadence=0.01)
+    sim.setTimeStep(0.0001)
+    sim.start()
+    rec.run_until(0.05)
+    sim.stop()
+    assert sim.fps() > 0

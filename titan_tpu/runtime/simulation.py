@@ -650,6 +650,34 @@ class Simulation:
     def running(self) -> bool:
         return self._running
 
+    # ---- viewer camera (reference GRAPHICS-only API, sim.h:124-128);
+    # consumed by runtime/viewer.Recorder.export_html's initial view
+    def setViewport(self, camera_position, target_location, up_vector) -> None:
+        """Reference sim.cu:1636-1648 (GRAPHICS builds)."""
+        if self._running:
+            raise RuntimeError("The simulation is running. Cannot modify "
+                               "viewport during simulation run.")
+        self._camera = (_np3(camera_position), _np3(target_location),
+                        _np3(up_vector))
+
+    def moveViewport(self, displacement) -> None:
+        """Reference sim.cu:1651-1661."""
+        if self._running:
+            raise RuntimeError("The simulation is running. Cannot modify "
+                               "viewport during simulation run.")
+        cam, look, up = getattr(self, "_camera",
+                                (np.array([15.0, 15.0, 7.0]),
+                                 np.array([0.0, 0.0, 2.0]),
+                                 np.array([0.0, 0.0, 1.0])))
+        self._camera = (cam + _np3(displacement), look, up)
+
+    def fps(self) -> float:
+        """Render-rate counter (reference sim.cu:1201-1214).  Rendering is
+        decoupled here (runtime/viewer.Recorder); with no attached recorder
+        this returns -1.0 like the reference's no-frames case."""
+        rec = getattr(self, "_recorder", None)
+        return rec.fps() if rec is not None else -1.0
+
     def printPositions(self) -> None:
         self._check_not_ended("You cannot view parameters of the simulation "
                               "after it has been stopped.")

@@ -39,8 +39,21 @@ class Recorder:
         self.max_masses = max_masses
         self.frames: List[np.ndarray] = []
         self.times: List[float] = []
+        self._wall0 = None
+        sim._recorder = self  # lets sim.fps() report the capture rate
+
+    def fps(self) -> float:
+        """Frames captured per wall-clock second (reference fps(),
+        sim.cu:1201-1214)."""
+        import time as _time
+        if self._wall0 is None or len(self.frames) < 2:
+            return -1.0
+        return len(self.frames) / (_time.monotonic() - self._wall0)
 
     def capture(self) -> None:
+        if self._wall0 is None:
+            import time as _time
+            self._wall0 = _time.monotonic()
         self.sim.getAll()
         n = self.sim._store.n_masses
         if self.max_masses:
