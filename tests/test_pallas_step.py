@@ -16,13 +16,15 @@ from titan_tpu.ops.step import build_chunk_fn
 
 
 def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
-           extern=False):
+           extern=False, damping=0.0):
     sim = Simulation(SimConfig(velocity_clamp=clamp))
     if fixed_face:
         sim.createBeam(Vec(0, 0, 2), Vec(1, 1, 1), 4, 4, 4)
     else:
         sim.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 4, 4, 4)
     sim.setAllSpringConstantValues(800.0)
+    if damping:
+        sim._store.damping[: sim._store.n_springs] = damping
     if friction:
         sim.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
     else:
@@ -39,13 +41,14 @@ def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
 
 
 @pytest.mark.parametrize("variant", ["plain", "clamp_off", "friction",
-                                     "ball", "beam", "extern"])
+                                     "ball", "beam", "extern", "damping"])
 def test_pallas_matches_xla(variant, monkeypatch):
     kw = dict(clamp=variant != "clamp_off",
               friction=variant == "friction",
               ball=variant == "ball",
               fixed_face=variant == "beam",
-              extern=variant == "extern")
+              extern=variant == "extern",
+              damping=0.5 if variant == "damping" else 0.0)
     sim = _scene(**kw)
     assert pallas_step.pallas_supported(sim._shape), "scene left the envelope"
 
@@ -82,10 +85,12 @@ def test_pallas_matches_xla(variant, monkeypatch):
 
 
 def test_envelope_rejections():
-    # damping pushes the scene out of the envelope
+    # breathing springs push the scene out of the envelope
+    from titan_tpu import ACTIVE_CONTRACT_THEN_EXPAND
     sim = _scene()
     st = sim._store
-    st.damping[: st.n_springs] = 0.5
+    st.s_type[: st.n_springs] = ACTIVE_CONTRACT_THEN_EXPAND
+    st.omega[: st.n_springs] = 3.0
     sim._marshal()
     assert not pallas_step.pallas_supported(sim._shape)
     # so does a deleted mass

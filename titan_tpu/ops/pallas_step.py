@@ -9,8 +9,8 @@ config (9.3k vs 5.4k steps/s on one TPU v5e chip).
 
 Specialization envelope (checked by ``pallas_supported``); scenes outside it
 use the XLA path and get identical physics:
-  - float32, all springs in stencil families (no remainder), no breathing,
-    no spring damping
+  - float32, all springs in stencil families (no remainder), no breathing
+  - axial spring damping supported (adds velocity halo rolls)
   - Euler integrator (velocity clamp optional)
   - gravity, persistent external force, fixed masses
   - global contact planes (incl. static+kinetic friction) and balls
@@ -42,7 +42,7 @@ def pallas_supported(shape: SceneShape) -> bool:
         return False
     if not cfg.use_stencil or not shape.stencil_deltas:
         return False
-    if shape.has_remainder or shape.has_breathing or shape.has_damping:
+    if shape.has_remainder or shape.has_breathing:
         return False
     if shape.has_magnets or shape.has_drag or not shape.all_valid:
         return False
@@ -51,7 +51,7 @@ def pallas_supported(shape: SceneShape) -> bool:
     if not cfg.persistent_extern_force:
         return False
     n, f = shape.n_masses, len(shape.stencil_deltas)
-    vmem_bytes = 4 * n * (3 * 6 + 2 * f + 2) + 4 * n * 3 * 4  # arrays + temps
+    vmem_bytes = 4 * n * (3 * 6 + 3 * f + 2) + 4 * n * 3 * 4  # arrays + temps
     return vmem_bytes < _VMEM_BUDGET
 
 
@@ -62,11 +62,12 @@ def _build_kernel(shape: SceneShape):
     n_planes, n_balls = shape.n_planes, shape.n_balls
     plane_friction = shape.plane_friction
     clamp = shape.config.velocity_clamp
+    has_damping = shape.has_damping
     normal_coeff = shape.config.normal_coeff
 
     def kernel(nsteps_ref, scal_ref, plane_ref, ball_ref,
                pos_ref, vel_ref, cforce_ref, minv_ref, fixed_ref,
-               k_ref, rest_ref,
+               k_ref, rest_ref, damping_ref,
                opos_ref, ovel_ref, oacc_ref):
         # All mass-payload refs are [.., R, 128]: flat-index rolls decompose
         # into whole-row rolls + one <128 lane rotation, which Mosaic runs
@@ -107,6 +108,10 @@ def _build_kernel(shape: SceneShape):
                 ln = jnp.sqrt(jnp.sum(diff * diff, axis=0))
                 inv = jnp.where(ln > 0, 1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
                 mag = k_ref[fi] * (rest_ref[fi] - ln)
+                if has_damping:
+                    vr = roll_gather(vel, d)
+                    axial = jnp.sum((vel - vr) * diff, axis=0) * inv
+                    mag = mag + axial * damping_ref[fi]
                 f = (mag * inv) * diff
                 f_acc = f_acc - f + roll_scatter(f, d)
             # global contact planes (object.cu:76-109 semantics, in order)
@@ -177,6 +182,7 @@ def build_pallas_chunk(shape: SceneShape):
         # loop invariants, precomputed outside the kernel:
         # masked springs exert zero force -> fold mask into k
         k_eff = jnp.where(state.stencil.mask, state.stencil.k, 0.0)
+        damp_eff = jnp.where(state.stencil.mask, state.stencil.damping, 0.0)
         minv = (1.0 / m.m)[None, :]
         fixed = m.fixed.astype(m.pos.dtype)[None, :]
         const_f = m.extern_force + m.m * state.g[:, None]
@@ -204,7 +210,7 @@ def build_pallas_chunk(shape: SceneShape):
                 grid=(1,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                           pl.BlockSpec(memory_space=pltpu.SMEM)]
-                         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+                         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
                 out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
             ),
             out_shape=[jax.ShapeDtypeStruct((3, rows, 128), m.pos.dtype)
@@ -213,7 +219,7 @@ def build_pallas_chunk(shape: SceneShape):
                 vmem_limit_bytes=_VMEM_BUDGET + 24 * 1024 * 1024),
         )(jnp.asarray([n_steps], jnp.int32), scal, planes, balls,
           r3(m.pos), r3(m.vel), r3(const_f), r3(minv), r3(fixed),
-          r3(k_eff), r3(state.stencil.rest))
+          r3(k_eff), r3(state.stencil.rest), r3(damp_eff))
         pos, vel, acc = (pos.reshape(3, n), vel.reshape(3, n),
                          acc.reshape(3, n))
 
