@@ -42,6 +42,7 @@ from ..state import (GlobalConstraints, LocalConstraints, MassState,
                      Topology, pad_to)
 from ..store import HostStore
 from ..vec import Vec
+from .logging import get_logger
 
 # step-function cache: one compiled chunk fn per static scene shape
 _CHUNK_CACHE: Dict[SceneShape, object] = {}
@@ -486,6 +487,7 @@ class Simulation:
         )
         self._chunk = _chunk_for(shape)
         self._structure_dirty = False
+        get_logger().debug("marshalled scene shape: %s", shape)
 
     # ----------------------------------------------------------------- control
     def start(self) -> None:
@@ -499,6 +501,12 @@ class Simulation:
                                "a positive non-zero value.")
         self._T = 0.0
         self._marshal()
+        get_logger().info(
+            "start: %d masses, %d springs (%d stencil families, remainder=%s"
+            "), %d planes, %d balls",
+            self._store.n_masses, self._store.n_springs,
+            len(self._shape.stencil_deltas), self._shape.has_remainder,
+            self._shape.n_planes, self._shape.n_balls)
         self._started = True
         self._running = True
         self._worker = threading.Thread(target=self._run, daemon=True,

@@ -113,6 +113,12 @@ class Recorder:
             "times": [round(float(t), 5) for t in self.times],
             "frames": np.round(frames, 4).tolist(),
             "edges": edges.tolist(),
+            # constraint objects (reference renders checkerboard planes and
+            # icospheres, object.cu:667-898; here: grid lines and circles)
+            "planes": [[p[0].tolist(), float(p[1])]
+                       for p in self.sim._planes],
+            "balls": [[b[0].tolist(), float(b[1])]
+                      for b in self.sim._balls],
         }
         html = _HTML_TEMPLATE.replace("/*DATA*/", json.dumps(data))
         with open(path, "w") as fh:
@@ -150,9 +156,37 @@ function proj(p){
   const f=1/(dist - y2*0.5);
   return [W/2 + x1*f*W*0.6, H/2 - z2*f*W*0.6];
 }
+function planeGrid(n, off){
+  // orthonormal basis (u, v) of the plane a.x = off
+  let u = Math.abs(n[2]) < 0.9 ? [ -n[1], n[0], 0 ] : [ 1, 0, 0 ];
+  const nu = Math.hypot(...u); u = u.map(c => c / nu);
+  const v = [ n[1]*u[2]-n[2]*u[1], n[2]*u[0]-n[0]*u[2], n[0]*u[1]-n[1]*u[0] ];
+  const c = n.map(cc => cc * off);   // a point on the plane
+  const ext = 0.8 / scl, lines = [];
+  for (let i = -5; i <= 5; i++) {
+    const s = i / 5 * ext;
+    lines.push([c.map((cc,k)=>cc+u[k]*s-v[k]*ext), c.map((cc,k)=>cc+u[k]*s+v[k]*ext)]);
+    lines.push([c.map((cc,k)=>cc+v[k]*s-u[k]*ext), c.map((cc,k)=>cc+v[k]*s+u[k]*ext)]);
+  }
+  return lines;
+}
 function draw(){
   ctx.fillStyle='#111'; ctx.fillRect(0,0,W,H);
   const f = D.frames[fi], pts = f.map(proj);
+  ctx.strokeStyle='rgba(90,200,120,0.3)';
+  ctx.beginPath();
+  for (const [n, off] of D.planes)
+    for (const [a, b] of planeGrid(n, off)) {
+      const pa = proj(a), pb = proj(b);
+      ctx.moveTo(pa[0], pa[1]); ctx.lineTo(pb[0], pb[1]);
+    }
+  ctx.stroke();
+  ctx.strokeStyle='rgba(230,200,90,0.6)';
+  for (const [c, r] of D.balls) {
+    const pc = proj(c), pe = proj([c[0]+r, c[1], c[2]]);
+    const pr = Math.hypot(pe[0]-pc[0], pe[1]-pc[1]);
+    ctx.beginPath(); ctx.arc(pc[0], pc[1], pr, 0, 6.3); ctx.stroke();
+  }
   ctx.strokeStyle='rgba(120,170,255,0.25)';
   ctx.beginPath();
   for (const [a,b] of D.edges){ ctx.moveTo(pts[a][0],pts[a][1]);
