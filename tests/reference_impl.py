@@ -36,14 +36,16 @@ class RefScene:
     l_max: np.ndarray        # [s]
     l_min: np.ndarray        # [s]
     rate: np.ndarray         # [s]
-    planes: List[Tuple[np.ndarray, float, float, float]]  # (n, off, fk, fs)
-    balls: List[Tuple[np.ndarray, float]]
-    g: np.ndarray            # [3]
+    planes: List[Tuple[np.ndarray, float, float, float]] = None
+    balls: List[Tuple[np.ndarray, float]] = None
+    g: np.ndarray = None     # [3]
     velocity_clamp: bool = True
+    integrator: str = "euler"
+    acc: np.ndarray = None   # [n, 3] (Verlet carry; zeros at start)
 
 
-def step(sc: RefScene, dt: float, t: float) -> None:
-    """One Euler step, mutating the scene in place."""
+def _forces(sc: "RefScene", dt: float, t: float) -> np.ndarray:
+    """Spring pass + mass-force accumulation (no integration)."""
     n = sc.pos.shape[0]
     force = np.zeros((n, 3))
 
@@ -74,7 +76,7 @@ def step(sc: RefScene, dt: float, t: float) -> None:
         if not sc.fixed[l]:
             force[l] -= f
 
-    # --- mass pass (sim.cu:1285-1367)
+    # --- mass pass forces (sim.cu:1285-1333)
     for i in range(n):
         if sc.fixed[i]:
             continue
@@ -103,13 +105,54 @@ def step(sc: RefScene, dt: float, t: float) -> None:
         vn = np.sqrt(sc.vel[i] @ sc.vel[i])
         if vn != 0.0:
             force[i] += -sc.drag[i] * vn * sc.vel[i]
-        acc = force[i] / sc.m[i]
-        sc.vel[i] = sc.vel[i] + acc * dt
-        if sc.velocity_clamp:
-            vn = np.sqrt(sc.vel[i] @ sc.vel[i])
-            if vn > 1:
-                sc.vel[i] = sc.vel[i] / vn
-        sc.pos[i] = sc.pos[i] + sc.vel[i] * dt
+    return force
+
+
+def step(sc: RefScene, dt: float, t: float) -> None:
+    """One step, mutating the scene; dispatches on sc.integrator
+    (sim.cu:1335-1363 + the RK2 double pass sim.cu:1778-1799)."""
+    n = sc.pos.shape[0]
+    if sc.acc is None:
+        sc.acc = np.zeros((n, 3))
+    if sc.integrator == "rk2":
+        # pass 1: half-step predictor; rest mutation runs at full dt both
+        # passes (reference quirk)
+        f1 = _forces(sc, dt, t)
+        bpos, bvel = sc.pos.copy(), sc.vel.copy()
+        for i in range(n):
+            if sc.fixed[i]:
+                continue
+            acc = f1[i] / sc.m[i]
+            sc.pos[i] = bpos[i] + 0.5 * bvel[i] * dt
+            sc.vel[i] = bvel[i] + 0.5 * acc * dt
+            sc.acc[i] = acc
+        f2 = _forces(sc, dt, t + 0.5 * dt)
+        for i in range(n):
+            if sc.fixed[i]:
+                continue
+            acc = f2[i] / sc.m[i]
+            sc.pos[i] = bpos[i] + sc.vel[i] * dt
+            sc.vel[i] = bvel[i] + acc * dt
+            sc.acc[i] = acc
+        return
+    force = _forces(sc, dt, t)
+    for i in range(n):
+        if sc.fixed[i]:
+            continue
+        if sc.integrator == "verlet":
+            new_acc = force[i] / sc.m[i]
+            sc.vel[i] = sc.vel[i] + 0.5 * (sc.acc[i] + new_acc) * dt
+            sc.acc[i] = new_acc
+            sc.pos[i] = sc.pos[i] + sc.vel[i] * dt + 0.5 * new_acc * dt * dt
+        else:
+            acc = force[i] / sc.m[i]
+            sc.acc[i] = acc
+            sc.vel[i] = sc.vel[i] + acc * dt
+            if sc.velocity_clamp:
+                vn = np.sqrt(sc.vel[i] @ sc.vel[i])
+                if vn > 1:
+                    sc.vel[i] = sc.vel[i] / vn
+            sc.pos[i] = sc.pos[i] + sc.vel[i] * dt
 
 
 def from_simulation(sim) -> RefScene:
@@ -129,4 +172,6 @@ def from_simulation(sim) -> RefScene:
         balls=[(b[0].copy(), b[1]) for b in sim._balls],
         g=sim._global_acc.copy(),
         velocity_clamp=sim.config.velocity_clamp,
+        integrator=sim.config.integrator.value,
+        acc=np.zeros((n, 3)),
     )

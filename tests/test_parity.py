@@ -114,3 +114,17 @@ def test_parity_external_force_and_irregular_springs():
     (gp, gv), (wp, wv) = _run_both(sim, 0.3)
     np.testing.assert_allclose(gp, wp, atol=1e-9)
     np.testing.assert_allclose(gv, wv, atol=1e-9)
+
+
+@pytest.mark.parametrize("integrator", ["verlet", "rk2"])
+def test_parity_other_integrators(integrator):
+    from titan_tpu import Integrator
+    sim = Simulation(SimConfig(dtype="float64", velocity_clamp=False,
+                               integrator=Integrator(integrator)))
+    sim.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 3, 3, 3)
+    sim.setAllSpringConstantValues(500.0)
+    sim.createPlane(Vec(0, 0, 1), 0, 0.3, 0.5)
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    (gp, gv), (wp, wv) = _run_both(sim, 0.5)
+    np.testing.assert_allclose(gp, wp, atol=1e-9)
+    np.testing.assert_allclose(gv, wv, atol=1e-9)
