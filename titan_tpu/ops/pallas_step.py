@@ -11,7 +11,7 @@ Specialization envelope (checked by ``pallas_supported``); scenes outside it
 use the XLA path and get identical physics:
   - float32, all springs in stencil families (no remainder), no breathing
   - axial spring damping supported (adds velocity halo rolls)
-  - Euler integrator (velocity clamp optional)
+  - Euler (velocity clamp optional) or Verlet integrators
   - gravity, persistent external force, fixed masses
   - global contact planes (incl. static+kinetic friction) and balls
   - no local constraints, no magnets, no drag, no soft-deleted masses
@@ -36,7 +36,7 @@ _VMEM_BUDGET = 100 * 1024 * 1024
 
 def pallas_supported(shape: SceneShape) -> bool:
     cfg = shape.config
-    if cfg.integrator is not Integrator.EULER:
+    if cfg.integrator not in (Integrator.EULER, Integrator.VERLET):
         return False
     if cfg.dtype != "float32":
         return False
@@ -62,11 +62,12 @@ def _build_kernel(shape: SceneShape):
     n_planes, n_balls = shape.n_planes, shape.n_balls
     plane_friction = shape.plane_friction
     clamp = shape.config.velocity_clamp
+    verlet = shape.config.integrator is Integrator.VERLET
     has_damping = shape.has_damping
     normal_coeff = shape.config.normal_coeff
 
     def kernel(nsteps_ref, scal_ref, plane_ref, ball_ref,
-               pos_ref, vel_ref, cforce_ref, minv_ref, fixed_ref,
+               pos_ref, vel_ref, acc_ref, cforce_ref, minv_ref, fixed_ref,
                k_ref, rest_ref, damping_ref,
                opos_ref, ovel_ref, oacc_ref):
         # All mass-payload refs are [.., R, 128]: flat-index rolls decompose
@@ -94,7 +95,7 @@ def _build_kernel(shape: SceneShape):
         dt = scal_ref[0]
         opos_ref[:] = pos_ref[:]
         ovel_ref[:] = vel_ref[:]
-        oacc_ref[:] = jnp.zeros_like(pos_ref[:])
+        oacc_ref[:] = acc_ref[:]                # Verlet carries acc
         not_fixed = 1.0 - fixed_ref[:]          # [1, R, 128] f32 mask
 
         def body(step, _):
@@ -153,16 +154,25 @@ def _build_kernel(shape: SceneShape):
                 push = jnp.where((dist <= rad) & (dist > 0),
                                  normal_coeff / safe, 0.0)
                 f_acc = f_acc + jnp.stack([d0, d1, d2]) * push
-            # Euler (sim.cu:1355-1362); fixed masses frozen (sim.cu:1292-1294)
+            # integrate; fixed masses frozen (sim.cu:1292-1294)
             acc = f_acc * minv_ref[:]
-            v2 = vel + acc * dt
-            if clamp:
-                vn = jnp.sqrt(jnp.sum(v2 * v2, axis=0))
-                v2 = jnp.where(vn > 1.0, v2 / jnp.where(vn > 0, vn, 1.0), v2)
-            v2 = v2 * not_fixed + vel * fixed_ref[:]
-            opos_ref[:] = pos + v2 * dt * not_fixed
+            if verlet:
+                # reference 'Verlet' (sim.cu:1350-1354)
+                v2 = vel + 0.5 * (oacc_ref[:] + acc) * dt
+                v2 = v2 * not_fixed + vel * fixed_ref[:]
+                opos_ref[:] = pos + (v2 * dt + 0.5 * acc * dt * dt) * not_fixed
+            else:
+                # Euler with optional clamp (sim.cu:1355-1362)
+                v2 = vel + acc * dt
+                if clamp:
+                    vn = jnp.sqrt(jnp.sum(v2 * v2, axis=0))
+                    v2 = jnp.where(vn > 1.0,
+                                   v2 / jnp.where(vn > 0, vn, 1.0), v2)
+                v2 = v2 * not_fixed + vel * fixed_ref[:]
+                opos_ref[:] = pos + v2 * dt * not_fixed
             ovel_ref[:] = v2
-            oacc_ref[:] = acc * not_fixed
+            oacc_ref[:] = (acc * not_fixed
+                           + oacc_ref[:] * fixed_ref[:])
             return 0
 
         jax.lax.fori_loop(0, nsteps_ref[0], body, 0)
@@ -210,7 +220,7 @@ def build_pallas_chunk(shape: SceneShape):
                 grid=(1,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                           pl.BlockSpec(memory_space=pltpu.SMEM)]
-                         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+                         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
                 out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
             ),
             out_shape=[jax.ShapeDtypeStruct((3, rows, 128), m.pos.dtype)
@@ -218,7 +228,7 @@ def build_pallas_chunk(shape: SceneShape):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_BUDGET + 24 * 1024 * 1024),
         )(jnp.asarray([n_steps], jnp.int32), scal, planes, balls,
-          r3(m.pos), r3(m.vel), r3(const_f), r3(minv), r3(fixed),
+          r3(m.pos), r3(m.vel), r3(m.acc), r3(const_f), r3(minv), r3(fixed),
           r3(k_eff), r3(state.stencil.rest), r3(damp_eff))
         pos, vel, acc = (pos.reshape(3, n), vel.reshape(3, n),
                          acc.reshape(3, n))
