@@ -1,0 +1,77 @@
+"""Model archetypes: cloth, rope, walker, magnet truss."""
+
+import numpy as np
+import pytest
+
+from titan_tpu import Simulation, SimConfig, Vec
+from titan_tpu import models
+
+
+def test_cloth_hangs_from_top_edge():
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    sheet = models.cloth(sim, Vec(0, 0, 2), size=1.0, n=8, fix_edge="top")
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    sim.setTimeStep(0.0001)
+    sim.start()
+    sim.pause(1.0)
+    sim.getAll()
+    st = sim._store
+    idx = sheet._mass_idx.reshape(8, 8)
+    top_z = st.pos[idx[:, -1], 2]
+    bottom_z = st.pos[idx[:, 0], 2]
+    np.testing.assert_allclose(top_z, 2.5, atol=1e-6)   # pinned
+    assert bottom_z.mean() < 1.5                        # drooped
+    assert np.all(np.isfinite(st.pos[: st.n_masses]))
+    sim.stop()
+
+
+def test_rope_hangs():
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    r = models.rope(sim, Vec(0, 0, 2), Vec(1, 0, 2), n=10)
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    sim.setTimeStep(0.0001)
+    sim.start()
+    sim.pause(1.5)
+    sim.getAll()
+    st = sim._store
+    z = st.pos[r._mass_idx, 2]
+    assert z[0] == pytest.approx(2.0, abs=1e-6)  # anchored
+    assert z[-1] < 1.8                           # free end swung down
+    assert np.all(np.isfinite(z))
+    sim.stop()
+
+
+def test_walker_walks():
+    sim = Simulation(SimConfig())
+    body = models.walker(sim, n=4)
+    sim.createPlane(Vec(0, 0, 1), 0, 0.5, 0.7)
+    sim.setTimeStep(0.0001)
+    sim.start()
+    sim.pause(0.3)
+    sim.getAll()
+    com0 = sim._store.pos[body._mass_idx].mean(axis=0)
+    sim.resume()
+    sim.pause(2.5)
+    sim.getAll()
+    com1 = sim._store.pos[body._mass_idx].mean(axis=0)
+    sim.stop()
+    assert np.linalg.norm((com1 - com0)[:2]) > 0.03
+
+
+def test_truss_tetrahedron_expands():
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    links = models.truss_tetrahedron(sim, Vec(0, 0, 1), mag_force=0.3)
+    assert len(links) == 6
+    for link in links:
+        assert link.expand()
+    sim.setGlobalAcceleration(Vec(0, 0, 0))
+    sim.setTimeStep(0.0001)
+    sim.start()
+    sim.pause(2.0)
+    sim.getAll()
+    # all actuated rest lengths grew
+    for link in links:
+        assert link.s._rest > link.min_length * 1.01
+    pos = sim._store.pos[: sim._store.n_masses]
+    assert np.all(np.isfinite(pos))
+    sim.stop()
