@@ -3,17 +3,16 @@ kernel (ops/pallas_step.py) -- e.g. the 100^3 config (1M masses / 12.7M
 springs).
 
 Per step, the grid walks column tiles of T masses.  Position arrays are
-pre-padded with H = max|delta| zeros on both sides, so each tile DMAs one
-halo'd window pos[t*T : t*T + T + 2H] from HBM; spring forces for every
-family are computed over the window with STATIC slices (no rolls, no
-gathers), and the tile's accumulated force takes the left contribution at
-window offset H+n and the right contribution at H+n-delta.  Everything else
-(gravity+extern, planes, balls, Euler) happens on the tile.
+pre-padded with H = max|delta| (lane-aligned) zeros on both sides and
+reshaped to [., rows, 128]; each tile DMAs one halo'd window of rows from
+HBM, then runs the same 2D-decomposed stencil rolls as the VMEM kernel over
+the window (wrap-around lanes land outside the tile's extraction range, so
+they're harmless).  Everything else (gravity+extern, planes, balls, Euler)
+happens on the tile rows.
 
-Envelope: same physics envelope as pallas_step (stencil-only, Euler, no
-breathing/damping/magnets/drag/local constraints, all masses valid), but
+Envelope: physics envelope of pallas_step minus damping (no vel halo yet),
 unbounded N.  HBM traffic per step ~= state + params once (the XLA path
-re-materializes per family); measured ~5x the XLA path at 100^3.
+re-materializes per family).
 """
 
 from __future__ import annotations
@@ -34,7 +33,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def tiled_supported(shape: SceneShape) -> bool:
-    """Physics envelope of pallas_step, any N (only tile geometry checked)."""
+    """Physics envelope of pallas_step (Euler only, no damping), any N."""
     cfg = shape.config
     if cfg.integrator is not Integrator.EULER or cfg.dtype != "float32":
         return False
@@ -47,71 +46,85 @@ def tiled_supported(shape: SceneShape) -> bool:
         return False
     if not cfg.persistent_extern_force:
         return False
-    h = _round_up(max(abs(d) for d in shape.stencil_deltas), 128)
-    # VMEM per tile: pos window + k/rest windows + temps; keep under ~40MB
+    h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
     t = _tile_size(h)
     w = t + 2 * h
-    nf = len(shape.stencil_deltas)
-    return 4 * w * (3 + 2 * nf + 9) < 40 * 1024 * 1024
+    nf_pad = _round_up(len(shape.stencil_deltas), 8)
+    # VMEM per tile: pos window + k/rest windows + temps; stay under ~40MB
+    return 4 * w * (4 + 2 * nf_pad + 12) < 40 * 1024 * 1024
 
 
 def _tile_size(h: int) -> int:
-    """Tile size: >= 4 halos wide (<= 1.5x window overhead), lane-aligned.
+    """Tile size: >= 4 halos wide (<= 1.5x window overhead); a multiple of
+    1024 so the [3, T/128, 128] block's sublane dim is divisible by 8.
     The mass array is padded up to a tile multiple inside the chunk."""
-    return _round_up(max(4 * h, 8192), 128)
+    return _round_up(max(4 * h, 8192), 1024)
 
 
 def _build_kernel(shape: SceneShape, t_size: int, h: int):
     deltas = shape.stencil_deltas
     w = t_size + 2 * h
+    wr, tr, hr = w // 128, t_size // 128, h // 128
     n_planes, n_balls = shape.n_planes, shape.n_balls
     plane_friction = shape.plane_friction
     clamp = shape.config.velocity_clamp
     normal_coeff = shape.config.normal_coeff
 
     def kernel(scal_ref, plane_ref, ball_ref,
-               pos_hbm, k_hbm, rest_hbm,          # ANY (manual DMA)
+               pos_hbm, k_hbm, rest_hbm,           # ANY [., NR', 128]
                vel_ref, cforce_ref, minv_ref, fixed_ref,  # blocked VMEM
-               opos_ref, ovel_ref, oacc_ref,       # blocked VMEM out
-               pos_win, param_win, sem):           # scratch
+               opos_ref, ovel_ref, oacc_ref,        # blocked VMEM out
+               pos_win, param_win, sem):            # scratch
+        # window shifts use the same row-roll + <128 lane rotation
+        # decomposition as the VMEM kernel (2.1x over flat lane rolls)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+
+        def roll_gather(x, d):
+            q, r = divmod(d, 128)
+            if r == 0:
+                return pltpu.roll(x, (-q) % wr, 1)
+            a = pltpu.roll(pltpu.roll(x, (-q) % wr, 1), 128 - r, 2)
+            b = pltpu.roll(pltpu.roll(x, (-(q + 1)) % wr, 1), 128 - r, 2)
+            return jnp.where(lane < 128 - r, a, b)
+
+        def roll_scatter(x, d):
+            q, r = divmod(d, 128)
+            if r == 0:
+                return pltpu.roll(x, q % wr, 1)
+            a = pltpu.roll(pltpu.roll(x, q % wr, 1), r, 2)
+            b = pltpu.roll(pltpu.roll(x, (q + 1) % wr, 1), r, 2)
+            return jnp.where(lane >= r, a, b)
+
         t = pl.program_id(0)
         dt = scal_ref[0]
-        start = t * t_size
+        row0 = t * tr
 
-        # pos is padded to 4 component rows: Mosaic requires DMA slices
-        # aligned to the (4, 128) HBM tiling
         cp = pltpu.make_async_copy(
-            pos_hbm.at[:, pl.ds(start, w)], pos_win, sem.at[0])
+            pos_hbm.at[:, pl.ds(row0, wr), :], pos_win, sem.at[0])
         cp.start()
         kcp = pltpu.make_async_copy(
-            k_hbm.at[:, pl.ds(start, w)], param_win.at[0], sem.at[1])
+            k_hbm.at[:, pl.ds(row0, wr), :], param_win.at[0], sem.at[1])
         kcp.start()
         rcp = pltpu.make_async_copy(
-            rest_hbm.at[:, pl.ds(start, w)], param_win.at[1], sem.at[2])
+            rest_hbm.at[:, pl.ds(row0, wr), :], param_win.at[1], sem.at[2])
         rcp.start()
         cp.wait()
         kcp.wait()
         rcp.wait()
 
-        pos = pos_win[0:3, h:h + t_size]           # tile center (3 rows)
-        f_acc = cforce_ref[:]
+        pw = pos_win[0:3]                            # [3, WR, 128]
+        fw = jnp.zeros_like(pw)                      # window-wide force
         for fi, d in enumerate(deltas):
-            # spring force for every spring whose LEFT index is in the
-            # window: f_w[j] belongs to left mass (start - h + j)
-            pw = pos_win[0:3, :]
-            pr = jnp.concatenate(
-                [pw[:, d:], pw[:, :d]], axis=1) if d >= 0 else \
-                jnp.concatenate([pw[:, d:], pw[:, :w + d]], axis=1)
-            diff = pr - pw                         # [3, W]
+            pr = roll_gather(pw, d)
+            diff = pr - pw
             ln = jnp.sqrt(jnp.sum(diff * diff, axis=0))
             inv = jnp.where(ln > 0, 1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
             mag = param_win[0, fi] * (param_win[1, fi] - ln)
-            f = (mag * inv) * diff                 # [3, W]
-            # left contribution at window offset h + n
-            f_acc = f_acc - f[:, h:h + t_size]
-            # right contribution comes from the spring at n - d
-            f_acc = f_acc + f[:, h - d:h - d + t_size]
-        # planes / balls / integration on the tile
+            f = (mag * inv) * diff
+            fw = fw - f + roll_scatter(f, d)
+        # extract the tile's rows (aligned slice) and add mass-level forces
+        pos = pw[:, hr:hr + tr, :]
+        f_acc = fw[:, hr:hr + tr, :] + cforce_ref[:]
         vel = vel_ref[:]
         for p in range(n_planes):
             nx, ny, nz = plane_ref[p, 0], plane_ref[p, 1], plane_ref[p, 2]
@@ -167,17 +180,21 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
 def build_tiled_chunk(shape: SceneShape):
     """Jitted chunk(state, n_steps): fori_loop of per-step tiled launches."""
     n = shape.n_masses
-    h = _round_up(max(abs(d) for d in shape.stencil_deltas), 128)
+    h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
     t_size = _tile_size(h)
     n_tiles = -(-n // t_size)            # ceil: last tile covers padding
     n_t = n_tiles * t_size
     pad_n = n_t - n
+    tr = t_size // 128
     w = t_size + 2 * h
+    wr = w // 128
     kernel = _build_kernel(shape, t_size, h)
     n_planes, n_balls = max(shape.n_planes, 1), max(shape.n_balls, 1)
-    # family dim padded to the sublane tiling so HBM DMA slices are aligned
     nf = len(shape.stencil_deltas)
     nf_pad = _round_up(nf, 8)
+
+    def blk3(i, s):
+        return (0, i, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # scal
@@ -188,26 +205,19 @@ def build_tiled_chunk(shape: SceneShape):
             pl.BlockSpec(memory_space=pltpu.ANY),    # pos (padded, HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),    # k   (padded, HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),    # rest(padded, HBM)
-            pl.BlockSpec((3, t_size), lambda i, s: (0, i),
-                         memory_space=pltpu.VMEM),   # vel
-            pl.BlockSpec((3, t_size), lambda i, s: (0, i),
-                         memory_space=pltpu.VMEM),   # cforce
-            pl.BlockSpec((1, t_size), lambda i, s: (0, i),
-                         memory_space=pltpu.VMEM),   # minv
-            pl.BlockSpec((1, t_size), lambda i, s: (0, i),
-                         memory_space=pltpu.VMEM),   # fixed
+            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),  # vel
+            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),  # cf
+            pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # minv
+            pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # fixed
         ],
         out_specs=[
-            pl.BlockSpec((3, t_size), lambda i, s: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, t_size), lambda i, s: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, t_size), lambda i, s: (0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((4, w), jnp.float32),          # pos window (4 rows)
-            pltpu.VMEM((2, nf_pad, w), jnp.float32),  # k/rest windows
+            pltpu.VMEM((4, wr, 128), jnp.float32),          # pos window
+            pltpu.VMEM((2, nf_pad, wr, 128), jnp.float32),  # k/rest windows
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -215,7 +225,7 @@ def build_tiled_chunk(shape: SceneShape):
     step_call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((3, n_t), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((3, n_t // 128, 128), jnp.float32)
                    for _ in range(3)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
@@ -226,14 +236,16 @@ def build_tiled_chunk(shape: SceneShape):
         m = state.masses
         k_eff = jnp.where(state.stencil.mask, state.stencil.k, 0.0)
         fpad = nf_pad - k_eff.shape[0]
-        k_pad = jnp.pad(k_eff, ((0, fpad), (h, h + pad_n)))
-        rest_pad = jnp.pad(state.stencil.rest, ((0, fpad), (h, h + pad_n)))
+        r3 = lambda x: x.reshape(x.shape[0], -1, 128)
+        k_pad = r3(jnp.pad(k_eff, ((0, fpad), (h, h + pad_n))))
+        rest_pad = r3(jnp.pad(state.stencil.rest,
+                              ((0, fpad), (h, h + pad_n))))
         # tile-padding masses get minv=0 -> zero acceleration, inert
-        minv = jnp.pad((1.0 / m.m)[None, :], ((0, 0), (0, pad_n)))
-        fixed = jnp.pad(m.fixed.astype(m.pos.dtype)[None, :],
-                        ((0, 0), (0, pad_n)))
-        const_f = jnp.pad(m.extern_force + m.m * state.g[:, None],
-                          ((0, 0), (0, pad_n)))
+        minv = r3(jnp.pad((1.0 / m.m)[None, :], ((0, 0), (0, pad_n))))
+        fixed = r3(jnp.pad(m.fixed.astype(m.pos.dtype)[None, :],
+                           ((0, 0), (0, pad_n))))
+        const_f = r3(jnp.pad(m.extern_force + m.m * state.g[:, None],
+                             ((0, 0), (0, pad_n))))
         scal = state.dt.astype(jnp.float32)[None]
         planes = jnp.zeros((n_planes, 6), jnp.float32)
         if shape.n_planes:
@@ -250,11 +262,12 @@ def build_tiled_chunk(shape: SceneShape):
 
         def body(i, carry):
             pos, vel, _ = carry
-            pos_pad = jnp.pad(pos, ((0, 1), (h, h + pad_n)))
-            vel_pad = jnp.pad(vel, ((0, 0), (0, pad_n)))
+            pos_pad = r3(jnp.pad(pos, ((0, 1), (h, h + pad_n))))
+            vel_pad = r3(jnp.pad(vel, ((0, 0), (0, pad_n))))
             p2, v2, a2 = step_call(scal, planes, balls, pos_pad, k_pad,
                                    rest_pad, vel_pad, const_f, minv, fixed)
-            return p2[:, :n], v2[:, :n], a2[:, :n]
+            flat = lambda x: x.reshape(3, n_t)[:, :n]
+            return flat(p2), flat(v2), flat(a2)
 
         pos, vel, acc = jax.lax.fori_loop(
             0, n_steps, body, (m.pos, m.vel, m.acc))
