@@ -26,5 +26,6 @@ from .entities import Mass, Spring  # noqa: F401
 from .containers import Container, Cube, Lattice, Beam, RobotLink  # noqa: F401
 from .runtime.simulation import Simulation  # noqa: F401
 from .stl import parse_stl  # noqa: F401
+from . import diff  # noqa: F401  (differentiable rollouts)
 
 __version__ = "0.1.0"

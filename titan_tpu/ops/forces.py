@@ -23,6 +23,18 @@ from ..config import (
 from ..state import MassState, SpringState, GlobalConstraints, LocalConstraints, Topology
 
 
+def _safe_norm(sq: jax.Array) -> jax.Array:
+    """sqrt of a sum-of-squares, gradient-safe at 0.
+
+    d(sqrt)/dx is inf at 0; even though forward values are masked by
+    jnp.where, reverse-mode produces inf * 0 = NaN cotangents (the classic
+    JAX where-grad pitfall).  Guarding the operand inside sqrt keeps forward
+    values identical and gradients finite (zero) at the masked points.
+    """
+    pos = sq > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
+
+
 def spring_forces(
     masses: MassState,
     springs: SpringState,
@@ -47,7 +59,7 @@ def spring_forces(
     """
     left, right = springs.left, springs.right
     d = masses.pos[:, right] - masses.pos[:, left]            # [3, S]
-    length = jnp.sqrt(jnp.sum(d * d, axis=0))                 # [S]
+    length = _safe_norm(jnp.sum(d * d, axis=0))               # [S]
     inv_len = jnp.where(length > 0, 1.0 / jnp.where(length > 0, length, 1.0), 0.0)
     unit = d * inv_len                                        # [3, S]
 
@@ -127,7 +139,7 @@ def stencil_spring_forces(
     for fi, d in enumerate(deltas):
         pos_r = _roll_gather(pos, d)
         diff = pos_r - pos                                   # right - left
-        length = jnp.sqrt(jnp.sum(diff * diff, axis=0))      # [N]
+        length = _safe_norm(jnp.sum(diff * diff, axis=0))    # [N]
         inv_len = jnp.where(length > 0,
                             1.0 / jnp.where(length > 0, length, 1.0), 0.0)
         unit = diff * inv_len
@@ -234,13 +246,13 @@ def apply_contact_plane(
         f_n = fn_mag * nb                                     # [3, N]
         has_friction = (fs > 0) | (fk > 0)
         v_perp = vel - _vdot(vel, n) * nb                     # [3, N]
-        v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))   # [N]
+        v_norm = _safe_norm(jnp.sum(v_perp * v_perp, axis=0))  # [N]
         kinetic = v_norm > 1e-16
         fn_abs = jnp.abs(fn_mag)                              # |normal comp|
         safe_vn = jnp.where(kinetic, v_norm, 1.0)
         f_kin = f - v_perp * (fk * fn_abs / safe_vn)          # kinetic branch
         f_perp = f - f_n
-        fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
+        fp_norm = _safe_norm(jnp.sum(f_perp * f_perp, axis=0))
         f_sta = jnp.where(fs * fn_abs > fp_norm, f - f_perp, f)  # static br.
         f_fric = jnp.where(kinetic, f_kin, f_sta)
         f = jnp.where(inside & has_friction, f_fric, f)
@@ -260,7 +272,7 @@ def apply_ball(
     Guarded at dist == 0 (reference would NaN).
     """
     d = pos - center[:, None]                                 # [3, N]
-    dist = jnp.sqrt(jnp.sum(d * d, axis=0))                   # [N]
+    dist = _safe_norm(jnp.sum(d * d, axis=0))                 # [N]
     safe = jnp.where(dist > 0, dist, 1.0)
     push = jnp.where((dist <= radius) & (dist > 0), normal_coeff / safe, 0.0)
     return f + d * push
@@ -279,7 +291,7 @@ def apply_constraint_plane(
     """
     nf = _vdot(f, normal)                                     # [N]
     f2 = f - normal * nf
-    v_norm = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+    v_norm = _safe_norm(jnp.sum(vel * vel, axis=0))
     moving = v_norm >= 1e-16
     v2 = vel - normal * _vdot(vel, normal)
     safe_vn = jnp.where(moving, v_norm, 1.0)
@@ -301,9 +313,9 @@ def apply_direction(
     """
     nf = f - tangent * _vdot(f, tangent)                      # [3, N]
     f2 = f - nf
-    v_norm = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+    v_norm = _safe_norm(jnp.sum(vel * vel, axis=0))
     moving = v_norm >= 1e-16
-    nf_norm = jnp.sqrt(jnp.sum(nf * nf, axis=0))
+    nf_norm = _safe_norm(jnp.sum(nf * nf, axis=0))
     f3 = f2 - nf_norm * friction * tangent
     f_out = jnp.where(active, jnp.where(moving, f3, f2), f)
     v_out = jnp.where(active & moving, tangent * _vdot(vel, tangent), vel)
@@ -350,7 +362,7 @@ def apply_local_constraints(
         active = j < lcon.ball_count
         c = lcon.ball_center[:, j, :].T                       # [3, N]
         d = masses.pos - c
-        dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+        dist = _safe_norm(jnp.sum(d * d, axis=0))
         safe = jnp.where(dist > 0, dist, 1.0)
         push = jnp.where((dist <= lcon.ball_radius[:, j]) & (dist > 0),
                          normal_coeff / safe, 0.0)
@@ -390,7 +402,7 @@ def magnet_forces(masses: MassState, cutoff: float,
         """Force on every receiver i from a chunk of sources j; [3, N]."""
         diff = pos[:, :, None] - src_pos[:, None, :]          # [3, N, C]
         dist2 = jnp.sum(diff * diff, axis=0)                  # [N, C]
-        dist = jnp.sqrt(dist2)
+        dist = _safe_norm(dist2)
         self_pair = (
             jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0)
             == src_idx[None, :])

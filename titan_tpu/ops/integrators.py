@@ -27,8 +27,9 @@ def euler(
     acc = f / m
     vel = vel + acc * dt
     if velocity_clamp:
-        vn = jnp.sqrt(jnp.sum(vel * vel, axis=0))
-        vel = jnp.where(vn > 1.0, vel / jnp.where(vn > 0, vn, 1.0), vel)
+        sq = jnp.sum(vel * vel, axis=0)
+        vn = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))  # grad-safe at |v| = 0
+        vel = jnp.where((sq > 0) & (vn > 1.0), vel / vn, vel)
     pos = pos + vel * dt
     return pos, vel, acc
 

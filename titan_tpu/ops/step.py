@@ -50,9 +50,11 @@ def _mass_forces(
             f, vel, masses, state.lcon, caps, cfg.normal_coeff,
         )
     if shape.has_drag:
-        # -C |v|^2 v_hat == -C |v| v; exactly 0 at |v| = 0, no guard needed
+        # -C |v|^2 v_hat == -C |v| v; forward-exact at |v| = 0 but sqrt(0)
+        # has an infinite derivative -> guard for reverse-mode
         # (reference guards the 0/0 explicitly, sim.cu:1329-1332).
-        vn = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+        sq = jnp.sum(vel * vel, axis=0)
+        vn = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
         f = f - masses.drag * vn * vel
     return f, vel
 
