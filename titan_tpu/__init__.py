@@ -27,5 +27,7 @@ from .containers import Container, Cube, Lattice, Beam, RobotLink  # noqa: F401
 from .runtime.simulation import Simulation  # noqa: F401
 from .stl import parse_stl  # noqa: F401
 from . import diff  # noqa: F401  (differentiable rollouts)
+from . import models  # noqa: F401  (cloth/rope/walker/truss archetypes)
+from . import parallel  # noqa: F401  (batched envs, sharded scenes)
 
 __version__ = "0.1.0"
