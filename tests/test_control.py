@@ -248,3 +248,46 @@ def test_resume_after_divergence_raises():
         sim.pause(10.0)
     with pytest.raises(SimulationDivergedError):
         sim.resume()
+
+
+def test_setall_pushes_everything():
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    m1 = sim.createMass(Vec(0, 0, 5))
+    m2 = sim.createMass(Vec(1, 0, 5))
+    sim.setTimeStep(0.0001)
+    sim.setGlobalAcceleration(Vec(0, 0, -1.0))
+    sim.start()
+    sim.pause(0.5)
+    sim.getAll()
+    # teleport everything from the host side, then push with setAll
+    m1.pos = Vec(0, 0, 100.0)
+    m2.pos = Vec(1, 0, 100.0)
+    m1.vel = Vec(0, 0, 0)
+    m2.vel = Vec(0, 0, 0)
+    sim.setAll()
+    sim.resume()
+    sim.pause(1.0)
+    sim.getAll()
+    # fell 0.5^2/2 from the new height
+    assert m1.pos[2] == pytest.approx(100 - 0.125, abs=1e-3)
+    sim.stop()
+
+
+def test_clear_global_constraints_mid_run():
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    m = sim.createMass(Vec(0, 0, 0.5))
+    sim.createPlane(Vec(0, 0, 1), 0)
+    sim.setTimeStep(0.0001)
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    sim.start()
+    sim.pause(1.0)
+    sim.getAll()
+    assert m.pos[2] > -0.1  # bouncing on the plane
+    sim.clearConstraints()  # remove the floor (reference sim.cu:2290-2293)
+    sim.resume()
+    sim.pause(2.0)
+    sim.getAll()
+    # undamped penalty bounce leaves some upward velocity at t=1, but with
+    # the floor gone the mass must end clearly below it
+    assert m.pos[2] < -1.0
+    sim.stop()
