@@ -83,3 +83,64 @@ def test_sharded_scene_matches_single_device():
                                np.asarray(out_single.masses.vel), atol=1e-5)
     # state really is distributed
     assert len(out_sharded.masses.pos.sharding.device_set) == 8
+
+
+def test_flat_replicated_envs_match_single():
+    """Flat-packed batch: every env reproduces the single-scene trajectory."""
+    from titan_tpu.parallel import replicate_scene
+
+    def build():
+        s = Simulation(SimConfig(velocity_clamp=False))
+        s.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 3, 3, 3)
+        s.createPlane(Vec(0, 0, 1), 0)
+        s.setGlobalAcceleration(Vec(0, 0, -9.8))
+        s.setTimeStep(0.0001)
+        return s
+
+    src = build()
+    big, envs = replicate_scene(src, n_envs=16, spacing=Vec(5, 0, 0))
+    assert len(big.masses) == 16 * 27
+    big.start()
+    big.pause(0.5)
+    big.getAll()
+
+    single = build()
+    single.start()
+    single.pause(0.5)
+    single.getAll()
+    want = single._store.pos[:27].copy()
+    single.stop()
+
+    st = big._store
+    for e, env in enumerate(envs):
+        got = st.pos[env._mass_idx] - np.array([5.0 * e, 0, 0])
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    big.stop()
+
+
+def test_flat_per_env_param_sweep():
+    from titan_tpu.parallel import replicate_scene
+    src = Simulation(SimConfig(velocity_clamp=False))
+    m1 = src.createMass(Vec(0, 0, 0))
+    m1.fix()
+    m2 = src.createMass(Vec(1.5, 0, 0))
+    s = src.createSpring(m1, m2)
+    s._rest = 1.0
+    s._k = 10.0
+    s._damping = 3.0
+    src.setGlobalAcceleration(Vec(0, 0, 0))
+    src.setTimeStep(0.0001)
+    big, envs = replicate_scene(src, n_envs=4, spacing=Vec(10, 0, 0))
+    # per-env stiffness sweep -> different settle speeds
+    for e, env in enumerate(envs):
+        env.setSpringConstants(10.0 * (e + 1))
+    big.start()
+    big.pause(1.0)
+    big.getAll()
+    st = big._store
+    seps = [st.pos[env._mass_idx[1], 0] - st.pos[env._mass_idx[0], 0]
+            for env in envs]
+    big.stop()
+    # stiffer springs pull closer to rest length by t=1
+    errs = [abs(sep - 1.0) for sep in seps]
+    assert errs[0] > errs[3]

@@ -1,12 +1,19 @@
 """Batched multi-agent simulation: vmap over independent scenes, data-parallel
 across the device mesh.
 
-This is the north-star RL configuration (BASELINE.json config 5: "1024
-vmapped independent robots with per-env parameter sweeps").  The reference's
-only multi-agent story is packing many containers into one flat array
-(test/physics/multiagent_unittest.cpp); vmap gives independent scenes with
-per-env parameters for free, and sharding the env axis over the mesh gives
-linear multi-chip scaling with zero collectives (embarrassingly parallel).
+This module is the vmap formulation of the north-star RL configuration
+(BASELINE.json config 5: "1024 vmapped independent robots with per-env
+parameter sweeps"): independent scenes with fully per-env parameters
+(including scene globals like gravity), sharded over the mesh with zero
+collectives.
+
+PERFORMANCE NOTE (measured): on TPU the vmapped stencil rolls lower
+catastrophically (~1000x slower than they should be).  For identical scene
+topologies prefer ``titan_tpu.parallel.replicate_scene`` (flat.py), which
+packs the batch into ONE stencil scene, runs through the fused Pallas
+kernel, and measured 35.6M env-steps/s for 1024 27-mass robots on one v5e
+chip.  Use this vmap path on CPU, for small batches, or when you need
+per-env scene globals.
 """
 
 from __future__ import annotations

@@ -1,0 +1,100 @@
+"""Flat-packed batched environments: N identical scenes as ONE big scene.
+
+Replicating a scene E times with mass-index offset e * n preserves every
+spring's constant index delta, so the whole batch runs as a single stencil
+scene -- eligible for the fused VMEM Pallas kernel and ~1000x faster on TPU
+than the vmap path (whose batched lane-rolls lower catastrophically; see
+CLAUDE.md).  This is also exactly the reference's own multi-agent strategy
+(flat arrays, test/physics/multiagent_unittest.cpp) -- but here the packing
+is an automatic transform with per-env Containers for get/set.
+
+Per-env parameter sweeps work through the per-spring/per-mass arrays (k,
+rest, m, ...); scene-level GLOBALS (gravity, planes) are shared -- use the
+vmap path (batched.py) if you need per-env gravity.
+
+    sim = titan.Simulation()
+    ... build one env ...
+    big, envs = replicate_scene(sim, n_envs=1024, spacing=Vec(3, 0, 0))
+    big.start(); big.pause(1.0); big.getAll()
+    envs[7].masses[0].pos        # env 7's copy
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..containers import Container
+from ..vec import Vec
+
+
+def replicate_scene(src, n_envs: int, spacing=None,
+                    config=None) -> Tuple[object, List[Container]]:
+    """Build a new Simulation containing n_envs copies of ``src``'s scene.
+
+    ``src`` must be un-started.  ``spacing`` (a Vec) offsets each copy
+    spatially (recommended when magnets are in play, since magnet forces are
+    global).  Global constraints (planes/balls) and gravity are shared.
+    Returns (big_sim, [env containers]).
+    """
+    from ..runtime.simulation import Simulation
+
+    assert not src._started, "replicate an un-started scene"
+    st = src._store
+    n, s = st.n_masses, st.n_springs
+    off = (Vec(spacing).numpy() if spacing is not None
+           else np.zeros(3))
+
+    sim = Simulation(config or src.config)
+    big = sim._store
+    big.reserve_masses(n * n_envs)
+    big.reserve_springs(s * n_envs)
+
+    for f in big._MASS_FIELDS_1:
+        getattr(big, f)[: n * n_envs] = np.tile(getattr(st, f)[:n], n_envs)
+    for f in big._MASS_FIELDS_3:
+        getattr(big, f)[: n * n_envs] = np.tile(getattr(st, f)[:n],
+                                                (n_envs, 1))
+    big.fixed[: n * n_envs] = np.tile(st.fixed[:n], n_envs)
+    big.valid[: n * n_envs] = np.tile(st.valid[:n], n_envs)
+    # spatial offsets per env
+    env_of_mass = np.repeat(np.arange(n_envs), n)
+    big.pos[: n * n_envs] += env_of_mass[:, None] * off
+    big.n_masses = n * n_envs
+
+    for f in ("k", "rest", "damping", "s_type", "omega", "l_max", "l_min",
+              "rate"):
+        getattr(big, f)[: s * n_envs] = np.tile(getattr(st, f)[:s], n_envs)
+    big.s_valid[: s * n_envs] = np.tile(st.s_valid[:s], n_envs)
+    env_of_spring = np.repeat(np.arange(n_envs, dtype=np.int64), s)
+    big.left[: s * n_envs] = np.tile(st.left[:s], n_envs) + env_of_spring * n
+    big.right[: s * n_envs] = (np.tile(st.right[:s], n_envs)
+                               + env_of_spring * n)
+    big.n_springs = s * n_envs
+
+    # local constraints replicate per env
+    for i, rec in st.local.items():
+        for e in range(n_envs):
+            r = sim._store.local_record(i + e * n)
+            shift = e * off
+            r.contact_planes = [(v.copy(), d + float(v @ shift))
+                                for v, d in rec.contact_planes]
+            r.balls = [(v + shift, d) for v, d in rec.balls]
+            r.constraint_planes = [(v.copy(), d)
+                                   for v, d in rec.constraint_planes]
+            r.directions = [(v.copy(), d) for v, d in rec.directions]
+
+    sim._planes = [(p[0].copy(), p[1], p[2], p[3]) for p in src._planes]
+    sim._balls = [(b[0].copy(), b[1]) for b in src._balls]
+    sim._dt = src._dt
+    sim._global_acc = src._global_acc.copy()
+
+    envs = []
+    for e in range(n_envs):
+        c = Container(sim)
+        c._mass_idx = np.arange(e * n, (e + 1) * n, dtype=np.int64)
+        c._spring_idx = np.arange(e * s, (e + 1) * s, dtype=np.int64)
+        sim.containers.append(c)
+        envs.append(c)
+    return sim, envs
