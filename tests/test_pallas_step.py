@@ -16,8 +16,8 @@ from titan_tpu.ops.step import build_chunk_fn
 
 
 def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
-           extern=False, damping=0.0, integrator=None):
-    from titan_tpu import Integrator
+           extern=False, damping=0.0, integrator=None, breathing=False):
+    from titan_tpu import Integrator, ACTIVE_CONTRACT_THEN_EXPAND
     cfg = dict(velocity_clamp=clamp)
     if integrator:
         cfg["integrator"] = Integrator(integrator)
@@ -29,6 +29,11 @@ def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
     sim.setAllSpringConstantValues(800.0)
     if damping:
         sim._store.damping[: sim._store.n_springs] = damping
+    if breathing:
+        st = sim._store
+        half = st.n_springs // 2
+        st.s_type[:half] = ACTIVE_CONTRACT_THEN_EXPAND
+        st.omega[:half] = 7.0
     if friction:
         sim.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
     else:
@@ -46,7 +51,7 @@ def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
 
 @pytest.mark.parametrize("variant", ["plain", "clamp_off", "friction",
                                      "ball", "beam", "extern", "damping",
-                                     "verlet"])
+                                     "verlet", "breathing"])
 def test_pallas_matches_xla(variant, monkeypatch):
     kw = dict(clamp=variant != "clamp_off",
               friction=variant == "friction",
@@ -54,7 +59,8 @@ def test_pallas_matches_xla(variant, monkeypatch):
               fixed_face=variant == "beam",
               extern=variant == "extern",
               damping=0.5 if variant == "damping" else 0.0,
-              integrator="verlet" if variant == "verlet" else None)
+              integrator="verlet" if variant == "verlet" else None,
+              breathing=variant == "breathing")
     sim = _scene(**kw)
     assert pallas_step.pallas_supported(sim._shape), "scene left the envelope"
 
@@ -92,12 +98,13 @@ def test_pallas_matches_xla(variant, monkeypatch):
 
 
 def test_envelope_rejections():
-    # breathing springs push the scene out of the envelope
-    from titan_tpu import ACTIVE_CONTRACT_THEN_EXPAND
+    # ACTUATED (rest-mutating) springs push the scene out of the envelope
+    from titan_tpu import ACTUATED_EXPAND
     sim = _scene()
     st = sim._store
-    st.s_type[: st.n_springs] = ACTIVE_CONTRACT_THEN_EXPAND
-    st.omega[: st.n_springs] = 3.0
+    st.s_type[: st.n_springs] = ACTUATED_EXPAND
+    st.l_max[: st.n_springs] = 2.0
+    st.rate[: st.n_springs] = 0.1
     sim._marshal()
     assert not pallas_step.pallas_supported(sim._shape)
     # so does a deleted mass

@@ -9,7 +9,8 @@ config (9.3k vs 5.4k steps/s on one TPU v5e chip).
 
 Specialization envelope (checked by ``pallas_supported``); scenes outside it
 use the XLA path and get identical physics:
-  - float32, all springs in stencil families (no remainder), no breathing
+  - float32, all springs in stencil families (no remainder)
+  - breathing (ACTIVE_*) springs supported; ACTUATED_* (rest mutation) not
   - axial spring damping supported (adds velocity halo rolls)
   - Euler (velocity clamp optional) or Verlet integrators
   - gravity, persistent external force, fixed masses
@@ -42,7 +43,7 @@ def pallas_supported(shape: SceneShape) -> bool:
         return False
     if not cfg.use_stencil or not shape.stencil_deltas:
         return False
-    if shape.has_remainder or shape.has_breathing:
+    if shape.has_remainder or shape.has_actuated:
         return False
     if shape.has_magnets or shape.has_drag or not shape.all_valid:
         return False
@@ -64,11 +65,12 @@ def _build_kernel(shape: SceneShape):
     clamp = shape.config.velocity_clamp
     verlet = shape.config.integrator is Integrator.VERLET
     has_damping = shape.has_damping
+    has_breathing = shape.has_breathing
     normal_coeff = shape.config.normal_coeff
 
     def kernel(nsteps_ref, scal_ref, plane_ref, ball_ref,
                pos_ref, vel_ref, acc_ref, cforce_ref, minv_ref, fixed_ref,
-               k_ref, rest_ref, damping_ref,
+               k_ref, rest_ref, damping_ref, bsign_ref, bomega_ref,
                opos_ref, ovel_ref, oacc_ref):
         # All mass-payload refs are [.., R, 128]: flat-index rolls decompose
         # into whole-row rolls + one <128 lane rotation, which Mosaic runs
@@ -108,7 +110,14 @@ def _build_kernel(shape: SceneShape):
                 diff = pr - pos
                 ln = jnp.sqrt(jnp.sum(diff * diff, axis=0))
                 inv = jnp.where(ln > 0, 1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
-                mag = k_ref[fi] * (rest_ref[fi] - ln)
+                rest = rest_ref[fi]
+                if has_breathing:
+                    # rest scale 1 -/+ 0.2 sin(omega t) folded into
+                    # bsign = -/+0.2 (0 for passive), reference sim.cu:1169-72
+                    t_now = scal_ref[1] + step.astype(jnp.float32) * dt
+                    rest = rest * (1.0 + bsign_ref[fi]
+                                   * jnp.sin(bomega_ref[fi] * t_now))
+                mag = k_ref[fi] * (rest - ln)
                 if has_damping:
                     vr = roll_gather(vel, d)
                     axial = jnp.sum((vel - vr) * diff, axis=0) * inv
@@ -193,10 +202,15 @@ def build_pallas_chunk(shape: SceneShape):
         # masked springs exert zero force -> fold mask into k
         k_eff = jnp.where(state.stencil.mask, state.stencil.k, 0.0)
         damp_eff = jnp.where(state.stencil.mask, state.stencil.damping, 0.0)
+        styp = state.stencil.type
+        bsign = jnp.where(styp == 2, -0.2,
+                          jnp.where(styp == 3, 0.2, 0.0)).astype(m.pos.dtype)
+        bomega = state.stencil.omega
         minv = (1.0 / m.m)[None, :]
         fixed = m.fixed.astype(m.pos.dtype)[None, :]
         const_f = m.extern_force + m.m * state.g[:, None]
-        scal = state.dt.astype(jnp.float32)[None]
+        scal = jnp.stack([state.dt.astype(jnp.float32),
+                          state.t.astype(jnp.float32)])
         planes = jnp.zeros((n_planes, 6), jnp.float32)
         if shape.n_planes:
             planes = planes.at[: shape.n_planes].set(jnp.concatenate([
@@ -220,7 +234,7 @@ def build_pallas_chunk(shape: SceneShape):
                 grid=(1,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                           pl.BlockSpec(memory_space=pltpu.SMEM)]
-                         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+                         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
                 out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
             ),
             out_shape=[jax.ShapeDtypeStruct((3, rows, 128), m.pos.dtype)
@@ -229,7 +243,8 @@ def build_pallas_chunk(shape: SceneShape):
                 vmem_limit_bytes=_VMEM_BUDGET + 24 * 1024 * 1024),
         )(jnp.asarray([n_steps], jnp.int32), scal, planes, balls,
           r3(m.pos), r3(m.vel), r3(m.acc), r3(const_f), r3(minv), r3(fixed),
-          r3(k_eff), r3(state.stencil.rest), r3(damp_eff))
+          r3(k_eff), r3(state.stencil.rest), r3(damp_eff), r3(bsign),
+          r3(bomega))
         pos, vel, acc = (pos.reshape(3, n), vel.reshape(3, n),
                          acc.reshape(3, n))
 

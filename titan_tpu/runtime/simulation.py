@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import builders
-from ..config import (PASSIVE_SOFT, PASSIVE_STIFF, SimConfig, ScatterMode)
+from ..config import (ACTUATED_CONTRACT, ACTUATED_EXPAND, PASSIVE_SOFT,
+                      PASSIVE_STIFF, SimConfig, ScatterMode)
 from ..containers import Beam, Container, Cube, Lattice, RobotLink
 from ..entities import HandleSeq, Mass, Spring
 from ..ops import build_chunk_fn
@@ -343,6 +344,9 @@ class Simulation:
         caps = _local_caps(st)
         has_breathing = bool(np.any(
             (st.s_type[:s] != PASSIVE_SOFT) & (st.s_type[:s] != PASSIVE_STIFF)))
+        has_actuated = bool(np.any(
+            (st.s_type[:s] == ACTUATED_EXPAND)
+            | (st.s_type[:s] == ACTUATED_CONTRACT)))
         has_magnets = bool(np.any(st.mag_maxf[:n] != 0.0)
                            or np.any(st.mag_rad[:n] != 0.0))
         has_drag = bool(np.any(st.drag[:n] != 0.0))
@@ -362,7 +366,8 @@ class Simulation:
             plane_friction=tuple(bool(p[2] or p[3]) for p in self._planes),
             cap_cp=caps[0], cap_ball=caps[1], cap_pl=caps[2], cap_dir=caps[3],
             has_magnets=has_magnets, has_drag=has_drag,
-            has_breathing=has_breathing, has_damping=has_damping,
+            has_breathing=has_breathing, has_actuated=has_actuated,
+            has_damping=has_damping,
             all_valid=all_valid, config=cfg,
         )
 

@@ -209,6 +209,7 @@ class SceneShape:
     has_magnets: bool
     has_drag: bool
     has_breathing: bool  # any ACTIVE_*/ACTUATED_* springs
+    has_actuated: bool   # any ACTUATED_* springs (rest length mutates)
     has_damping: bool    # any spring with damping != 0 (skips vel gathers)
     all_valid: bool      # no soft-deleted masses (skips valid-mask work)
     config: SimConfig
