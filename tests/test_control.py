@@ -291,3 +291,81 @@ def test_clear_global_constraints_mid_run():
     # the floor gone the mass must end clearly below it
     assert m.pos[2] < -1.0
     sim.stop()
+
+
+def test_damping_enabled_mid_run():
+    """addDamping() on a scene traced with has_damping=False must take
+    effect after set(): the stencil/Pallas paths skip damping math entirely
+    unless the trace has it, so the push must trigger a re-marshal."""
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    m1 = sim.createMass(Vec(0, 0, 0))
+    m2 = sim.createMass(Vec(1.5, 0, 0))
+    s = sim.createSpring(m1, m2)
+    s._rest = 1.0
+    s._k = 100.0
+    sim.setGlobalAcceleration(Vec(0, 0, 0))
+    sim.setTimeStep(0.0001)
+    sim.start()
+    sim.pause(0.05)
+    assert not sim._shape.has_damping
+    sim.get(s)
+    s.addDamping(8.0)  # heavily damped from here on
+    sim.set(s)
+    assert sim._shape.has_damping, "damping push did not re-marshal"
+    sim.resume()
+    sim.pause(3.0)
+    sim.getAll()
+    v1 = np.array(list(sim.masses[0].vel))
+    v2 = np.array(list(sim.masses[1].vel))
+    sim.stop()
+    # undamped, the pair oscillates forever with |v| ~ 0.9 peak; damped it
+    # settles to rest
+    assert np.linalg.norm(v1) < 0.02 and np.linalg.norm(v2) < 0.02
+
+
+def test_actuated_push_onto_breathing_trace():
+    """Flipping a spring to ACTUATED_* on a scene already traced with
+    has_breathing=True (but has_actuated=False) must re-marshal so the
+    rest-mutation path is in the trace."""
+    from titan_tpu import ACTIVE_CONTRACT_THEN_EXPAND, ACTUATED_EXPAND
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    m1 = sim.createMass(Vec(0, 0, 0))
+    m2 = sim.createMass(Vec(1.0, 0, 0))
+    m3 = sim.createMass(Vec(2.0, 0, 0))
+    s_active = sim.createSpring(m1, m2)
+    s_pass = sim.createSpring(m2, m3)
+    s_active.changeType(ACTIVE_CONTRACT_THEN_EXPAND, 5.0)
+    sim.setGlobalAcceleration(Vec(0, 0, 0))
+    sim.setTimeStep(0.0001)
+    sim.start()
+    sim.pause(0.05)
+    assert sim._shape.has_breathing and not sim._shape.has_actuated
+    sim.get(s_pass)
+    s_pass._type = ACTUATED_EXPAND
+    s_pass._l_max = 2.0
+    s_pass._rate = 1.0
+    sim.set(s_pass)
+    assert sim._shape.has_actuated, "ACTUATED push did not re-marshal"
+    rest0 = s_pass._rest
+    sim.resume()
+    sim.pause(0.3)
+    sim.get(s_pass)
+    sim.stop()
+    # rest grew at ~rate for 0.25 s
+    assert s_pass._rest > rest0 + 0.2
+
+
+def test_set_timestep_while_chunk_in_flight():
+    """setTimeStep is live (no pause required); a dt update racing an
+    in-flight chunk must not be lost at the worker's state writeback."""
+    sim, m = _free_fall_sim()
+    sim.start()
+    sim.setBreakpoint(2.0)     # worker starts chunking toward 2.0
+    sim.setTimeStep(0.001)     # likely lands while a chunk is in flight
+    sim.waitForEvent()
+    sim.getAll()
+    z = m.pos[2]
+    sim.stop()
+    # free fall is dt-independent; if the dt update were lost, device state
+    # and host time accounting diverge and z is far off the analytic value
+    assert z == pytest.approx(-0.5 * 4.0, abs=2e-2)

@@ -16,8 +16,10 @@ from titan_tpu.ops.step import build_chunk_fn
 
 
 def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
-           extern=False, damping=0.0, integrator=None, breathing=False):
-    from titan_tpu import Integrator, ACTIVE_CONTRACT_THEN_EXPAND
+           extern=False, damping=0.0, integrator=None, breathing=False,
+           actuated=False, drag=0.0, deleted=False):
+    from titan_tpu import (Integrator, ACTIVE_CONTRACT_THEN_EXPAND,
+                           ACTUATED_CONTRACT, ACTUATED_EXPAND)
     cfg = dict(velocity_clamp=clamp)
     if integrator:
         cfg["integrator"] = Integrator(integrator)
@@ -34,6 +36,21 @@ def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
         half = st.n_springs // 2
         st.s_type[:half] = ACTIVE_CONTRACT_THEN_EXPAND
         st.omega[:half] = 7.0
+    if actuated:
+        st = sim._store
+        s = st.n_springs
+        third = s // 3
+        st.s_type[:third] = ACTUATED_EXPAND
+        st.l_max[:third] = st.rest[:third] * 1.2
+        st.rate[:third] = 0.5
+        st.s_type[third:2 * third] = ACTUATED_CONTRACT
+        st.l_min[third:2 * third] = st.rest[third:2 * third] * 0.8
+        st.rate[third:2 * third] = 0.5
+    if drag:
+        sim._store.drag[: sim._store.n_masses] = drag
+    if deleted:
+        sim._store.valid[3] = False
+        sim._store.valid[17] = False
     if friction:
         sim.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
     else:
@@ -51,7 +68,8 @@ def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
 
 @pytest.mark.parametrize("variant", ["plain", "clamp_off", "friction",
                                      "ball", "beam", "extern", "damping",
-                                     "verlet", "breathing"])
+                                     "verlet", "breathing", "actuated",
+                                     "drag", "deleted", "actuated_deleted"])
 def test_pallas_matches_xla(variant, monkeypatch):
     kw = dict(clamp=variant != "clamp_off",
               friction=variant == "friction",
@@ -60,7 +78,10 @@ def test_pallas_matches_xla(variant, monkeypatch):
               extern=variant == "extern",
               damping=0.5 if variant == "damping" else 0.0,
               integrator="verlet" if variant == "verlet" else None,
-              breathing=variant == "breathing")
+              breathing=variant == "breathing",
+              actuated=variant in ("actuated", "actuated_deleted"),
+              drag=0.3 if variant == "drag" else 0.0,
+              deleted=variant in ("deleted", "actuated_deleted"))
     sim = _scene(**kw)
     assert pallas_step.pallas_supported(sim._shape), "scene left the envelope"
 
@@ -95,20 +116,26 @@ def test_pallas_matches_xla(variant, monkeypatch):
     np.testing.assert_allclose(np.asarray(out_p.masses.T)[:n],
                                np.asarray(out_x.masses.T)[:n], atol=1e-7)
     assert float(out_p.t) == pytest.approx(float(out_x.t), abs=1e-7)
+    if variant.startswith("actuated"):
+        # actuated rest mutation must round-trip out of the kernel
+        np.testing.assert_allclose(np.asarray(out_p.stencil.rest),
+                                   np.asarray(out_x.stencil.rest),
+                                   atol=1e-6, rtol=1e-6)
+        assert not np.allclose(np.asarray(out_p.stencil.rest),
+                               np.asarray(sim._state.stencil.rest)), \
+            "actuation did nothing"
 
 
 def test_envelope_rejections():
-    # ACTUATED (rest-mutating) springs push the scene out of the envelope
-    from titan_tpu import ACTUATED_EXPAND
+    # magnets stay outside the VMEM kernel's envelope (masked O(N^2) pass)
     sim = _scene()
     st = sim._store
-    st.s_type[: st.n_springs] = ACTUATED_EXPAND
-    st.l_max[: st.n_springs] = 2.0
-    st.rate[: st.n_springs] = 0.1
+    st.mag_maxf[:4] = 1.0
+    st.mag_rad[:4] = 0.05
     sim._marshal()
     assert not pallas_step.pallas_supported(sim._shape)
-    # so does a deleted mass
+    # so do local constraints
     sim2 = _scene()
-    sim2._store.valid[0] = False
+    sim2.masses[0].addConstraint(2, Vec(0, 0, 1), 0.0)  # BALL-type slot
     sim2._marshal()
     assert not pallas_step.pallas_supported(sim2._shape)

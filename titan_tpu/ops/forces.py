@@ -63,6 +63,10 @@ def spring_forces(
     inv_len = jnp.where(length > 0, 1.0 / jnp.where(length > 0, length, 1.0), 0.0)
     unit = d * inv_len                                        # [3, S]
 
+    pair_valid = (
+        springs.valid & masses.valid[left] & masses.valid[right]
+    )
+
     rest = springs.rest
     if has_breathing:
         styp = springs.type
@@ -71,11 +75,13 @@ def spring_forces(
             styp == ACTIVE_CONTRACT_THEN_EXPAND, 1.0 - 0.2 * sin_wt,
             jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT, 1.0 + 0.2 * sin_wt, 1.0),
         )
+        # invalid springs never actuate: the reference kernel early-returns
+        # before the rest mutation (sim.cu:1163)
         rest = jnp.where(
-            (styp == ACTUATED_EXPAND) & (rest < springs.l_max),
+            pair_valid & (styp == ACTUATED_EXPAND) & (rest < springs.l_max),
             rest + springs.rate * dt,
             jnp.where(
-                (styp == ACTUATED_CONTRACT) & (rest > springs.l_min),
+                pair_valid & (styp == ACTUATED_CONTRACT) & (rest > springs.l_min),
                 rest - springs.rate * dt,
                 rest,
             ),
@@ -88,9 +94,6 @@ def spring_forces(
     mag = springs.k * (rest * scale - length) + axial_dv * springs.damping
     f = mag * unit                                            # [3, S]
 
-    pair_valid = (
-        springs.valid & masses.valid[left] & masses.valid[right]
-    )
     f = jnp.where(pair_valid, f, 0.0)
     return f, rest
 
@@ -144,6 +147,10 @@ def stencil_spring_forces(
                             1.0 / jnp.where(length > 0, length, 1.0), 0.0)
         unit = diff * inv_len
 
+        pair_ok = st.mask[fi]
+        if not all_valid:
+            pair_ok = pair_ok & valid & _roll_gather(valid, d)
+
         rest = st.rest[fi]
         if has_breathing:
             styp = st.type[fi]
@@ -152,11 +159,15 @@ def stencil_spring_forces(
                 styp == ACTIVE_CONTRACT_THEN_EXPAND, 1.0 - 0.2 * sin_wt,
                 jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
                           1.0 + 0.2 * sin_wt, 1.0))
+            # invalid springs never actuate (reference early-return,
+            # sim.cu:1163)
             rest = jnp.where(
-                (styp == ACTUATED_EXPAND) & (rest < st.l_max[fi]),
+                pair_ok & (styp == ACTUATED_EXPAND) & (rest < st.l_max[fi]),
                 rest + st.rate[fi] * dt,
-                jnp.where((styp == ACTUATED_CONTRACT) & (rest > st.l_min[fi]),
-                          rest - st.rate[fi] * dt, rest))
+                jnp.where(
+                    pair_ok & (styp == ACTUATED_CONTRACT)
+                    & (rest > st.l_min[fi]),
+                    rest - st.rate[fi] * dt, rest))
             new_rest = new_rest.at[fi].set(rest)
         else:
             scale = 1.0
@@ -166,9 +177,6 @@ def stencil_spring_forces(
             vel_r = _roll_gather(vel, d)
             axial_dv = jnp.sum((vel - vel_r) * unit, axis=0)  # v_l - v_r
             mag = mag + axial_dv * st.damping[fi]
-        pair_ok = st.mask[fi]
-        if not all_valid:
-            pair_ok = pair_ok & valid & _roll_gather(valid, d)
         f = jnp.where(pair_ok, mag, 0.0) * unit              # [3, N]
         # -f at the left endpoint (index n), +f at the right (n + d)
         f_acc = f_acc - f + _roll_scatter(f, d)

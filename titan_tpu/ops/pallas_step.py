@@ -10,12 +10,15 @@ config (9.3k vs 5.4k steps/s on one TPU v5e chip).
 Specialization envelope (checked by ``pallas_supported``); scenes outside it
 use the XLA path and get identical physics:
   - float32, all springs in stencil families (no remainder)
-  - breathing (ACTIVE_*) springs supported; ACTUATED_* (rest mutation) not
+  - breathing (ACTIVE_*) and ACTUATED_* (rest-mutating, rate-clamped per
+    sim.cu:1173-1181) springs; rest is carried in VMEM across the chunk
   - axial spring damping supported (adds velocity halo rolls)
   - Euler (velocity clamp optional) or Verlet integrators
-  - gravity, persistent external force, fixed masses
+  - gravity, persistent external force, fixed masses, quadratic drag
   - global contact planes (incl. static+kinetic friction) and balls
-  - no local constraints, no magnets, no drag, no soft-deleted masses
+  - soft-deleted masses (validity folded into k/rate/fixed at chunk entry --
+    validity only changes at re-marshal boundaries, so it's chunk-constant)
+  - no local constraints, no magnets
 """
 
 from __future__ import annotations
@@ -27,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import Integrator
+from ..config import (ACTIVE_CONTRACT_THEN_EXPAND, ACTIVE_EXPAND_THEN_CONTRACT,
+                      ACTUATED_CONTRACT, ACTUATED_EXPAND, Integrator)
 from ..state import SceneShape, SimState
 
 # VMEM budget: pos/vel/const_f in + pos/vel/acc out + k/rest [F,N] + minv +
@@ -43,16 +47,19 @@ def pallas_supported(shape: SceneShape) -> bool:
         return False
     if not cfg.use_stencil or not shape.stencil_deltas:
         return False
-    if shape.has_remainder or shape.has_actuated:
-        return False
-    if shape.has_magnets or shape.has_drag or not shape.all_valid:
+    if shape.has_remainder or shape.has_magnets:
         return False
     if any((shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)):
         return False
     if not cfg.persistent_extern_force:
         return False
     n, f = shape.n_masses, len(shape.stencil_deltas)
-    vmem_bytes = 4 * n * (3 * 6 + 3 * f + 2) + 4 * n * 3 * 4  # arrays + temps
+    # resident refs: 7 [3,N] vec3 (pos/vel/acc/cforce in + 3 outs), [1,N]
+    # minv/fixed (+drag), [F,N] k/rest/damping/bsign/bomega (+arate/abound/
+    # orest when actuated), plus ~6 [3,N] body temporaries (pr/diff/f/...)
+    fam = 5 * f + (3 * f if shape.has_actuated else 0)
+    sc = 2 + (1 if shape.has_drag else 0)
+    vmem_bytes = 4 * n * (3 * 7 + fam + sc) + 4 * n * 3 * 6
     return vmem_bytes < _VMEM_BUDGET
 
 
@@ -66,12 +73,24 @@ def _build_kernel(shape: SceneShape):
     verlet = shape.config.integrator is Integrator.VERLET
     has_damping = shape.has_damping
     has_breathing = shape.has_breathing
+    has_actuated = shape.has_actuated
+    has_drag = shape.has_drag
     normal_coeff = shape.config.normal_coeff
 
-    def kernel(nsteps_ref, scal_ref, plane_ref, ball_ref,
-               pos_ref, vel_ref, acc_ref, cforce_ref, minv_ref, fixed_ref,
-               k_ref, rest_ref, damping_ref, bsign_ref, bomega_ref,
-               opos_ref, ovel_ref, oacc_ref):
+    def kernel(*refs):
+        (nsteps_ref, scal_ref, plane_ref, ball_ref,
+         pos_ref, vel_ref, acc_ref, cforce_ref, minv_ref, fixed_ref,
+         k_ref, rest_ref, damping_ref, bsign_ref, bomega_ref) = refs[:15]
+        i = 15
+        if has_actuated:
+            arate_ref, abound_ref = refs[i], refs[i + 1]
+            i += 2
+        if has_drag:
+            drag_ref = refs[i]
+            i += 1
+        opos_ref, ovel_ref, oacc_ref = refs[i:i + 3]
+        if has_actuated:
+            orest_ref = refs[i + 3]
         # All mass-payload refs are [.., R, 128]: flat-index rolls decompose
         # into whole-row rolls + one <128 lane rotation, which Mosaic runs
         # ~2.1x faster in VMEM than a full-width lane rotation (19.6k vs
@@ -98,6 +117,8 @@ def _build_kernel(shape: SceneShape):
         opos_ref[:] = pos_ref[:]
         ovel_ref[:] = vel_ref[:]
         oacc_ref[:] = acc_ref[:]                # Verlet carries acc
+        if has_actuated:
+            orest_ref[:] = rest_ref[:]          # rest is carried state
         not_fixed = 1.0 - fixed_ref[:]          # [1, R, 128] f32 mask
 
         def body(step, _):
@@ -110,7 +131,20 @@ def _build_kernel(shape: SceneShape):
                 diff = pr - pos
                 ln = jnp.sqrt(jnp.sum(diff * diff, axis=0))
                 inv = jnp.where(ln > 0, 1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
-                rest = rest_ref[fi]
+                if has_actuated:
+                    # ACTUATED_* rest mutation with the reference's one-sided
+                    # rate clamp (sim.cu:1173-1181): expand while rest<l_max,
+                    # contract while rest>l_min.  arate is +rate / -rate / 0,
+                    # abound the matching bound; zeroed for invalid pairs.
+                    rest = orest_ref[fi]
+                    ar = arate_ref[fi]
+                    ab = abound_ref[fi]
+                    adv = (((ar > 0) & (rest < ab))
+                           | ((ar < 0) & (rest > ab)))
+                    rest = rest + jnp.where(adv, ar * dt, 0.0)
+                    orest_ref[fi] = rest
+                else:
+                    rest = rest_ref[fi]
                 if has_breathing:
                     # rest scale 1 -/+ 0.2 sin(omega t) folded into
                     # bsign = -/+0.2 (0 for passive), reference sim.cu:1169-72
@@ -163,6 +197,10 @@ def _build_kernel(shape: SceneShape):
                 push = jnp.where((dist <= rad) & (dist > 0),
                                  normal_coeff / safe, 0.0)
                 f_acc = f_acc + jnp.stack([d0, d1, d2]) * push
+            if has_drag:
+                # -C |v|^2 v_hat == -C |v| v (reference sim.cu:1329-1332)
+                vn = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+                f_acc = f_acc - drag_ref[:] * vn * vel
             # integrate; fixed masses frozen (sim.cu:1292-1294)
             acc = f_acc * minv_ref[:]
             if verlet:
@@ -199,15 +237,24 @@ def build_pallas_chunk(shape: SceneShape):
     def chunk(state: SimState, n_steps) -> SimState:
         m = state.masses
         # loop invariants, precomputed outside the kernel:
-        # masked springs exert zero force -> fold mask into k
-        k_eff = jnp.where(state.stencil.mask, state.stencil.k, 0.0)
-        damp_eff = jnp.where(state.stencil.mask, state.stencil.damping, 0.0)
+        # masked/invalid springs exert zero force -> fold mask (and endpoint
+        # validity, which only changes at re-marshal boundaries) into k
+        pair_ok = state.stencil.mask
+        if not shape.all_valid:
+            pair_ok = jnp.stack([
+                pair_ok[fi] & m.valid & jnp.roll(m.valid, -d)
+                for fi, d in enumerate(shape.stencil_deltas)])
+        k_eff = jnp.where(pair_ok, state.stencil.k, 0.0)
+        damp_eff = jnp.where(pair_ok, state.stencil.damping, 0.0)
         styp = state.stencil.type
-        bsign = jnp.where(styp == 2, -0.2,
-                          jnp.where(styp == 3, 0.2, 0.0)).astype(m.pos.dtype)
+        bsign = jnp.where(styp == ACTIVE_CONTRACT_THEN_EXPAND, -0.2,
+                          jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
+                                    0.2, 0.0)).astype(m.pos.dtype)
         bomega = state.stencil.omega
         minv = (1.0 / m.m)[None, :]
-        fixed = m.fixed.astype(m.pos.dtype)[None, :]
+        # invalid (deleted/padding) masses are frozen exactly like fixed ones
+        move = m.valid & ~m.fixed
+        fixed = (~move).astype(m.pos.dtype)[None, :]
         const_f = m.extern_force + m.m * state.g[:, None]
         scal = jnp.stack([state.dt.astype(jnp.float32),
                           state.t.astype(jnp.float32)])
@@ -227,31 +274,60 @@ def build_pallas_chunk(shape: SceneShape):
         rows = n // 128
         nf = len(shape.stencil_deltas)
         r3 = lambda x: x.reshape(x.shape[:-1] + (rows, 128))  # free reshape
-        pos, vel, acc = pl.pallas_call(
+
+        extra_in = []
+        if shape.has_actuated:
+            rate = state.stencil.rate
+            arate = jnp.where(styp == ACTUATED_EXPAND, rate,
+                              jnp.where(styp == ACTUATED_CONTRACT, -rate, 0.0))
+            # invalid pairs never mutate rest (the reference kernel
+            # early-returns before actuation, sim.cu:1163)
+            arate = jnp.where(pair_ok, arate, 0.0).astype(m.pos.dtype)
+            abound = jnp.where(
+                styp == ACTUATED_EXPAND, state.stencil.l_max,
+                jnp.where(styp == ACTUATED_CONTRACT, state.stencil.l_min,
+                          0.0)).astype(m.pos.dtype)
+            extra_in += [r3(arate), r3(abound)]
+        if shape.has_drag:
+            extra_in.append(r3(m.drag[None, :]))
+
+        n_in = 11 + len(extra_in)
+        n_out = 4 if shape.has_actuated else 3
+        out_shape = [jax.ShapeDtypeStruct((3, rows, 128), m.pos.dtype)
+                     for _ in range(3)]
+        if shape.has_actuated:
+            out_shape.append(
+                jax.ShapeDtypeStruct((nf, rows, 128), m.pos.dtype))
+        outs = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,   # nsteps, scal (SMEM)
                 grid=(1,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                           pl.BlockSpec(memory_space=pltpu.SMEM)]
-                         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
-                out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+                         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+                out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
             ),
-            out_shape=[jax.ShapeDtypeStruct((3, rows, 128), m.pos.dtype)
-                       for _ in range(3)],
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_BUDGET + 24 * 1024 * 1024),
         )(jnp.asarray([n_steps], jnp.int32), scal, planes, balls,
           r3(m.pos), r3(m.vel), r3(m.acc), r3(const_f), r3(minv), r3(fixed),
           r3(k_eff), r3(state.stencil.rest), r3(damp_eff), r3(bsign),
-          r3(bomega))
-        pos, vel, acc = (pos.reshape(3, n), vel.reshape(3, n),
-                         acc.reshape(3, n))
+          r3(bomega), *extra_in)
+        pos, vel, acc = (outs[0].reshape(3, n), outs[1].reshape(3, n),
+                         outs[2].reshape(3, n))
 
         dtn = jnp.asarray(n_steps, state.dt.dtype) * state.dt
         new_masses = dataclasses.replace(
             m, pos=pos, vel=vel, acc=acc,
-            T=m.T + jnp.where(m.fixed, 0.0, dtn))
-        return dataclasses.replace(state, masses=new_masses, t=state.t + dtn)
+            T=m.T + jnp.where(move, dtn, 0.0))
+        new_state = dataclasses.replace(
+            state, masses=new_masses, t=state.t + dtn)
+        if shape.has_actuated:
+            new_state = dataclasses.replace(
+                new_state, stencil=dataclasses.replace(
+                    state.stencil, rest=outs[3].reshape(nf, n)))
+        return new_state
 
     return chunk

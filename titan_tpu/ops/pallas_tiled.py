@@ -271,6 +271,10 @@ def build_tiled_chunk(shape: SceneShape):
 
         pos, vel, acc = jax.lax.fori_loop(
             0, n_steps, body, (m.pos, m.vel, m.acc))
+        # the kernel zeroes fixed masses' acc each step; the reference
+        # (massForcesAndUpdate early-return) and the VMEM kernel preserve the
+        # prior value, so restore it once after the loop
+        acc = jnp.where(m.fixed[None, :], m.acc, acc)
 
         dtn = jnp.asarray(n_steps, state.dt.dtype) * state.dt
         new_m = dataclasses.replace(

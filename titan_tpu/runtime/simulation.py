@@ -564,6 +564,15 @@ class Simulation:
                 jax.block_until_ready(prev_state.t)
             prev_state = state
             with self._cv:
+                # setTimeStep may have fired while this chunk was in flight:
+                # its dt update to self._state would be clobbered by this
+                # writeback (the chunk output embeds the dt it ran with), so
+                # re-stamp.  _T accounting uses the local dt the chunk
+                # actually ran with, which stays correct either way.
+                if self._dt != dt:
+                    new_state = dataclasses.replace(
+                        new_state,
+                        dt=jnp.asarray(self._dt, dtype=self.config.np_dtype))
                 self._state = new_state
                 self._T += n * dt
                 self._steps += n
@@ -853,10 +862,19 @@ class Simulation:
         st, dt = self._store, self.config.np_dtype
         # a pushed spring may enable features the current trace lacks
         # (e.g. RobotLink.expand() flips a passive spring to ACTUATED on a
-        # scene traced with has_breathing=False) -> full re-marshal instead
-        if not self._shape.has_breathing and bool(np.any(
-                (st.s_type[idx] != PASSIVE_SOFT)
-                & (st.s_type[idx] != PASSIVE_STIFF))):
+        # scene traced with has_breathing=False, or addDamping() puts nonzero
+        # damping on a has_damping=False trace whose step skips damping math
+        # entirely) -> full re-marshal instead
+        needs_breathing = bool(np.any(
+            (st.s_type[idx] != PASSIVE_SOFT)
+            & (st.s_type[idx] != PASSIVE_STIFF)))
+        needs_actuated = bool(np.any(
+            (st.s_type[idx] == ACTUATED_EXPAND)
+            | (st.s_type[idx] == ACTUATED_CONTRACT)))
+        needs_damping = bool(np.any(st.damping[idx] != 0.0))
+        if ((needs_breathing and not self._shape.has_breathing)
+                or (needs_actuated and not self._shape.has_actuated)
+                or (needs_damping and not self._shape.has_damping)):
             self._remarshal_preserving_store_rows(
                 mass_idx=None, spring_idx=idx)
             return
