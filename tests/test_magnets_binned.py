@@ -1,0 +1,89 @@
+"""Cell-binned magnet neighbors (ops/magnets.py) vs the exact masked
+pairwise pass: identical physics when per-cell occupancy fits the cap."""
+
+import numpy as np
+import pytest
+
+from titan_tpu import Simulation, SimConfig, Vec
+from titan_tpu.ops import forces as F
+from titan_tpu.ops.magnets import binned_magnet_forces
+from titan_tpu.state import pad_to
+
+
+def _magnet_scene(n=400, seed=0, spread=1.5, threshold=10**9):
+    """Random cloud of magnetic masses; spread chosen so cells hold a few
+    masses each and many pairs straddle the 0.14 cutoff."""
+    rng = np.random.RandomState(seed)
+    sim = Simulation(SimConfig(magnet_binned_threshold=threshold))
+    st = sim._store
+    for i in range(n):
+        sim.createMass(Vec(*rng.uniform(-spread, spread, 3)))
+    st.mag_rad[:n] = rng.uniform(0.01, 0.05, n)
+    st.mag_stiffness[:n] = rng.uniform(100, 500, n)
+    st.mag_maxf[:n] = rng.uniform(0.0, 2.0, n)
+    st.mag_scale[:n] = rng.choice([0.0, 1.0], n)
+    sim.setTimeStep(1e-4)
+    sim._T = 0.0
+    sim._marshal()
+    return sim
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_binned_matches_pairwise(seed):
+    sim = _magnet_scene(seed=seed)
+    m = sim._state.masses
+    cutoff = sim.config.magnet_cutoff
+    want = np.asarray(F.magnet_forces(m, cutoff))
+    got = np.asarray(binned_magnet_forces(
+        m, cutoff, n_cells=pad_to(400, 8), cell_cap=64))
+    # f32 pair-sum order differs between the two accumulations
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * max(scale, 1.0),
+                               rtol=1e-4)
+
+
+def test_binned_with_deleted_and_nonmagnetic():
+    sim = _magnet_scene(seed=2)
+    st = sim._store
+    st.valid[7] = False
+    st.valid[123] = False
+    # some masses fully non-magnetic: must neither source nor receive
+    for i in (3, 50, 200):
+        st.mag_rad[i] = st.mag_stiffness[i] = 0.0
+        st.mag_maxf[i] = st.mag_scale[i] = 0.0
+    sim._marshal()
+    m = sim._state.masses
+    cutoff = sim.config.magnet_cutoff
+    want = np.asarray(F.magnet_forces(m, cutoff))
+    got = np.asarray(binned_magnet_forces(
+        m, cutoff, n_cells=pad_to(400, 8), cell_cap=64))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * max(scale, 1.0),
+                               rtol=1e-4)
+    assert np.all(got[:, 7] == 0) and np.all(got[:, 123] == 0)
+
+
+def test_marshal_selects_binned_by_threshold():
+    sim = _magnet_scene(n=64, threshold=32)
+    assert sim._shape.magnet_binned == (pad_to(64, 8),
+                                        sim.config.magnet_cell_cap)
+    sim2 = _magnet_scene(n=64, threshold=1000)
+    assert sim2._shape.magnet_binned == ()
+
+
+def test_binned_end_to_end_step():
+    """The full step function with the binned path traced in."""
+    import jax.numpy as jnp
+    from titan_tpu.ops.step import build_chunk_fn
+    sim = _magnet_scene(n=128, threshold=16)
+    assert sim._shape.magnet_binned
+    out = build_chunk_fn(sim._shape)(sim._state, jnp.int32(20))
+    p = np.asarray(out.masses.pos)
+    assert np.isfinite(p).all()
+
+    # same scene through the pairwise path -> same trajectory
+    sim2 = _magnet_scene(n=128, threshold=10**9)
+    assert not sim2._shape.magnet_binned
+    out2 = build_chunk_fn(sim2._shape)(sim2._state, jnp.int32(20))
+    np.testing.assert_allclose(p, np.asarray(out2.masses.pos),
+                               atol=1e-5, rtol=1e-4)

@@ -144,3 +144,36 @@ def test_flat_per_env_param_sweep():
     # stiffer springs pull closer to rest length by t=1
     errs = [abs(sep - 1.0) for sep in seps]
     assert errs[0] > errs[3]
+
+
+def test_flat_per_env_gravity_sweep():
+    """BASELINE config 5: per-env scene globals (gravity) on the flat-packed
+    fast path -- folded into the persistent external force, so the batch
+    stays one stencil scene (Pallas-eligible), no vmap."""
+    from titan_tpu.ops.pallas_step import pallas_supported
+    from titan_tpu.parallel import replicate_scene
+    from titan_tpu.parallel.flat import set_env_gravity
+
+    src = Simulation(SimConfig(velocity_clamp=False))
+    src.createLattice(Vec(0, 0, 0), Vec(1, 1, 1), 3, 3, 3)
+    src.setAllSpringConstantValues(50.0)
+    src.setGlobalAcceleration(Vec(0, 0, -9.8))
+    src.setTimeStep(0.0001)
+    big, envs = replicate_scene(src, n_envs=4, spacing=Vec(100, 0, 0))
+    gs = [Vec(0, 0, -9.8 * (e + 1)) for e in range(4)]
+    set_env_gravity(big, envs, gs)
+    # calling it again must replace (not stack) the gravity component
+    set_env_gravity(big, envs, gs)
+    big._T = 0.0
+    big._marshal()
+    assert pallas_supported(big._shape), "left the fast-path envelope"
+
+    big.start()
+    big.pause(0.5)
+    big.getAll()
+    st = big._store
+    for e, env in enumerate(envs):
+        com_z = st.pos[env._mass_idx, 2].mean()
+        want = -0.5 * 9.8 * (e + 1) * 0.25   # z = -g t^2 / 2 at t = 0.5
+        np.testing.assert_allclose(com_z, want, atol=5e-3)
+    big.stop()

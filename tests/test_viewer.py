@@ -60,3 +60,42 @@ def test_viewport_and_fps():
     rec.run_until(0.05)
     sim.stop()
     assert sim.fps() > 0
+
+
+def test_camera_lands_in_exported_html(tmp_path):
+    """setViewport's camera must drive export_html's initial view
+    (reference viewport API, sim.cu:1636-1661)."""
+    import json
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    sim.createCube(Vec(0, 0, 2), 1.0)
+    sim.setViewport(Vec(12, -3, 7), Vec(0, 0, 2), Vec(0, 0, 1))
+    rec = Recorder(sim, cadence=0.01)
+    sim.setTimeStep(0.0001)
+    sim.start()
+    rec.run_until(0.03)
+    sim.stop()
+    html = str(tmp_path / "cam.html")
+    rec.export_html(html)
+    content = open(html).read()
+    assert '"camera": [[12.0, -3.0, 7.0], [0.0, 2' in content.replace(
+        "0.0, 0.0, 2.0", "0.0, 2") or '"camera"' in content
+    # parse the embedded JSON payload and check the camera round-trips
+    start = content.index("const D = ") + len("const D = ")
+    end = content.index(";\n", start)
+    data = json.loads(content[start:end])
+    assert data["camera"] == [[12.0, -3.0, 7.0], [0.0, 0.0, 2.0]]
+    # the JS consumes it
+    assert "if (D.camera)" in content
+
+
+def test_no_camera_exports_null(tmp_path):
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    sim.createCube(Vec(0, 0, 2), 1.0)
+    rec = Recorder(sim, cadence=0.01)
+    sim.setTimeStep(0.0001)
+    sim.start()
+    rec.run_until(0.02)
+    sim.stop()
+    html = str(tmp_path / "nocam.html")
+    rec.export_html(html)
+    assert '"camera": null' in open(html).read()

@@ -74,6 +74,14 @@ class SimConfig:
     normal_coeff: float = 20000.0
     # Magnet interaction cutoff in meters (reference sim.cu:1228).
     magnet_cutoff: float = 0.14
+    # Magnet neighbor structure (ops/magnets.py, the TPU-native analog of
+    # the reference's occupancy grid, sim.h:179-182): scenes with at least
+    # this many magnetic masses use cell-binned neighbors instead of the
+    # exact masked O(N^2) pass.  Per-cell capacity mirrors the reference's
+    # occupancy_grid_max_masses_per_cell=128; overflow drops interactions
+    # (the reference printf-and-continues, sim.cu:850-859).
+    magnet_binned_threshold: int = 2048
+    magnet_cell_cap: int = 128
     # Steps dispatched per on-device fori_loop chunk when no breakpoint is
     # nearer.  Bounds host `time()` granularity and re-dispatch overhead.
     max_chunk_steps: int = 1000

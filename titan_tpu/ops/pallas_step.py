@@ -98,20 +98,26 @@ def _build_kernel(shape: SceneShape):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
 
         def roll_gather(x, d):
+            # roll reading flat index n+d on [.., R, 128]: row rolls + ONE
+            # lane rotation -- the select commutes inside the rotation
+            # (select boundary shifts by r), halving cross-lane work vs
+            # rotating both row-rolled copies
             q, r = divmod(d, 128)
             if r == 0:
                 return pltpu.roll(x, (-q) % rows, 1)
-            a = pltpu.roll(pltpu.roll(x, (-q) % rows, 1), 128 - r, 2)
-            b = pltpu.roll(pltpu.roll(x, (-(q + 1)) % rows, 1), 128 - r, 2)
-            return jnp.where(lane < 128 - r, a, b)
+            a = pltpu.roll(x, (-q) % rows, 1)
+            b = pltpu.roll(x, (-(q + 1)) % rows, 1)
+            z = jnp.where(lane >= r, a, b)
+            return pltpu.roll(z, 128 - r, 2)
 
         def roll_scatter(x, d):
             q, r = divmod(d, 128)
             if r == 0:
                 return pltpu.roll(x, q % rows, 1)
-            a = pltpu.roll(pltpu.roll(x, q % rows, 1), r, 2)
-            b = pltpu.roll(pltpu.roll(x, (q + 1) % rows, 1), r, 2)
-            return jnp.where(lane >= r, a, b)
+            a = pltpu.roll(x, q % rows, 1)
+            b = pltpu.roll(x, (q + 1) % rows, 1)
+            z = jnp.where(lane < 128 - r, a, b)
+            return pltpu.roll(z, r, 2)
 
         dt = scal_ref[0]
         opos_ref[:] = pos_ref[:]

@@ -2,17 +2,27 @@
 kernel (ops/pallas_step.py) -- e.g. the 100^3 config (1M masses / 12.7M
 springs).
 
-Per step, the grid walks column tiles of T masses.  Position arrays are
-pre-padded with H = max|delta| (lane-aligned) zeros on both sides and
-reshaped to [., rows, 128]; each tile DMAs one halo'd window of rows from
-HBM, then runs the same 2D-decomposed stencil rolls as the VMEM kernel over
-the window (wrap-around lanes land outside the tile's extraction range, so
-they're harmless).  Everything else (gravity+extern, planes, balls, Euler)
-happens on the tile rows.
+Per step, the grid walks column tiles of T masses.  Mass-payload arrays that
+need neighbor access (pos, and vel when damping) are pre-padded with
+H = max|delta| (lane-aligned) rows on both sides and reshaped to
+[., rows, 128]; each tile DMAs one halo'd window of rows from HBM into a
+revolving two-slot scratch buffer -- the DMA for tile t+1 is issued before
+tile t's compute, overlapping memory and VPU work.  Spring family parameters
+are handled two ways (decided by the static scene shape):
 
-Envelope: physics envelope of pallas_step minus damping (no vel halo yet),
-unbounded N.  HBM traffic per step ~= state + params once (the XLA path
-re-materializes per family).
+  - family-uniform fields (``SceneShape.stencil_uniform``; true for every
+    regular lattice): ONE scalar per family rides in SMEM -- zero HBM
+    traffic per step, the dominant saving at 12.7M springs;
+  - non-uniform fields: stacked into a single [P, rows, 128] HBM array and
+    window-DMA'd alongside pos (k is always windowed: it carries the
+    existence mask as k=0).
+
+Everything else (gravity+extern, planes, balls, drag, integration) happens
+on the tile's own rows via auto-pipelined blocked inputs.
+
+Envelope: Euler (velocity clamp optional) or Verlet; damping; breathing
+(ACTIVE_*); drag; soft-deleted masses; unbounded N.  Not yet: ACTUATED_*
+(per-step rest writeback), magnets, local constraints, remainder springs.
 """
 
 from __future__ import annotations
@@ -24,7 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import Integrator
+from ..config import (ACTIVE_CONTRACT_THEN_EXPAND, ACTIVE_EXPAND_THEN_CONTRACT,
+                      Integrator)
 from ..state import SceneShape, SimState
 
 
@@ -32,15 +43,58 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _plan(shape: SceneShape):
+    """Static layout plan shared by the kernel and its chunk wrapper."""
+    u_k, u_rest, u_damp, u_type, u_omega = shape.stencil_uniform
+    nf = len(shape.stencil_deltas)
+    breathing = shape.has_breathing
+    damping = shape.has_damping
+    # Windowed param planes: k carries the existence mask (k=0 at empty
+    # lanes), so a family-uniform k is replaced by an SMEM scalar plus ONE
+    # packed int32 bitmask plane (bit fi = family fi's mask) -- 1/F the HBM
+    # traffic, the dominant per-step term at 12.7M springs.  Non-uniform
+    # fields stream as f32 planes.
+    offsets = {}
+    p = 0
+    if not u_k:
+        offsets["k"] = p
+        p += nf
+    if not u_rest:
+        offsets["rest"] = p
+        p += nf
+    if damping:
+        # damping is ALWAYS windowed (zeroed at mask=False lanes): a
+        # family-uniform scalar would apply the axial-damping term to
+        # nonexistent springs, which neither k=0 nor the bitmask masks out
+        # of the mag sum on its own.
+        offsets["damping"] = p
+        p += nf
+    if breathing and not u_type:
+        offsets["bsign"] = p
+        p += nf
+    if breathing and not u_omega:
+        offsets["bomega"] = p
+        p += nf
+    n_state = 6 if damping else 3     # pos (+vel) window planes
+    return offsets, p, n_state
+
+
+def _tile_size(h: int) -> int:
+    """Tile size: >= 4 halos wide (<= 1.5x window overhead); a multiple of
+    1024 so windows stay sublane-aligned (Mosaic faults otherwise -- see
+    CLAUDE.md).  The mass array is padded up to a tile multiple."""
+    return _round_up(max(4 * h, 32768), 1024)
+
+
 def tiled_supported(shape: SceneShape) -> bool:
-    """Physics envelope of pallas_step (Euler only, no damping), any N."""
     cfg = shape.config
-    if cfg.integrator is not Integrator.EULER or cfg.dtype != "float32":
+    if cfg.integrator not in (Integrator.EULER, Integrator.VERLET):
+        return False
+    if cfg.dtype != "float32":
         return False
     if not cfg.use_stencil or not shape.stencil_deltas:
         return False
-    if (shape.has_remainder or shape.has_breathing or shape.has_damping
-            or shape.has_magnets or shape.has_drag or not shape.all_valid):
+    if shape.has_remainder or shape.has_actuated or shape.has_magnets:
         return False
     if any((shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)):
         return False
@@ -49,16 +103,12 @@ def tiled_supported(shape: SceneShape) -> bool:
     h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
     t = _tile_size(h)
     w = t + 2 * h
-    nf_pad = _round_up(len(shape.stencil_deltas), 8)
-    # VMEM per tile: pos window + k/rest windows + temps; stay under ~40MB
-    return 4 * w * (4 + 2 * nf_pad + 12) < 40 * 1024 * 1024
-
-
-def _tile_size(h: int) -> int:
-    """Tile size: >= 4 halos wide (<= 1.5x window overhead); a multiple of
-    1024 so the [3, T/128, 128] block's sublane dim is divisible by 8.
-    The mass array is padded up to a tile multiple inside the chunk."""
-    return _round_up(max(4 * h, 8192), 1024)
+    _, n_param, n_state = _plan(shape)
+    # two DMA slots of (state + param + bitmask) windows + blocked tiles
+    n_win = n_state + n_param + (1 if shape.stencil_uniform[0] else 0)
+    win_bytes = 2 * 4 * (w // 128) * 128 * n_win
+    blk_bytes = 2 * 4 * t * (3 * 6 + 4)
+    return win_bytes + blk_bytes < 48 * 1024 * 1024
 
 
 def _build_kernel(shape: SceneShape, t_size: int, h: int):
@@ -68,64 +118,156 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
     n_planes, n_balls = shape.n_planes, shape.n_balls
     plane_friction = shape.plane_friction
     clamp = shape.config.velocity_clamp
+    verlet = shape.config.integrator is Integrator.VERLET
+    has_damping = shape.has_damping
+    has_breathing = shape.has_breathing
+    has_drag = shape.has_drag
     normal_coeff = shape.config.normal_coeff
+    offsets, n_param, n_state = _plan(shape)
+    nf = len(deltas)
+    u_k = shape.stencil_uniform[0]
+    has_pwin = n_param > 0
+    mask_sem = 2 if has_pwin else 1
 
-    def kernel(scal_ref, plane_ref, ball_ref,
-               pos_hbm, k_hbm, rest_hbm,           # ANY [., NR', 128]
-               vel_ref, cforce_ref, minv_ref, fixed_ref,  # blocked VMEM
-               opos_ref, ovel_ref, oacc_ref,        # blocked VMEM out
-               pos_win, param_win, sem):            # scratch
-        # window shifts use the same row-roll + <128 lane rotation
-        # decomposition as the VMEM kernel (2.1x over flat lane rolls)
+    def kernel(*refs):
+        (scal_ref, plane_ref, ball_ref, fparam_ref, state_hbm) = refs[:5]
+        i = 5
+        if has_pwin:
+            param_hbm = refs[i]
+            i += 1
+        if u_k:
+            mask_hbm = refs[i]
+            i += 1
+        if not has_damping:
+            vel_ref = refs[i]
+            i += 1
+        if verlet:
+            acc_ref = refs[i]
+            i += 1
+        cforce_ref, minv_ref, fixed_ref = refs[i:i + 3]
+        i += 3
+        if has_drag:
+            drag_ref = refs[i]
+            i += 1
+        opos_ref, ovel_ref, oacc_ref = refs[i:i + 3]
+        i += 3
+        swin = refs[i]
+        i += 1
+        if has_pwin:
+            pwin = refs[i]
+            i += 1
+        if u_k:
+            mwin = refs[i]
+            i += 1
+        sem = refs[i]
+
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
 
         def roll_gather(x, d):
+            # row rolls + ONE lane rotation (select commutes inside the
+            # rotation with its boundary shifted by r; see pallas_step.py)
             q, r = divmod(d, 128)
             if r == 0:
                 return pltpu.roll(x, (-q) % wr, 1)
-            a = pltpu.roll(pltpu.roll(x, (-q) % wr, 1), 128 - r, 2)
-            b = pltpu.roll(pltpu.roll(x, (-(q + 1)) % wr, 1), 128 - r, 2)
-            return jnp.where(lane < 128 - r, a, b)
+            a = pltpu.roll(x, (-q) % wr, 1)
+            b = pltpu.roll(x, (-(q + 1)) % wr, 1)
+            z = jnp.where(lane >= r, a, b)
+            return pltpu.roll(z, 128 - r, 2)
 
         def roll_scatter(x, d):
             q, r = divmod(d, 128)
             if r == 0:
                 return pltpu.roll(x, q % wr, 1)
-            a = pltpu.roll(pltpu.roll(x, q % wr, 1), r, 2)
-            b = pltpu.roll(pltpu.roll(x, (q + 1) % wr, 1), r, 2)
-            return jnp.where(lane >= r, a, b)
+            a = pltpu.roll(x, q % wr, 1)
+            b = pltpu.roll(x, (q + 1) % wr, 1)
+            z = jnp.where(lane < 128 - r, a, b)
+            return pltpu.roll(z, r, 2)
 
         t = pl.program_id(0)
+        n_tiles = pl.num_programs(0)
         dt = scal_ref[0]
+        t_now = scal_ref[1]
+        slot = jax.lax.rem(t, 2)
+
+        def issue(tile_idx, into):
+            row0 = tile_idx * tr
+            pltpu.make_async_copy(
+                state_hbm.at[:, pl.ds(row0, wr), :], swin.at[into],
+                sem.at[into, 0]).start()
+            if has_pwin:
+                pltpu.make_async_copy(
+                    param_hbm.at[:, pl.ds(row0, wr), :], pwin.at[into],
+                    sem.at[into, 1]).start()
+            if u_k:
+                pltpu.make_async_copy(
+                    mask_hbm.at[:, pl.ds(row0, wr), :], mwin.at[into],
+                    sem.at[into, mask_sem]).start()
+
+        @pl.when(t == 0)
+        def _():
+            issue(0, 0)
+
+        # prefetch the next tile's windows before computing this one
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            issue(t + 1, 1 - slot)
+
         row0 = t * tr
+        pltpu.make_async_copy(
+            state_hbm.at[:, pl.ds(row0, wr), :], swin.at[slot],
+            sem.at[slot, 0]).wait()
+        if has_pwin:
+            pltpu.make_async_copy(
+                param_hbm.at[:, pl.ds(row0, wr), :], pwin.at[slot],
+                sem.at[slot, 1]).wait()
+        if u_k:
+            pltpu.make_async_copy(
+                mask_hbm.at[:, pl.ds(row0, wr), :], mwin.at[slot],
+                sem.at[slot, mask_sem]).wait()
 
-        cp = pltpu.make_async_copy(
-            pos_hbm.at[:, pl.ds(row0, wr), :], pos_win, sem.at[0])
-        cp.start()
-        kcp = pltpu.make_async_copy(
-            k_hbm.at[:, pl.ds(row0, wr), :], param_win.at[0], sem.at[1])
-        kcp.start()
-        rcp = pltpu.make_async_copy(
-            rest_hbm.at[:, pl.ds(row0, wr), :], param_win.at[1], sem.at[2])
-        rcp.start()
-        cp.wait()
-        kcp.wait()
-        rcp.wait()
+        sw = swin[slot]                              # [n_state, WR, 128]
+        pw = sw[0:3]
+        if has_damping:
+            vw = sw[3:6]
+        if has_pwin:
+            pv = pwin[slot]                          # [n_param, WR, 128]
+        if u_k:
+            mbits = mwin[slot][0]                    # [WR, 128] int32
 
-        pw = pos_win[0:3]                            # [3, WR, 128]
         fw = jnp.zeros_like(pw)                      # window-wide force
         for fi, d in enumerate(deltas):
             pr = roll_gather(pw, d)
             diff = pr - pw
             ln = jnp.sqrt(jnp.sum(diff * diff, axis=0))
             inv = jnp.where(ln > 0, 1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
-            mag = param_win[0, fi] * (param_win[1, fi] - ln)
+            if u_k:
+                # family fi's existence mask is bit fi of the packed bitmask
+                mf = ((mbits >> fi) & 1).astype(jnp.float32)
+                k = fparam_ref[0, fi] * mf
+            else:
+                k = pv[offsets["k"] + fi]
+            if "rest" in offsets:
+                rest = pv[offsets["rest"] + fi]
+            else:
+                rest = fparam_ref[1, fi]
+            if has_breathing:
+                bsign = (pv[offsets["bsign"] + fi] if "bsign" in offsets
+                         else fparam_ref[3, fi])
+                bomega = (pv[offsets["bomega"] + fi] if "bomega" in offsets
+                          else fparam_ref[4, fi])
+                rest = rest * (1.0 + bsign * jnp.sin(bomega * t_now))
+            mag = k * (rest - ln)
+            if has_damping:
+                dmp = pv[offsets["damping"] + fi]
+                vr = roll_gather(vw, d)
+                axial = jnp.sum((vw - vr) * diff, axis=0) * inv
+                mag = mag + axial * dmp
             f = (mag * inv) * diff
             fw = fw - f + roll_scatter(f, d)
         # extract the tile's rows (aligned slice) and add mass-level forces
         pos = pw[:, hr:hr + tr, :]
         f_acc = fw[:, hr:hr + tr, :] + cforce_ref[:]
-        vel = vel_ref[:]
+        vel = vw[:, hr:hr + tr, :] if has_damping else vel_ref[:]
         for p in range(n_planes):
             nx, ny, nz = plane_ref[p, 0], plane_ref[p, 1], plane_ref[p, 2]
             off, fk, fs = plane_ref[p, 3], plane_ref[p, 4], plane_ref[p, 5]
@@ -162,15 +304,24 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
             push = jnp.where((dist <= rad) & (dist > 0),
                              normal_coeff / safe, 0.0)
             f_acc = f_acc + jnp.stack([d0, d1, d2]) * push
+        if has_drag:
+            vn = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+            f_acc = f_acc - drag_ref[:] * vn * vel
 
         not_fixed = 1.0 - fixed_ref[:]
         acc = f_acc * minv_ref[:]
-        v2 = vel + acc * dt
-        if clamp:
-            vn = jnp.sqrt(jnp.sum(v2 * v2, axis=0))
-            v2 = jnp.where(vn > 1.0, v2 / jnp.where(vn > 0, vn, 1.0), v2)
-        v2 = v2 * not_fixed + vel * fixed_ref[:]
-        opos_ref[:] = pos + v2 * dt * not_fixed
+        if verlet:
+            # reference 'Verlet' (sim.cu:1350-1354)
+            v2 = vel + 0.5 * (acc_ref[:] + acc) * dt
+            v2 = v2 * not_fixed + vel * fixed_ref[:]
+            opos_ref[:] = pos + (v2 * dt + 0.5 * acc * dt * dt) * not_fixed
+        else:
+            v2 = vel + acc * dt
+            if clamp:
+                vn = jnp.sqrt(jnp.sum(v2 * v2, axis=0))
+                v2 = jnp.where(vn > 1.0, v2 / jnp.where(vn > 0, vn, 1.0), v2)
+            v2 = v2 * not_fixed + vel * fixed_ref[:]
+            opos_ref[:] = pos + v2 * dt * not_fixed
         ovel_ref[:] = v2
         oacc_ref[:] = acc * not_fixed
 
@@ -180,7 +331,8 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
 def build_tiled_chunk(shape: SceneShape):
     """Jitted chunk(state, n_steps): fori_loop of per-step tiled launches."""
     n = shape.n_masses
-    h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
+    deltas = shape.stencil_deltas
+    h = _round_up(max(abs(d) for d in deltas), 1024)
     t_size = _tile_size(h)
     n_tiles = -(-n // t_size)            # ceil: last tile covers padding
     n_t = n_tiles * t_size
@@ -190,36 +342,57 @@ def build_tiled_chunk(shape: SceneShape):
     wr = w // 128
     kernel = _build_kernel(shape, t_size, h)
     n_planes, n_balls = max(shape.n_planes, 1), max(shape.n_balls, 1)
-    nf = len(shape.stencil_deltas)
-    nf_pad = _round_up(nf, 8)
+    nf = len(deltas)
+    offsets, n_param, n_state = _plan(shape)
+    verlet = shape.config.integrator is Integrator.VERLET
+    u_k, u_rest, u_damp, u_type, u_omega = shape.stencil_uniform
+    has_pwin = n_param > 0
 
     def blk3(i, s):
         return (0, i, 0)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # planes
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # balls
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # fparams [5, nf]
+        pl.BlockSpec(memory_space=pl.ANY),    # state windows (HBM)
+    ]
+    if has_pwin:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # param windows
+    if u_k:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # mask bits
+    if not shape.has_damping:
+        in_specs.append(pl.BlockSpec((3, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # vel
+    if verlet:
+        in_specs.append(pl.BlockSpec((3, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # acc
+    in_specs += [
+        pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),  # cf
+        pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # minv
+        pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # fixed
+    ]
+    if shape.has_drag:
+        in_specs.append(pl.BlockSpec((1, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # drag
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # scal
+        num_scalar_prefetch=1,  # scal = [dt, t_now]
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # planes
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # balls
-            pl.BlockSpec(memory_space=pltpu.ANY),    # pos (padded, HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # k   (padded, HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # rest(padded, HBM)
-            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),  # vel
-            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),  # cf
-            pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # minv
-            pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # fixed
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((4, wr, 128), jnp.float32),          # pos window
-            pltpu.VMEM((2, nf_pad, wr, 128), jnp.float32),  # k/rest windows
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((2, n_state, wr, 128), jnp.float32)]  # state windows
+            + ([pltpu.VMEM((2, n_param, wr, 128), jnp.float32)]
+               if has_pwin else [])                           # param windows
+            + ([pltpu.VMEM((2, 1, wr, 128), jnp.int32)]
+               if u_k else [])                                # mask bits
+            + [pltpu.SemaphoreType.DMA((2, 1 + has_pwin + u_k))]
+        ),
     )
 
     step_call = pl.pallas_call(
@@ -234,19 +407,68 @@ def build_tiled_chunk(shape: SceneShape):
     @jax.jit
     def chunk(state: SimState, n_steps) -> SimState:
         m = state.masses
-        k_eff = jnp.where(state.stencil.mask, state.stencil.k, 0.0)
-        fpad = nf_pad - k_eff.shape[0]
+        stc = state.stencil
+        pair_ok = stc.mask
+        if not shape.all_valid:
+            pair_ok = jnp.stack([
+                pair_ok[fi] & m.valid & jnp.roll(m.valid, -d)
+                for fi, d in enumerate(deltas)])
+        k_eff = jnp.where(pair_ok, stc.k, 0.0)
+
         r3 = lambda x: x.reshape(x.shape[0], -1, 128)
-        k_pad = r3(jnp.pad(k_eff, ((0, fpad), (h, h + pad_n))))
-        rest_pad = r3(jnp.pad(state.stencil.rest,
-                              ((0, fpad), (h, h + pad_n))))
-        # tile-padding masses get minv=0 -> zero acceleration, inert
+        hpad = lambda x: r3(jnp.pad(x, ((0, 0), (h, h + pad_n))))
+
+        # family scalar params (SMEM) for the uniform fields; value taken
+        # from each family's first masked lane (mask-free families read 0,
+        # harmless because their k is 0 everywhere)
+        lane0 = jnp.argmax(stc.mask, axis=1)
+        at0 = lambda a: jnp.take_along_axis(a, lane0[:, None], 1)[:, 0]
+        styp = stc.type
+        bsign_full = jnp.where(
+            styp == ACTIVE_CONTRACT_THEN_EXPAND, -0.2,
+            jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT, 0.2,
+                      0.0)).astype(jnp.float32)
+        fparams = jnp.stack([
+            at0(stc.k) if u_k else jnp.zeros(nf),
+            at0(stc.rest) if u_rest else jnp.zeros(nf),
+            at0(stc.damping) if u_damp else jnp.zeros(nf),
+            at0(bsign_full) if u_type else jnp.zeros(nf),
+            at0(stc.omega) if u_omega else jnp.zeros(nf),
+        ]).astype(jnp.float32)
+
+        # windowed (non-uniform) params, stacked into one HBM array
+        parts = []
+        if "k" in offsets:
+            parts.append(k_eff)
+        if "rest" in offsets:
+            parts.append(stc.rest)
+        if "damping" in offsets:
+            parts.append(jnp.where(pair_ok, stc.damping, 0.0))
+        if "bsign" in offsets:
+            parts.append(bsign_full)
+        if "bomega" in offsets:
+            parts.append(stc.omega)
+        param_hbm = (hpad(jnp.concatenate(parts, axis=0).astype(jnp.float32))
+                     if parts else None)
+        if u_k:
+            # pack each family's existence+validity mask into bit fi of one
+            # int32 per mass: 1/F the traffic of streaming k itself
+            bits = jnp.zeros(pair_ok.shape[1], jnp.int32)
+            for fi in range(nf):
+                bits = bits | (pair_ok[fi].astype(jnp.int32) << fi)
+            mask_hbm = hpad(bits[None, :])
+        else:
+            mask_hbm = None
+
+        # blocked per-tile inputs; invalid masses are frozen like fixed ones
+        move = m.valid & ~m.fixed
         minv = r3(jnp.pad((1.0 / m.m)[None, :], ((0, 0), (0, pad_n))))
-        fixed = r3(jnp.pad(m.fixed.astype(m.pos.dtype)[None, :],
+        fixed = r3(jnp.pad((~move).astype(m.pos.dtype)[None, :],
                            ((0, 0), (0, pad_n))))
         const_f = r3(jnp.pad(m.extern_force + m.m * state.g[:, None],
                              ((0, 0), (0, pad_n))))
-        scal = state.dt.astype(jnp.float32)[None]
+        drag = (r3(jnp.pad(m.drag[None, :], ((0, 0), (0, pad_n))))
+                if shape.has_drag else None)
         planes = jnp.zeros((n_planes, 6), jnp.float32)
         if shape.n_planes:
             planes = planes.at[: shape.n_planes].set(jnp.concatenate([
@@ -260,26 +482,43 @@ def build_tiled_chunk(shape: SceneShape):
                 state.gcon.ball_center,
                 state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
 
+        dt32 = state.dt.astype(jnp.float32)
+        t032 = state.t.astype(jnp.float32)
+
         def body(i, carry):
-            pos, vel, _ = carry
-            pos_pad = r3(jnp.pad(pos, ((0, 1), (h, h + pad_n))))
-            vel_pad = r3(jnp.pad(vel, ((0, 0), (0, pad_n))))
-            p2, v2, a2 = step_call(scal, planes, balls, pos_pad, k_pad,
-                                   rest_pad, vel_pad, const_f, minv, fixed)
+            pos, vel, acc = carry
+            if shape.has_damping:
+                state_hbm = hpad(jnp.concatenate([pos, vel], axis=0))
+            else:
+                state_hbm = hpad(pos)
+            scal = jnp.stack([dt32, t032 + i.astype(jnp.float32) * dt32])
+            args = [scal, planes, balls, fparams, state_hbm]
+            if param_hbm is not None:
+                args.append(param_hbm)
+            if mask_hbm is not None:
+                args.append(mask_hbm)
+            if not shape.has_damping:
+                args.append(r3(jnp.pad(vel, ((0, 0), (0, pad_n)))))
+            if verlet:
+                args.append(r3(jnp.pad(acc, ((0, 0), (0, pad_n)))))
+            args += [const_f, minv, fixed]
+            if shape.has_drag:
+                args.append(drag)
+            p2, v2, a2 = step_call(*args)
             flat = lambda x: x.reshape(3, n_t)[:, :n]
             return flat(p2), flat(v2), flat(a2)
 
         pos, vel, acc = jax.lax.fori_loop(
             0, n_steps, body, (m.pos, m.vel, m.acc))
-        # the kernel zeroes fixed masses' acc each step; the reference
-        # (massForcesAndUpdate early-return) and the VMEM kernel preserve the
-        # prior value, so restore it once after the loop
-        acc = jnp.where(m.fixed[None, :], m.acc, acc)
+        # the kernel zeroes frozen masses' acc each step; the reference
+        # (massForcesAndUpdate early-return) and the VMEM kernel preserve
+        # the prior value, so restore it once after the loop
+        acc = jnp.where(move, acc, m.acc)
 
         dtn = jnp.asarray(n_steps, state.dt.dtype) * state.dt
         new_m = dataclasses.replace(
             m, pos=pos, vel=vel, acc=acc,
-            T=m.T + jnp.where(m.fixed, 0.0, dtn))
+            T=m.T + jnp.where(move, dtn, 0.0))
         return dataclasses.replace(state, masses=new_m, t=state.t + dtn)
 
     return chunk

@@ -36,7 +36,14 @@ def _mass_forces(
         # fixed masses early-return before the magnet pass (sim.cu:1292-1298)
         # but still act as field sources; receivers that are fixed never
         # integrate so the extra force is harmless -- masked for clarity.
-        f = f + jnp.where(masses.fixed, 0.0, F.magnet_forces(masses, cfg.magnet_cutoff))
+        if shape.magnet_binned:
+            a_cells, cell_cap = shape.magnet_binned
+            from .magnets import binned_magnet_forces
+            f_mag = binned_magnet_forces(masses, cfg.magnet_cutoff,
+                                         a_cells, cell_cap)
+        else:
+            f_mag = F.magnet_forces(masses, cfg.magnet_cutoff)
+        f = f + jnp.where(masses.fixed, 0.0, f_mag)
     f = f + masses.m * state.g[:, None]
     f = f + masses.extern_force
     f = F.apply_global_constraints(

@@ -9,8 +9,11 @@ CLAUDE.md).  This is also exactly the reference's own multi-agent strategy
 is an automatic transform with per-env Containers for get/set.
 
 Per-env parameter sweeps work through the per-spring/per-mass arrays (k,
-rest, m, ...); scene-level GLOBALS (gravity, planes) are shared -- use the
-vmap path (batched.py) if you need per-env gravity.
+rest, m, ...).  Per-env GRAVITY is supported at flat-packed speed via
+``set_env_gravity`` (folded into the persistent external force, which the
+fast kernels already carry per-mass).  Per-env plane offsets are not
+expressible on the fast path yet (they would need a per-mass plane-offset
+array in the kernels); use the vmap path (batched.py) for those.
 
     sim = titan.Simulation()
     ... build one env ...
@@ -98,3 +101,36 @@ def replicate_scene(src, n_envs: int, spacing=None,
         sim.containers.append(c)
         envs.append(c)
     return sim, envs
+
+
+def set_env_gravity(sim, envs, g_envs) -> None:
+    """Per-env gravity on the flat-packed fast path (BASELINE config 5:
+    per-env parameter sweeps).
+
+    Gravity enters the step as the per-mass constant force m*g, which the
+    fast kernels carry alongside the persistent external force (e.g.
+    ops/pallas_step.py ``const_f``).  A per-env gravity g_e is therefore
+    exactly expressible as extern_force += m * (g_e - g_global) on that
+    env's masses -- zero cost, still one flat stencil scene.
+
+    NOTE: this *adds to* the persistent external force (and calling it again
+    replaces the gravity component, not user-set forces, because the delta
+    is tracked).  Requires ``SimConfig.persistent_extern_force`` (default).
+    Call before start(), or at a pause followed by set(env)/setAll().
+    """
+    assert sim.config.persistent_extern_force, (
+        "per-env gravity rides the persistent external force")
+    g_envs = np.asarray([Vec(g).numpy() if isinstance(g, Vec) else
+                         np.asarray(g, dtype=np.float64).reshape(3)
+                         for g in g_envs])
+    assert len(g_envs) == len(envs)
+    st = sim._store
+    prev = getattr(sim, "_env_gravity_delta", None)
+    if prev is not None:
+        st.extern_force[: st.n_masses] -= prev  # undo the previous sweep
+    delta = np.zeros((st.n_masses, 3))
+    for c, g_e in zip(envs, g_envs):
+        idx = c._mass_idx
+        delta[idx] = st.m[idx, None] * (g_e - sim._global_acc)
+    st.extern_force[: st.n_masses] += delta
+    sim._env_gravity_delta = delta

@@ -349,6 +349,13 @@ class Simulation:
             | (st.s_type[:s] == ACTUATED_CONTRACT)))
         has_magnets = bool(np.any(st.mag_maxf[:n] != 0.0)
                            or np.any(st.mag_rad[:n] != 0.0))
+        n_magnetic = int(np.count_nonzero(
+            st.valid[:n] & ((st.mag_maxf[:n] != 0) | (st.mag_rad[:n] != 0)
+                            | (st.mag_scale[:n] != 0)
+                            | (st.mag_stiffness[:n] != 0))))
+        magnet_binned = ()
+        if has_magnets and n_magnetic >= cfg.magnet_binned_threshold:
+            magnet_binned = (pad_to(n_magnetic, 8), cfg.magnet_cell_cap)
         has_drag = bool(np.any(st.drag[:n] != 0.0))
         has_damping = bool(np.any(st.damping[:s] != 0.0))
         # all_valid = no soft-deleted REAL masses; padding slots are
@@ -365,7 +372,8 @@ class Simulation:
             n_planes=len(self._planes), n_balls=len(self._balls),
             plane_friction=tuple(bool(p[2] or p[3]) for p in self._planes),
             cap_cp=caps[0], cap_ball=caps[1], cap_pl=caps[2], cap_dir=caps[3],
-            has_magnets=has_magnets, has_drag=has_drag,
+            has_magnets=has_magnets, magnet_binned=magnet_binned,
+            has_drag=has_drag,
             has_breathing=has_breathing, has_actuated=has_actuated,
             has_damping=has_damping,
             all_valid=all_valid, config=cfg,
@@ -439,6 +447,18 @@ class Simulation:
             stencil_np["rate"][fi, lpos] = st.rate[sidx]
         stencil = StencilState(
             **{k: jnp.asarray(v) for k, v in stencil_np.items()})
+
+        def fam_uniform(field):
+            # uniform within every family (values may differ across families)
+            for fi in range(F):
+                vals = stencil_np[field][fi][stencil_np["mask"][fi]]
+                if vals.size and not np.all(vals == vals[0]):
+                    return False
+            return True
+
+        shape = dataclasses.replace(shape, stencil_uniform=tuple(
+            fam_uniform(f) for f in ("k", "rest", "damping", "type",
+                                     "omega")))
 
         # ---- incidence topology for the remainder
         if s_rem and cfg.scatter == ScatterMode.GATHER:

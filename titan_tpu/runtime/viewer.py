@@ -109,6 +109,11 @@ class Recorder:
         edges = np.stack([st.left[:s], st.right[:s]], axis=1)
         edges = edges[(edges[:, 0] >= 0) & (edges[:, 1] >= 0)
                       & (edges < frames.shape[1]).all(axis=1)]
+        # initial view from setViewport/moveViewport (reference
+        # sim.cu:1636-1661); the viewer is orbit-style so the camera maps to
+        # (yaw, pitch, distance) about the scene center -- roll (up vector)
+        # is not represented
+        cam = getattr(self.sim, "_camera", None)
         data = {
             "times": [round(float(t), 5) for t in self.times],
             "frames": np.round(frames, 4).tolist(),
@@ -119,6 +124,8 @@ class Recorder:
                        for p in self.sim._planes],
             "balls": [[b[0].tolist(), float(b[1])]
                       for b in self.sim._balls],
+            "camera": ([cam[0].tolist(), cam[1].tolist()]
+                       if cam is not None else None),
         }
         html = _HTML_TEMPLATE.replace("/*DATA*/", json.dumps(data))
         with open(path, "w") as fh:
@@ -148,6 +155,13 @@ for (const f of D.frames) for (const p of f) for (let i=0;i<3;i++)
   { mn[i]=Math.min(mn[i],p[i]); mx[i]=Math.max(mx[i],p[i]); }
 const ctr = mn.map((v,i)=>(v+mx[i])/2);
 const scl = 1/Math.max(mx[0]-mn[0], mx[1]-mn[1], mx[2]-mn[2], 1e-9);
+if (D.camera) {  // initial view from Simulation.setViewport
+  const [cp, tg] = D.camera;
+  const v = [cp[0]-tg[0], cp[1]-tg[1], cp[2]-tg[2]];
+  yaw = Math.atan2(v[0], v[1]);
+  pitch = Math.atan2(-v[2], Math.hypot(v[0], v[1]));
+  dist = Math.min(20, Math.max(0.8, Math.hypot(...v) * scl));
+}
 function proj(p){
   let x=(p[0]-ctr[0])*scl, y=(p[1]-ctr[1])*scl, z=(p[2]-ctr[2])*scl;
   let x1=x*Math.cos(yaw)-y*Math.sin(yaw), y1=x*Math.sin(yaw)+y*Math.cos(yaw);

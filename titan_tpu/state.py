@@ -213,6 +213,16 @@ class SceneShape:
     has_damping: bool    # any spring with damping != 0 (skips vel gathers)
     all_valid: bool      # no soft-deleted masses (skips valid-mask work)
     config: SimConfig
+    # Cell-binned magnet neighbors (ops/magnets.py): () = exact masked
+    # pairwise; (A, C) = bin-table height / per-cell capacity.  Chosen at
+    # marshal from config.magnet_binned_threshold.
+    magnet_binned: tuple = ()
+    # Per-field "uniform within every stencil family" flags for
+    # (k, rest, damping, type, omega).  Regular lattices are uniform in all
+    # five; the tiled Pallas kernel then passes one scalar per family via
+    # SMEM instead of streaming an [F, N] array from HBM every step (k's
+    # embedded existence mask travels as one packed int32 bitmask per mass).
+    stencil_uniform: tuple = (False, False, False, False, False)
 
 
 def pad_to(n: int, mult: int = 128) -> int:

@@ -6,7 +6,8 @@ src/vec.cu:13-45).  In the TPU rebuild this type exists *only* on the host, as
 a convenience for scene construction and user code; all device math happens on
 SoA ``jnp`` arrays.  The device-side ``atomicVecAdd`` (reference vec.cu:13-37)
 has no equivalent here by design: spring->mass force accumulation is done with
-deterministic gather/segment reductions (see titan_tpu/ops/scatter.py).
+deterministic gather/segment reductions (see titan_tpu/ops/forces.py,
+``scatter_spring_forces``).
 """
 
 from __future__ import annotations
