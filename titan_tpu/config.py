@@ -77,11 +77,16 @@ class SimConfig:
     # Magnet neighbor structure (ops/magnets.py, the TPU-native analog of
     # the reference's occupancy grid, sim.h:179-182): scenes with at least
     # this many magnetic masses use cell-binned neighbors instead of the
-    # exact masked O(N^2) pass.  Per-cell capacity mirrors the reference's
-    # occupancy_grid_max_masses_per_cell=128; overflow drops interactions
-    # (the reference printf-and-continues, sim.cu:850-859).
-    magnet_binned_threshold: int = 2048
-    magnet_cell_cap: int = 128
+    # exact masked O(N^2) pass.  Binned is O(N) but with a large constant
+    # (TPU row-gather throughput); measured on v5e it beats pairwise ~2x
+    # from ~8k magnetic masses, 3.7x at 50k, 13x at 200k -- the default
+    # threshold sits where the win is unambiguous.  Per-cell capacity
+    # bounds occupancy of a 0.14 m cell (the reference caps at 128 and
+    # printf-and-continues on overflow, sim.cu:850-859; here overflowing
+    # masses stop acting as sources but still receive); gather volume
+    # scales with the cap, so keep it near the real occupancy.
+    magnet_binned_threshold: int = 32768
+    magnet_cell_cap: int = 16
     # Steps dispatched per on-device fori_loop chunk when no breakpoint is
     # nearer.  Bounds host `time()` granularity and re-dispatch overhead.
     max_chunk_steps: int = 1000

@@ -13,15 +13,17 @@ TPU-native replacement (no atomics, no pointer grid):
      3x3 window misses pairs beyond 0.08-0.12 m (an acknowledged
      approximation there);
   2. one argsort by cell id -> masses of a cell are contiguous;
-  3. compact bins [A, C] of mass indices (A = padded count of magnetic
-     masses, so "active cells" can never overflow; C = per-cell capacity,
-     config.magnet_cell_cap, reference analog 128) built with dropping
-     scatters -- overflow beyond C drops pairs exactly like the reference;
-  4. per active cell, locate the 9 neighbor cells by binary search in the
-     sorted active-cell list and gather their bins -> [A, 9C] candidates;
-  5. dense masked pairwise receivers-x-candidates, chunked over cells to
-     bound VMEM, summed and scattered back (one slot per mass, no
-     collisions -> deterministic).
+  3. compact candidate bins [A, C] of mass DATA (A = padded count of
+     magnetic masses, so "active cells" can never overflow; C = per-cell
+     capacity, config.magnet_cell_cap, reference analog 128) built with
+     dropping scatters -- a mass beyond C stops acting as a source but
+     still receives, exactly the reference's overflow semantics;
+  4. a dense cell -> bin-row table (one scatter + one gather; binary
+     search measured 5x the entire force budget on TPU);
+  5. dense masked pairwise: each sorted mass (receiver, no padding, no
+     gather) against its cell's 3x3 candidate slabs fetched as
+     C-contiguous row-slab gathers; chunked over receivers to bound VMEM;
+     deterministic (one output lane per mass).
 
 Cost per step: one argsort over N + O(N * 9C) pair evaluations, vs O(N^2)
 for the masked-pairwise path (ops/forces.magnet_forces).  The crossover is
@@ -53,7 +55,8 @@ def binned_magnet_forces(masses: MassState, cutoff: float,
     Physics identical to ops/forces.magnet_forces (reference
     computeExternalMagnetForce, sim.cu:1223-1241) for scenes whose per-cell
     occupancy is <= cell_cap; beyond that, excess masses in a cell stop
-    interacting (the reference's own overflow semantics).
+    acting as sources but still receive (the reference's own overflow
+    semantics: absent from the grid, still scanning it).
 
     ``n_cells`` (static) must be >= the number of magnetic masses; it is the
     bin-table height A.  ``cell_cap`` is C.
@@ -85,62 +88,97 @@ def binned_magnet_forces(masses: MassState, cutoff: float,
     msort = csort != sentinel
     aidx = jnp.where(msort, seg_id, n_cells)               # drop via OOB
     A, C = n_cells, cell_cap
-    bin_idx = jnp.full((A, C), n, jnp.int32).at[aidx, rank].set(
-        order.astype(jnp.int32), mode="drop")              # n = padding slot
     acell = jnp.full(A, sentinel, jnp.int32).at[aidx].set(csort, mode="drop")
 
-    # 9-neighborhood lookup: acell is sorted ascending (built from a sorted
-    # sequence), so each neighbor cell id resolves by binary search
+    # 9-neighborhood lookup via a dense cell -> bin-row table: one
+    # A-element scatter + one [A, 9] gather.  (A binary search here --
+    # jnp.searchsorted -- costs ~17 gather rounds and measured ~5x the
+    # whole pairwise-force budget on TPU.)
+    tbl = jnp.full(G * G, A, jnp.int32).at[acell].set(
+        jnp.arange(A, dtype=jnp.int32), mode="drop")       # sentinel drops
     shifts = jnp.asarray([dx * G + dy for dx in (-1, 0, 1)
                           for dy in (-1, 0, 1)], jnp.int32)
     ncell = acell[:, None] + shifts[None, :]               # [A, 9]
-    j = jnp.searchsorted(acell, ncell.ravel()).astype(jnp.int32)
-    j = jnp.clip(j, 0, A - 1)
-    hit = acell[j] == ncell.ravel()
-    nbin = jnp.where(hit[:, None],
-                     bin_idx[j], n).reshape(A, 9 * C)      # [A, 9C]
+    in_grid = (ncell >= 0) & (ncell < G * G)
+    jrow_full = jnp.where(in_grid,
+                          tbl[jnp.clip(ncell, 0, G * G - 1)], A)  # [A, 9]
 
-    # pad mass arrays with one inert slot at index n
-    def padded(a, fill=0.0):
-        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, 1)],
-                       constant_values=fill)
+    # Bin the CANDIDATE data: one N-element scatter per field fills [A+1, C]
+    # slabs (slot = (cell, rank); row A = trash, empty slots get a far-away
+    # sentinel position so every pair test fails on distance).  Receivers
+    # are the sorted masses themselves -- dense, no slot padding, no gather
+    # -- and each fetches its cell's 3x3 candidate slabs as C-contiguous
+    # ROW-SLAB gathers.  Two measured TPU traps shaped this: per-element
+    # XLA gathers at [A, 9C] scale were 4.7x SLOWER than the O(N^2)
+    # pairwise pass, and slot-padded receivers ([A, C, 9C] pair tensor)
+    # wasted C x the compute on empty slots.  Like the reference, a mass
+    # beyond the cell cap stops acting as a SOURCE but still receives
+    # forces (it is absent from the grid but still scans it,
+    # sim.cu:1250-1281).
+    FAR = jnp.asarray(1e9, pos.dtype)
+    order32 = order.astype(jnp.int32)
 
-    ppos = padded(pos)
-    prad = padded(masses.mag_rad)
-    pscale = padded(masses.mag_scale)
-    pstiff = padded(masses.mag_stiffness)
-    pmaxf = padded(masses.mag_maxf)
+    # ONE [A+1, 6, C] table (x, y, z, rad, scale, id-as-float) so each
+    # receiver needs a single row-slab gather instead of six
+    fields = jnp.stack([pos[0][order], pos[1][order], pos[2][order],
+                        masses.mag_rad[order], masses.mag_scale[order],
+                        order32.astype(pos.dtype)])        # [6, N] sorted
+    fill = jnp.asarray([FAR, FAR, FAR, 0.0, 0.0, n], pos.dtype)
+    bins = jnp.broadcast_to(fill[None, :, None], (A + 1, 6, C))
+    bins = bins.at[aidx, :, rank].set(fields.T, mode="drop")
 
-    n_chunks = (A + chunk_cells - 1) // chunk_cells
-    Ap = n_chunks * chunk_cells
-    cpad = lambda a: jnp.pad(a, ((0, Ap - A),) + ((0, 0),) * (a.ndim - 1),
-                             constant_values=n)
-    bin_c = cpad(bin_idx).reshape(n_chunks, chunk_cells, C)
-    nbin_c = cpad(nbin).reshape(n_chunks, chunk_cells, 9 * C)
+    # per-receiver (sorted-mass) fields + its cell's 9 candidate bin rows
+    rows9 = jnp.where((aidx < A)[:, None] & msort[:, None],
+                      jrow_full[jnp.clip(aidx, 0, A - 1)], A)   # [N, 9]
+    spos = pos[:, order]
+    srad = masses.mag_rad[order]
+    sstiff = masses.mag_stiffness[order]
+    smaxf = masses.mag_maxf[order]
+
+    B = chunk_cells                                        # receivers/chunk
+    n_chunks = (n + B - 1) // B
+    Np = n_chunks * B
+    spos_c = jnp.pad(spos, ((0, 0), (0, Np - n)),
+                     constant_values=FAR).reshape(3, n_chunks, B)
+    srad_c = jnp.pad(srad, (0, Np - n)).reshape(n_chunks, B)
+    sstiff_c = jnp.pad(sstiff, (0, Np - n)).reshape(n_chunks, B)
+    smaxf_c = jnp.pad(smaxf, (0, Np - n)).reshape(n_chunks, B)
+    sid_c = jnp.pad(order32, (0, Np - n),
+                    constant_values=n).reshape(n_chunks, B)
+    rows_c = jnp.pad(rows9, ((0, Np - n), (0, 0)),
+                     constant_values=A).reshape(n_chunks, B, 9)
 
     def chunk_forces(carry, xs):
-        bidx, cand = xs                                    # [B,C], [B,9C]
-        rpos = ppos[:, bidx]                               # [3, B, C]
-        cpos = ppos[:, cand]                               # [3, B, 9C]
-        diff = rpos[..., None] - cpos[:, :, None, :]       # [3, B, C, 9C]
+        rpos = xs[0]                                       # [3, B]
+        rrad, rstiff, rmaxf, rid, rows = xs[1:]            # [B], [B, 9]
+        cand = jnp.take(bins, rows, axis=0)                # [B, 9, 6, C]
+        cand = cand.transpose(0, 2, 1, 3).reshape(-1, 6, 9 * C)
+        cpos = cand[:, 0:3].transpose(1, 0, 2)             # [3, B, 9C]
+        crad = cand[:, 3]                                  # [B, 9C]
+        cscale = cand[:, 4]
+        cid = cand[:, 5].astype(jnp.int32)
+        diff = rpos[..., None] - cpos                      # [3, B, 9C]
         dist2 = jnp.sum(diff * diff, axis=0)
-        pos_d = dist2 > 0
-        dist = jnp.where(pos_d, jnp.sqrt(jnp.where(pos_d, dist2, 1.0)), 0.0)
-        safe = jnp.where(dist > 0, dist, 1.0)
+        pos_d = (dist2 > 0) & (dist2 < FAR)
+        dist = jnp.where(pos_d, jnp.sqrt(jnp.where(pos_d, dist2, 1.0)), FAR)
+        safe = jnp.where(pos_d, dist, 1.0)
         pair_ok = ((dist < cutoff)
-                   & (bidx[:, :, None] != cand[:, None, :])
-                   & (bidx[:, :, None] < n) & (cand[:, None, :] < n))
-        inter = dist - (prad[bidx][:, :, None] + prad[cand][:, None, :])
+                   & (rid[:, None] != cid)
+                   & (rid[:, None] < n) & (cid < n))
+        inter = dist - (rrad[:, None] + crad)
         shell = jnp.where(inter < 0,
-                          jnp.abs(inter) * pstiff[bidx][:, :, None], 0.0)
-        attract = (pscale[cand][:, None, :] * pmaxf[bidx][:, :, None]
+                          jnp.abs(inter) * rstiff[:, None], 0.0)
+        attract = (cscale * rmaxf[:, None]
                    / jnp.maximum(dist2, 1e-12))
         coeff = jnp.where(pair_ok, (shell - attract) / safe, 0.0)
-        f_slot = jnp.sum(diff * coeff[None], axis=3)       # [3, B, C]
-        out = carry.at[:, bidx.ravel()].add(
-            f_slot.reshape(3, -1), mode="drop")
-        return out, None
+        f_r = jnp.sum(diff * coeff[None], axis=2)          # [3, B]
+        return carry, f_r
 
-    init = jnp.zeros((3, n + 1), pos.dtype)
-    total, _ = jax.lax.scan(chunk_forces, init, (bin_c, nbin_c))
-    return total[:, :n]
+    _, f_chunks = jax.lax.scan(
+        chunk_forces, 0,
+        (spos_c.transpose(1, 0, 2), srad_c, sstiff_c, smaxf_c, sid_c,
+         rows_c))                                          # [nc, 3, B]
+    f_sorted = f_chunks.transpose(1, 0, 2).reshape(3, Np)[:, :n]
+    f_sorted = jnp.where(msort, f_sorted, 0.0)
+    out = jnp.zeros((3, n), pos.dtype).at[:, order].set(f_sorted)
+    return out
