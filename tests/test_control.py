@@ -169,7 +169,11 @@ def test_delete_mass_and_spring():
 
 
 def test_delete_mass_disables_its_springs():
-    sim = Simulation(SimConfig(velocity_clamp=False))
+    # compaction off: this test pins the SOFT-delete semantics (valid=False
+    # freezes the mass and silences its springs); with the default
+    # compaction the deleted mass is physically dropped at resume() and is
+    # no longer observable (see test_compaction.py)
+    sim = Simulation(SimConfig(velocity_clamp=False, compact_threshold=0.0))
     m1 = sim.createMass(Vec(0, 0, 0))
     m2 = sim.createMass(Vec(2.0, 0, 0))
     s = sim.createSpring(m1, m2)

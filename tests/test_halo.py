@@ -11,14 +11,36 @@ from titan_tpu.parallel import make_mesh
 from titan_tpu.parallel.halo import build_halo_chunk, halo_supported, place
 
 
-def _scene(damping=0.0):
+def _scene(damping=0.0, breathing=False, actuated=False, drag=0.0,
+           deleted=False, local_constraint=False, integrator=None):
+    from titan_tpu import (ACTIVE_CONTRACT_THEN_EXPAND, ACTUATED_EXPAND,
+                           CONTACT_PLANE, Integrator)
+    cfg = dict(velocity_clamp=False)
+    if integrator:
+        cfg["integrator"] = Integrator(integrator)
     # long-x lattice so max(delta) (= ny*nz + nz + 1 = 21) << block (64)
-    sim = Simulation(SimConfig(velocity_clamp=False))
+    sim = Simulation(SimConfig(**cfg))
     sim.createLattice(Vec(0, 0, 3), Vec(8, 1, 1), 32, 4, 4)
     sim.setAllSpringConstantValues(500.0)
+    st = sim._store
     if damping:
-        st = sim._store
         st.damping[: st.n_springs] = damping
+    if breathing:
+        half = st.n_springs // 2
+        st.s_type[:half] = ACTIVE_CONTRACT_THEN_EXPAND
+        st.omega[:half] = 6.0
+    if actuated:
+        q = st.n_springs // 4
+        st.s_type[:q] = ACTUATED_EXPAND
+        st.l_max[:q] = st.rest[:q] * 1.15
+        st.rate[:q] = 0.3
+    if drag:
+        st.drag[: st.n_masses] = drag
+    if deleted:
+        st.valid[10] = False
+        st.valid[200] = False
+    if local_constraint:
+        sim.masses[5].addConstraint(CONTACT_PLANE, Vec(0, 0, 1), -0.5)
     sim.createPlane(Vec(0, 0, 1), 0, 0.2, 0.3)
     sim.setGlobalAcceleration(Vec(0, 0, -9.8))
     sim.setTimeStep(0.0001)
@@ -27,9 +49,22 @@ def _scene(damping=0.0):
     return sim
 
 
-@pytest.mark.parametrize("damping", [0.0, 0.5])
-def test_halo_matches_single_device(damping):
-    sim = _scene(damping)
+VARIANTS = {
+    "plain": dict(),
+    "damping": dict(damping=0.5),
+    "breathing": dict(breathing=True),
+    "actuated": dict(actuated=True),
+    "drag": dict(drag=0.3),
+    "deleted": dict(deleted=True),
+    "local_constraint": dict(local_constraint=True),
+    "verlet": dict(integrator="verlet"),
+    "verlet_damped": dict(integrator="verlet", damping=0.4),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_halo_matches_single_device(variant):
+    sim = _scene(**VARIANTS[variant])
     mesh = make_mesh(("shard",))
     assert halo_supported(sim._shape, 8)
 
@@ -46,6 +81,12 @@ def test_halo_matches_single_device(damping):
     np.testing.assert_allclose(np.asarray(out_h.masses.vel)[:, :n],
                                np.asarray(out_s.masses.vel)[:, :n],
                                atol=1e-5)
+    if variant == "actuated":
+        np.testing.assert_allclose(np.asarray(out_h.stencil.rest),
+                                   np.asarray(out_s.stencil.rest),
+                                   atol=1e-6)
+        assert not np.allclose(np.asarray(out_h.stencil.rest),
+                               np.asarray(sim._state.stencil.rest))
     assert len(out_h.masses.pos.sharding.device_set) == 8
 
 
@@ -58,3 +99,9 @@ def test_halo_envelope():
     sim2._marshal()
     assert not halo_supported(sim2._shape, 8)
     assert halo_supported(sim._shape, 8)
+    # magnets stay on the automatic SPMD path
+    sim3 = _scene()
+    sim3._store.mag_maxf[:4] = 1.0
+    sim3._store.mag_rad[:4] = 0.05
+    sim3._marshal()
+    assert not halo_supported(sim3._shape, 8)

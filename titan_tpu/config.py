@@ -90,6 +90,13 @@ class SimConfig:
     # Steps dispatched per on-device fori_loop chunk when no breakpoint is
     # nearer.  Bounds host `time()` granularity and re-dispatch overhead.
     max_chunk_steps: int = 1000
+    # Entity compaction (the reference's thrust::remove after delete,
+    # sim.cu:353-414): when at least this fraction of masses or springs is
+    # soft-deleted at a re-marshal, the store physically drops them so
+    # create/delete churn doesn't grow N (and step cost) forever.  0
+    # disables.  Handles held by the user survive compaction (they
+    # re-translate their row); handles to compacted entities raise.
+    compact_threshold: float = 0.25
     # Debug-mode failure detection (SURVEY.md section 5.3: the reference has
     # none; its OG overflow printf-and-continues).  When True the worker
     # checks the state for NaN/Inf after every chunk and raises

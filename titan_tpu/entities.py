@@ -23,14 +23,44 @@ from .config import CONSTRAINT_PLANE, CONTACT_PLANE, BALL, DIRECTION
 from .vec import Vec
 
 
+def _row_property(kind: str):
+    """Store-row accessor that survives compaction.
+
+    The reference frees deleted masses and physically compacts the device
+    arrays (thrust::remove, sim.cu:353-414) -- surviving host POINTERS stay
+    valid.  Handles here are row indices, so each compaction appends an
+    old->new remap on the Simulation and handles lazily re-translate (and
+    cache) their row on first use afterwards.  Accessing a handle whose
+    entity was compacted away raises, the analog of the reference's freed
+    pointer (which would be a use-after-free there).
+    """
+
+    def get(self):
+        sim = self._sim
+        if self._gen != sim._gen:
+            i = sim._translate_index(self._gen, self._i_raw, kind)
+            object.__setattr__(self, "_i_raw", i)
+            object.__setattr__(self, "_gen", sim._gen)
+        i = self._i_raw
+        if i < 0:
+            raise RuntimeError(
+                f"this {kind} was deleted and compacted away")
+        return i
+
+    return property(get)
+
+
 class Mass:
     """Handle to one mass (store row)."""
 
-    __slots__ = ("_sim", "_i")
+    __slots__ = ("_sim", "_i_raw", "_gen")
 
     def __init__(self, sim, index: int):
         object.__setattr__(self, "_sim", sim)
-        object.__setattr__(self, "_i", index)
+        object.__setattr__(self, "_i_raw", index)
+        object.__setattr__(self, "_gen", getattr(sim, "_gen", 0))
+
+    _i = _row_property("mass")
 
     @property
     def index(self) -> int:
@@ -189,11 +219,14 @@ def _spring_scalar(field):
 class Spring:
     """Handle to one spring (store row).  Reference spring.h:20-75."""
 
-    __slots__ = ("_sim", "_i")
+    __slots__ = ("_sim", "_i_raw", "_gen")
 
     def __init__(self, sim, index: int):
         object.__setattr__(self, "_sim", sim)
-        object.__setattr__(self, "_i", index)
+        object.__setattr__(self, "_i_raw", index)
+        object.__setattr__(self, "_gen", getattr(sim, "_gen", 0))
+
+    _i = _row_property("spring")
 
     @property
     def index(self) -> int:

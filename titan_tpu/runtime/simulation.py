@@ -81,6 +81,8 @@ class Simulation:
         self._started = False
         self._ended = False
         self._structure_dirty = False
+        self._gen = 0        # compaction generation (see entities handles)
+        self._remaps = []    # per generation: (mass old->new, spring old->new)
         self._state: Optional[SimState] = None
         self._diverged_at: Optional[float] = None
         self._shape: Optional[SceneShape] = None
@@ -314,6 +316,13 @@ class Simulation:
         remainder; host index maps (_sp_family/_sp_slot) record where each
         spring landed so readback and pushes can find it."""
         st, cfg = self._store, self.config
+        if cfg.compact_threshold:
+            n, s = st.n_masses, st.n_springs
+            dead_m = n - int(np.count_nonzero(st.valid[:n]))
+            dead_s = s - int(np.count_nonzero(st.s_valid[:s]))
+            if ((n and dead_m / n >= cfg.compact_threshold)
+                    or (s and dead_s / s >= cfg.compact_threshold)):
+                self._compact_store()
         dt = cfg.np_dtype
         n, s = st.n_masses, st.n_springs
         N = pad_to(n)
@@ -946,6 +955,47 @@ class Simulation:
             getattr(st, f)[spring_idx if kind == "s" else mass_idx] = vals
         with self._cv:
             self._marshal()
+
+    # -------------------------------------------------------------- compaction
+    def compact(self) -> None:
+        """Physically remove soft-deleted masses/springs and remap
+        containers/handles (reference invalidate + thrust::remove,
+        sim.cu:343-414).  Runs automatically at re-marshal when the dead
+        fraction exceeds ``config.compact_threshold``; callable explicitly
+        at a pause.  Handles to surviving entities keep working; handles to
+        compacted entities raise on next use."""
+        self._check_can_edit()
+        self._sync_store_before_structural_edit()
+        self._compact_store()
+        if self._started:
+            self._structure_dirty = True
+
+    def _compact_store(self) -> None:
+        mass_remap, spring_remap = self._store.compact()
+        if (mass_remap >= 0).all() and (spring_remap >= 0).all():
+            return  # nothing was dropped; no generation bump needed
+        self._remaps.append((mass_remap, spring_remap))
+        self._gen += 1
+        for c in self.containers:
+            mi = c._mass_idx
+            mi = mass_remap[mi[mi < len(mass_remap)]]
+            c._mass_idx = mi[mi >= 0]
+            si = c._spring_idx
+            si = spring_remap[si[si < len(spring_remap)]]
+            c._spring_idx = si[si >= 0]
+        self._env_gravity_delta = None  # stale per-row data, if any
+        get_logger().debug("compacted store to %d masses / %d springs",
+                           self._store.n_masses, self._store.n_springs)
+
+    def _translate_index(self, gen: int, i: int, kind: str) -> int:
+        """Translate a handle's row index from generation ``gen`` to now."""
+        sel = 0 if kind == "mass" else 1
+        for remap in self._remaps[gen:]:
+            if i < 0:
+                return -1
+            table = remap[sel]
+            i = int(table[i]) if i < len(table) else i
+        return i
 
     # ------------------------------------------------------------ struct edits
     def _mark_structure_dirty(self) -> None:

@@ -188,3 +188,43 @@ class HostStore:
             rec = LocalConstraintRecord()
             self.local[i] = rec
         return rec
+
+    # -- compaction -------------------------------------------------------------
+    def compact(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Physically drop soft-deleted masses/springs (the reference's
+        invalidate + thrust::remove compaction, sim.cu:343-414).
+
+        Springs attached to a dropped mass are dropped with it (the
+        reference's deleteMass removes associated springs).  Returns
+        (mass_remap, spring_remap): old index -> new index, -1 = dropped.
+        """
+        n, s = self.n_masses, self.n_springs
+        keep_m = self.valid[:n].copy()
+        new_m = np.cumsum(keep_m, dtype=np.int64) - 1
+        new_m[~keep_m] = -1
+
+        left, right = self.left[:s], self.right[:s]
+        attached = (left >= 0) & (right >= 0)
+        ends_ok = np.ones(s, dtype=bool)
+        ends_ok[attached] = (keep_m[left[attached]]
+                             & keep_m[right[attached]])
+        keep_s = self.s_valid[:s] & ends_ok
+        new_s = np.cumsum(keep_s, dtype=np.int64) - 1
+        new_s[~keep_s] = -1
+
+        for f in self._MASS_FIELDS_3 + self._MASS_FIELDS_1 + ("fixed",
+                                                              "valid"):
+            arr = getattr(self, f)
+            arr[: int(keep_m.sum())] = arr[:n][keep_m]
+        for f in ("s_valid", "k", "rest", "damping", "s_type", "omega",
+                  "l_max", "l_min", "rate"):
+            arr = getattr(self, f)
+            arr[: int(keep_s.sum())] = arr[:s][keep_s]
+        lk, rk = left[keep_s], right[keep_s]
+        self.left[: int(keep_s.sum())] = np.where(lk >= 0, new_m[lk], -1)
+        self.right[: int(keep_s.sum())] = np.where(rk >= 0, new_m[rk], -1)
+        self.n_masses = int(keep_m.sum())
+        self.n_springs = int(keep_s.sum())
+        self.local = {int(new_m[i]): rec for i, rec in self.local.items()
+                      if i < n and new_m[i] >= 0}
+        return new_m, new_s
