@@ -17,9 +17,11 @@ from titan_tpu.ops.step import build_chunk_fn
 
 def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
            extern=False, damping=0.0, integrator=None, breathing=False,
-           actuated=False, drag=0.0, deleted=False):
+           actuated=False, drag=0.0, deleted=False, magnets=False,
+           local=None):
     from titan_tpu import (Integrator, ACTIVE_CONTRACT_THEN_EXPAND,
-                           ACTUATED_CONTRACT, ACTUATED_EXPAND)
+                           ACTUATED_CONTRACT, ACTUATED_EXPAND,
+                           CONSTRAINT_PLANE, CONTACT_PLANE, BALL, DIRECTION)
     cfg = dict(velocity_clamp=clamp)
     if integrator:
         cfg["integrator"] = Integrator(integrator)
@@ -51,6 +53,27 @@ def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
     if deleted:
         sim._store.valid[3] = False
         sim._store.valid[17] = False
+    if magnets:
+        st = sim._store
+        rng = np.random.RandomState(0)
+        half = st.n_masses // 2
+        st.mag_rad[:half] = rng.uniform(0.02, 0.06, half)
+        st.mag_stiffness[:half] = 300.0
+        st.mag_maxf[:half] = rng.uniform(0.0, 1.5, half)
+        st.mag_scale[:half] = 1.0
+    if local:
+        for i in (2, 9, 30):
+            if local == "cp":
+                sim.masses[i].addConstraint(CONTACT_PLANE, Vec(0, 0, 1), -0.2)
+            elif local == "cp_friction":
+                sim.masses[i].addConstraint(CONTACT_PLANE, Vec(0, 1, 2), -0.3)
+            elif local == "ball":
+                sim.masses[i].addConstraint(BALL, Vec(0, 0, 1.5), 0.7)
+            elif local == "pl":
+                sim.masses[i].addConstraint(CONSTRAINT_PLANE, Vec(0, 0, 1),
+                                            0.3)
+            elif local == "dir":
+                sim.masses[i].addConstraint(DIRECTION, Vec(1, 0, 0), 0.2)
     if friction:
         sim.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
     else:
@@ -69,7 +92,10 @@ def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
 @pytest.mark.parametrize("variant", ["plain", "clamp_off", "friction",
                                      "ball", "beam", "extern", "damping",
                                      "verlet", "breathing", "actuated",
-                                     "drag", "deleted", "actuated_deleted"])
+                                     "drag", "deleted", "actuated_deleted",
+                                     "magnets", "magnets_deleted",
+                                     "local_cp", "local_cp_tilted",
+                                     "local_ball", "local_pl", "local_dir"])
 def test_pallas_matches_xla(variant, monkeypatch):
     kw = dict(clamp=variant != "clamp_off",
               friction=variant == "friction",
@@ -81,7 +107,12 @@ def test_pallas_matches_xla(variant, monkeypatch):
               breathing=variant == "breathing",
               actuated=variant in ("actuated", "actuated_deleted"),
               drag=0.3 if variant == "drag" else 0.0,
-              deleted=variant in ("deleted", "actuated_deleted"))
+              deleted=variant in ("deleted", "actuated_deleted",
+                                  "magnets_deleted"),
+              magnets=variant.startswith("magnets"),
+              local={"local_cp": "cp", "local_cp_tilted": "cp_friction",
+                     "local_ball": "ball", "local_pl": "pl",
+                     "local_dir": "dir"}.get(variant))
     sim = _scene(**kw)
     assert pallas_step.pallas_supported(sim._shape), "scene left the envelope"
 
@@ -127,15 +158,18 @@ def test_pallas_matches_xla(variant, monkeypatch):
 
 
 def test_envelope_rejections():
-    # magnets stay outside the VMEM kernel's envelope (masked O(N^2) pass)
-    sim = _scene()
+    # LARGE magnetic scenes stay outside the VMEM kernel (the in-kernel
+    # pairwise sweep is O(N^2); the binned/pairwise XLA paths take over)
+    from titan_tpu import SimConfig as _SC
+    sim = Simulation(SimConfig(magnet_pallas_max=64))
+    sim.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 5, 5, 5)  # 125 masses
     st = sim._store
     st.mag_maxf[:4] = 1.0
     st.mag_rad[:4] = 0.05
+    sim.setTimeStep(1e-4)
+    sim._T = 0.0
     sim._marshal()
     assert not pallas_step.pallas_supported(sim._shape)
-    # so do local constraints
-    sim2 = _scene()
-    sim2.masses[0].addConstraint(2, Vec(0, 0, 1), 0.0)  # BALL-type slot
-    sim2._marshal()
-    assert not pallas_step.pallas_supported(sim2._shape)
+    # small magnetic scenes are accepted
+    sim2 = _scene(magnets=True)
+    assert pallas_step.pallas_supported(sim2._shape)

@@ -99,3 +99,58 @@ def test_no_camera_exports_null(tmp_path):
     html = str(tmp_path / "nocam.html")
     rec.export_html(html)
     assert '"camera": null' in open(html).read()
+
+
+def test_live_viewer_serves_frames_while_running():
+    """Live rendering (reference GRAPHICS mode): a concurrent HTTP viewer
+    reads chunk-boundary snapshots WITHOUT pausing the simulation."""
+    import json
+    import time
+    import urllib.request
+
+    from titan_tpu.runtime.live import LiveViewer
+
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    sim.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 3, 3, 3)
+    sim.createPlane(Vec(0, 0, 1), 0)
+    sim.setViewport(Vec(5, -5, 3), Vec(0, 0, 1), Vec(0, 0, 1))
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    sim.setTimeStep(0.0001)
+    sim.start()
+    lv = LiveViewer(sim, cadence=0.01)
+    lv.start()
+    try:
+        sim.setBreakpoint(5.0)   # long-running; viewer reads concurrently
+
+        def get(path):
+            with urllib.request.urlopen(lv.url.rstrip("/") + path,
+                                        timeout=10) as r:
+                return r.read()
+
+        page = get("/").decode()
+        assert "titan-tpu live" in page and "/frame" in page
+        topo = json.loads(get("/topology"))
+        assert len(topo["edges"]) > 0 and len(topo["planes"]) == 1
+        assert topo["camera"] == [[5.0, -5.0, 3.0], [0.0, 0.0, 1.0]]
+
+        # two frames while RUNNING: time advances, positions are live
+        f1 = None
+        for _ in range(600):   # first chunk compile can take a while
+            f1 = json.loads(get("/frame"))
+            if f1["t"] is not None and f1["t"] > 0:
+                break
+            time.sleep(0.1)
+        assert f1 and f1["t"] is not None and f1["t"] > 0
+        assert f1["running"] is True
+        assert len(f1["pos"]) == 27
+        t0 = f1["t"]
+        f2 = None
+        for _ in range(600):
+            time.sleep(0.05)
+            f2 = json.loads(get("/frame"))
+            if f2["t"] > t0:
+                break
+        assert f2["t"] > t0, "frame time did not advance while running"
+    finally:
+        lv.stop()
+        sim.stop()

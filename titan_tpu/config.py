@@ -67,9 +67,13 @@ class SimConfig:
     # scenes outside the envelope silently use the XLA path.
     use_pallas: bool = True
     # Stencil bucketing knobs: families with fewer springs than
-    # max(stencil_min_count, n_masses // 256) stay in the remainder.
+    # max(stencil_min_count, n_masses // 256) stay in the remainder.  The
+    # floor is low so that SMALL scenes (e.g. a handful of RobotLinks,
+    # whose springs all share delta=1) bucket completely and stay inside
+    # the VMEM Pallas kernel's no-remainder envelope; at large N the
+    # n_masses // 256 term governs.
     stencil_max_families: int = 26
-    stencil_min_count: int = 16
+    stencil_min_count: int = 2
     # Contact-penalty normal coefficient (reference object.cu:29).
     normal_coeff: float = 20000.0
     # Magnet interaction cutoff in meters (reference sim.cu:1228).
@@ -87,6 +91,12 @@ class SimConfig:
     # scales with the cap, so keep it near the real occupancy.
     magnet_binned_threshold: int = 32768
     magnet_cell_cap: int = 16
+    # Scenes up to this many (padded) masses run the magnet pass INSIDE the
+    # VMEM Pallas kernel as a dense pairwise sweep (O(N^2) but N is small
+    # and everything stays in VMEM) -- this is what puts full RobotLink
+    # scenes, the reference's flagship use case, on the multi-step fast
+    # path.  Larger magnetic scenes use the XLA paths.
+    magnet_pallas_max: int = 2048
     # Steps dispatched per on-device fori_loop chunk when no breakpoint is
     # nearer.  Bounds host `time()` granularity and re-dispatch overhead.
     max_chunk_steps: int = 1000

@@ -16,9 +16,13 @@ use the XLA path and get identical physics:
   - Euler (velocity clamp optional) or Verlet integrators
   - gravity, persistent external force, fixed masses, quadratic drag
   - global contact planes (incl. static+kinetic friction) and balls
+  - local constraints (per-mass contact/constraint planes, balls,
+    directions -- fixed-capacity slots resident in VMEM)
+  - magnets for scenes up to config.magnet_pallas_max masses (dense
+    in-VMEM pairwise per step; this is what puts full RobotLink scenes on
+    the fast path)
   - soft-deleted masses (validity folded into k/rate/fixed at chunk entry --
     validity only changes at re-marshal boundaries, so it's chunk-constant)
-  - no local constraints, no magnets
 """
 
 from __future__ import annotations
@@ -47,20 +51,33 @@ def pallas_supported(shape: SceneShape) -> bool:
         return False
     if not cfg.use_stencil or not shape.stencil_deltas:
         return False
-    if shape.has_remainder or shape.has_magnets:
+    if shape.has_remainder:
         return False
-    if any((shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)):
+    if shape.has_magnets and shape.n_masses > cfg.magnet_pallas_max:
         return False
     if not cfg.persistent_extern_force:
         return False
     n, f = shape.n_masses, len(shape.stencil_deltas)
     # resident refs: 7 [3,N] vec3 (pos/vel/acc/cforce in + 3 outs), [1,N]
-    # minv/fixed (+drag), [F,N] k/rest/damping/bsign/bomega (+arate/abound/
-    # orest when actuated), plus ~6 [3,N] body temporaries (pr/diff/f/...)
+    # minv/fixed (+drag, +4 magnet params, +valid, +local-constraint slot
+    # planes), [F,N] k/rest/damping/bsign/bomega (+arate/abound/orest when
+    # actuated), plus ~6 [3,N] body temporaries (pr/diff/f/...)
     fam = 5 * f + (3 * f if shape.has_actuated else 0)
     sc = 2 + (1 if shape.has_drag else 0)
+    if shape.has_magnets:
+        sc += 5
+        # dense pairwise temporaries: a few [R, 128, 128] arrays
+        if 4 * (n // 128) * 128 * 128 * 4 > 16 * 1024 * 1024:
+            return False
+    sc += _lc_planes(shape)
     vmem_bytes = 4 * n * (3 * 7 + fam + sc) + 4 * n * 3 * 6
     return vmem_bytes < _VMEM_BUDGET
+
+
+def _lc_planes(shape: SceneShape) -> int:
+    """[1, N]-plane count of the stacked local-constraint slot array."""
+    return (shape.cap_cp * 7 + shape.cap_ball * 5 + shape.cap_pl * 5
+            + shape.cap_dir * 5)
 
 
 def _build_kernel(shape: SceneShape):
@@ -75,7 +92,11 @@ def _build_kernel(shape: SceneShape):
     has_breathing = shape.has_breathing
     has_actuated = shape.has_actuated
     has_drag = shape.has_drag
+    has_magnets = shape.has_magnets
+    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+    has_local = any(caps)
     normal_coeff = shape.config.normal_coeff
+    magnet_cutoff = shape.config.magnet_cutoff
 
     def kernel(*refs):
         (nsteps_ref, scal_ref, plane_ref, ball_ref,
@@ -87,6 +108,12 @@ def _build_kernel(shape: SceneShape):
             i += 2
         if has_drag:
             drag_ref = refs[i]
+            i += 1
+        if has_magnets:
+            mag_ref = refs[i]   # [5, R, 128]: rad, stiffness, maxf, scale,
+            i += 1              # valid (all validity-folded)
+        if has_local:
+            lc_ref = refs[i]    # [P_lc, R, 128] stacked slot planes
             i += 1
         opos_ref, ovel_ref, oacc_ref = refs[i:i + 3]
         if has_actuated:
@@ -130,6 +157,7 @@ def _build_kernel(shape: SceneShape):
         def body(step, _):
             pos = opos_ref[:]
             vel = ovel_ref[:]
+            vel0 = vel   # pre-constraint velocity (frozen masses keep it)
             # springs: stencil families, masked via k_eff == 0 padding
             f_acc = cforce_ref[:]               # m*g + persistent extern
             for fi, d in enumerate(deltas):
@@ -164,6 +192,56 @@ def _build_kernel(shape: SceneShape):
                     mag = mag + axial * damping_ref[fi]
                 f = (mag * inv) * diff
                 f_acc = f_acc - f + roll_scatter(f, d)
+            if has_magnets:
+                # dense in-VMEM pairwise magnet sweep, one 128-lane source
+                # row at a time (reference computeExternalMagnetForce,
+                # sim.cu:1223-1241; the O(N^2) form it ships disabled --
+                # exact where its occupancy grid approximates).  Invalid
+                # masses carry zeroed params + a validity plane.
+                rrad = mag_ref[0]                    # [R, 128] receivers
+                rstiff = mag_ref[1]
+                rmaxf = mag_ref[2]
+                rvalid = mag_ref[4]
+                ridx = (jax.lax.broadcasted_iota(
+                            jnp.int32, (rows, 128), 0) * 128
+                        + jax.lax.broadcasted_iota(
+                            jnp.int32, (rows, 128), 1))
+                fm0 = jnp.zeros_like(pos[0])
+                fm1 = jnp.zeros_like(pos[0])
+                fm2 = jnp.zeros_like(pos[0])
+                for sr in range(rows):
+                    spx = pos[0, sr][None, None, :]  # [1, 1, 128] sources
+                    spy = pos[1, sr][None, None, :]
+                    spz = pos[2, sr][None, None, :]
+                    d0 = pos[0][:, :, None] - spx    # [R, 128, 128]
+                    d1 = pos[1][:, :, None] - spy
+                    d2 = pos[2][:, :, None] - spz
+                    dist2 = d0 * d0 + d1 * d1 + d2 * d2
+                    pos_d = dist2 > 0
+                    dist = jnp.where(
+                        pos_d, jnp.sqrt(jnp.where(pos_d, dist2, 1.0)), 0.0)
+                    safe = jnp.where(dist > 0, dist, 1.0)
+                    sidx = (jax.lax.broadcasted_iota(
+                                jnp.int32, (1, 1, 128), 2) + sr * 128)
+                    ok = ((dist < magnet_cutoff)
+                          & (ridx[:, :, None] != sidx))
+                    okf = (rvalid[:, :, None] * mag_ref[4, sr][None, None, :])
+                    inter = dist - (rrad[:, :, None]
+                                    + mag_ref[0, sr][None, None, :])
+                    shell = jnp.where(
+                        inter < 0,
+                        jnp.abs(inter) * rstiff[:, :, None], 0.0)
+                    attract = (mag_ref[3, sr][None, None, :]
+                               * rmaxf[:, :, None]
+                               / jnp.maximum(dist2, 1e-12))
+                    coeff = (jnp.where(ok, (shell - attract) / safe, 0.0)
+                             * okf)
+                    fm0 = fm0 + jnp.sum(d0 * coeff, axis=2)
+                    fm1 = fm1 + jnp.sum(d1 * coeff, axis=2)
+                    fm2 = fm2 + jnp.sum(d2 * coeff, axis=2)
+                # fixed masses early-return before the magnet pass
+                # (sim.cu:1292-1298); they still act as sources above
+                f_acc = f_acc + jnp.stack([fm0, fm1, fm2]) * not_fixed
             # global contact planes (object.cu:76-109 semantics, in order)
             for p in range(n_planes):
                 nx, ny, nz = plane_ref[p, 0], plane_ref[p, 1], plane_ref[p, 2]
@@ -203,6 +281,84 @@ def _build_kernel(shape: SceneShape):
                 push = jnp.where((dist <= rad) & (dist > 0),
                                  normal_coeff / safe, 0.0)
                 f_acc = f_acc + jnp.stack([d0, d1, d2]) * push
+            if has_local:
+                # per-mass local constraint slots in reference order:
+                # contact planes, balls, constraint planes, directions
+                # (sim.cu:1311-1326); slot j active iff j < count.
+                # Constraint planes and directions MUTATE vel, which the
+                # drag term and the integrator then consume -- mirrors
+                # ops/forces.apply_local_constraints exactly.
+                o = 0
+                for _ in range(caps[0]):             # contact planes
+                    act = lc_ref[o] > 0.5
+                    nvec = lc_ref[o + 1:o + 4]       # [3, R, 128] per-mass
+                    off = lc_ref[o + 4]
+                    fk = lc_ref[o + 5]
+                    fs = lc_ref[o + 6]
+                    o += 7
+                    disp = jnp.sum(pos * nvec, axis=0) - off
+                    inside = disp < 0
+                    fn_mag = jnp.sum(f_acc * nvec, axis=0)
+                    f_n = fn_mag * nvec
+                    has_fric = (fs > 0) | (fk > 0)
+                    vdotn = jnp.sum(vel * nvec, axis=0)
+                    v_perp = vel - vdotn * nvec
+                    v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))
+                    kinetic = v_norm > 1e-16
+                    fn_abs = jnp.abs(fn_mag)
+                    safe_vn = jnp.where(kinetic, v_norm, 1.0)
+                    f_kin = f_acc - v_perp * (fk * fn_abs / safe_vn)
+                    f_perp = f_acc - f_n
+                    fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
+                    f_sta = jnp.where(fs * fn_abs > fp_norm,
+                                      f_acc - f_perp, f_acc)
+                    f_fric = jnp.where(kinetic, f_kin, f_sta)
+                    f_new = jnp.where(inside & has_fric, f_fric, f_acc)
+                    f_new = f_new + jnp.where(inside, -disp * normal_coeff,
+                                              0.0) * nvec
+                    f_acc = jnp.where(act, f_new, f_acc)
+                for _ in range(caps[1]):             # balls
+                    act = lc_ref[o] > 0.5
+                    cvec = lc_ref[o + 1:o + 4]
+                    rad = lc_ref[o + 4]
+                    o += 5
+                    dvec = pos - cvec
+                    dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=0))
+                    safe = jnp.where(dist > 0, dist, 1.0)
+                    push = jnp.where((dist <= rad) & (dist > 0),
+                                     normal_coeff / safe, 0.0)
+                    f_acc = jnp.where(act, f_acc + dvec * push, f_acc)
+                for _ in range(caps[2]):             # constraint planes
+                    act = lc_ref[o] > 0.5
+                    nvec = lc_ref[o + 1:o + 4]
+                    fric = lc_ref[o + 4]
+                    o += 5
+                    # reference quirk (object.cu:118-127): |v| taken BEFORE
+                    # the normal component is removed, friction applied to
+                    # the UPDATED velocity over the OLD norm
+                    nf = jnp.sum(f_acc * nvec, axis=0)
+                    f2 = f_acc - nvec * nf
+                    v_norm = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+                    moving = v_norm >= 1e-16
+                    v2c = vel - nvec * jnp.sum(vel * nvec, axis=0)
+                    safe_vn = jnp.where(moving, v_norm, 1.0)
+                    f3 = f2 - fric * nf * v2c / safe_vn
+                    f_acc = jnp.where(act, jnp.where(moving, f3, f2), f_acc)
+                    vel = jnp.where(act & moving, v2c, vel)
+                for _ in range(caps[3]):             # directions
+                    act = lc_ref[o] > 0.5
+                    tvec = lc_ref[o + 1:o + 4]
+                    fric = lc_ref[o + 4]
+                    o += 5
+                    nf = f_acc - tvec * jnp.sum(f_acc * tvec, axis=0)
+                    f2 = f_acc - nf
+                    v_norm = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+                    moving = v_norm >= 1e-16
+                    nf_norm = jnp.sqrt(jnp.sum(nf * nf, axis=0))
+                    f3 = f2 - nf_norm * fric * tvec
+                    f_acc = jnp.where(act, jnp.where(moving, f3, f2), f_acc)
+                    vel = jnp.where(act & moving,
+                                    tvec * jnp.sum(vel * tvec, axis=0), vel)
             if has_drag:
                 # -C |v|^2 v_hat == -C |v| v (reference sim.cu:1329-1332)
                 vn = jnp.sqrt(jnp.sum(vel * vel, axis=0))
@@ -212,7 +368,7 @@ def _build_kernel(shape: SceneShape):
             if verlet:
                 # reference 'Verlet' (sim.cu:1350-1354)
                 v2 = vel + 0.5 * (oacc_ref[:] + acc) * dt
-                v2 = v2 * not_fixed + vel * fixed_ref[:]
+                v2 = v2 * not_fixed + vel0 * fixed_ref[:]
                 opos_ref[:] = pos + (v2 * dt + 0.5 * acc * dt * dt) * not_fixed
             else:
                 # Euler with optional clamp (sim.cu:1355-1362)
@@ -221,7 +377,7 @@ def _build_kernel(shape: SceneShape):
                     vn = jnp.sqrt(jnp.sum(v2 * v2, axis=0))
                     v2 = jnp.where(vn > 1.0,
                                    v2 / jnp.where(vn > 0, vn, 1.0), v2)
-                v2 = v2 * not_fixed + vel * fixed_ref[:]
+                v2 = v2 * not_fixed + vel0 * fixed_ref[:]
                 opos_ref[:] = pos + v2 * dt * not_fixed
             ovel_ref[:] = v2
             oacc_ref[:] = (acc * not_fixed
@@ -296,6 +452,38 @@ def build_pallas_chunk(shape: SceneShape):
             extra_in += [r3(arate), r3(abound)]
         if shape.has_drag:
             extra_in.append(r3(m.drag[None, :]))
+        if shape.has_magnets:
+            validf = m.valid.astype(m.pos.dtype)
+            mag = jnp.stack([
+                jnp.where(m.valid, m.mag_rad, 0.0),
+                jnp.where(m.valid, m.mag_stiffness, 0.0),
+                jnp.where(m.valid, m.mag_maxf, 0.0),
+                jnp.where(m.valid, m.mag_scale, 0.0),
+                validf]).astype(m.pos.dtype)
+            extra_in.append(r3(mag))
+        caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+        if any(caps):
+            lcon = state.lcon
+            parts = []
+            for j in range(caps[0]):
+                parts += [(j < lcon.cp_count).astype(m.pos.dtype)[None],
+                          lcon.cp_normal[:, j, :].T,
+                          lcon.cp_offset[:, j][None],
+                          lcon.cp_fk[:, j][None], lcon.cp_fs[:, j][None]]
+            for j in range(caps[1]):
+                parts += [(j < lcon.ball_count).astype(m.pos.dtype)[None],
+                          lcon.ball_center[:, j, :].T,
+                          lcon.ball_radius[:, j][None]]
+            for j in range(caps[2]):
+                parts += [(j < lcon.pl_count).astype(m.pos.dtype)[None],
+                          lcon.pl_normal[:, j, :].T,
+                          lcon.pl_friction[:, j][None]]
+            for j in range(caps[3]):
+                parts += [(j < lcon.dir_count).astype(m.pos.dtype)[None],
+                          lcon.dir_tangent[:, j, :].T,
+                          lcon.dir_friction[:, j][None]]
+            extra_in.append(r3(jnp.concatenate(parts, axis=0)
+                               .astype(m.pos.dtype)))
 
         n_in = 11 + len(extra_in)
         n_out = 4 if shape.has_actuated else 3
