@@ -41,7 +41,9 @@ TITAN_GPU_PROXY_SPRING_UPDATES_PER_SEC = 2.0e9
 def build_bench_scene(nx: int = 43):
     from titan_tpu import Simulation, SimConfig, Vec
 
-    sim = Simulation(SimConfig())  # reference defaults: Euler + clamp, f32
+    # reference defaults: Euler + clamp, f32 device state; f32 host store
+    # halves staging + tunnel upload for the 100^3 config (setup_s)
+    sim = Simulation(SimConfig(host_store_dtype="float32"))
     sim.createLattice(Vec(0, 0, 5), Vec(4, 4, 4), nx, nx, nx)
     sim.setAllSpringConstantValues(1000.0)
     sim.setTimeStep(0.0001)

@@ -373,3 +373,25 @@ def test_set_timestep_while_chunk_in_flight():
     # free fall is dt-independent; if the dt update were lost, device state
     # and host time accounting diverge and z is far off the analytic value
     assert z == pytest.approx(-0.5 * 4.0, abs=2e-2)
+
+
+def test_float32_host_store():
+    """SimConfig.host_store_dtype=float32: full pipeline works and matches
+    the f64-store trajectory at f32 tolerance."""
+    def run(dtype):
+        sim = Simulation(SimConfig(velocity_clamp=False,
+                                   host_store_dtype=dtype))
+        sim.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 3, 3, 3)
+        sim.createPlane(Vec(0, 0, 1), 0)
+        sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+        sim.setTimeStep(0.0001)
+        sim.start()
+        sim.pause(0.3)
+        sim.getAll()
+        out = sim._store.pos[:27].copy()
+        assert sim._store.pos.dtype == np.dtype(dtype)
+        sim.stop()
+        return out
+
+    np.testing.assert_allclose(run("float32"), run("float64"),
+                               atol=1e-4, rtol=1e-4)

@@ -56,6 +56,10 @@ class SimConfig:
     # float32 is the TPU-native choice; float64 works on CPU (jax x64) for
     # debugging/parity studies.  Reference is all-double (vec.h).
     dtype: str = "float32"
+    # Host-store (mirror) float precision.  float64 matches the reference's
+    # host objects; float32 halves host RAM and marshal staging for giant
+    # scenes (the 100^3 store is ~1.5 GB at f64).
+    host_store_dtype: str = "float64"
     scatter: ScatterMode = ScatterMode.GATHER
     # Bucket springs with a constant endpoint index offset into roll-based
     # stencil families (see StencilState) -- the TPU hot path, ~485x faster

@@ -66,7 +66,7 @@ class Simulation:
 
     def __init__(self, config: Optional[SimConfig] = None):
         self.config = config or SimConfig()
-        self._store = HostStore()
+        self._store = HostStore(dtype=self.config.host_store_dtype)
         self.containers = []
         self._planes = []  # (unit normal [3], offset, fk, fs)
         self._balls = []   # (center [3], radius)
@@ -433,41 +433,51 @@ class Simulation:
 
         # ---- stencil families
         F = len(families)
-        stencil_np = {
-            "mask": np.zeros((F, N), dtype=bool),
-            "k": np.zeros((F, N), dtype=dt),
-            "rest": np.zeros((F, N), dtype=dt),
-            "damping": np.zeros((F, N), dtype=dt),
-            "type": np.zeros((F, N), dtype=np.int8),
-            "omega": np.zeros((F, N), dtype=dt),
-            "l_max": np.zeros((F, N), dtype=dt),
-            "l_min": np.zeros((F, N), dtype=dt),
-            "rate": np.zeros((F, N), dtype=dt),
-        }
-        for fi, (_, sidx, lpos) in enumerate(families):
-            stencil_np["mask"][fi, lpos] = True
-            stencil_np["k"][fi, lpos] = st.k[sidx]
-            stencil_np["rest"][fi, lpos] = st.rest[sidx]
-            stencil_np["damping"][fi, lpos] = st.damping[sidx]
-            stencil_np["type"][fi, lpos] = st.s_type[sidx]
-            stencil_np["omega"][fi, lpos] = st.omega[sidx]
-            stencil_np["l_max"][fi, lpos] = st.l_max[sidx]
-            stencil_np["l_min"][fi, lpos] = st.l_min[sidx]
-            stencil_np["rate"][fi, lpos] = st.rate[sidx]
-        stencil = StencilState(
-            **{k: jnp.asarray(v) for k, v in stencil_np.items()})
+        host_fields = {"k": st.k, "rest": st.rest, "damping": st.damping,
+                       "type": st.s_type, "omega": st.omega,
+                       "l_max": st.l_max, "l_min": st.l_min, "rate": st.rate}
+        field_dt = {"type": np.int8}
 
         def fam_uniform(field):
-            # uniform within every family (values may differ across families)
-            for fi in range(F):
-                vals = stencil_np[field][fi][stencil_np["mask"][fi]]
+            # uniform within every family (values may differ across
+            # families), compared in the DEVICE dtype: f64 geometric rest
+            # lengths differ by an ulp across lattice sites but cast to
+            # identical f32 values, and the device arrays are what the
+            # kernels actually read
+            fdt = field_dt.get(field, dt)
+            for _, sidx, _ in families:
+                vals = host_fields[field][sidx].astype(fdt)
                 if vals.size and not np.all(vals == vals[0]):
                     return False
             return True
 
+        uniform = {f: fam_uniform(f) for f in host_fields}
         shape = dataclasses.replace(shape, stencil_uniform=tuple(
-            fam_uniform(f) for f in ("k", "rest", "damping", "type",
-                                     "omega")))
+            uniform[f] for f in ("k", "rest", "damping", "type", "omega")))
+
+        mask_np = np.zeros((F, N), dtype=bool)
+        for fi, (_, _, lpos) in enumerate(families):
+            mask_np[fi, lpos] = True
+        mask_dev = jnp.asarray(mask_np)
+        stencil_arrays = {"mask": mask_dev}
+        for f, host in host_fields.items():
+            fdt = field_dt.get(f, dt)
+            if uniform[f]:
+                # one scalar per family: expand ON DEVICE -- at 100^3 this
+                # cuts ~400 MB of host staging + tunnel upload per marshal
+                # to a handful of scalars (the dominant setup cost)
+                scalars = np.array(
+                    [host[sidx[0]] if len(sidx) else 0 for _, sidx, _
+                     in families], dtype=fdt)
+                stencil_arrays[f] = jnp.where(
+                    mask_dev, jnp.asarray(scalars)[:, None],
+                    jnp.zeros((), fdt))
+            else:
+                arr = np.zeros((F, N), dtype=fdt)
+                for fi, (_, sidx, lpos) in enumerate(families):
+                    arr[fi, lpos] = host[sidx]
+                stencil_arrays[f] = jnp.asarray(arr)
+        stencil = StencilState(**stencil_arrays)
 
         # ---- incidence topology for the remainder
         if s_rem and cfg.scatter == ScatterMode.GATHER:

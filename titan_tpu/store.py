@@ -31,35 +31,42 @@ class LocalConstraintRecord:
 
 
 class HostStore:
-    """SoA arrays for masses and springs, with amortized-doubling growth."""
+    """SoA arrays for masses and springs, with amortized-doubling growth.
+
+    ``dtype`` is the float dtype of the host mirror (default float64, the
+    reference's precision for host objects).  Pass float32 (e.g. via
+    SimConfig.host_store_dtype) to halve host RAM and marshal staging for
+    giant scenes -- at 100^3 the f64 store alone is ~1.5 GB.
+    """
 
     _MASS_FIELDS_3 = ("pos", "vel", "acc", "extern_force")
     _MASS_FIELDS_1 = ("m", "T", "drag", "mag_rad", "mag_stiffness",
                       "mag_maxf", "mag_scale")
 
-    def __init__(self):
+    def __init__(self, dtype=np.float64):
+        self.dtype = np.dtype(dtype)
         self.n_masses = 0
         self.n_springs = 0
         cap_m, cap_s = 64, 64
         # mass arrays [(cap, 3)] / [(cap,)]
         for f in self._MASS_FIELDS_3:
-            setattr(self, f, np.zeros((cap_m, 3), dtype=np.float64))
+            setattr(self, f, np.zeros((cap_m, 3), dtype=self.dtype))
         for f in self._MASS_FIELDS_1:
-            setattr(self, f, np.zeros(cap_m, dtype=np.float64))
+            setattr(self, f, np.zeros(cap_m, dtype=self.dtype))
         self.fixed = np.zeros(cap_m, dtype=bool)
         self.valid = np.zeros(cap_m, dtype=bool)
         # spring arrays
         self.left = np.full(cap_s, -1, dtype=np.int64)
         self.right = np.full(cap_s, -1, dtype=np.int64)
         self.s_valid = np.zeros(cap_s, dtype=bool)
-        self.k = np.zeros(cap_s, dtype=np.float64)
-        self.rest = np.zeros(cap_s, dtype=np.float64)
-        self.damping = np.zeros(cap_s, dtype=np.float64)
+        self.k = np.zeros(cap_s, dtype=self.dtype)
+        self.rest = np.zeros(cap_s, dtype=self.dtype)
+        self.damping = np.zeros(cap_s, dtype=self.dtype)
         self.s_type = np.zeros(cap_s, dtype=np.int8)
-        self.omega = np.zeros(cap_s, dtype=np.float64)
-        self.l_max = np.zeros(cap_s, dtype=np.float64)
-        self.l_min = np.zeros(cap_s, dtype=np.float64)
-        self.rate = np.zeros(cap_s, dtype=np.float64)
+        self.omega = np.zeros(cap_s, dtype=self.dtype)
+        self.l_max = np.zeros(cap_s, dtype=self.dtype)
+        self.l_min = np.zeros(cap_s, dtype=self.dtype)
+        self.rate = np.zeros(cap_s, dtype=self.dtype)
         # sparse local constraints
         self.local: Dict[int, LocalConstraintRecord] = {}
 
