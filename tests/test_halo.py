@@ -12,16 +12,44 @@ from titan_tpu.parallel.halo import build_halo_chunk, halo_supported, place
 
 
 def _scene(damping=0.0, breathing=False, actuated=False, drag=0.0,
-           deleted=False, local_constraint=False, integrator=None):
+           deleted=False, local_constraint=False, integrator=None,
+           magnets=False, remainder=False, remainder_actuated=False):
     from titan_tpu import (ACTIVE_CONTRACT_THEN_EXPAND, ACTUATED_EXPAND,
                            CONTACT_PLANE, Integrator)
     cfg = dict(velocity_clamp=False)
     if integrator:
         cfg["integrator"] = Integrator(integrator)
+    if magnets:
+        # lattice spacing (~0.26-0.33 m) exceeds the reference cutoff; widen
+        # it so neighboring magnetic masses actually interact in the test
+        cfg["magnet_cutoff"] = 0.6
     # long-x lattice so max(delta) (= ny*nz + nz + 1 = 21) << block (64)
     sim = Simulation(SimConfig(**cfg))
     sim.createLattice(Vec(0, 0, 3), Vec(8, 1, 1), 32, 4, 4)
     sim.setAllSpringConstantValues(500.0)
+    if remainder or remainder_actuated:
+        # irregular extra springs: unique index deltas (23, 29, 31, 37 --
+        # none is a lattice family offset and each occurs once, below
+        # stencil_min_count) so they land in the remainder partition;
+        # spans stay well under the 64-mass device block
+        for base, d in ((10, 23), (70, 29), (200, 31), (300, 37)):
+            sp = sim.createSpring(sim.masses[base], sim.masses[base + d])
+            sp._k = 800.0
+            sp.defaultLength()
+            if remainder_actuated:
+                from titan_tpu import ACTUATED_CONTRACT
+                sp._type = ACTUATED_CONTRACT
+                sp._l_min = sp._rest * 0.8
+                sp._rate = 0.4
+    if magnets:
+        # pairs within the widened cutoff, including the 63/79 pair that
+        # straddles the 64-mass device-block boundary
+        for i in (3, 7, 19, 63, 79, 200, 204):
+            mm = sim.masses[i]
+            mm.rad = 0.05
+            mm.stiffness = 200.0
+            mm.max_mag_force = 1.0
+            mm.mag_scale_factor = 1.0
     st = sim._store
     if damping:
         st.damping[: st.n_springs] = damping
@@ -59,6 +87,11 @@ VARIANTS = {
     "local_constraint": dict(local_constraint=True),
     "verlet": dict(integrator="verlet"),
     "verlet_damped": dict(integrator="verlet", damping=0.4),
+    "magnets": dict(magnets=True),
+    "remainder": dict(remainder=True),
+    "remainder_damped": dict(remainder=True, damping=0.5),
+    "remainder_actuated": dict(remainder_actuated=True),
+    "magnets_remainder": dict(magnets=True, remainder=True, deleted=True),
 }
 
 
@@ -87,6 +120,16 @@ def test_halo_matches_single_device(variant):
                                    atol=1e-6)
         assert not np.allclose(np.asarray(out_h.stencil.rest),
                                np.asarray(sim._state.stencil.rest))
+    if variant == "remainder_actuated":
+        np.testing.assert_allclose(np.asarray(out_h.springs.rest),
+                                   np.asarray(out_s.springs.rest),
+                                   atol=1e-6)
+        assert not np.allclose(np.asarray(out_h.springs.rest),
+                               np.asarray(sim._state.springs.rest))
+    if variant.startswith("remainder"):
+        assert sim._shape.has_remainder
+    if variant.startswith("magnets"):
+        assert sim._shape.has_magnets
     assert len(out_h.masses.pos.sharding.device_set) == 8
 
 
@@ -99,9 +142,28 @@ def test_halo_envelope():
     sim2._marshal()
     assert not halo_supported(sim2._shape, 8)
     assert halo_supported(sim._shape, 8)
-    # magnets stay on the automatic SPMD path
+    # exact pairwise magnets ride the halo path...
     sim3 = _scene()
     sim3._store.mag_maxf[:4] = 1.0
     sim3._store.mag_rad[:4] = 0.05
     sim3._marshal()
-    assert not halo_supported(sim3._shape, 8)
+    assert halo_supported(sim3._shape, 8)
+    # ...but cell-BINNED magnet scenes (large N) keep the automatic SPMD
+    # path, whose O(N) binned pass beats a pairwise sweep at that scale
+    sim4 = Simulation(SimConfig(velocity_clamp=False,
+                                magnet_binned_threshold=2))
+    sim4.createLattice(Vec(0, 0, 3), Vec(8, 1, 1), 32, 4, 4)
+    sim4._store.mag_maxf[:4] = 1.0
+    sim4._store.mag_rad[:4] = 0.05
+    sim4._T = 0.0
+    sim4._marshal()
+    assert sim4._shape.magnet_binned
+    assert not halo_supported(sim4._shape, 8)
+    # a remainder spring spanning more than a device block is rejected
+    sim5 = _scene()
+    sp = sim5.createSpring(sim5.masses[0], sim5.masses[100])
+    sp._k = 100.0
+    sp.defaultLength()
+    sim5._marshal()
+    assert sim5._shape.remainder_span == 100
+    assert not halo_supported(sim5._shape, 8)

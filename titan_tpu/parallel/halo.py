@@ -5,24 +5,34 @@ this module is the hand-scheduled alternative for stencil scenes: masses are
 block-sharded along N, each device steps its block locally, and the only
 communication per step is
 
-  1. two-sided halos of pos (+vel when springs are damped) of ``max|delta|``
-     lanes pulled from the neighboring devices (ppermutes), and
+  1. two-sided halos of pos (+vel when springs are damped) of ``H`` lanes
+     pulled from the neighboring devices (ppermutes), where H covers both the
+     stencil family offsets and the remainder-spring index span,
   2. two "overflow" buffers of spring forces destined for the neighbors'
-     edge masses (ppermutes),
+     edge masses (ppermutes), and
+  3. for magnet scenes, one all_gather of pos per step (the magnet
+     interaction is globally pairwise; params are gathered once per chunk),
 
 a few hundred KB per step over ICI regardless of scene size -- the classic
 halo pattern for a spatially decomposed lattice (lattice families have both
 positive and one negative index offset).  The global wrap-around pairs are
 masked (no real spring wraps; mass validity is folded into the stencil mask
-at chunk entry, where a global roll is still cheap).
+and remainder valid flags at chunk entry, where a global roll is still cheap).
 
-Envelope: stencil-only scenes; Euler (+clamp) or Verlet; breathing and
-ACTUATED_* springs (rest mutation is local to the left endpoint's block);
-axial damping (adds vel halos); drag; local constraints (per-mass, sharded
-with the masses); soft-deleted masses; gravity, persistent external force,
-fixed masses, global planes/balls.  Block size must exceed max|delta|.
-Magnets (global pairwise) and remainder springs use sharded.py's automatic
-partitioner instead.
+Envelope: stencil and/or remainder springs (remainder needs
+``shape.remainder_span`` < block: each spring is owned by its left endpoint's
+device and its right endpoint is then inside the halo window); Euler (+clamp)
+or Verlet; breathing and ACTUATED_* springs (stencil rest mutation is local
+to the left endpoint's block; remainder rest mutation depends only on
+replicated spring arrays, so every device computes it identically); axial
+damping (adds vel halos); drag; local constraints (per-mass, sharded with the
+masses); soft-deleted masses; gravity, persistent external force, fixed
+masses, global planes/balls; exact pairwise magnets (per-step pos all_gather,
+O(N^2/D) compute per device -- strictly better than the automatic
+partitioner's gather collectives at the same compute).  Block size must
+exceed max(|delta|, remainder span).  Cell-BINNED magnet scenes
+(shape.magnet_binned, large N) use sharded.py's automatic partitioner, whose
+O(N) binned pass beats a pairwise sweep at that scale.
 """
 
 from __future__ import annotations
@@ -44,27 +54,39 @@ def halo_supported(shape: SceneShape, n_devices: int) -> bool:
     cfg = shape.config
     if cfg.integrator not in (Integrator.EULER, Integrator.VERLET):
         return False
-    if not cfg.use_stencil or not shape.stencil_deltas:
+    if not cfg.use_stencil:
         return False
-    if shape.has_remainder or shape.has_magnets:
+    if not shape.stencil_deltas and not shape.has_remainder:
+        return False
+    if shape.magnet_binned:
         return False
     if not cfg.persistent_extern_force:
         return False
     if shape.n_masses % n_devices != 0:
         return False
     block = shape.n_masses // n_devices
-    return block > max(abs(d) for d in shape.stencil_deltas)
+    return block > _halo_width(shape)
+
+
+def _halo_width(shape: SceneShape) -> int:
+    spans = [abs(d) for d in shape.stencil_deltas]
+    if shape.has_remainder:
+        spans.append(shape.remainder_span)
+    return max(spans + [1])
 
 
 def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
     """Returns make(state) -> jitted chunk(state, n_steps) on ``mesh``."""
     deltas = shape.stencil_deltas
-    halo = max(abs(d) for d in deltas)
+    halo = _halo_width(shape)
     n_dev = mesh.shape[axis]
     cfg = shape.config
     is_verlet = cfg.integrator is Integrator.VERLET
     to_prev = [(i, (i - 1) % n_dev) for i in range(n_dev)]  # recv from next
     to_next = [(i, (i + 1) % n_dev) for i in range(n_dev)]  # recv from prev
+    # _mass_forces applies every per-mass force verbatim on the local block;
+    # magnets are globally pairwise and handled here instead
+    shape_local = dataclasses.replace(shape, has_magnets=False)
 
     def halo_extend(x):
         """[3, B] -> [3, H + B + H] with both neighbors' edges."""
@@ -72,7 +94,7 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
         tail_from_prev = jax.lax.ppermute(x[:, -halo:], axis, to_next)
         return jnp.concatenate([tail_from_prev, x, head_from_next], axis=1)
 
-    def local_step(state: SimState) -> SimState:
+    def local_step(state: SimState, mag_src) -> SimState:
         m = state.masses
         st = state.stencil
         pos, vel = m.pos, m.vel                        # [3, B] per device
@@ -125,6 +147,57 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
             f_acc = f_acc + c[:, halo:halo + b]
             spill = spill + jnp.concatenate(
                 [c[:, :halo], c[:, halo + b:]], axis=1)
+        new_rem_rest = state.springs.rest
+        if shape.has_remainder:
+            # each remainder spring is owned by its LEFT endpoint's device;
+            # |right - left| <= halo (envelope), so both endpoints are inside
+            # the extended window.  Spring arrays are replicated; per-device
+            # ownership is a mask, and the ACTUATED rest mutation below reads
+            # only replicated arrays, so every device computes the identical
+            # new rest (endpoint validity was folded into sp.valid at chunk
+            # entry, mirroring the reference's early-return at sim.cu:1163).
+            sp = state.springs
+            dev = jax.lax.axis_index(axis)
+            li = sp.left - dev * b
+            owned = sp.valid & (li >= 0) & (li < b)
+            lidx = jnp.clip(li, 0, b - 1) + halo           # [S] window index
+            ridx = lidx + (sp.right - sp.left)
+            pl = jnp.take(pos_ext, lidx, axis=1)           # [3, S]
+            pr = jnp.take(pos_ext, ridx, axis=1)
+            diff = pr - pl
+            length = jnp.sqrt(jnp.sum(diff * diff, axis=0))
+            inv = jnp.where(length > 0,
+                            1.0 / jnp.where(length > 0, length, 1.0), 0.0)
+            rest = sp.rest
+            scale = 1.0
+            if shape.has_breathing:
+                styp = sp.type
+                sin_wt = jnp.sin(sp.omega * state.t)
+                scale = jnp.where(
+                    styp == ACTIVE_CONTRACT_THEN_EXPAND, 1.0 - 0.2 * sin_wt,
+                    jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
+                              1.0 + 0.2 * sin_wt, 1.0))
+                rest = jnp.where(
+                    sp.valid & (styp == ACTUATED_EXPAND)
+                    & (rest < sp.l_max),
+                    rest + sp.rate * state.dt,
+                    jnp.where(
+                        sp.valid & (styp == ACTUATED_CONTRACT)
+                        & (rest > sp.l_min),
+                        rest - sp.rate * state.dt, rest))
+                new_rem_rest = rest
+            mag = sp.k * (rest * scale - length)
+            if shape.has_damping:
+                vl = jnp.take(vel_ext, lidx, axis=1)
+                vr = jnp.take(vel_ext, ridx, axis=1)
+                axial = jnp.sum((vl - vr) * (diff * inv), axis=0)
+                mag = mag + axial * sp.damping
+            f = jnp.where(owned, mag, 0.0) * (diff * inv)  # [3, S]
+            buf = jnp.zeros((3, b + 2 * halo), pos.dtype)
+            buf = buf.at[:, lidx].add(-f).at[:, ridx].add(f)
+            f_acc = f_acc + buf[:, halo:halo + b]
+            spill = spill + jnp.concatenate(
+                [buf[:, :halo], buf[:, halo + b:]], axis=1)
         # deliver spills: my prev-spill to the previous device's tail,
         # my next-spill to the next device's head
         from_next = jax.lax.ppermute(spill[:, :halo], axis, to_prev)
@@ -132,11 +205,40 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
         f_acc = f_acc.at[:, :halo].add(from_prev)
         f_acc = f_acc.at[:, -halo:].add(from_next)
         f_acc = jnp.where(m.fixed, 0.0, f_acc)
+        if shape.has_magnets:
+            # exact pairwise magnets, D-way parallel: local receivers vs the
+            # all-gathered global source set (reference
+            # computeExternalMagnetForce, sim.cu:1223-1241; force order --
+            # magnets before gravity -- matches ops/step._mass_forces).
+            # Source params (mag_src) were gathered once at chunk entry;
+            # only pos moves between steps.
+            src_pos = jax.lax.all_gather(pos, axis, axis=1, tiled=True)
+            src_rad, src_scale, src_ok = mag_src
+            my0 = dev_index(axis) * b
+            diff = pos[:, :, None] - src_pos[:, None, :]     # [3, B, N]
+            dist2 = jnp.sum(diff * diff, axis=0)
+            dist = jnp.where(dist2 > 0,
+                             jnp.sqrt(jnp.where(dist2 > 0, dist2, 1.0)), 0.0)
+            ridx_g = my0 + jax.lax.broadcasted_iota(
+                jnp.int32, dist.shape, 0)
+            sidx_g = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+            pair_ok = ((dist < cfg.magnet_cutoff) & (ridx_g != sidx_g)
+                       & m.valid[:, None] & src_ok[None, :])
+            safe = jnp.where(dist > 0, dist, 1.0)
+            inter = dist - (m.mag_rad[:, None] + src_rad[None, :])
+            shell = jnp.where(
+                inter < 0, jnp.abs(inter) * m.mag_stiffness[:, None], 0.0)
+            attract = (src_scale[None, :] * m.mag_maxf[:, None]
+                       / jnp.maximum(dist2, 1e-12))
+            coeff = jnp.where(pair_ok, (shell - attract) / safe, 0.0)
+            f_mag = jnp.sum(diff * coeff[None], axis=2)      # [3, B]
+            # fixed masses early-return before the magnet pass
+            # (sim.cu:1292-1298); they still act as sources above
+            f_acc = f_acc + jnp.where(m.fixed, 0.0, f_mag)
         # local mass pass: gravity, extern, global planes/balls, local
         # constraints, drag -- all per-mass, so the shared implementation
-        # applies verbatim to each device's block (magnets excluded by the
-        # envelope)
-        f_acc, vel2 = _mass_forces(state, m, f_acc, shape)
+        # applies verbatim to each device's block (magnets handled above)
+        f_acc, vel2 = _mass_forces(state, m, f_acc, shape_local)
         if is_verlet:
             pos2, vel3, acc = verlet(pos, vel2, m.acc, f_acc, m.m, state.dt)
         else:
@@ -153,40 +255,77 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
             state, masses=new_m, t=state.t + state.dt)
         if shape.has_breathing:
             new_state = dataclasses.replace(
-                new_state, stencil=dataclasses.replace(st, rest=new_rest))
+                new_state, stencil=dataclasses.replace(st, rest=new_rest),
+                springs=dataclasses.replace(state.springs,
+                                            rest=new_rem_rest))
         return new_state
 
+    def dev_index(ax):
+        return jax.lax.axis_index(ax)
+
     def chunk_body(state: SimState, n_steps) -> SimState:
-        return jax.lax.fori_loop(0, n_steps, lambda i, s: local_step(s), state)
+        if shape.has_magnets:
+            # magnet source params are chunk-invariant: gather once
+            m = state.masses
+            magnetic = m.valid & ((m.mag_rad != 0) | (m.mag_scale != 0)
+                                  | (m.mag_maxf != 0) | (m.mag_stiffness != 0))
+            mag_src = tuple(
+                jax.lax.all_gather(x, axis, axis=0, tiled=True)
+                for x in (m.mag_rad, m.mag_scale, magnetic))
+        else:
+            mag_src = None
+        return jax.lax.fori_loop(
+            0, n_steps, lambda i, s: local_step(s, mag_src), state)
 
     n = shape.n_masses
 
-    def spec_of(x):
-        parts = [None] * x.ndim
-        for dim, size in enumerate(x.shape):
-            if size == n:
-                parts[dim] = axis
-                break
-        return P(*parts)
+    def _spec_tree(proto: SimState, of_n):
+        """Shardings by FIELD ROLE, not by dimension size: mass-indexed
+        arrays (masses, lcon, topo incidence, stencil dim 1) are
+        block-sharded along N; spring-indexed and global arrays are
+        replicated (a padded spring count can numerically equal N, so
+        size-matching alone would mis-shard them)."""
+        def shard_n(x):
+            parts = [None] * x.ndim
+            for dim, size in enumerate(x.shape):
+                if size == n:
+                    parts[dim] = of_n
+                    break
+            return P(*parts)
+
+        rep = lambda x: P()
+        tm = jax.tree_util.tree_map
+        return dataclasses.replace(
+            tm(rep, proto),
+            masses=tm(shard_n, proto.masses),
+            stencil=tm(shard_n, proto.stencil),
+            lcon=tm(shard_n, proto.lcon),
+            topo=tm(shard_n, proto.topo),
+        )
 
     def make(state_proto: SimState):
-        specs = jax.tree_util.tree_map(spec_of, state_proto)
+        specs = _spec_tree(state_proto, axis)
         fn = jax.shard_map(chunk_body, mesh=mesh,
                            in_specs=(specs, P()), out_specs=specs)
 
         def chunk(state: SimState, n_steps) -> SimState:
             if not shape.all_valid:
-                # fold endpoint validity into the stencil mask while the
-                # arrays are still global (one cross-shard roll per chunk;
-                # validity only changes at re-marshal boundaries)
+                # fold endpoint validity into the stencil mask and remainder
+                # valid flags while the arrays are still global (one
+                # cross-shard roll/gather per chunk; validity only changes
+                # at re-marshal boundaries)
                 v = state.masses.valid
                 mask_eff = jnp.stack([
                     state.stencil.mask[fi] & v & jnp.roll(v, -d)
-                    for fi, d in enumerate(deltas)])
+                    for fi, d in enumerate(deltas)]) if deltas else \
+                    state.stencil.mask
+                sp = state.springs
                 state = dataclasses.replace(
                     state,
                     stencil=dataclasses.replace(state.stencil,
-                                                mask=mask_eff))
+                                                mask=mask_eff),
+                    springs=dataclasses.replace(
+                        sp, valid=sp.valid & v[sp.left] & v[sp.right]))
             return fn(state, n_steps)
 
         return jax.jit(chunk)
@@ -198,7 +337,7 @@ def place(state: SimState, mesh: Mesh, axis: str = "shard") -> SimState:
     """Device-put a scene's state with the halo path's shardings."""
     n = state.masses.valid.shape[-1]
 
-    def put(x):
+    def put_n(x):
         parts = [None] * x.ndim
         for dim, size in enumerate(x.shape):
             if size == n:
@@ -206,4 +345,14 @@ def place(state: SimState, mesh: Mesh, axis: str = "shard") -> SimState:
                 break
         return jax.device_put(x, NamedSharding(mesh, P(*parts)))
 
-    return jax.tree_util.tree_map(put, state)
+    def put_rep(x):
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    tm = jax.tree_util.tree_map
+    return dataclasses.replace(
+        tm(put_rep, state),
+        masses=tm(put_n, state.masses),
+        stencil=tm(put_n, state.stencil),
+        lcon=tm(put_n, state.lcon),
+        topo=tm(put_n, state.topo),
+    )

@@ -373,8 +373,11 @@ class Simulation:
         if s_rem:
             ids = np.concatenate([st.right[rem_idx], st.left[rem_idx]])
             max_deg = int(np.bincount(ids, minlength=n).max())
+            rem_span = int(np.max(np.abs(
+                st.right[rem_idx] - st.left[rem_idx])))
         else:
             max_deg = 1
+            rem_span = 0
         shape = SceneShape(
             n_masses=N, n_springs=S, max_degree=max(max_deg, 1),
             stencil_deltas=deltas, has_remainder=s_rem > 0,
@@ -386,6 +389,7 @@ class Simulation:
             has_breathing=has_breathing, has_actuated=has_actuated,
             has_damping=has_damping,
             all_valid=all_valid, config=cfg,
+            remainder_span=rem_span,
         )
 
         def vec3(a):  # host [cap,3] f64 -> device [3,N] cfg-dtype

@@ -217,6 +217,10 @@ class SceneShape:
     # pairwise; (A, C) = bin-table height / per-cell capacity.  Chosen at
     # marshal from config.magnet_binned_threshold.
     magnet_binned: tuple = ()
+    # max |right - left| over remainder springs (0 if none): the halo-exchange
+    # multi-chip path (parallel/halo.py) can evaluate remainder springs
+    # locally iff this span fits inside its halo window.
+    remainder_span: int = 0
     # Per-field "uniform within every stencil family" flags for
     # (k, rest, damping, type, omega).  Regular lattices are uniform in all
     # five; the tiled Pallas kernel then passes one scalar per family via
