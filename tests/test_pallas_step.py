@@ -18,7 +18,7 @@ from titan_tpu.ops.step import build_chunk_fn
 def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
            extern=False, damping=0.0, integrator=None, breathing=False,
            actuated=False, drag=0.0, deleted=False, magnets=False,
-           local=None):
+           local=None, remainder=False, remainder_actuated=False):
     from titan_tpu import (Integrator, ACTIVE_CONTRACT_THEN_EXPAND,
                            ACTUATED_CONTRACT, ACTUATED_EXPAND,
                            CONSTRAINT_PLANE, CONTACT_PLANE, BALL, DIRECTION)
@@ -74,6 +74,18 @@ def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
                                             0.3)
             elif local == "dir":
                 sim.masses[i].addConstraint(DIRECTION, Vec(1, 0, 0), 0.2)
+    if remainder or remainder_actuated:
+        # irregular extra springs: unique index deltas (23, 29, 31) are not
+        # 4x4x4-lattice family offsets and occur once each (below
+        # stencil_min_count), so they land in the remainder partition
+        for base, d in ((10, 23), (2, 29), (17, 31)):
+            sp = sim.createSpring(sim.masses[base], sim.masses[base + d])
+            sp._k = 600.0
+            sp.defaultLength()
+            if remainder_actuated:
+                sp._type = ACTUATED_CONTRACT
+                sp._l_min = sp._rest * 0.75
+                sp._rate = 0.6
     if friction:
         sim.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
     else:
@@ -92,24 +104,33 @@ def _scene(clamp=True, friction=False, ball=False, fixed_face=False,
 @pytest.mark.parametrize("variant", ["plain", "clamp_off", "friction",
                                      "ball", "beam", "extern", "damping",
                                      "verlet", "breathing", "actuated",
+                                     "rk2", "rk2_actuated", "rk2_friction",
                                      "drag", "deleted", "actuated_deleted",
                                      "magnets", "magnets_deleted",
                                      "local_cp", "local_cp_tilted",
-                                     "local_ball", "local_pl", "local_dir"])
+                                     "local_ball", "local_pl", "local_dir",
+                                     "remainder", "remainder_damped",
+                                     "remainder_actuated",
+                                     "remainder_deleted", "rk2_remainder"])
 def test_pallas_matches_xla(variant, monkeypatch):
     kw = dict(clamp=variant != "clamp_off",
-              friction=variant == "friction",
+              friction=variant in ("friction", "rk2_friction"),
               ball=variant == "ball",
               fixed_face=variant == "beam",
               extern=variant == "extern",
-              damping=0.5 if variant == "damping" else 0.0,
-              integrator="verlet" if variant == "verlet" else None,
+              damping=0.5 if variant in ("damping", "remainder_damped")
+              else 0.0,
+              integrator=("verlet" if variant == "verlet"
+                          else "rk2" if variant.startswith("rk2") else None),
               breathing=variant == "breathing",
-              actuated=variant in ("actuated", "actuated_deleted"),
+              actuated=variant in ("actuated", "actuated_deleted",
+                                   "rk2_actuated"),
               drag=0.3 if variant == "drag" else 0.0,
               deleted=variant in ("deleted", "actuated_deleted",
-                                  "magnets_deleted"),
+                                  "magnets_deleted", "remainder_deleted"),
               magnets=variant.startswith("magnets"),
+              remainder=variant.startswith(("remainder", "rk2_remainder")),
+              remainder_actuated=variant == "remainder_actuated",
               local={"local_cp": "cp", "local_cp_tilted": "cp_friction",
                      "local_ball": "ball", "local_pl": "pl",
                      "local_dir": "dir"}.get(variant))
@@ -155,6 +176,16 @@ def test_pallas_matches_xla(variant, monkeypatch):
         assert not np.allclose(np.asarray(out_p.stencil.rest),
                                np.asarray(sim._state.stencil.rest)), \
             "actuation did nothing"
+    if variant == "remainder_actuated":
+        # actuated REMAINDER rest must round-trip out of the kernel too
+        np.testing.assert_allclose(np.asarray(out_p.springs.rest),
+                                   np.asarray(out_x.springs.rest),
+                                   atol=1e-6, rtol=1e-6)
+        assert not np.allclose(np.asarray(out_p.springs.rest),
+                               np.asarray(sim._state.springs.rest)), \
+            "remainder actuation did nothing"
+    if variant.startswith(("remainder", "rk2_remainder")):
+        assert sim._shape.has_remainder
 
 
 def test_envelope_rejections():

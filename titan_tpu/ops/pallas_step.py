@@ -9,11 +9,15 @@ config (9.3k vs 5.4k steps/s on one TPU v5e chip).
 
 Specialization envelope (checked by ``pallas_supported``); scenes outside it
 use the XLA path and get identical physics:
-  - float32, all springs in stencil families (no remainder)
+  - float32; springs in stencil families, plus an irregular-topology
+    remainder whose endpoint gather/scatter runs as one-hot matmuls on the
+    otherwise-idle MXU (accepted while the [2S, N] incidence fits
+    _REM_ONEHOT_BUDGET)
   - breathing (ACTIVE_*) and ACTUATED_* (rest-mutating, rate-clamped per
     sim.cu:1173-1181) springs; rest is carried in VMEM across the chunk
   - axial spring damping supported (adds velocity halo rolls)
-  - Euler (velocity clamp optional) or Verlet integrators
+  - Euler (velocity clamp optional), Verlet, or RK2 integrators (RK2 runs
+    the reference's double force pass per dt, sim.cu:1778-1799)
   - gravity, persistent external force, fixed masses, quadratic drag
   - global contact planes (incl. static+kinetic friction) and balls
   - local constraints (per-mass contact/constraint planes, balls,
@@ -41,23 +45,32 @@ from ..state import SceneShape, SimState
 # VMEM budget: pos/vel/const_f in + pos/vel/acc out + k/rest [F,N] + minv +
 # fixed + per-family temporaries.  Leave headroom under the chip's VMEM.
 _VMEM_BUDGET = 100 * 1024 * 1024
+# cap on the [2S, N] remainder one-hot incidence (f32): irregular-topology
+# scenes beyond this use the XLA gather path
+_REM_ONEHOT_BUDGET = 16 * 1024 * 1024
 
 
 def pallas_supported(shape: SceneShape) -> bool:
     cfg = shape.config
-    if cfg.integrator not in (Integrator.EULER, Integrator.VERLET):
+    if cfg.integrator not in (Integrator.EULER, Integrator.VERLET,
+                              Integrator.RK2):
         return False
     if cfg.dtype != "float32":
         return False
     if not cfg.use_stencil or not shape.stencil_deltas:
-        return False
-    if shape.has_remainder:
         return False
     if shape.has_magnets and shape.n_masses > cfg.magnet_pallas_max:
         return False
     if not cfg.persistent_extern_force:
         return False
     n, f = shape.n_masses, len(shape.stencil_deltas)
+    rem_bytes = 0
+    if shape.has_remainder:
+        # remainder endpoint gather/scatter runs as one-hot matmuls on the
+        # (otherwise idle) MXU; the [2S, N] one-hot incidence lives in VMEM
+        rem_bytes = 4 * 2 * shape.n_springs * n
+        if rem_bytes > _REM_ONEHOT_BUDGET:
+            return False
     # resident refs: 7 [3,N] vec3 (pos/vel/acc/cforce in + 3 outs), [1,N]
     # minv/fixed (+drag, +4 magnet params, +valid, +local-constraint slot
     # planes), [F,N] k/rest/damping/bsign/bomega (+arate/abound/orest when
@@ -70,7 +83,10 @@ def pallas_supported(shape: SceneShape) -> bool:
         if 4 * (n // 128) * 128 * 128 * 4 > 16 * 1024 * 1024:
             return False
     sc += _lc_planes(shape)
-    vmem_bytes = 4 * n * (3 * 7 + fam + sc) + 4 * n * 3 * 6
+    # RK2 holds the pass-1 results (f1/vel1/pos_h/vel_h) live across the
+    # second force evaluation: budget extra [3, N] temporaries for it
+    tmp = 3 * 10 if cfg.integrator is Integrator.RK2 else 3 * 6
+    vmem_bytes = 4 * n * (3 * 7 + fam + sc) + 4 * n * tmp + rem_bytes
     return vmem_bytes < _VMEM_BUDGET
 
 
@@ -88,11 +104,14 @@ def _build_kernel(shape: SceneShape):
     plane_friction = shape.plane_friction
     clamp = shape.config.velocity_clamp
     verlet = shape.config.integrator is Integrator.VERLET
+    rk2 = shape.config.integrator is Integrator.RK2
     has_damping = shape.has_damping
     has_breathing = shape.has_breathing
     has_actuated = shape.has_actuated
     has_drag = shape.has_drag
     has_magnets = shape.has_magnets
+    has_remainder = shape.has_remainder
+    n_rem = shape.n_springs
     caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
     has_local = any(caps)
     normal_coeff = shape.config.normal_coeff
@@ -115,9 +134,15 @@ def _build_kernel(shape: SceneShape):
         if has_local:
             lc_ref = refs[i]    # [P_lc, R, 128] stacked slot planes
             i += 1
+        if has_remainder:
+            ronehot_ref = refs[i]   # [2S, N] one-hot endpoint incidence
+            remp_ref = refs[i + 1]  # [Q, S, 1] per-spring scalar params
+            i += 2
         opos_ref, ovel_ref, oacc_ref = refs[i:i + 3]
         if has_actuated:
             orest_ref = refs[i + 3]
+            if has_remainder:
+                orest_rem_ref = refs[i + 4]   # [S, 1] carried remainder rest
         # All mass-payload refs are [.., R, 128]: flat-index rolls decompose
         # into whole-row rolls + one <128 lane rotation, which Mosaic runs
         # ~2.1x faster in VMEM than a full-width lane rotation (19.6k vs
@@ -152,12 +177,16 @@ def _build_kernel(shape: SceneShape):
         oacc_ref[:] = acc_ref[:]                # Verlet carries acc
         if has_actuated:
             orest_ref[:] = rest_ref[:]          # rest is carried state
+            if has_remainder:
+                orest_rem_ref[:] = remp_ref[1]  # row 1 = rest
         not_fixed = 1.0 - fixed_ref[:]          # [1, R, 128] f32 mask
 
-        def body(step, _):
-            pos = opos_ref[:]
-            vel = ovel_ref[:]
-            vel0 = vel   # pre-constraint velocity (frozen masses keep it)
+        def compute_forces(pos, vel, t_now):
+            # One full force evaluation at (pos, vel, t_now): springs,
+            # magnets, global planes/balls, local constraints (which may
+            # mutate vel), drag.  RK2 (sim.cu:1778-1799) calls this twice
+            # per step; ACTUATED rest (orest_ref) advances on every call,
+            # matching the reference's double-pass rest-mutation quirk.
             # springs: stencil families, masked via k_eff == 0 padding
             f_acc = cforce_ref[:]               # m*g + persistent extern
             for fi, d in enumerate(deltas):
@@ -182,7 +211,6 @@ def _build_kernel(shape: SceneShape):
                 if has_breathing:
                     # rest scale 1 -/+ 0.2 sin(omega t) folded into
                     # bsign = -/+0.2 (0 for passive), reference sim.cu:1169-72
-                    t_now = scal_ref[1] + step.astype(jnp.float32) * dt
                     rest = rest * (1.0 + bsign_ref[fi]
                                    * jnp.sin(bomega_ref[fi] * t_now))
                 mag = k_ref[fi] * (rest - ln)
@@ -192,6 +220,59 @@ def _build_kernel(shape: SceneShape):
                     mag = mag + axial * damping_ref[fi]
                 f = (mag * inv) * diff
                 f_acc = f_acc - f + roll_scatter(f, d)
+            if has_remainder:
+                # irregular-topology (remainder) springs: endpoint gather
+                # and force scatter run as one-hot matmuls on the otherwise
+                # IDLE MXU (this physics has no other matmuls) -- TPU scalar
+                # gathers measured ~1000x slower than stencil rolls, but a
+                # [2S, N] incidence matmul is a few microseconds of MXU
+                # time.  Physics identical to ops/forces.spring_forces
+                # (reference computeSpringForces, sim.cu:1157-1200);
+                # invalid/padding springs carry k == 0.
+                oh = ronehot_ref[:]                          # [2S, N]
+                posf = pos.reshape(3, n)
+                g = jax.lax.dot_general(
+                    oh, posf, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)      # [2S, 3]
+                diffe = g[n_rem:] - g[:n_rem]                # right - left
+                lne = jnp.sqrt(jnp.sum(diffe * diffe, axis=1,
+                                       keepdims=True))       # [S, 1]
+                inve = jnp.where(lne > 0,
+                                 1.0 / jnp.where(lne > 0, lne, 1.0), 0.0)
+                if has_actuated:
+                    reste = orest_rem_ref[:]                 # [S, 1]
+                    ar = remp_ref[5]
+                    ab = remp_ref[6]
+                    adv = (((ar > 0) & (reste < ab))
+                           | ((ar < 0) & (reste > ab)))
+                    reste = reste + jnp.where(adv, ar * dt, 0.0)
+                    orest_rem_ref[:] = reste
+                else:
+                    reste = remp_ref[1]
+                if has_breathing:
+                    reste = reste * (1.0 + remp_ref[3]
+                                     * jnp.sin(remp_ref[4] * t_now))
+                mage = remp_ref[0] * (reste - lne)           # [S, 1]
+                if has_damping:
+                    gv = jax.lax.dot_general(
+                        oh, vel.reshape(3, n), (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+                    axiale = jnp.sum((gv[:n_rem] - gv[n_rem:]) * diffe,
+                                     axis=1, keepdims=True) * inve
+                    mage = mage + axiale * remp_ref[2]
+                fe = (mage * inve) * diffe                   # [S, 3]
+                # scatter: +f at right, -f at left (sim.cu:1189-1196)
+                sr = jax.lax.dot_general(
+                    fe, oh[n_rem:], (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)      # [3, N]
+                sl = jax.lax.dot_general(
+                    fe, oh[:n_rem], (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                f_acc = f_acc + (sr - sl).reshape(3, rows, 128)
             if has_magnets:
                 # dense in-VMEM pairwise magnet sweep, one 128-lane source
                 # row at a time (reference computeExternalMagnetForce,
@@ -363,22 +444,48 @@ def _build_kernel(shape: SceneShape):
                 # -C |v|^2 v_hat == -C |v| v (reference sim.cu:1329-1332)
                 vn = jnp.sqrt(jnp.sum(vel * vel, axis=0))
                 f_acc = f_acc - drag_ref[:] * vn * vel
-            # integrate; fixed masses frozen (sim.cu:1292-1294)
-            acc = f_acc * minv_ref[:]
-            if verlet:
-                # reference 'Verlet' (sim.cu:1350-1354)
-                v2 = vel + 0.5 * (oacc_ref[:] + acc) * dt
-                v2 = v2 * not_fixed + vel0 * fixed_ref[:]
-                opos_ref[:] = pos + (v2 * dt + 0.5 * acc * dt * dt) * not_fixed
+            return f_acc, vel
+
+        def body(step, _):
+            t_base = scal_ref[1] + step.astype(jnp.float32) * dt
+            pos = opos_ref[:]
+            vel0 = ovel_ref[:]  # pre-constraint vel (frozen masses keep it)
+            if rk2:
+                # reference RK2 (sim.cu:1778-1799 + 1336-1349): midpoint
+                # predictor then corrector, forces evaluated twice per dt
+                f1, vel1 = compute_forces(pos, vel0, t_base)
+                acc1 = f1 * minv_ref[:]
+                pos_h = pos + 0.5 * vel1 * dt
+                vel_h = vel1 + 0.5 * acc1 * dt
+                # frozen masses keep pos; their pass-2 velocity input stays
+                # vel1 (the constraint-mutated value), mirroring the `half`
+                # state of ops/step.py's RK2 branch
+                pos_h = pos_h * not_fixed + pos * fixed_ref[:]
+                vel_h = vel_h * not_fixed + vel1 * fixed_ref[:]
+                f2, vel2 = compute_forces(pos_h, vel_h, t_base + 0.5 * dt)
+                acc = f2 * minv_ref[:]
+                v2 = ((vel1 + acc * dt) * not_fixed
+                      + vel0 * fixed_ref[:])
+                opos_ref[:] = pos + vel2 * dt * not_fixed
             else:
-                # Euler with optional clamp (sim.cu:1355-1362)
-                v2 = vel + acc * dt
-                if clamp:
-                    vn = jnp.sqrt(jnp.sum(v2 * v2, axis=0))
-                    v2 = jnp.where(vn > 1.0,
-                                   v2 / jnp.where(vn > 0, vn, 1.0), v2)
-                v2 = v2 * not_fixed + vel0 * fixed_ref[:]
-                opos_ref[:] = pos + v2 * dt * not_fixed
+                f_acc, vel = compute_forces(pos, vel0, t_base)
+                # integrate; fixed masses frozen (sim.cu:1292-1294)
+                acc = f_acc * minv_ref[:]
+                if verlet:
+                    # reference 'Verlet' (sim.cu:1350-1354)
+                    v2 = vel + 0.5 * (oacc_ref[:] + acc) * dt
+                    v2 = v2 * not_fixed + vel0 * fixed_ref[:]
+                    opos_ref[:] = pos + (v2 * dt
+                                         + 0.5 * acc * dt * dt) * not_fixed
+                else:
+                    # Euler with optional clamp (sim.cu:1355-1362)
+                    v2 = vel + acc * dt
+                    if clamp:
+                        vn = jnp.sqrt(jnp.sum(v2 * v2, axis=0))
+                        v2 = jnp.where(vn > 1.0,
+                                       v2 / jnp.where(vn > 0, vn, 1.0), v2)
+                    v2 = v2 * not_fixed + vel0 * fixed_ref[:]
+                    opos_ref[:] = pos + v2 * dt * not_fixed
             ovel_ref[:] = v2
             oacc_ref[:] = (acc * not_fixed
                            + oacc_ref[:] * fixed_ref[:])
@@ -484,6 +591,36 @@ def build_pallas_chunk(shape: SceneShape):
                           lcon.dir_friction[:, j][None]]
             extra_in.append(r3(jnp.concatenate(parts, axis=0)
                                .astype(m.pos.dtype)))
+        if shape.has_remainder:
+            sp = state.springs
+            rem_ok = sp.valid & m.valid[sp.left] & m.valid[sp.right]
+            styr = sp.type
+            rows_p = [
+                jnp.where(rem_ok, sp.k, 0.0),
+                sp.rest,
+                jnp.where(rem_ok, sp.damping, 0.0),
+                jnp.where(styr == ACTIVE_CONTRACT_THEN_EXPAND, -0.2,
+                          jnp.where(styr == ACTIVE_EXPAND_THEN_CONTRACT,
+                                    0.2, 0.0)),
+                sp.omega,
+            ]
+            if shape.has_actuated:
+                ratr = jnp.where(styr == ACTUATED_EXPAND, sp.rate,
+                                 jnp.where(styr == ACTUATED_CONTRACT,
+                                           -sp.rate, 0.0))
+                rows_p += [
+                    jnp.where(rem_ok, ratr, 0.0),
+                    jnp.where(styr == ACTUATED_EXPAND, sp.l_max,
+                              jnp.where(styr == ACTUATED_CONTRACT,
+                                        sp.l_min, 0.0)),
+                ]
+            remp = jnp.stack([jnp.asarray(r, m.pos.dtype) for r in rows_p]
+                             )[:, :, None]                    # [Q, S, 1]
+            lr = jnp.concatenate([sp.left, sp.right]).astype(jnp.int32)
+            onehot = (lr[:, None]
+                      == jnp.arange(n, dtype=jnp.int32)[None, :]
+                      ).astype(m.pos.dtype)                   # [2S, N]
+            extra_in += [onehot, remp]
 
         n_in = 11 + len(extra_in)
         n_out = 4 if shape.has_actuated else 3
@@ -492,6 +629,10 @@ def build_pallas_chunk(shape: SceneShape):
         if shape.has_actuated:
             out_shape.append(
                 jax.ShapeDtypeStruct((nf, rows, 128), m.pos.dtype))
+            if shape.has_remainder:
+                n_out += 1
+                out_shape.append(jax.ShapeDtypeStruct(
+                    (shape.n_springs, 1), m.pos.dtype))
         outs = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -522,6 +663,10 @@ def build_pallas_chunk(shape: SceneShape):
             new_state = dataclasses.replace(
                 new_state, stencil=dataclasses.replace(
                     state.stencil, rest=outs[3].reshape(nf, n)))
+            if shape.has_remainder:
+                new_state = dataclasses.replace(
+                    new_state, springs=dataclasses.replace(
+                        state.springs, rest=outs[4].reshape(-1)))
         return new_state
 
     return chunk
