@@ -154,3 +154,71 @@ def test_live_viewer_serves_frames_while_running():
     finally:
         lv.stop()
         sim.stop()
+
+
+def test_live_viewer_records_and_exports(tmp_path):
+    """record=True tees sampled frames into a buffer downloadable from the
+    live page (/export.html) or saveable via export_html -- the 'recording
+    from the live view' capability the reference lacks entirely."""
+    import json
+    import urllib.request
+
+    from titan_tpu.runtime.live import LiveViewer
+
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    sim.createCube(Vec(0, 0, 2), 1.0)
+    sim.createPlane(Vec(0, 0, 1), 0)
+    sim.setTimeStep(0.0001)
+    sim.start()
+    lv = LiveViewer(sim, record=True, max_record_frames=50)
+    try:
+        # drive sampling deterministically (no thread timing in the test)
+        lv._sample_once()
+        for _ in range(4):
+            sim.wait(0.01)
+            lv._sample_once()
+            sim.resume()
+        assert len(lv.frames) >= 3
+        assert lv.times == sorted(lv.times)
+
+        body = lv.export_html_bytes().decode()
+        assert "titan-tpu viewer" in body
+        start = body.index("const D = ") + len("const D = ")
+        data = json.loads(body[start:body.index(";\n", start)])
+        assert len(data["frames"]) == len(lv.frames)
+        assert len(data["frames"][0]) == 8          # cube corners
+
+        out = str(tmp_path / "live_rec.html")
+        lv.export_html(out)
+        assert "titan-tpu viewer" in open(out).read()
+
+        # the download endpoint serves the same document
+        lv.start()
+        with urllib.request.urlopen(
+                lv.url.rstrip("/") + "/export.html", timeout=10) as r:
+            assert "attachment" in r.headers["Content-Disposition"]
+            assert b"titan-tpu viewer" in r.read()
+        topo = json.loads(urllib.request.urlopen(
+            lv.url.rstrip("/") + "/topology", timeout=10).read())
+        assert topo["record"] is True
+    finally:
+        lv.stop()
+        sim.stop()
+
+
+def test_live_viewer_ring_buffer_bounds_memory():
+    from titan_tpu.runtime.live import LiveViewer
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    sim.createCube(Vec(0, 0, 2), 1.0)
+    sim.setTimeStep(0.0001)
+    sim.start()
+    lv = LiveViewer(sim, record=True, max_record_frames=6)
+    try:
+        for _ in range(10):
+            sim.wait(0.005)
+            lv._sample_once()
+            sim.resume()
+        assert len(lv.frames) <= 6
+        assert lv.times == sorted(lv.times)   # oldest dropped, order kept
+    finally:
+        sim.stop()

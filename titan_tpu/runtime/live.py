@@ -36,11 +36,16 @@ class LiveViewer:
 
     def __init__(self, sim, port: int = 0, cadence: float = 0.05,
                  max_masses: Optional[int] = 20000,
-                 max_springs: int = 20000):
+                 max_springs: int = 20000,
+                 record: bool = False, max_record_frames: int = 3000):
         self.sim = sim
         self.cadence = cadence
         self.max_masses = max_masses
         self.max_springs = max_springs
+        self.record = record
+        self.max_record_frames = max_record_frames
+        self.frames = []             # recorded [n, 3] f32 (ring buffer)
+        self.times = []
         self._frame = None           # (t, [n, 3] f32)
         self._frame_lock = threading.Lock()
         self._stop = threading.Event()
@@ -75,21 +80,52 @@ class LiveViewer:
         self._server.serve_forever(poll_interval=0.1)
 
     def _sample(self) -> None:
-        import jax
         while not self._stop.wait(self.cadence):
-            with self.sim._lock:
-                state = self.sim._state
-                t = self.sim._T
-            if state is None:
-                continue
-            pos = np.asarray(jax.device_get(state.masses.pos),
-                             dtype=np.float32)
-            n = self.sim._store.n_masses
-            if self.max_masses:
-                n = min(n, self.max_masses)
-            frame = pos[:, :n].T.copy()
-            with self._frame_lock:
-                self._frame = (t, frame)
+            self._sample_once()
+
+    def _sample_once(self) -> None:
+        import jax
+        with self.sim._lock:
+            state = self.sim._state
+            t = self.sim._T
+        if state is None:
+            return
+        pos = np.asarray(jax.device_get(state.masses.pos),
+                         dtype=np.float32)
+        n = self.sim._store.n_masses
+        if self.max_masses:
+            n = min(n, self.max_masses)
+        frame = pos[:, :n].T.copy()
+        with self._frame_lock:
+            self._frame = (t, frame)
+            if self.record and (not self.times or t > self.times[-1]):
+                self.frames.append(frame)
+                self.times.append(t)
+                if len(self.frames) > self.max_record_frames:
+                    # ring: drop the oldest half to amortize the pops
+                    keep = self.max_record_frames // 2
+                    self.frames = self.frames[-keep:]
+                    self.times = self.times[-keep:]
+
+    def export_html_bytes(self) -> Optional[bytes]:
+        """The recorded trajectory as a standalone viewer page (the same
+        single-file format as runtime.viewer.Recorder.export_html)."""
+        from .viewer import build_viewer_html
+        with self._frame_lock:
+            frames = list(self.frames)
+            times = list(self.times)
+        if not frames:
+            return None
+        return build_viewer_html(self.sim, frames, times,
+                                 self.max_springs).encode()
+
+    def export_html(self, path: str) -> None:
+        body = self.export_html_bytes()
+        if body is None:
+            raise RuntimeError("nothing recorded (pass record=True and let "
+                               "the simulation run)")
+        with open(path, "wb") as fh:
+            fh.write(body)
 
     def _topology(self) -> dict:
         st = self.sim._store
@@ -108,6 +144,7 @@ class LiveViewer:
                       for b in self.sim._balls],
             "camera": ([cam[0].tolist(), cam[1].tolist()]
                        if cam is not None else None),
+            "record": self.record,
         }
 
     def _handler_cls(self):
@@ -130,6 +167,21 @@ class LiveViewer:
                 elif self.path == "/topology":
                     self._send(json.dumps(viewer._topology()).encode(),
                                "application/json")
+                elif self.path == "/export.html":
+                    body = viewer.export_html_bytes()
+                    if body is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Disposition",
+                                     "attachment; "
+                                     "filename=titan_live_recording.html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif self.path == "/frame":
                     with viewer._frame_lock:
                         fr = viewer._frame
@@ -168,6 +220,13 @@ cv.onwheel = e => { dist *= Math.exp(e.deltaY*0.001); };
 let ctr = [0,0,0], scl = 1;
 fetch('/topology').then(r => r.json()).then(t => {
   topo = t;
+  if (t.record) {
+    const a = document.createElement('a');
+    a.href = '/export.html'; a.download = 'titan_live_recording.html';
+    a.textContent = 'save recording'; a.style.color = '#8cf';
+    a.style.position = 'fixed'; a.style.top = '8px'; a.style.right = '12px';
+    document.body.appendChild(a);
+  }
   if (t.camera) {
     const [cp, tg] = t.camera;
     const v = [cp[0]-tg[0], cp[1]-tg[1], cp[2]-tg[2]];

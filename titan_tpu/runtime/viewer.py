@@ -103,33 +103,40 @@ class Recorder:
 
     def export_html(self, path: str, max_springs: int = 20000) -> None:
         """Single-file interactive viewer (rotate/play), no dependencies."""
-        frames = np.stack(self.frames)            # [T, n, 3]
-        st = self.sim._store
-        s = min(st.n_springs, max_springs)
-        edges = np.stack([st.left[:s], st.right[:s]], axis=1)
-        edges = edges[(edges[:, 0] >= 0) & (edges[:, 1] >= 0)
-                      & (edges < frames.shape[1]).all(axis=1)]
-        # initial view from setViewport/moveViewport (reference
-        # sim.cu:1636-1661); the viewer is orbit-style so the camera maps to
-        # (yaw, pitch, distance) about the scene center -- roll (up vector)
-        # is not represented
-        cam = getattr(self.sim, "_camera", None)
-        data = {
-            "times": [round(float(t), 5) for t in self.times],
-            "frames": np.round(frames, 4).tolist(),
-            "edges": edges.tolist(),
-            # constraint objects (reference renders checkerboard planes and
-            # icospheres, object.cu:667-898; here: grid lines and circles)
-            "planes": [[p[0].tolist(), float(p[1])]
-                       for p in self.sim._planes],
-            "balls": [[b[0].tolist(), float(b[1])]
-                      for b in self.sim._balls],
-            "camera": ([cam[0].tolist(), cam[1].tolist()]
-                       if cam is not None else None),
-        }
-        html = _HTML_TEMPLATE.replace("/*DATA*/", json.dumps(data))
+        html = build_viewer_html(self.sim, self.frames, self.times,
+                                 max_springs)
         with open(path, "w") as fh:
             fh.write(html)
+
+
+def build_viewer_html(sim, frames, times, max_springs: int = 20000) -> str:
+    """Standalone-viewer HTML for a recorded (frames, times) trajectory;
+    shared by Recorder.export_html and LiveViewer's /export.html download."""
+    frames = np.stack(frames)                 # [T, n, 3]
+    st = sim._store
+    s = min(st.n_springs, max_springs)
+    edges = np.stack([st.left[:s], st.right[:s]], axis=1)
+    edges = edges[(edges[:, 0] >= 0) & (edges[:, 1] >= 0)
+                  & (edges < frames.shape[1]).all(axis=1)]
+    # initial view from setViewport/moveViewport (reference
+    # sim.cu:1636-1661); the viewer is orbit-style so the camera maps to
+    # (yaw, pitch, distance) about the scene center -- roll (up vector)
+    # is not represented
+    cam = getattr(sim, "_camera", None)
+    data = {
+        "times": [round(float(t), 5) for t in times],
+        "frames": np.round(frames, 4).tolist(),
+        "edges": edges.tolist(),
+        # constraint objects (reference renders checkerboard planes and
+        # icospheres, object.cu:667-898; here: grid lines and circles)
+        "planes": [[p[0].tolist(), float(p[1])]
+                   for p in sim._planes],
+        "balls": [[b[0].tolist(), float(b[1])]
+                  for b in sim._balls],
+        "camera": ([cam[0].tolist(), cam[1].tolist()]
+                   if cam is not None else None),
+    }
+    return _HTML_TEMPLATE.replace("/*DATA*/", json.dumps(data))
 
 
 _HTML_TEMPLATE = """<!DOCTYPE html>
