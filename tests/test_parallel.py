@@ -146,6 +146,41 @@ def test_flat_per_env_param_sweep():
     assert errs[0] > errs[3]
 
 
+def test_flat_per_env_plane_sweep():
+    """Per-env contact-plane offsets on the flat-packed fast path: each
+    env's floor height rides a per-mass local contact-plane slot, so the
+    batch stays one stencil scene (Pallas-eligible), no vmap."""
+    from titan_tpu.ops.pallas_step import pallas_supported
+    from titan_tpu.parallel import replicate_scene, set_env_plane
+
+    src = Simulation(SimConfig(velocity_clamp=False))
+    src.createCube(Vec(0, 0, 1.6), 1.0)
+    src.setAllSpringConstantValues(5000.0)
+    for m in src.masses:
+        m.setDrag(0.5)           # dissipate the bounce so the cubes settle
+    src.setGlobalAcceleration(Vec(0, 0, -9.8))
+    src.setTimeStep(0.0001)
+    big, envs = replicate_scene(src, n_envs=4, spacing=Vec(20, 0, 0))
+    floors = [0.0, 0.3, 0.6, 0.9]
+    set_env_plane(big, envs, Vec(0, 0, 1), floors)
+    # re-issuing must replace the tracked slot, not stack a second plane
+    set_env_plane(big, envs, Vec(0, 0, 1), floors)
+    big._T = 0.0
+    big._marshal()
+    assert big._shape.cap_cp == 1, "re-issue stacked a second slot"
+    assert pallas_supported(big._shape), "left the fast-path envelope"
+
+    big.start()
+    big.pause(2.0)
+    big.getAll()
+    st = big._store
+    for env, floor in zip(envs, floors):
+        lo = st.pos[env._mass_idx, 2].min()
+        # each cube rests ON ITS OWN floor (penalty penetration ~1e-3)
+        assert abs(lo - floor) < 0.02, (lo, floor)
+    big.stop()
+
+
 def test_flat_per_env_gravity_sweep():
     """BASELINE config 5: per-env scene globals (gravity) on the flat-packed
     fast path -- folded into the persistent external force, so the batch

@@ -11,9 +11,9 @@ is an automatic transform with per-env Containers for get/set.
 Per-env parameter sweeps work through the per-spring/per-mass arrays (k,
 rest, m, ...).  Per-env GRAVITY is supported at flat-packed speed via
 ``set_env_gravity`` (folded into the persistent external force, which the
-fast kernels already carry per-mass).  Per-env plane offsets are not
-expressible on the fast path yet (they would need a per-mass plane-offset
-array in the kernels); use the vmap path (batched.py) for those.
+fast kernels already carry per-mass).  Per-env CONTACT-PLANE offsets are
+supported via ``set_env_plane`` (folded into per-mass local contact-plane
+slots, which the fast kernels hold VMEM-resident, friction included).
 
     sim = titan.Simulation()
     ... build one env ...
@@ -81,8 +81,9 @@ def replicate_scene(src, n_envs: int, spacing=None,
         for e in range(n_envs):
             r = sim._store.local_record(i + e * n)
             shift = e * off
-            r.contact_planes = [(v.copy(), d + float(v @ shift))
-                                for v, d in rec.contact_planes]
+            r.contact_planes = [(cp[0].copy(), cp[1] + float(cp[0] @ shift))
+                                + tuple(cp[2:])
+                                for cp in rec.contact_planes]
             r.balls = [(v + shift, d) for v, d in rec.balls]
             r.constraint_planes = [(v.copy(), d)
                                    for v, d in rec.constraint_planes]
@@ -134,3 +135,44 @@ def set_env_gravity(sim, envs, g_envs) -> None:
         delta[idx] = st.m[idx, None] * (g_e - sim._global_acc)
     st.extern_force[: st.n_masses] += delta
     sim._env_gravity_delta = delta
+
+
+def set_env_plane(sim, envs, normal, offsets, fk: float = 0.0,
+                  fs: float = 0.0) -> None:
+    """Per-env contact-plane offsets at flat-packed speed (the other sweep
+    axis of BASELINE config 5).
+
+    A global plane (createPlane) is per-scene, but the kernels already
+    carry PER-MASS local contact-plane slots VMEM-resident (friction
+    included), so a per-env offset d_e is exactly expressible by giving
+    every mass of env e a local contact plane (normal, d_e, fk, fs).  The
+    contact + static/kinetic friction math is identical to the global
+    plane's (reference object.cu:76-109 vs the local slot application at
+    sim.cu:1311-1326); only the application order relative to OTHER
+    constraint objects differs.
+
+    Call before start(): local-constraint capacity is static scene shape.
+    Calling again replaces the plane this function previously added for
+    each mass (the slot index is tracked), so sweeps can be re-issued at a
+    pause -- the capacity flip on first use re-marshals at start.
+    """
+    nv = Vec(normal).numpy() if isinstance(normal, Vec) else \
+        np.asarray(normal, dtype=np.float64).reshape(3)
+    nrm = float(np.linalg.norm(nv))
+    assert nrm > 0, "plane normal must be nonzero"
+    nv = nv / nrm
+    offs = np.asarray(offsets, dtype=np.float64).reshape(len(envs))
+    slots = getattr(sim, "_env_plane_slot", None)
+    if slots is None:
+        slots = sim._env_plane_slot = {}
+    for c, d in zip(envs, offs):
+        ent = (nv.copy(), float(d), float(fk), float(fs))
+        for i in c._mass_idx:
+            i = int(i)
+            rec = sim._store.local_record(i)
+            j = slots.get(i)
+            if j is None:
+                slots[i] = len(rec.contact_planes)
+                rec.contact_planes.append(ent)
+            else:
+                rec.contact_planes[j] = ent

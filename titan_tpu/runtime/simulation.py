@@ -1065,9 +1065,15 @@ def _marshal_local(st: HostStore, N: int, shape: SceneShape, dt) -> LocalConstra
     for i, rec in st.local.items():
         if not st.valid[i]:
             continue
-        for j, (nrm, off) in enumerate(rec.contact_planes):
-            lc.cp_normal[i, j] = nrm
-            lc.cp_offset[i, j] = off
+        for j, cp_rec in enumerate(rec.contact_planes):
+            # (normal, offset) from Mass.addConstraint (reference surface,
+            # frictionless) or (normal, offset, fk, fs) from
+            # parallel.flat.set_env_plane (per-env plane sweeps)
+            lc.cp_normal[i, j] = cp_rec[0]
+            lc.cp_offset[i, j] = cp_rec[1]
+            if len(cp_rec) > 2:
+                lc.cp_fk[i, j] = cp_rec[2]
+                lc.cp_fs[i, j] = cp_rec[3]
         lc.cp_count[i] = len(rec.contact_planes)
         for j, (c, r) in enumerate(rec.balls):
             lc.ball_center[i, j] = c
