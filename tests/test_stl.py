@@ -73,7 +73,11 @@ def test_import_from_stl_box(tmp_path):
     # a solid box keeps essentially the full lattice
     assert len(c.masses) > 0
     assert len(c.springs) > 0
-    assert len(sim.masses) == len(c.masses)
+    # culled sites stay as structural holes (invalid rows); the container
+    # and the valid mass count see only the kept ones
+    st = sim._store
+    assert int(np.count_nonzero(st.valid[:st.n_masses])) == len(c.masses)
+    assert np.all(st.hole[:st.n_masses] == ~st.valid[:st.n_masses])
     # and the scene runs
     sim.createPlane(Vec(0, 0, 1), 0)
     sim.setTimeStep(0.0001)
@@ -99,6 +103,41 @@ def test_import_culls_outside(tmp_path):
     assert 0 < n_total
     # the import scales to max-dim 10; the missing quadrant is
     # x > 5, z > 5 in import coordinates (pos z offset dimz)
-    pos = sim._store.pos[: sim._store.n_masses]
-    in_missing = (pos[:, 0] > 1.0) & (pos[:, 2] > 11.0)
+    st = sim._store
+    pos = st.pos[: st.n_masses]
+    valid = st.valid[: st.n_masses]
+    in_missing = (pos[:, 0] > 1.0) & (pos[:, 2] > 11.0) & valid
     assert in_missing.sum() == 0
+    # the culled quadrant exists as holes, never as live masses
+    assert np.any(st.hole[: st.n_masses])
+
+
+def test_import_runs_on_stencil_fast_path(tmp_path):
+    """Culled sites kept as index holes => spring deltas stay lattice
+    strides => the import buckets FULLY into stencil families and is
+    eligible for the fused VMEM kernel (no remainder, no gather path)."""
+    from titan_tpu.ops.pallas_step import pallas_supported
+    tris = np.concatenate([
+        _box_tris([0, 0, 0], [2, 1, 1]),
+        _box_tris([0, 0, 1], [1, 1, 2]),
+    ])
+    p = str(tmp_path / "ell.stl")
+    _write_binary_stl(p, tris)
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    sim.importFromSTL(p, density=3.0, num_rays=9)
+    sim.createPlane(Vec(0, 0, 1), 0)
+    sim.setTimeStep(0.0001)
+    sim._T = 0.0
+    sim._marshal()
+    assert not sim._shape.has_remainder, "import left springs un-bucketed"
+    assert len(sim._shape.stencil_deltas) <= 13
+    assert pallas_supported(sim._shape)
+    # holes survive a marshal with the default compact_threshold: they are
+    # geometry, not garbage (compaction would break the deltas)
+    st = sim._store
+    assert np.any(st.hole[: st.n_masses])
+    sim.start()
+    sim.pause(0.03)
+    sim.getAll()
+    assert np.all(np.isfinite(st.pos[: st.n_masses][st.valid[: st.n_masses]]))
+    sim.stop()

@@ -61,6 +61,7 @@ def replicate_scene(src, n_envs: int, spacing=None,
                                                 (n_envs, 1))
     big.fixed[: n * n_envs] = np.tile(st.fixed[:n], n_envs)
     big.valid[: n * n_envs] = np.tile(st.valid[:n], n_envs)
+    big.hole[: n * n_envs] = np.tile(st.hole[:n], n_envs)
     # spatial offsets per env
     env_of_mass = np.repeat(np.arange(n_envs), n)
     big.pos[: n * n_envs] += env_of_mass[:, None] * off

@@ -26,7 +26,7 @@ from ..config import Integrator, ScatterMode, SimConfig
 
 _MASS_F3 = ("pos", "vel", "acc", "extern_force")
 _MASS_F1 = ("m", "T", "drag", "mag_rad", "mag_stiffness", "mag_maxf",
-            "mag_scale", "fixed", "valid")
+            "mag_scale", "fixed", "valid", "hole")
 _SPRING_F = ("left", "right", "s_valid", "k", "rest", "damping", "s_type",
              "omega", "l_max", "l_min", "rate")
 
@@ -46,7 +46,10 @@ def save(sim, path: str) -> None:
         arrays["s_" + f] = getattr(st, f)[:s]
     local = {
         str(i): {
-            "contact_planes": [(v.tolist(), d) for v, d in rec.contact_planes],
+            # contact planes may carry (normal, offset) or
+            # (normal, offset, fk, fs) -- see parallel.flat.set_env_plane
+            "contact_planes": [(cp[0].tolist(),) + tuple(cp[1:])
+                               for cp in rec.contact_planes],
             "balls": [(v.tolist(), d) for v, d in rec.balls],
             "constraint_planes": [(v.tolist(), d)
                                   for v, d in rec.constraint_planes],
@@ -116,13 +119,14 @@ def load(path: str, config: Optional[SimConfig] = None):
         st.reserve_springs(s)
         st.n_masses, st.n_springs = n, s
         for f in _MASS_F3 + _MASS_F1:
-            getattr(st, f)[:n] = data["m_" + f]
+            if "m_" + f in data:        # "hole" absent in v1 checkpoints
+                getattr(st, f)[:n] = data["m_" + f]
         for f in _SPRING_F:
             getattr(st, f)[:s] = data["s_" + f]
         for i_str, rec in meta["local"].items():
             r = st.local_record(int(i_str))
-            r.contact_planes = [(np.asarray(v), d)
-                                for v, d in rec["contact_planes"]]
+            r.contact_planes = [(np.asarray(cp[0]),) + tuple(cp[1:])
+                                for cp in rec["contact_planes"]]
             r.balls = [(np.asarray(v), d) for v, d in rec["balls"]]
             r.constraint_planes = [(np.asarray(v), d)
                                    for v, d in rec["constraint_planes"]]

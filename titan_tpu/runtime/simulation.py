@@ -318,7 +318,10 @@ class Simulation:
         st, cfg = self._store, self.config
         if cfg.compact_threshold:
             n, s = st.n_masses, st.n_springs
-            dead_m = n - int(np.count_nonzero(st.valid[:n]))
+            # structural holes (culled STL lattice sites) are index geometry,
+            # not garbage: they never count toward the dead fraction and
+            # store.compact preserves them
+            dead_m = int(np.count_nonzero(~st.valid[:n] & ~st.hole[:n]))
             dead_s = s - int(np.count_nonzero(st.s_valid[:s]))
             if ((n and dead_m / n >= cfg.compact_threshold)
                     or (s and dead_s / s >= cfg.compact_threshold)):

@@ -114,16 +114,23 @@ def import_from_stl(sim, path: str, density: float = 10.0,
     ], axis=1)
     keep = f.inside(mapped, num_rays=num_rays)
 
-    # compact masses, drop springs touching culled masses, remap indices
-    new_index = np.cumsum(keep) - 1
-    pos = pos[keep]
+    # Culled sites stay in the store as structural index HOLES (invalid,
+    # never compacted) instead of being removed: spring index deltas then
+    # remain the 13 lattice strides, so the whole import buckets into
+    # stencil families and runs on the fused-kernel fast path.  (The
+    # reference compacts, sim.cu:2130-2147; compacting here measured only
+    # 65% of springs bucketed at max_families=64 vs 100% with holes.)
+    # Springs touching a culled site are dropped outright, as there.
     s_keep = keep[left] & keep[right]
-    left = new_index[left[s_keep]]
-    right = new_index[right[s_keep]]
+    left, right = left[s_keep], right[s_keep]
     rest = builders.rest_lengths(pos, left, right)
 
     c = Container(sim)
-    c._mass_idx = sim._store.add_masses_bulk(pos, m=0.1)
+    all_idx = sim._store.add_masses_bulk(pos, m=0.1)
+    st = sim._store
+    st.valid[all_idx[~keep]] = False
+    st.hole[all_idx[~keep]] = True
+    c._mass_idx = all_idx[keep]          # user-visible: kept masses only
     c._spring_idx = sim._store.add_springs_bulk(
-        c._mass_idx[left], c._mass_idx[right], k=10000.0, rest=rest)
+        all_idx[left], all_idx[right], k=10000.0, rest=rest)
     return c

@@ -55,6 +55,13 @@ class HostStore:
             setattr(self, f, np.zeros(cap_m, dtype=self.dtype))
         self.fixed = np.zeros(cap_m, dtype=bool)
         self.valid = np.zeros(cap_m, dtype=bool)
+        # structural index holes: culled lattice sites (STL voxelization)
+        # kept as permanently-invalid rows so spring index DELTAS stay the
+        # lattice strides and the whole scene buckets into stencil families
+        # (a compacted import measured only 65% bucketed at max_families;
+        # holes-kept buckets 100% into the 13 lattice families).  Holes are
+        # never compacted away and don't count toward the dead fraction.
+        self.hole = np.zeros(cap_m, dtype=bool)
         # spring arrays
         self.left = np.full(cap_s, -1, dtype=np.int64)
         self.right = np.full(cap_s, -1, dtype=np.int64)
@@ -87,7 +94,7 @@ class HostStore:
         if need > cap:
             new_cap = max(need, cap * 2)
             self._grow(self._MASS_FIELDS_3 + self._MASS_FIELDS_1
-                       + ("fixed", "valid"), new_cap)
+                       + ("fixed", "valid", "hole"), new_cap)
 
     def reserve_springs(self, count: int) -> None:
         need = self.n_springs + count
@@ -206,7 +213,9 @@ class HostStore:
         (mass_remap, spring_remap): old index -> new index, -1 = dropped.
         """
         n, s = self.n_masses, self.n_springs
-        keep_m = self.valid[:n].copy()
+        # structural holes are part of the index GEOMETRY (they keep spring
+        # deltas equal to lattice strides); only real deletions are dropped
+        keep_m = self.valid[:n] | self.hole[:n]
         new_m = np.cumsum(keep_m, dtype=np.int64) - 1
         new_m[~keep_m] = -1
 
@@ -220,7 +229,8 @@ class HostStore:
         new_s[~keep_s] = -1
 
         for f in self._MASS_FIELDS_3 + self._MASS_FIELDS_1 + ("fixed",
-                                                              "valid"):
+                                                              "valid",
+                                                              "hole"):
             arr = getattr(self, f)
             arr[: int(keep_m.sum())] = arr[:n][keep_m]
         for f in ("s_valid", "k", "rest", "damping", "s_type", "omega",
