@@ -133,6 +133,53 @@ def test_halo_matches_single_device(variant):
     assert len(out_h.masses.pos.sharding.device_set) == 8
 
 
+def test_control_plane_distribute():
+    """sim.distribute(mesh): the SAME public control plane drives a scene
+    block-sharded over the 8-device mesh -- trajectories match the
+    single-device run and the live state stays sharded."""
+    sim = _scene(damping=0.3)
+    ref = _scene(damping=0.3)
+    mesh = make_mesh(("shard",))
+    sim.distribute(mesh)
+    for s in (sim, ref):
+        s.start()
+        s.pause(0.05)
+        s.getAll()
+    n = ref._store.n_masses
+    np.testing.assert_allclose(sim._store.pos[:n], ref._store.pos[:n],
+                               atol=1e-5)
+    np.testing.assert_allclose(sim._store.vel[:n], ref._store.vel[:n],
+                               atol=1e-5)
+    assert len(sim._state.masses.pos.sharding.device_set) == 8
+    # a mid-run push + resume keeps working distributed
+    sim.masses[0].setExternalForce(Vec(0.1, 0, 0))
+    sim.set(sim.masses[0])
+    sim.setBreakpoint(0.08)
+    sim.resume()
+    sim.waitForEvent()
+    assert abs(sim.time() - 0.08) < 1e-9
+    for s in (sim, ref):
+        s.stop()
+
+
+def test_distribute_falls_back_outside_halo_envelope():
+    """Binned-magnet scenes leave the halo envelope; distribute() must
+    still work via the automatic SPMD partitioner."""
+    sim = Simulation(SimConfig(velocity_clamp=False,
+                               magnet_binned_threshold=2))
+    sim.createLattice(Vec(0, 0, 3), Vec(8, 1, 1), 32, 4, 4)
+    st = sim._store
+    st.mag_maxf[:4] = 1.0
+    st.mag_rad[:4] = 0.05
+    sim.distribute(make_mesh(("shard",)))
+    sim.setTimeStep(1e-4)
+    sim.start()
+    sim.pause(0.01)
+    sim.getAll()
+    assert np.all(np.isfinite(st.pos[: st.n_masses]))
+    sim.stop()
+
+
 def test_halo_envelope():
     sim = _scene()
     # a cube-ish lattice has max(delta) > block at 8 devices -> rejected

@@ -536,9 +536,54 @@ class Simulation:
             masses=masses, springs=springs, stencil=stencil,
             gcon=gcon, lcon=lcon, topo=topo,
         )
-        self._chunk = _chunk_for(shape)
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None:
+            self._place_distributed(shape, mesh)
+        else:
+            self._chunk = _chunk_for(shape)
         self._structure_dirty = False
         get_logger().debug("marshalled scene shape: %s", shape)
+
+    def _place_distributed(self, shape: SceneShape, mesh) -> None:
+        """Shard state + chunk over the mesh chosen by distribute().
+
+        Prefers the explicit halo-exchange path (~3x the automatic
+        partitioner on an 8-device mesh, docs/PERFORMANCE.md); scenes
+        outside its envelope fall back to XLA's automatic SPMD.  Re-marshal
+        (feature flips, topology edits) re-places automatically."""
+        from ..parallel.halo import build_halo_chunk, halo_supported, place
+        from ..parallel.sharded import build_sharded_chunk, shard_state
+        axis = self._mesh_axis
+        if halo_supported(shape, mesh.shape[axis]):
+            self._state = place(self._state, mesh, axis)
+            self._chunk = build_halo_chunk(shape, mesh, axis)(self._state)
+            path = "halo"
+        else:
+            self._state = shard_state(self._state, mesh, axis)
+            self._chunk = build_sharded_chunk(shape, mesh, axis)
+            path = "sharded"
+        get_logger().info("distributed over %d devices via %s path",
+                          mesh.devices.size, path)
+
+    def distribute(self, mesh=None, axis: str = "shard") -> None:
+        """Run this simulation block-sharded across a device mesh.
+
+        The reference is single-GPU by construction (SURVEY.md section
+        5.8); here the SAME control-plane API (start/wait/get/set) drives a
+        scene split over every chip of a TPU slice: per-step communication
+        is the halo exchange / XLA collectives, host readback gathers
+        transparently.  Call before start() (or at a pause followed by a
+        topology edit; the next re-marshal re-places).  With no argument,
+        a 1-D mesh over all visible devices is used.
+        """
+        self._check_not_ended()
+        if mesh is None:
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh((axis,))
+        self._mesh = mesh
+        self._mesh_axis = axis
+        if self._state is not None and self._shape is not None:
+            self._place_distributed(self._shape, mesh)
 
     # ----------------------------------------------------------------- control
     def start(self) -> None:
