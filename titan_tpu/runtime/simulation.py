@@ -269,6 +269,12 @@ class Simulation:
         st = self._store
         s = st.n_springs
         attached = (st.left[:s] >= 0) & (st.right[:s] >= 0)
+        if attached.all():
+            # common case, in-place (no 3x [S,3] temporaries at 100^3)
+            from .. import builders
+            st.rest[:s] = builders.rest_lengths(
+                st.pos, st.left[:s], st.right[:s])
+            return
         li = np.where(attached, st.left[:s], 0)
         ri = np.where(attached, st.right[:s], 0)
         d = st.pos[ri] - st.pos[li]
