@@ -206,35 +206,3 @@ def test_envelope_rejections():
     # small magnetic scenes are accepted
     sim2 = _scene(magnets=True)
     assert pallas_step.pallas_supported(sim2._shape)
-
-
-@pytest.mark.parametrize("mode", ["hybrid", "mxu"])
-def test_rotation_modes_bit_identical(mode, monkeypatch):
-    """MXU permutation-matmul lane rotations vs pltpu.roll: BIT-identical.
-
-    The f32 data splits exactly into three bf16 mantissa terms (8+8+8
-    bits); each term rotated by a one-hot [128,128] matrix produces <=1
-    nonzero product per output lane, so the f32 re-sum reconstructs the
-    rolled value exactly.  Damping on so the velocity gather is exercised
-    too."""
-    import jax.experimental.pallas as pl
-    orig_call = pl.pallas_call
-
-    def interp_call(*args, **kwargs):
-        kwargs["interpret"] = True
-        kwargs.pop("compiler_params", None)
-        return orig_call(*args, **kwargs)
-
-    monkeypatch.setattr("titan_tpu.ops.pallas_step.pl.pallas_call",
-                        interp_call)
-
-    outs = {}
-    for rot in ("vpu", mode):
-        sim = _scene(damping=0.4,
-                     config_extra={"pallas_rotation": rot})
-        chunk = pallas_step.build_pallas_chunk(sim._shape)
-        outs[rot] = chunk(sim._state, jnp.int32(40))
-    assert np.array_equal(np.asarray(outs["vpu"].masses.pos),
-                          np.asarray(outs[mode].masses.pos))
-    assert np.array_equal(np.asarray(outs["vpu"].masses.vel),
-                          np.asarray(outs[mode].masses.vel))

@@ -101,12 +101,6 @@ class SimConfig:
     # scenes, the reference's flagship use case, on the multi-step fast
     # path.  Larger magnetic scenes use the XLA paths.
     magnet_pallas_max: int = 2048
-    # Where the VMEM kernel's family lane rotations execute: 'vpu'
-    # (pltpu.roll), 'mxu' (exact 3-term-bf16 permutation matmuls on the
-    # otherwise-idle MXU, bit-identical results), or 'hybrid' (gather side
-    # MXU, scatter side VPU).  Measured on v5e and set to the winner; see
-    # docs/PERFORMANCE.md.
-    pallas_rotation: str = "vpu"
     # Steps dispatched per on-device fori_loop chunk when no breakpoint is
     # nearer.  Bounds host `time()` granularity and re-dispatch overhead.
     max_chunk_steps: int = 1000

@@ -96,28 +96,7 @@ def _lc_planes(shape: SceneShape) -> int:
             + shape.cap_dir * 5)
 
 
-def _rot_matrix(s: int):
-    """[128, 128] bf16 one-hot lane-rotation matrix: out[., o] picks in[., l]
-    with o == (l + s) % 128.  Exactly one 1.0 per row/column, so a matmul by
-    it is an EXACT permutation given exact products.  Built from iotas so it
-    can live INSIDE a Pallas kernel (captured constants are rejected)."""
-    li = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    lo = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    return (lo == (li + s) % 128).astype(jnp.bfloat16)
-
-
-def _build_kernel(shape: SceneShape, rot_mode: str = "vpu"):
-    """rot_mode: where family lane rotations execute.
-      'vpu'    -- pltpu.roll lane rotations (shipped default)
-      'mxu'    -- gather AND scatter rotations as permutation matmuls on the
-                  otherwise-idle MXU: f32 data splits exactly into three
-                  bf16 mantissa terms (8+8+8 = 24 bits), each term is
-                  rotated by a one-hot [128, 128] bf16 matrix and the f32
-                  partials re-sum EXACTLY (<=1 nonzero product per output
-                  lane), so trajectories are bit-identical to 'vpu'
-      'hybrid' -- gather rotations on the MXU (pos/vel split once per
-                  step), scatter rotations stay pltpu.roll
-    """
+def _build_kernel(shape: SceneShape):
     deltas = shape.stencil_deltas
     n = shape.n_masses
     rows = n // 128
@@ -192,60 +171,6 @@ def _build_kernel(shape: SceneShape, rot_mode: str = "vpu"):
             z = jnp.where(lane < 128 - r, a, b)
             return pltpu.roll(z, r, 2)
 
-        mxu_gather = rot_mode in ("mxu", "hybrid")
-        mxu_scatter = rot_mode == "mxu"
-        if mxu_gather or mxu_scatter:
-            shifts = set()
-            for dd in deltas:
-                rr = dd % 128
-                if rr:
-                    if mxu_gather:
-                        shifts.add(128 - rr)
-                    if mxu_scatter:
-                        shifts.add(rr)
-            rot_mats = {s: _rot_matrix(s) for s in sorted(shifts)}
-
-        def split3(x):
-            # exact 3-term bf16 decomposition of f32 (8+8+8 mantissa bits):
-            # x == hi + mid + lo with each term exactly representable, so
-            # permutation matmuls on the terms reconstruct x EXACTLY
-            hi = x.astype(jnp.bfloat16)
-            r1 = x - hi.astype(jnp.float32)
-            mid = r1.astype(jnp.bfloat16)
-            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            return (hi, mid, lo)
-
-        def mxu_rotate(terms, s):
-            P = rot_mats[s]
-            out = None
-            for t in terms:
-                d_t = jax.lax.dot_general(
-                    t, P, (((t.ndim - 1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                out = d_t if out is None else out + d_t
-            return out
-
-        def gather_any(x, d):
-            # row rolls + select stay f32 (bf16 sublane rotates don't lower
-            # on Mosaic, and f32 row rolls are nearly free anyway); only the
-            # lane rotation moves to the MXU, on the exact 3-term split
-            q, r = divmod(d, 128)
-            if not (mxu_gather and r):
-                return roll_gather(x, d)
-            a = pltpu.roll(x, (-q) % rows, 1)
-            b = pltpu.roll(x, (-(q + 1)) % rows, 1)
-            z = jnp.where(lane >= r, a, b)
-            return mxu_rotate(split3(z), 128 - r)
-
-        def scatter_any(f, d):
-            q, r = divmod(d, 128)
-            if not (mxu_scatter and r):
-                return roll_scatter(f, d)
-            a = pltpu.roll(f, q % rows, 1)
-            b = pltpu.roll(f, (q + 1) % rows, 1)
-            z = jnp.where(lane < 128 - r, a, b)
-            return mxu_rotate(split3(z), r)
-
         dt = scal_ref[0]
         opos_ref[:] = pos_ref[:]
         ovel_ref[:] = vel_ref[:]
@@ -265,7 +190,7 @@ def _build_kernel(shape: SceneShape, rot_mode: str = "vpu"):
             # springs: stencil families, masked via k_eff == 0 padding
             f_acc = cforce_ref[:]               # m*g + persistent extern
             for fi, d in enumerate(deltas):
-                pr = gather_any(pos, d)
+                pr = roll_gather(pos, d)
                 diff = pr - pos
                 ln = jnp.sqrt(jnp.sum(diff * diff, axis=0))
                 inv = jnp.where(ln > 0, 1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
@@ -290,11 +215,11 @@ def _build_kernel(shape: SceneShape, rot_mode: str = "vpu"):
                                    * jnp.sin(bomega_ref[fi] * t_now))
                 mag = k_ref[fi] * (rest - ln)
                 if has_damping:
-                    vr = gather_any(vel, d)
+                    vr = roll_gather(vel, d)
                     axial = jnp.sum((vel - vr) * diff, axis=0) * inv
                     mag = mag + axial * damping_ref[fi]
                 f = (mag * inv) * diff
-                f_acc = f_acc - f + scatter_any(f, d)
+                f_acc = f_acc - f + roll_scatter(f, d)
             if has_remainder:
                 # irregular-topology (remainder) springs: endpoint gather
                 # and force scatter run as one-hot matmuls on the otherwise
@@ -573,9 +498,7 @@ def _build_kernel(shape: SceneShape, rot_mode: str = "vpu"):
 
 def build_pallas_chunk(shape: SceneShape):
     """Jitted chunk(state, n_steps) -> state using the fused VMEM kernel."""
-    kernel = _build_kernel(shape,
-                           rot_mode=getattr(shape.config, "pallas_rotation",
-                                            "vpu"))
+    kernel = _build_kernel(shape)
     n = shape.n_masses
     n_planes, n_balls = max(shape.n_planes, 1), max(shape.n_balls, 1)
 

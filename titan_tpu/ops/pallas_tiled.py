@@ -79,11 +79,40 @@ def _plan(shape: SceneShape):
     return offsets, p, n_state
 
 
-def _tile_size(h: int) -> int:
-    """Tile size: >= 4 halos wide (<= 1.5x window overhead); a multiple of
-    1024 so windows stay sublane-aligned (Mosaic faults otherwise -- see
-    CLAUDE.md).  The mass array is padded up to a tile multiple."""
-    return _round_up(max(4 * h, 32768), 1024)
+def _vmem_bytes(shape: SceneShape, t: int, h: int) -> int:
+    """Double-buffered window DMAs + blocked tiles, bytes (estimate used by
+    both the envelope check and the tile-size pick)."""
+    w = t + 2 * h
+    _, n_param, n_state = _plan(shape)
+    n_win = n_state + n_param + (1 if shape.stencil_uniform[0] else 0)
+    win_bytes = 2 * 4 * (w // 128) * 128 * n_win
+    blk_bytes = 2 * 4 * t * (3 * 6 + 4)
+    return win_bytes + blk_bytes
+
+
+_VMEM_EST_BUDGET = 48 * 1024 * 1024
+
+
+def _tile_size(h: int, shape: SceneShape, n: int) -> int:
+    """Tile size: the LARGEST 1024-aligned tile whose double-buffered
+    windows + blocked tiles fit the VMEM budget, capped by the scene size.
+    The window overhead w/t = 1 + 2h/t is pure redundant VPU work (the
+    kernel is rotation-bound, and rolls run on the full window), so bigger
+    tiles directly cut the halo tax: at 100^3 the floor tile (40960) pays
+    1.50x while 163840 pays 1.12x.  Tiles and halos must stay multiples of
+    1024 so windows are sublane-aligned (Mosaic faults otherwise -- see
+    CLAUDE.md)."""
+    floor = _round_up(max(4 * h, 32768), 1024)
+    best, best_work = floor, (-(-n // floor)) * (floor + 2 * h)
+    for cand in (49152, 65536, 98304, 131072, 163840, 196608, 262144):
+        if cand < floor or _vmem_bytes(shape, cand, h) >= _VMEM_EST_BUDGET:
+            continue
+        # total window elements actually processed: tile padding (ceil) and
+        # halo overhead trade off, so minimize their product
+        work = (-(-n // cand)) * (cand + 2 * h)
+        if work < best_work:
+            best, best_work = cand, work
+    return best
 
 
 def tiled_supported(shape: SceneShape) -> bool:
@@ -101,14 +130,8 @@ def tiled_supported(shape: SceneShape) -> bool:
     if not cfg.persistent_extern_force:
         return False
     h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
-    t = _tile_size(h)
-    w = t + 2 * h
-    _, n_param, n_state = _plan(shape)
-    # two DMA slots of (state + param + bitmask) windows + blocked tiles
-    n_win = n_state + n_param + (1 if shape.stencil_uniform[0] else 0)
-    win_bytes = 2 * 4 * (w // 128) * 128 * n_win
-    blk_bytes = 2 * 4 * t * (3 * 6 + 4)
-    return win_bytes + blk_bytes < 48 * 1024 * 1024
+    t = _tile_size(h, shape, shape.n_masses)
+    return _vmem_bytes(shape, t, h) < _VMEM_EST_BUDGET
 
 
 def _build_kernel(shape: SceneShape, t_size: int, h: int):
@@ -333,7 +356,7 @@ def build_tiled_chunk(shape: SceneShape):
     n = shape.n_masses
     deltas = shape.stencil_deltas
     h = _round_up(max(abs(d) for d in deltas), 1024)
-    t_size = _tile_size(h)
+    t_size = _tile_size(h, shape, n)
     n_tiles = -(-n // t_size)            # ceil: last tile covers padding
     n_t = n_tiles * t_size
     pad_n = n_t - n
