@@ -94,25 +94,16 @@ _VMEM_EST_BUDGET = 48 * 1024 * 1024
 
 
 def _tile_size(h: int, shape: SceneShape, n: int) -> int:
-    """Tile size: the LARGEST 1024-aligned tile whose double-buffered
-    windows + blocked tiles fit the VMEM budget, capped by the scene size.
-    The window overhead w/t = 1 + 2h/t is pure redundant VPU work (the
-    kernel is rotation-bound, and rolls run on the full window), so bigger
-    tiles directly cut the halo tax: at 100^3 the floor tile (40960) pays
-    1.50x while 163840 pays 1.12x.  Tiles and halos must stay multiples of
-    1024 so windows are sublane-aligned (Mosaic faults otherwise -- see
-    CLAUDE.md)."""
-    floor = _round_up(max(4 * h, 32768), 1024)
-    best, best_work = floor, (-(-n // floor)) * (floor + 2 * h)
-    for cand in (49152, 65536, 98304, 131072, 163840, 196608, 262144):
-        if cand < floor or _vmem_bytes(shape, cand, h) >= _VMEM_EST_BUDGET:
-            continue
-        # total window elements actually processed: tile padding (ceil) and
-        # halo overhead trade off, so minimize their product
-        work = (-(-n // cand)) * (cand + 2 * h)
-        if work < best_work:
-            best, best_work = cand, work
-    return best
+    """Tile size: >= 4 halos wide; a multiple of 1024 so windows stay
+    sublane-aligned (Mosaic faults otherwise -- see CLAUDE.md).  The mass
+    array is padded up to a tile multiple.
+
+    A work-minimizing larger pick (131072 at 100^3, window overhead 1.21x
+    vs this floor's 1.50x) measured NO faster (1,424 vs 1,450 steps/s,
+    one-process A/B on v5e, scripts/tpu_tiled_ab.py) -- the halo tax does
+    not convert to wall time at this geometry, so keep the small tile and
+    its cheaper VMEM footprint."""
+    return _round_up(max(4 * h, 32768), 1024)
 
 
 def tiled_supported(shape: SceneShape) -> bool:
