@@ -35,6 +35,29 @@ def _safe_norm(sq: jax.Array) -> jax.Array:
     return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
 
 
+def use_rsqrt(dtype) -> bool:
+    """Whether the PALLAS kernels' spring norms use rsqrt (True) or
+    sqrt + divide (False).
+
+    f32 on TPU: ONE hardware rsqrt (len = sq * rsqrt(sq)) measured +8% on
+    the fused VMEM kernel at the 1M-spring bench (29.0k vs 26.8k steps/s,
+    v5e, interleaved one-process A/B); TPU rsqrt is a deterministic
+    per-element hardware op.
+
+    CPU (where the kernels only ever run in interpret mode next to the
+    XLA paths' sqrt + divide): NO -- XLA CPU lowers rsqrt as an
+    approximation whose result is context-dependent (LLVM FMA contraction
+    differs between programs), and a first attempt at using it everywhere
+    broke the bitwise halo-vs-single-device equivalence tests (6e-5 drift
+    over 200 chaotic steps).  The XLA paths keep their exact original
+    sqrt + divide graphs on every backend for the same reason: the CPU
+    equivalence suite depends on cross-program bitwise stability, which
+    only identical instruction graphs provide.  f64 always uses
+    sqrt + divide so the f64 XLA path stays exact to 1e-9 against the
+    independent numpy oracle (tests/reference_impl.py)."""
+    return dtype == jnp.float32 and jax.default_backend() != "cpu"
+
+
 def spring_forces(
     masses: MassState,
     springs: SpringState,

@@ -116,6 +116,8 @@ def _build_kernel(shape: SceneShape):
     has_local = any(caps)
     normal_coeff = shape.config.normal_coeff
     magnet_cutoff = shape.config.magnet_cutoff
+    from .forces import use_rsqrt
+    rsqrt_norms = use_rsqrt(jnp.float32)
 
     def kernel(*refs):
         (nsteps_ref, scal_ref, plane_ref, ball_ref,
@@ -192,8 +194,21 @@ def _build_kernel(shape: SceneShape):
             for fi, d in enumerate(deltas):
                 pr = roll_gather(pos, d)
                 diff = pr - pos
-                ln = jnp.sqrt(jnp.sum(diff * diff, axis=0))
-                inv = jnp.where(ln > 0, 1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
+                # ONE rsqrt instead of sqrt + divide on TPU: measured +8%
+                # for the whole kernel (29.0k vs 26.8k steps/s at 43^3,
+                # v5e).  Backend-gated exactly like forces.inv_norm so
+                # kernel-vs-XLA equivalence stays tight on every backend.
+                d2 = jnp.sum(diff * diff, axis=0)
+                if rsqrt_norms:
+                    inv = jnp.where(d2 > 0,
+                                    jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)),
+                                    0.0)
+                    ln = d2 * inv
+                else:
+                    ln = jnp.where(d2 > 0,
+                                   jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
+                    inv = jnp.where(ln > 0,
+                                    1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
                 if has_actuated:
                     # ACTUATED_* rest mutation with the reference's one-sided
                     # rate clamp (sim.cu:1173-1181): expand while rest<l_max,
@@ -236,10 +251,19 @@ def _build_kernel(shape: SceneShape):
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)      # [2S, 3]
                 diffe = g[n_rem:] - g[:n_rem]                # right - left
-                lne = jnp.sqrt(jnp.sum(diffe * diffe, axis=1,
-                                       keepdims=True))       # [S, 1]
-                inve = jnp.where(lne > 0,
-                                 1.0 / jnp.where(lne > 0, lne, 1.0), 0.0)
+                d2e = jnp.sum(diffe * diffe, axis=1,
+                              keepdims=True)                 # [S, 1]
+                if rsqrt_norms:
+                    inve = jnp.where(
+                        d2e > 0,
+                        jax.lax.rsqrt(jnp.where(d2e > 0, d2e, 1.0)), 0.0)
+                    lne = d2e * inve
+                else:
+                    lne = jnp.where(d2e > 0,
+                                    jnp.sqrt(jnp.where(d2e > 0, d2e, 1.0)),
+                                    0.0)
+                    inve = jnp.where(lne > 0,
+                                     1.0 / jnp.where(lne > 0, lne, 1.0), 0.0)
                 if has_actuated:
                     reste = orest_rem_ref[:]                 # [S, 1]
                     ar = remp_ref[5]
