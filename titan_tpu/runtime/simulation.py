@@ -804,6 +804,17 @@ class Simulation:
         for i in range(st.n_masses):
             print(f"{i}: ({st.pos[i, 0]}, {st.pos[i, 1]}, {st.pos[i, 2]})")
 
+    def printSprings(self) -> None:
+        """Debug dump of spring endpoints + rest (reference printSprings,
+        sim.cu:2317-2332; its host branch prints only a header -- endpoint
+        + rest matches its device-branch printSpring kernel, and is more
+        useful than nothing)."""
+        self._check_not_ended("You cannot view parameters of the simulation "
+                              "after it has been stopped.")
+        st = self._store
+        for i in range(st.n_springs):
+            print(f"{i}: ({st.left[i]}, {st.right[i]}) rest {st.rest[i]}")
+
     # --------------------------------------------------------------- get / set
     def _snapshot(self) -> SimState:
         with self._lock:
