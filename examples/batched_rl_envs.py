@@ -3,7 +3,8 @@ independent robots with per-env parameter sweeps.
 
 Uses the flat-packed formulation (titan_tpu.parallel.replicate_scene): the
 batch becomes one stencil scene and runs through the fused Pallas kernel --
-measured 35.6M env-steps/s on one TPU v5e chip (the vmap formulation in
+~23M env-steps/s steady-state through the full control plane on one TPU
+v5e chip, ~35M driving the chunk directly (the vmap formulation in
 parallel/batched.py is ~1000x slower on TPU; see its docstring)."""
 
 import time
@@ -29,8 +30,17 @@ def main(n_envs=1024, steps=2000):
         env.setSpringConstants(float(rng.uniform(5_000, 20_000)))
 
     big.start()
+    # warm up (program load + first dispatch), then time a steady-state
+    # span; sync with device_get -- on the tunneled TPU platform pause()
+    # returns when the chunk is DISPATCHED, so wall time without a
+    # readback sync measures queueing, not compute
+    import jax
+    big.pause(10 * big.getTimeStep())
+    float(jax.device_get(big._state.t))
+    big.resume()
     t0 = time.perf_counter()
-    big.pause(steps * big.getTimeStep())
+    big.pause((10 + steps) * big.getTimeStep())
+    float(jax.device_get(big._state.t))
     wall = time.perf_counter() - t0
     big.getAll()
     st = big._store

@@ -151,11 +151,19 @@ def _build_kernel(shape: SceneShape):
         # 9.3k steps/s at the 1M-spring config, springs-only A/B).
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
 
+        import os as _os
+        _ablate = _os.environ.get("TITAN_ABLATE", "")
+
         def roll_gather(x, d):
             # roll reading flat index n+d on [.., R, 128]: row rolls + ONE
             # lane rotation -- the select commutes inside the rotation
             # (select boundary shifts by r), halving cross-lane work vs
             # rotating both row-rolled copies
+            if _ablate == "noshift":
+                # timing ablation: physics WRONG; 1 mul replaces the shift
+                # (a plain identity would let the compiler fold diff to 0
+                # and delete the whole force body)
+                return x * (1.0 + 1e-6 * d)
             q, r = divmod(d, 128)
             if r == 0:
                 return pltpu.roll(x, (-q) % rows, 1)
@@ -165,6 +173,8 @@ def _build_kernel(shape: SceneShape):
             return pltpu.roll(z, 128 - r, 2)
 
         def roll_scatter(x, d):
+            if _ablate == "noshift":
+                return x * (1.0 + 1e-6 * d)   # timing ablation (see above)
             q, r = divmod(d, 128)
             if r == 0:
                 return pltpu.roll(x, q % rows, 1)
