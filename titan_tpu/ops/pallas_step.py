@@ -210,6 +210,8 @@ def _build_kernel(shape: SceneShape):
                 # kernel-vs-XLA equivalence stays tight on every backend.
                 d2 = jnp.sum(diff * diff, axis=0)
                 if rsqrt_norms:
+                    # (a guard-free epsilon-bias variant measured a wash;
+                    # docs/PERFORMANCE.md Measured design decisions)
                     inv = jnp.where(d2 > 0,
                                     jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)),
                                     0.0)
