@@ -190,6 +190,69 @@ def test_pallas_matches_xla(variant, monkeypatch):
         assert sim._shape.has_remainder
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_pallas_matches_xla_random_combo(seed, monkeypatch):
+    """Seeded random FEATURE COMBINATIONS through the same kernel-vs-XLA
+    equivalence harness: the hand-picked variants above cover each feature
+    and a few pairs; this covers interactions (e.g. damping + drag +
+    magnets + local constraints + Verlet in one scene)."""
+    rng = np.random.RandomState(1000 + seed)
+    integ = [None, "verlet", "rk2"][rng.randint(3)]
+    kw = dict(
+        clamp=bool(rng.randint(2)),
+        friction=bool(rng.randint(2)),
+        ball=bool(rng.randint(2)),
+        fixed_face=bool(rng.randint(2)),
+        extern=bool(rng.randint(2)),
+        damping=float(rng.choice([0.0, 0.4])),
+        integrator=integ,
+        breathing=bool(rng.randint(2)),
+        actuated=bool(rng.randint(2)),
+        drag=float(rng.choice([0.0, 0.25])),
+        deleted=bool(rng.randint(2)),
+        magnets=bool(rng.randint(2)),
+        local={0: None, 1: "cp", 2: "ball", 3: "pl", 4: "dir"}[rng.randint(5)],
+        remainder=bool(rng.randint(2)),
+    )
+    sim = _scene(**kw)
+    assert pallas_step.pallas_supported(sim._shape), "scene left the envelope"
+
+    import jax.experimental.pallas as pl
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr("titan_tpu.ops.pallas_step.pl.pallas_call",
+                        interp_call)
+
+    chunk_p = pallas_step.build_pallas_chunk(sim._shape)
+    chunk_x = build_chunk_fn(sim._shape)
+    n = sim._store.n_masses
+
+    # ONE step, tight: a semantic bug (wrong force order, missing term)
+    # shows immediately; only f32 op-order ulps remain at this horizon
+    p1 = chunk_p(sim._state, jnp.int32(1))
+    x1 = chunk_x(sim._state, jnp.int32(1))
+    np.testing.assert_allclose(np.asarray(p1.masses.pos)[:, :n],
+                               np.asarray(x1.masses.pos)[:, :n],
+                               atol=1e-6, rtol=1e-6)
+
+    # 50 steps, loose: Verlet + stiff magnet shells amplify the per-step
+    # ulp differences chaotically (measured ~1e-7 -> 3.5e-4 over 50 steps
+    # with NO semantic difference; Euler reproduces bitwise)
+    p50 = chunk_p(sim._state, jnp.int32(50))
+    x50 = chunk_x(sim._state, jnp.int32(50))
+    np.testing.assert_allclose(np.asarray(p50.masses.pos)[:, :n],
+                               np.asarray(x50.masses.pos)[:, :n],
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(p50.masses.vel)[:, :n],
+                               np.asarray(x50.masses.vel)[:, :n],
+                               atol=2e-3, rtol=2e-3)
+
+
 def test_envelope_rejections():
     # LARGE magnetic scenes stay outside the VMEM kernel (the in-kernel
     # pairwise sweep is O(N^2); the binned/pairwise XLA paths take over)
