@@ -214,3 +214,42 @@ def test_halo_envelope():
     sim5._marshal()
     assert sim5._shape.remainder_span == 100
     assert not halo_supported(sim5._shape, 8)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_halo_matches_single_device_random_combo(seed):
+    """Seeded random FEATURE COMBINATIONS through the halo-vs-single
+    harness (the named variants cover singles and a few pairs).  Two
+    horizons like the kernel fuzz: 10 steps tight (semantic bugs show
+    immediately), 200 steps loose (chaotic f32 amplification only)."""
+    rng = np.random.RandomState(77 + seed)
+    kw = dict(
+        damping=float(rng.choice([0.0, 0.4])),
+        breathing=bool(rng.randint(2)),
+        actuated=bool(rng.randint(2)),
+        drag=float(rng.choice([0.0, 0.25])),
+        deleted=bool(rng.randint(2)),
+        local_constraint=bool(rng.randint(2)),
+        integrator=[None, "verlet"][rng.randint(2)],
+        magnets=bool(rng.randint(2)),
+        remainder=bool(rng.randint(2)),
+    )
+    sim = _scene(**kw)
+    mesh = make_mesh(("shard",))
+    assert halo_supported(sim._shape, 8)
+    sharded = place(sim._state, mesh)
+    chunk_h = build_halo_chunk(sim._shape, mesh)(sharded)
+    chunk_s = build_chunk_fn(sim._shape)
+    n = sim._store.n_masses
+
+    out_h = chunk_h(sharded, jnp.int32(10))
+    out_s = chunk_s(sim._state, jnp.int32(10))
+    np.testing.assert_allclose(np.asarray(out_h.masses.pos)[:, :n],
+                               np.asarray(out_s.masses.pos)[:, :n],
+                               atol=1e-6)
+
+    out_h = chunk_h(sharded, jnp.int32(200))
+    out_s = chunk_s(sim._state, jnp.int32(200))
+    np.testing.assert_allclose(np.asarray(out_h.masses.pos)[:, :n],
+                               np.asarray(out_s.masses.pos)[:, :n],
+                               atol=2e-3)
