@@ -1,0 +1,48 @@
+"""The shipped examples run end-to-end (rot protection).
+
+Each example is executed the way a user would run it (runpy as __main__),
+on CPU via conftest's platform forcing.  live_view_demo starts an HTTP
+server and steps 30 sim-seconds, so it is import-checked only.
+"""
+
+import os
+import runpy
+import sys
+
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples")
+
+
+def _run(name, as_main=True):
+    argv = sys.argv
+    sys.argv = [name]
+    try:
+        runpy.run_path(os.path.join(EXAMPLES, name),
+                       run_name="__main__" if as_main else "example")
+    finally:
+        sys.argv = argv
+
+
+def test_readme_demo(capsys):
+    _run("readme_demo.py")
+    out = capsys.readouterr().out
+    assert out.count("t=") >= 9          # one line per sim-second
+
+
+def test_soft_robot_gait(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)          # writes soft_robot_gait.html
+    _run("soft_robot_gait.py")
+    html = tmp_path / "soft_robot_gait.html"
+    assert html.exists() and html.stat().st_size > 1000
+
+
+def test_batched_rl_envs(capsys):
+    _run("batched_rl_envs.py")
+    out = capsys.readouterr().out
+    assert "env-steps/s" in out
+
+
+def test_live_view_demo_imports():
+    _run("live_view_demo.py", as_main=False)
