@@ -112,3 +112,56 @@ def test_tiled_envelope_rejections():
     st.rate[: st.n_springs] = 0.1
     sim._marshal()
     assert not pallas_tiled.tiled_supported(sim._shape)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_tiled_matches_xla_random_combo(seed, monkeypatch):
+    """Seeded random FEATURE COMBINATIONS through the tiled-vs-XLA
+    harness (the named variants cover singles); two horizons like the
+    VMEM-kernel fuzz: 1 step tight, 30 steps at the usual tolerance."""
+    rng = np.random.RandomState(500 + seed)
+    kw = dict(
+        friction=bool(rng.randint(2)),
+        damping=float(rng.choice([0.0, 0.4])),
+        breathing=bool(rng.randint(2)),
+        drag=float(rng.choice([0.0, 0.3])),
+        deleted=bool(rng.randint(2)),
+        nonuniform_rest=bool(rng.randint(2)),
+        nonuniform_k=bool(rng.randint(2)),
+        integrator=[None, "verlet"][rng.randint(2)],
+    )
+    sim = _scene(**kw)
+    assert pallas_tiled.tiled_supported(sim._shape)
+
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    monkeypatch.setattr("titan_tpu.ops.pallas_tiled.pl.pallas_call", interp)
+
+    chunk_t = pallas_tiled.build_tiled_chunk(sim._shape)
+    chunk_x = build_chunk_fn(sim._shape)
+    n = sim._store.n_masses
+
+    t1 = chunk_t(sim._state, jnp.int32(1))
+    x1 = chunk_x(sim._state, jnp.int32(1))
+    np.testing.assert_allclose(np.asarray(t1.masses.pos)[:, :n],
+                               np.asarray(x1.masses.pos)[:, :n],
+                               atol=1e-6)
+
+    # loose horizon: feature combos under Verlet stack more f32
+    # op-order perturbation sources than the single-feature variants
+    # (measured: pos ulps grow smoothly to ~5e-6 by 30 steps; vel noise
+    # is pos noise amplified by ~1/dt)
+    t30 = chunk_t(sim._state, jnp.int32(30))
+    x30 = chunk_x(sim._state, jnp.int32(30))
+    np.testing.assert_allclose(np.asarray(t30.masses.pos)[:, :n],
+                               np.asarray(x30.masses.pos)[:, :n],
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(t30.masses.vel)[:, :n],
+                               np.asarray(x30.masses.vel)[:, :n],
+                               atol=5e-3, rtol=1e-3)
