@@ -75,3 +75,28 @@ def test_truss_tetrahedron_expands():
     pos = sim._store.pos[: sim._store.n_masses]
     assert np.all(np.isfinite(pos))
     sim.stop()
+
+
+def test_quadruped_trots():
+    sim = Simulation(SimConfig())
+    q = models.quadruped(sim)
+    sim.createPlane(Vec(0, 0, 1), 0, 0.5, 0.7)
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    sim.setTimeStep(0.0001)
+    sim.start()
+    sim.pause(0.3)
+    sim.getAll()
+    com0 = sim._store.pos[q["body"]._mass_idx].mean(axis=0)
+    sim.resume()
+    sim.pause(2.5)
+    sim.getAll()
+    pos = sim._store.pos[: sim._store.n_masses]
+    com1 = sim._store.pos[q["body"]._mass_idx].mean(axis=0)
+    sim.stop()
+    assert np.isfinite(pos).all()
+    # body + legs stayed assembled and upright on the plane
+    assert np.ptp(pos, axis=0).max() < 2.0
+    assert pos[:, 2].min() > -0.05
+    assert com1[2] > 0.3
+    # the trot produced net travel against friction
+    assert np.linalg.norm((com1 - com0)[:2]) > 0.02

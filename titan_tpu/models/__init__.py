@@ -1,1 +1,2 @@
-from .archetypes import cloth, rope, walker, truss_tetrahedron  # noqa: F401
+from .archetypes import (cloth, quadruped, rope, truss_tetrahedron,  # noqa: F401
+                         walker)

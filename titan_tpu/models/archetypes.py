@@ -81,6 +81,52 @@ def walker(sim, center=None, size: float = 1.0, n: int = 4,
     return body
 
 
+def quadruped(sim, center=None, body_size: float = 0.8,
+              leg_len: float = 0.35, k: float = 3000.0,
+              omega: float = 7.0, link_k: float = 4000.0) -> dict:
+    """A soft quadruped: a lattice body on four breathing lattice legs,
+    cross-linked by stiff springs (the inter-container-spring pattern of
+    the reference's multi-agent test, multiagent_unittest.cpp:29-35).
+
+    Gait: a trot -- diagonal leg pairs breathe in antiphase
+    (ACTIVE_CONTRACT_THEN_EXPAND vs ACTIVE_EXPAND_THEN_CONTRACT,
+    sim.cu:1169-1172), with the front legs' phase leading so vertical
+    breathing rectifies into forward travel against plane friction.
+
+    Returns {'body': Container, 'legs': [Container x4]}; add a friction
+    plane and gravity before start() (see tests/test_models.py).
+    """
+    c = Vec(center) if center is not None else Vec(0, 0, leg_len + 0.3)
+    half = body_size / 2
+    body = sim.createLattice(c, Vec(body_size, body_size, 0.3), 4, 4, 2)
+    body.setSpringConstants(k)
+    st = sim._store
+    legs = []
+    for qi, (sx, sy) in enumerate(((1, 1), (1, -1), (-1, 1), (-1, -1))):
+        leg_c = Vec(c[0] + sx * (half - 0.08), c[1] + sy * (half - 0.08),
+                    c[2] - 0.15 - leg_len / 2)
+        leg = sim.createLattice(leg_c, Vec(0.16, 0.16, leg_len), 2, 2, 3)
+        leg.setSpringConstants(k)
+        # trot: diagonal pairs (++/-- vs +-/-+) in antiphase
+        styp = (ACTIVE_CONTRACT_THEN_EXPAND if sx * sy > 0
+                else ACTIVE_EXPAND_THEN_CONTRACT)
+        st.s_type[leg._spring_idx] = styp
+        st.omega[leg._spring_idx] = omega
+        legs.append(leg)
+        # cross-link the leg's top 4 masses to the nearest body-bottom
+        # masses (stiff passive springs, like the reference's inter-agent
+        # links)
+        top4 = [m for m in leg.masses if abs(m.pos[2]
+                - (leg_c[2] + leg_len / 2)) < 1e-9]
+        for lm in top4:
+            best = min((bm for bm in body.masses),
+                       key=lambda bm: (bm.pos - lm.pos).norm())
+            sp = sim.createSpring(lm, best)
+            sp._k = link_k
+            sp.defaultLength()
+    return {"body": body, "legs": legs}
+
+
 def truss_tetrahedron(sim, center, edge: float = 0.3, link_mass: float = 0.1,
                       expansion_ratio: float = 1.5, rate: float = 0.009,
                       k: float = 1000.0, mag_force: float = 0.5) -> list:
