@@ -11,7 +11,7 @@ PERFORMANCE NOTE (measured): on TPU the vmapped stencil rolls lower
 catastrophically (~1000x slower than they should be).  For identical scene
 topologies prefer ``titan_tpu.parallel.replicate_scene`` (flat.py), which
 packs the batch into ONE stencil scene, runs through the fused Pallas
-kernel, and measured 35.6M env-steps/s for 1024 27-mass robots on one v5e
+kernel, and measured 61M env-steps/s for 1024 27-mass robots on one v5e
 chip.  Use this vmap path on CPU, for small batches, or when you need
 per-env scene globals.
 """
