@@ -46,3 +46,9 @@ def test_batched_rl_envs(capsys):
 
 def test_live_view_demo_imports():
     _run("live_view_demo.py", as_main=False)
+
+
+def test_train_walker(capsys):
+    _run("train_walker.py")
+    out = capsys.readouterr().out
+    assert "trained gait" in out

@@ -78,3 +78,18 @@ def test_scan_rollout(env):
     assert rew_t.shape == (5, 8)
     assert float(final.t) == pytest.approx(5 * env.control_dt, abs=1e-5)
     assert np.isfinite(np.asarray(obs_t)).all()
+
+
+def test_pusher_env_force_actions():
+    """The second action mechanism: per-mass persistent external force.
+    Envs pushed toward +x move there; pushed away move away; rewards
+    order accordingly."""
+    penv = rl.pusher_env(n_envs=4, control_dt=0.05)
+    state, _ = penv.reset()
+    step = jax.jit(penv.step)
+    a = jnp.asarray([[1.0, 0], [0.5, 0], [-1.0, 0], [0, 0]], jnp.float32)
+    for _ in range(8):
+        state, obs, rew = step(state, a)
+    assert obs[0, 0] > obs[3, 0] > obs[2, 0]
+    assert rew[0] > rew[3] > rew[2]
+    assert np.isfinite(np.asarray(obs)).all()

@@ -103,9 +103,10 @@ class BatchedEnv:
         n, e = self.n_per_env, self.n_envs
         return x[..., : e * n].reshape(*x.shape[:-1], e, n).mean(axis=-1)
 
-    def env_of_spring_lane(self):
-        """[N_padded] int32: which env each stencil lane belongs to (lanes
-        past the packed region map to env 0; they are masked anyway)."""
+    def env_of_lane(self):
+        """[N_padded] int32: which env each mass lane (= stencil lane)
+        belongs to (lanes past the packed region map to env 0; they are
+        masked anyway)."""
         N = self.shape.n_masses
         lane = np.arange(N, dtype=np.int64)
         env = np.minimum(lane // self.n_per_env, self.n_envs - 1)
@@ -147,7 +148,7 @@ def walker_env(n_envs: int = 256, control_dt: float = 0.05, n: int = 3,
         import dataclasses
         scale = jnp.clip(jnp.asarray(action, state.stencil.omega.dtype),
                          0.25, 4.0)
-        per_lane = scale[env.env_of_spring_lane()]         # [N]
+        per_lane = scale[env.env_of_lane()]                # [N]
         base = env._state0.stencil.omega                   # [F, N] template
         st = dataclasses.replace(state.stencil,
                                  omega=base * per_lane[None, :])
@@ -155,3 +156,46 @@ def walker_env(n_envs: int = 256, control_dt: float = 0.05, n: int = 3,
 
     return BatchedEnv(src, n_envs, control_dt=control_dt,
                       apply_action=apply_action)
+
+
+def pusher_env(n_envs: int = 256, control_dt: float = 0.05,
+               target=(1.0, 0.0), f_max: float = 1.5,
+               config=None) -> BatchedEnv:
+    """Classic-control flavored: push a soft cube to a target point.
+
+    Action [n_envs, 2]: a horizontal force (fx, fy), clipped to +-f_max,
+    applied as the PERSISTENT EXTERNAL FORCE on every mass of the env's
+    cube (the second action mechanism next to walker_env's per-spring
+    omega: per-mass continuous state).  Reward: negative COM distance to
+    ``target`` in the (x, y) plane, so returns increase as envs learn to
+    push toward it.
+    """
+    import dataclasses
+
+    from . import Simulation, SimConfig, Vec
+
+    src = Simulation(config or SimConfig())
+    cube = src.createCube(Vec(0, 0, 0.25), 0.4)
+    cube.setSpringConstants(2000.0)
+    src.createPlane(Vec(0, 0, 1), 0, 0.3, 0.4)
+    src.setGlobalAcceleration(Vec(0, 0, -9.8))
+    src.setTimeStep(1e-4)
+    tgt = jnp.asarray(target, jnp.float32)
+
+    def apply_action(state, action, env):
+        a = jnp.clip(jnp.asarray(action, state.masses.pos.dtype),
+                     -f_max, f_max)                     # [n_envs, 2]
+        per_lane = a[env.env_of_lane()]                 # [N, 2]
+        ef = jnp.concatenate(
+            [per_lane.T, jnp.zeros((1, per_lane.shape[0]),
+                                   per_lane.dtype)], axis=0)   # [3, N]
+        return dataclasses.replace(
+            state, masses=dataclasses.replace(state.masses,
+                                              extern_force=ef))
+
+    def reward(prev, state, env):
+        com = env.env_means(state.masses.pos)           # [3, n_envs]
+        return -jnp.linalg.norm(com[:2].T - tgt[None, :], axis=1)
+
+    return BatchedEnv(src, n_envs, control_dt=control_dt,
+                      apply_action=apply_action, reward=reward)
