@@ -49,3 +49,27 @@ def test_external_force():
 
 def test_external_acceleration():
     _run(external=False)
+
+
+def test_strict_mode_zeroes_extern_force_each_step():
+    """The reference kernel zeroes extern_force after EVERY step
+    (sim.cu:1364-1365) even though the docs call setExternalForce
+    persistent; SimConfig.persistent_extern_force=False replicates that
+    quirk exactly: the force acts for one physics step, then the mass
+    coasts."""
+    sim = Simulation(SimConfig(velocity_clamp=False,
+                               persistent_extern_force=False))
+    m1 = sim.createMass(Vec(0, 0, 1))
+    sim.setTimeStep(0.0001)
+    sim.setGlobalAcceleration(Vec(0, 0, 0))
+    m1.setExternalForce(Vec(0, 0, 1000.0))
+    sim.start()
+    sim.pause(0.01)                       # 100 steps
+    sim.getAll()
+    # one step of (F/m) dt = (1000 / 0.1) * 1e-4 = 1 m/s, then coasting
+    assert m1.vel[2] == pytest.approx(1.0, rel=1e-5)
+    sim.resume()
+    sim.pause(0.02)
+    sim.getAll()
+    assert m1.vel[2] == pytest.approx(1.0, rel=1e-5)   # still coasting
+    sim.stop()
