@@ -47,14 +47,28 @@ def test_binned_with_deleted_and_nonmagnetic():
     st = sim._store
     st.valid[7] = False
     st.valid[123] = False
-    # some masses fully non-magnetic: must neither source nor receive
+    # some masses fully non-magnetic: they receive zero force (stiffness
+    # and max force both 0) but STILL act as shell-contact sources for
+    # magnetic receivers, exactly like the pairwise pass and the reference
+    # occupancy grid (insert-everything, sim.cu:842)
     for i in (3, 50, 200):
         st.mag_rad[i] = st.mag_stiffness[i] = 0.0
         st.mag_maxf[i] = st.mag_scale[i] = 0.0
+    # ... and pin the source behavior: a wide-shelled magnet with a
+    # zero-param mass INSIDE its shell radius must feel its shell force
+    # (regression: the binned path used to drop zero-param masses from the
+    # bin table entirely)
+    st.pos[300] = (2.5, 2.5, 0.0)
+    st.mag_rad[300] = 0.06
+    st.mag_stiffness[300] = 200.0
+    st.pos[301] = (2.53, 2.5, 0.0)          # dist 0.03 < rad 0.06
+    st.mag_rad[301] = st.mag_stiffness[301] = 0.0
+    st.mag_maxf[301] = st.mag_scale[301] = 0.0
     sim._marshal()
     m = sim._state.masses
     cutoff = sim.config.magnet_cutoff
     want = np.asarray(F.magnet_forces(m, cutoff))
+    assert np.abs(want[:, 300]).max() > 0, "shell overlap not exercised"
     got = np.asarray(binned_magnet_forces(
         m, cutoff, n_cells=pad_to(400, 8), cell_cap=64))
     scale = np.abs(want).max()

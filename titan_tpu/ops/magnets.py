@@ -58,23 +58,27 @@ def binned_magnet_forces(masses: MassState, cutoff: float,
     acting as sources but still receive (the reference's own overflow
     semantics: absent from the grid, still scanning it).
 
-    ``n_cells`` (static) must be >= the number of magnetic masses; it is the
-    bin-table height A.  ``cell_cap`` is C.
+    ``n_cells`` (static) must be >= the number of VALID masses (every valid
+    mass is binned as a source; see below); it is the bin-table height A.
+    ``cell_cap`` is C.
     """
     pos = masses.pos                                       # [3, N]
     n = pos.shape[1]
     G = GRID_DIM
     sentinel = jnp.int32(G * G + 7)                        # > any real cell
 
-    magnetic = masses.valid & (
-        (masses.mag_rad != 0) | (masses.mag_scale != 0)
-        | (masses.mag_maxf != 0) | (masses.mag_stiffness != 0))
-
+    # ALL valid masses are binned as sources, not just ones with nonzero
+    # magnet params: a zero-param mass still exerts shell contact force on
+    # a receiver whose shell radius overlaps it (its rad_j merely adds 0 to
+    # the intersection depth) -- matching ops/forces.magnet_forces
+    # (src_valid = masses.valid) and the reference occupancy grid, which
+    # inserts every mass (sim.cu:842).  Receivers with all-zero stiffness
+    # and max force see zero force either way.
     cx = jnp.clip(jnp.floor(pos[0] / cutoff).astype(jnp.int32) + G // 2,
                   0, G - 1)
     cy = jnp.clip(jnp.floor(pos[1] / cutoff).astype(jnp.int32) + G // 2,
                   0, G - 1)
-    cell = jnp.where(magnetic, cx * G + cy, sentinel)      # [N]
+    cell = jnp.where(masses.valid, cx * G + cy, sentinel)  # [N]
 
     order = jnp.argsort(cell)                              # magnetic first
     csort = cell[order]
