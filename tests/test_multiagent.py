@@ -47,6 +47,14 @@ def test_multiagent_grid():
     assert len(sim.masses) == NUM_X * NUM_Y * DENSITY ** 3
     sim.defaultRestLengths()
     sim.start()
+    # the cross-agent links all share two index deltas (25 right, 1230 up),
+    # so delta-bucketing absorbs them as stencil families: the reference's
+    # own multi-agent config rides the fused VMEM kernel with ZERO
+    # remainder springs
+    from titan_tpu.ops.pallas_step import pallas_supported
+    assert not sim._shape.has_remainder
+    assert 1230 in sim._shape.stencil_deltas
+    assert pallas_supported(sim._shape)
     sim.pause(1.0)
 
     sim.getAll()

@@ -253,6 +253,85 @@ def test_pallas_matches_xla_random_combo(seed, monkeypatch):
                                atol=2e-3, rtol=2e-3)
 
 
+def test_pallas_matches_xla_big_remainder(monkeypatch):
+    """Hundreds of irregular springs with SHARED endpoints (scatter
+    collisions) through the factorized-selector remainder path -- the
+    round-1 [2S, N] incidence only ever saw a handful of springs."""
+    from titan_tpu import ACTUATED_CONTRACT
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    sim.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 8, 8, 8)   # 512 masses
+    sim.setAllSpringConstantValues(800.0)
+    rng = np.random.RandomState(42)
+    n = len(sim.masses)
+    made = set()
+    for _ in range(300):
+        a = int(rng.randint(n))
+        b = int(rng.randint(n))
+        if a == b or (a, b) in made or (b, a) in made:
+            continue
+        made.add((a, b))
+        sp = sim.createSpring(sim.masses[a], sim.masses[b])
+        sp._k = float(rng.uniform(50.0, 300.0))
+        sp.defaultLength()
+        if rng.randint(4) == 0:
+            sp._type = ACTUATED_CONTRACT
+            sp._l_min = sp._rest * 0.8
+            sp._rate = 0.5
+    st = sim._store
+    st.damping[: st.n_springs] = 0.2
+    sim.createPlane(Vec(0, 0, 1), 0)
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    sim.setTimeStep(0.0001)
+    sim._T = 0.0
+    sim._marshal()
+    assert sim._shape.has_remainder
+    # the real irregular count must be in the hundreds (most random deltas
+    # are unique; a few may collide into stencil families)
+    assert int(np.count_nonzero(np.asarray(sim._state.springs.valid))) > 200
+    assert pallas_step.pallas_supported(sim._shape)
+
+    import jax.experimental.pallas as pl
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr("titan_tpu.ops.pallas_step.pl.pallas_call",
+                        interp_call)
+
+    out_p = pallas_step.build_pallas_chunk(sim._shape)(
+        sim._state, jnp.int32(25))
+    out_x = build_chunk_fn(sim._shape)(sim._state, jnp.int32(25))
+    nm = sim._store.n_masses
+    np.testing.assert_allclose(np.asarray(out_p.masses.pos)[:, :nm],
+                               np.asarray(out_x.masses.pos)[:, :nm],
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.masses.vel)[:, :nm],
+                               np.asarray(out_x.masses.vel)[:, :nm],
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.springs.rest),
+                               np.asarray(out_x.springs.rest),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_remainder_capacity_multiagent_scale():
+    """The factorized selectors admit thousands of irregular springs at the
+    reference multiagent scale (12.5k masses); the round-1 [2S, N] one-hot
+    capped out at ~160 there."""
+    import dataclasses as dc
+    sim = _scene(remainder=True)
+    sh = sim._shape
+    big = dc.replace(sh, n_masses=12544, n_springs=4096, has_remainder=True)
+    assert pallas_step.pallas_supported(big)
+    # and the budget still rejects genuinely huge irregular topologies
+    # (the XLA gather path takes over)
+    huge = dc.replace(sh, n_masses=12544, n_springs=100_000,
+                      has_remainder=True)
+    assert not pallas_step.pallas_supported(huge)
+
+
 def test_envelope_rejections():
     # LARGE magnetic scenes stay outside the VMEM kernel (the in-kernel
     # pairwise sweep is O(N^2); the binned/pairwise XLA paths take over)

@@ -10,9 +10,11 @@ config (9.3k vs 5.4k steps/s on one TPU v5e chip).
 Specialization envelope (checked by ``pallas_supported``); scenes outside it
 use the XLA path and get identical physics:
   - float32; springs in stencil families, plus an irregular-topology
-    remainder whose endpoint gather/scatter runs as one-hot matmuls on the
-    otherwise-idle MXU (accepted while the [2S, N] incidence fits
-    _REM_ONEHOT_BUDGET)
+    remainder whose endpoint gather/scatter runs as FACTORIZED one-hot
+    matmuls on the otherwise-idle MXU: a [2S, R] row-selection matmul plus
+    a [2S, 128] lane-selection dot replace the round-1 [2S, N] incidence
+    at identical FLOPs but 128x less VMEM, so thousands of irregular
+    springs fit (accepted while the selectors fit _REM_SEL_BUDGET)
   - breathing (ACTIVE_*) and ACTUATED_* (rest-mutating, rate-clamped per
     sim.cu:1173-1181) springs; rest is carried in VMEM across the chunk
   - axial spring damping supported (adds velocity halo rolls)
@@ -45,32 +47,44 @@ from ..state import SceneShape, SimState
 # VMEM budget: pos/vel/const_f in + pos/vel/acc out + k/rest [F,N] + minv +
 # fixed + per-family temporaries.  Leave headroom under the chip's VMEM.
 _VMEM_BUDGET = 100 * 1024 * 1024
-# cap on the [2S, N] remainder one-hot incidence (f32): irregular-topology
-# scenes beyond this use the XLA gather path
-_REM_ONEHOT_BUDGET = 16 * 1024 * 1024
+# cap on the factorized remainder selectors ([2S, R] row one-hot +
+# [2S, 128] lane one-hot + two [2S, 128] body temporaries, f32):
+# irregular-topology scenes beyond this use the XLA gather path.
+# Capacity at this budget: ~4.3k irregular springs at the reference
+# multiagent scale (12.5k masses), ~2.0k at 43^3 (the round-1 full [2S, N]
+# incidence capped out at ~160 and ~25 respectively).
+_REM_SEL_BUDGET = 16 * 1024 * 1024
 
 
-def pallas_supported(shape: SceneShape) -> bool:
+def pallas_reject_reason(shape: SceneShape):
+    """None if the fused VMEM kernel accepts this scene, else a one-line
+    human-readable reason naming the envelope condition that failed."""
     cfg = shape.config
     if cfg.integrator not in (Integrator.EULER, Integrator.VERLET,
                               Integrator.RK2):
-        return False
+        return f"integrator {cfg.integrator.name} not supported in-kernel"
     if cfg.dtype != "float32":
-        return False
+        return (f"dtype {cfg.dtype} (the kernel is f32-only; f64 stays on "
+                "the XLA path by design -- TPU f64 is emulated)")
     if not cfg.use_stencil or not shape.stencil_deltas:
-        return False
+        return "no stencil spring families (use_stencil off or none found)"
     if shape.has_magnets and shape.n_masses > cfg.magnet_pallas_max:
-        return False
+        return (f"magnetic scene with {shape.n_masses} masses > "
+                f"magnet_pallas_max={cfg.magnet_pallas_max}")
     if not cfg.persistent_extern_force:
-        return False
+        return "strict per-step extern_force mode (persistent_extern_force"\
+               "=False)"
     n, f = shape.n_masses, len(shape.stencil_deltas)
     rem_bytes = 0
     if shape.has_remainder:
-        # remainder endpoint gather/scatter runs as one-hot matmuls on the
-        # (otherwise idle) MXU; the [2S, N] one-hot incidence lives in VMEM
-        rem_bytes = 4 * 2 * shape.n_springs * n
-        if rem_bytes > _REM_ONEHOT_BUDGET:
-            return False
+        # remainder endpoint gather/scatter runs as factorized one-hot
+        # matmuls on the (otherwise idle) MXU; the [2S, R] + [2S, 128]
+        # selectors and two [2S, 128] temporaries live in VMEM
+        rem_bytes = 4 * 2 * shape.n_springs * (n // 128 + 3 * 128)
+        if rem_bytes > _REM_SEL_BUDGET:
+            return (f"{shape.n_springs} irregular (remainder) springs need "
+                    f"{rem_bytes >> 20} MB of endpoint selectors > "
+                    f"{_REM_SEL_BUDGET >> 20} MB budget")
     # resident refs: 7 [3,N] vec3 (pos/vel/acc/cforce in + 3 outs), [1,N]
     # minv/fixed (+drag, +4 magnet params, +valid, +local-constraint slot
     # planes), [F,N] k/rest/damping/bsign/bomega (+arate/abound/orest when
@@ -81,13 +95,21 @@ def pallas_supported(shape: SceneShape) -> bool:
         sc += 5
         # dense pairwise temporaries: a few [R, 128, 128] arrays
         if 4 * (n // 128) * 128 * 128 * 4 > 16 * 1024 * 1024:
-            return False
+            return (f"in-VMEM pairwise magnet temporaries at {n} masses "
+                    "exceed 16 MB")
     sc += _lc_planes(shape)
     # RK2 holds the pass-1 results (f1/vel1/pos_h/vel_h) live across the
     # second force evaluation: budget extra [3, N] temporaries for it
     tmp = 3 * 10 if cfg.integrator is Integrator.RK2 else 3 * 6
     vmem_bytes = 4 * n * (3 * 7 + fam + sc) + 4 * n * tmp + rem_bytes
-    return vmem_bytes < _VMEM_BUDGET
+    if vmem_bytes >= _VMEM_BUDGET:
+        return (f"scene needs ~{vmem_bytes >> 20} MB of VMEM residency > "
+                f"{_VMEM_BUDGET >> 20} MB budget ({n} masses, {f} families)")
+    return None
+
+
+def pallas_supported(shape: SceneShape) -> bool:
+    return pallas_reject_reason(shape) is None
 
 
 def _lc_planes(shape: SceneShape) -> int:
@@ -137,9 +159,10 @@ def _build_kernel(shape: SceneShape):
             lc_ref = refs[i]    # [P_lc, R, 128] stacked slot planes
             i += 1
         if has_remainder:
-            ronehot_ref = refs[i]   # [2S, N] one-hot endpoint incidence
-            remp_ref = refs[i + 1]  # [Q, S, 1] per-spring scalar params
-            i += 2
+            rowsel_ref = refs[i]     # [2S, R] endpoint row one-hot
+            lanesel_ref = refs[i + 1]  # [2S, 128] endpoint lane one-hot
+            remp_ref = refs[i + 2]   # [Q, S, 1] per-spring scalar params
+            i += 3
         opos_ref, ovel_ref, oacc_ref = refs[i:i + 3]
         if has_actuated:
             orest_ref = refs[i + 3]
@@ -153,6 +176,13 @@ def _build_kernel(shape: SceneShape):
 
         import os as _os
         _ablate = _os.environ.get("TITAN_ABLATE", "")
+        if _ablate:
+            from ..runtime.logging import get_logger
+            get_logger().warning(
+                "TITAN_ABLATE=%r is set: the Pallas kernel is being built "
+                "in a TIMING-ABLATION mode with DELIBERATELY WRONG physics "
+                "(benchmark instrumentation only). Unset TITAN_ABLATE for "
+                "correct results.", _ablate)
 
         def roll_gather(x, d):
             # roll reading flat index n+d on [.., R, 128]: row rolls + ONE
@@ -249,19 +279,33 @@ def _build_kernel(shape: SceneShape):
                 f_acc = f_acc - f + roll_scatter(f, d)
             if has_remainder:
                 # irregular-topology (remainder) springs: endpoint gather
-                # and force scatter run as one-hot matmuls on the otherwise
-                # IDLE MXU (this physics has no other matmuls) -- TPU scalar
-                # gathers measured ~1000x slower than stencil rolls, but a
-                # [2S, N] incidence matmul is a few microseconds of MXU
-                # time.  Physics identical to ops/forces.spring_forces
-                # (reference computeSpringForces, sim.cu:1157-1200);
-                # invalid/padding springs carry k == 0.
-                oh = ronehot_ref[:]                          # [2S, N]
-                posf = pos.reshape(3, n)
-                g = jax.lax.dot_general(
-                    oh, posf, (((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)      # [2S, 3]
+                # and force scatter run as FACTORIZED one-hot matmuls on
+                # the otherwise IDLE MXU (this physics has no other
+                # matmuls) -- TPU scalar gathers measured ~1000x slower
+                # than stencil rolls.  The round-1 [2S, N] incidence is
+                # factorized into a [2S, R] row selection (MXU) plus a
+                # [2S, 128] lane selection (VPU lane-dot): identical MACs
+                # (E*N either way), exact (one-hot products are exact in
+                # f32 at Precision.HIGHEST; default bf16 would round the
+                # gathered VALUES -- measured 1.2e-3 drift), but VMEM
+                # drops from O(S*N) to O(S*N/128), so thousands of
+                # irregular springs fit.  Physics identical to
+                # ops/forces.spring_forces (reference computeSpringForces,
+                # sim.cu:1157-1200); invalid/padding springs carry k == 0.
+                rs = rowsel_ref[:]                           # [2S, R]
+                ls = lanesel_ref[:]                          # [2S, 128]
+
+                def gather_ends(x):                          # [3, R, 128]
+                    cols = []
+                    for c in range(3):
+                        a = jax.lax.dot_general(
+                            rs, x[c], (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)  # [2S, 128]
+                        cols.append(jnp.sum(a * ls, axis=1))     # [2S]
+                    return jnp.stack(cols, axis=1)               # [2S, 3]
+
+                g = gather_ends(pos)
                 diffe = g[n_rem:] - g[:n_rem]                # right - left
                 d2e = jnp.sum(diffe * diffe, axis=1,
                               keepdims=True)                 # [S, 1]
@@ -291,24 +335,22 @@ def _build_kernel(shape: SceneShape):
                                      * jnp.sin(remp_ref[4] * t_now))
                 mage = remp_ref[0] * (reste - lne)           # [S, 1]
                 if has_damping:
-                    gv = jax.lax.dot_general(
-                        oh, vel.reshape(3, n), (((1,), (1,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
+                    gv = gather_ends(vel)
                     axiale = jnp.sum((gv[:n_rem] - gv[n_rem:]) * diffe,
                                      axis=1, keepdims=True) * inve
                     mage = mage + axiale * remp_ref[2]
                 fe = (mage * inve) * diffe                   # [S, 3]
-                # scatter: +f at right, -f at left (sim.cu:1189-1196)
-                sr = jax.lax.dot_general(
-                    fe, oh[n_rem:], (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)      # [3, N]
-                sl = jax.lax.dot_general(
-                    fe, oh[:n_rem], (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                f_acc = f_acc + (sr - sl).reshape(3, rows, 128)
+                # scatter: +f at right, -f at left (sim.cu:1189-1196) in
+                # one signed [2S] pass through the same factorization
+                fboth = jnp.concatenate([-fe, fe], axis=0)   # [2S, 3]
+                scat = []
+                for c in range(3):
+                    b = fboth[:, c:c + 1] * ls               # [2S, 128]
+                    scat.append(jax.lax.dot_general(
+                        rs, b, (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32))  # [R, 128]
+                f_acc = f_acc + jnp.stack(scat)
             if has_magnets:
                 # dense in-VMEM pairwise magnet sweep, one 128-lane source
                 # row at a time (reference computeExternalMagnetForce,
@@ -653,10 +695,16 @@ def build_pallas_chunk(shape: SceneShape):
             remp = jnp.stack([jnp.asarray(r, m.pos.dtype) for r in rows_p]
                              )[:, :, None]                    # [Q, S, 1]
             lr = jnp.concatenate([sp.left, sp.right]).astype(jnp.int32)
-            onehot = (lr[:, None]
-                      == jnp.arange(n, dtype=jnp.int32)[None, :]
-                      ).astype(m.pos.dtype)                   # [2S, N]
-            extra_in += [onehot, remp]
+            # factorized endpoint selectors (see kernel): row one-hot
+            # [2S, R] + lane one-hot [2S, 128].  Padding springs point at
+            # index 0 and carry k == 0, so their force is exactly zero.
+            rowsel = ((lr[:, None] // 128)
+                      == jnp.arange(rows, dtype=jnp.int32)[None, :]
+                      ).astype(m.pos.dtype)                   # [2S, R]
+            lanesel = ((lr[:, None] % 128)
+                       == jnp.arange(128, dtype=jnp.int32)[None, :]
+                       ).astype(m.pos.dtype)                  # [2S, 128]
+            extra_in += [rowsel, lanesel, remp]
 
         n_in = 11 + len(extra_in)
         n_out = 4 if shape.has_actuated else 3
