@@ -13,7 +13,8 @@ from titan_tpu.parallel.halo import build_halo_chunk, halo_supported, place
 
 def _scene(damping=0.0, breathing=False, actuated=False, drag=0.0,
            deleted=False, local_constraint=False, integrator=None,
-           magnets=False, remainder=False, remainder_actuated=False):
+           magnets=False, remainder=False, remainder_actuated=False,
+           magnet_plain=False):
     from titan_tpu import (ACTIVE_CONTRACT_THEN_EXPAND, ACTUATED_EXPAND,
                            CONTACT_PLANE, Integrator)
     cfg = dict(velocity_clamp=False)
@@ -50,6 +51,29 @@ def _scene(damping=0.0, breathing=False, actuated=False, drag=0.0,
             mm.stiffness = 200.0
             mm.max_mag_force = 1.0
             mm.mag_scale_factor = 1.0
+    if magnet_plain:
+        # one wide-shelled magnet whose shell radius overlaps PLAIN
+        # (non-magnetic) neighbor masses: those neighbors must still act as
+        # shell-contact sources (ops/forces.magnet_forces treats every valid
+        # mass as a source; the reference occupancy grid inserts every mass,
+        # sim.cu:842) -- regression test for the halo path gathering only
+        # magnetic masses as sources
+        # mass 5 sits on the x==0 face: its only x-neighbor is at +x, so
+        # the missing plain-source shell force is asymmetric (an interior
+        # magnet's plain neighbors would cancel by symmetry and hide the
+        # bug).  The neighbor (mass 21) gets ALL FOUR magnet params zeroed
+        # -- the reference default stiffness is 1000, so without this the
+        # old "gather only magnetic masses as sources" filter matched every
+        # mass and the bug was invisible.  A fully zero-param mass is still
+        # a source: the receiver's shell force needs only its presence.
+        cfg_cutoff = sim.config.magnet_cutoff
+        mm = sim.masses[5]
+        mm.rad = 0.3            # lattice x-spacing ~0.258 < rad -> overlap
+        mm.stiffness = 150.0
+        mm.max_mag_force = 0.5
+        mm.mag_scale_factor = 1.0
+        sim._store.mag_stiffness[21] = 0.0
+        assert cfg_cutoff > 0.26
     st = sim._store
     if damping:
         st.damping[: st.n_springs] = damping
@@ -87,11 +111,17 @@ VARIANTS = {
     "local_constraint": dict(local_constraint=True),
     "verlet": dict(integrator="verlet"),
     "verlet_damped": dict(integrator="verlet", damping=0.4),
+    "rk2": dict(integrator="rk2"),
+    "rk2_damped_actuated": dict(integrator="rk2", damping=0.4,
+                                actuated=True),
+    "rk2_magnets_remainder": dict(integrator="rk2", magnets=True,
+                                  remainder=True),
     "magnets": dict(magnets=True),
     "remainder": dict(remainder=True),
     "remainder_damped": dict(remainder=True, damping=0.5),
     "remainder_actuated": dict(remainder_actuated=True),
     "magnets_remainder": dict(magnets=True, remainder=True, deleted=True),
+    "magnet_plain_contact": dict(magnets=True, magnet_plain=True),
 }
 
 
@@ -230,7 +260,7 @@ def test_halo_matches_single_device_random_combo(seed):
         drag=float(rng.choice([0.0, 0.25])),
         deleted=bool(rng.randint(2)),
         local_constraint=bool(rng.randint(2)),
-        integrator=[None, "verlet"][rng.randint(2)],
+        integrator=[None, "verlet", "rk2"][rng.randint(3)],
         magnets=bool(rng.randint(2)),
         remainder=bool(rng.randint(2)),
     )

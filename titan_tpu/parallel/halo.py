@@ -21,8 +21,9 @@ and remainder valid flags at chunk entry, where a global roll is still cheap).
 
 Envelope: stencil and/or remainder springs (remainder needs
 ``shape.remainder_span`` < block: each spring is owned by its left endpoint's
-device and its right endpoint is then inside the halo window); Euler (+clamp)
-or Verlet; breathing and ACTUATED_* springs (stencil rest mutation is local
+device and its right endpoint is then inside the halo window); Euler (+clamp),
+Verlet, or RK2 (double force pass per dt with fresh halo exchanges,
+sim.cu:1778-1799); breathing and ACTUATED_* springs (stencil rest mutation is local
 to the left endpoint's block; remainder rest mutation depends only on
 replicated spring arrays, so every device computes it identically); axial
 damping (adds vel halos); drag; local constraints (per-mass, sharded with the
@@ -50,22 +51,35 @@ from ..ops.step import _mass_forces
 from ..state import SceneShape, SimState
 
 
-def halo_supported(shape: SceneShape, n_devices: int) -> bool:
+def halo_reject_reason(shape: SceneShape, n_devices: int):
+    """None if the halo-exchange path accepts this scene on ``n_devices``,
+    else a one-line reason naming the envelope condition that failed."""
     cfg = shape.config
-    if cfg.integrator not in (Integrator.EULER, Integrator.VERLET):
-        return False
+    if cfg.integrator not in (Integrator.EULER, Integrator.VERLET,
+                              Integrator.RK2):
+        return (f"integrator {cfg.integrator.name} not supported by the "
+                "halo path")
     if not cfg.use_stencil:
-        return False
+        return "use_stencil off"
     if not shape.stencil_deltas and not shape.has_remainder:
-        return False
+        return "no springs to exchange halos for"
     if shape.magnet_binned:
-        return False
+        return ("cell-binned magnet scene (large-N magnets use the "
+                "automatic SPMD partitioner's O(N) binned pass)")
     if not cfg.persistent_extern_force:
-        return False
+        return "strict per-step extern_force mode"
     if shape.n_masses % n_devices != 0:
-        return False
+        return (f"{shape.n_masses} masses not divisible by "
+                f"{n_devices} devices")
     block = shape.n_masses // n_devices
-    return block > _halo_width(shape)
+    if block <= _halo_width(shape):
+        return (f"halo width {_halo_width(shape)} (max spring index span) "
+                f">= per-device block {block}")
+    return None
+
+
+def halo_supported(shape: SceneShape, n_devices: int) -> bool:
+    return halo_reject_reason(shape, n_devices) is None
 
 
 def _halo_width(shape: SceneShape) -> int:
@@ -82,6 +96,7 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
     n_dev = mesh.shape[axis]
     cfg = shape.config
     is_verlet = cfg.integrator is Integrator.VERLET
+    is_rk2 = cfg.integrator is Integrator.RK2
     to_prev = [(i, (i - 1) % n_dev) for i in range(n_dev)]  # recv from next
     to_next = [(i, (i + 1) % n_dev) for i in range(n_dev)]  # recv from prev
     # _mass_forces applies every per-mass force verbatim on the local block;
@@ -94,17 +109,24 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
         tail_from_prev = jax.lax.ppermute(x[:, -halo:], axis, to_next)
         return jnp.concatenate([tail_from_prev, x, head_from_next], axis=1)
 
-    def local_step(state: SimState, mag_src) -> SimState:
+    def eval_forces(state: SimState, pos, vel, st_rest, rem_rest, t_now,
+                    mag_src):
+        """One full force evaluation at (pos, vel, t_now): springs over the
+        halo'd window (fresh ppermutes), spill delivery, magnets, then the
+        shared per-mass pass.  RK2 calls this twice per dt (reference
+        sim.cu:1778-1799) with fresh halos each pass; ACTUATED rest
+        advances on every call, matching the reference's double-pass rest
+        mutation quirk.  Returns (f_acc, vel_out, new_st_rest,
+        new_rem_rest)."""
         m = state.masses
         st = state.stencil
-        pos, vel = m.pos, m.vel                        # [3, B] per device
         b = pos.shape[1]
         pos_ext = halo_extend(pos)                     # [3, H + B + H]
         if shape.has_damping:
             vel_ext = halo_extend(vel)
         f_acc = jnp.zeros_like(pos)
         spill = jnp.zeros((3, 2 * halo), dtype=pos.dtype)  # [prev | next]
-        new_rest = st.rest
+        new_rest = st_rest
         for fi, d in enumerate(deltas):
             pos_r = jax.lax.dynamic_slice_in_dim(pos_ext, halo + d, b, axis=1)
             diff = pos_r - pos
@@ -112,10 +134,10 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
             inv = jnp.where(length > 0,
                             1.0 / jnp.where(length > 0, length, 1.0), 0.0)
             pair_ok = st.mask[fi]   # validity folded in at chunk entry
-            rest = st.rest[fi]
+            rest = st_rest[fi]
             if shape.has_breathing:
                 styp = st.type[fi]
-                sin_wt = jnp.sin(st.omega[fi] * state.t)
+                sin_wt = jnp.sin(st.omega[fi] * t_now)
                 scale = jnp.where(
                     styp == ACTIVE_CONTRACT_THEN_EXPAND, 1.0 - 0.2 * sin_wt,
                     jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
@@ -147,7 +169,7 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
             f_acc = f_acc + c[:, halo:halo + b]
             spill = spill + jnp.concatenate(
                 [c[:, :halo], c[:, halo + b:]], axis=1)
-        new_rem_rest = state.springs.rest
+        new_rem_rest = rem_rest
         if shape.has_remainder:
             # each remainder spring is owned by its LEFT endpoint's device;
             # |right - left| <= halo (envelope), so both endpoints are inside
@@ -168,11 +190,11 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
             length = jnp.sqrt(jnp.sum(diff * diff, axis=0))
             inv = jnp.where(length > 0,
                             1.0 / jnp.where(length > 0, length, 1.0), 0.0)
-            rest = sp.rest
+            rest = rem_rest
             scale = 1.0
             if shape.has_breathing:
                 styp = sp.type
-                sin_wt = jnp.sin(sp.omega * state.t)
+                sin_wt = jnp.sin(sp.omega * t_now)
                 scale = jnp.where(
                     styp == ACTIVE_CONTRACT_THEN_EXPAND, 1.0 - 0.2 * sin_wt,
                     jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
@@ -238,21 +260,53 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
         # local mass pass: gravity, extern, global planes/balls, local
         # constraints, drag -- all per-mass, so the shared implementation
         # applies verbatim to each device's block (magnets handled above)
-        f_acc, vel2 = _mass_forces(state, m, f_acc, shape_local)
-        if is_verlet:
-            pos2, vel3, acc = verlet(pos, vel2, m.acc, f_acc, m.m, state.dt)
-        else:
-            pos2, vel3, acc = euler(pos, vel2, f_acc, m.m, state.dt,
-                                    cfg.velocity_clamp)
+        f_acc, vel_out = _mass_forces(
+            state, dataclasses.replace(m, pos=pos, vel=vel), f_acc,
+            shape_local)
+        return f_acc, vel_out, new_rest, new_rem_rest
+
+    def local_step(state: SimState, mag_src) -> SimState:
+        m, st = state.masses, state.stencil
+        pos, vel0 = m.pos, m.vel                       # [3, B] per device
+        dt = state.dt
         move = m.valid & ~m.fixed
+        if is_rk2:
+            # reference RK2 (sim.cu:1778-1799 + 1336-1349): midpoint
+            # predictor then corrector, forces (and halo exchanges)
+            # evaluated twice per dt -- semantics mirror ops/step.py's RK2
+            # branch exactly, including the frozen-mass handling
+            f1, vel1, rest1, rrest1 = eval_forces(
+                state, pos, vel0, st.rest, state.springs.rest, state.t,
+                mag_src)
+            acc1 = f1 / m.m
+            pos_h = pos + 0.5 * vel1 * dt
+            vel_h = vel1 + 0.5 * acc1 * dt
+            pos_h = jnp.where(move, pos_h, pos)
+            vel_h = jnp.where(move, vel_h, vel1)
+            f2, vel2, rest2, rrest2 = eval_forces(
+                state, pos_h, vel_h, rest1, rrest1, state.t + 0.5 * dt,
+                mag_src)
+            acc = f2 / m.m
+            pos2 = pos + vel2 * dt
+            vel3 = vel1 + acc * dt
+            new_rest, new_rem_rest = rest2, rrest2
+        else:
+            f_acc, vel2, new_rest, new_rem_rest = eval_forces(
+                state, pos, vel0, st.rest, state.springs.rest, state.t,
+                mag_src)
+            if is_verlet:
+                pos2, vel3, acc = verlet(pos, vel2, m.acc, f_acc, m.m, dt)
+            else:
+                pos2, vel3, acc = euler(pos, vel2, f_acc, m.m, dt,
+                                        cfg.velocity_clamp)
         new_m = dataclasses.replace(
             m,
             pos=jnp.where(move, pos2, pos),
             vel=jnp.where(move, vel3, m.vel),
             acc=jnp.where(move, acc, m.acc),
-            T=m.T + jnp.where(move, state.dt, 0.0))
+            T=m.T + jnp.where(move, dt, 0.0))
         new_state = dataclasses.replace(
-            state, masses=new_m, t=state.t + state.dt)
+            state, masses=new_m, t=state.t + dt)
         if shape.has_breathing:
             new_state = dataclasses.replace(
                 new_state, stencil=dataclasses.replace(st, rest=new_rest),
@@ -265,13 +319,17 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
 
     def chunk_body(state: SimState, n_steps) -> SimState:
         if shape.has_magnets:
-            # magnet source params are chunk-invariant: gather once
+            # magnet source params are chunk-invariant: gather once.  ALL
+            # valid masses are sources, not just magnetic ones -- a plain
+            # mass (rad=0, scale=0) still exerts shell contact force on a
+            # magnetic receiver whose shell radius overlaps it, matching
+            # ops/forces.magnet_forces (src_valid = masses.valid) and the
+            # reference occupancy grid, which inserts every mass
+            # (sim.cu:842).
             m = state.masses
-            magnetic = m.valid & ((m.mag_rad != 0) | (m.mag_scale != 0)
-                                  | (m.mag_maxf != 0) | (m.mag_stiffness != 0))
             mag_src = tuple(
                 jax.lax.all_gather(x, axis, axis=0, tiled=True)
-                for x in (m.mag_rad, m.mag_scale, magnetic))
+                for x in (m.mag_rad, m.mag_scale, m.valid))
         else:
             mag_src = None
         return jax.lax.fori_loop(
