@@ -11,8 +11,10 @@ from titan_tpu.ops.step import build_chunk_fn
 
 def _scene(friction=True, damping=0.0, breathing=False, drag=0.0,
            deleted=False, nonuniform_rest=False, nonuniform_k=False,
-           integrator=None):
-    from titan_tpu import ACTIVE_CONTRACT_THEN_EXPAND, Integrator
+           integrator=None, actuated=False, local=None):
+    from titan_tpu import (ACTIVE_CONTRACT_THEN_EXPAND, ACTUATED_CONTRACT,
+                           ACTUATED_EXPAND, BALL, CONSTRAINT_PLANE,
+                           CONTACT_PLANE, DIRECTION, Integrator, Vec as V)
     cfg = {}
     if integrator:
         cfg["integrator"] = Integrator(integrator)
@@ -26,6 +28,28 @@ def _scene(friction=True, damping=0.0, breathing=False, drag=0.0,
         half = st.n_springs // 2
         st.s_type[:half] = ACTIVE_CONTRACT_THEN_EXPAND
         st.omega[:half] = 7.0
+    if actuated:
+        s = st.n_springs
+        third = s // 3
+        st.s_type[:third] = ACTUATED_EXPAND
+        st.l_max[:third] = st.rest[:third] * 1.2
+        st.rate[:third] = 0.5
+        st.s_type[third:2 * third] = ACTUATED_CONTRACT
+        st.l_min[third:2 * third] = st.rest[third:2 * third] * 0.8
+        st.rate[third:2 * third] = 0.5
+        # a few springs START past their bound: they must never advance
+        st.l_max[:8] = st.rest[:8] * 0.9
+    if local:
+        for i in (2, 99, 380):
+            if local == "cp":
+                sim.masses[i].addConstraint(CONTACT_PLANE, V(0, 1, 2), -0.3)
+            elif local == "ball":
+                sim.masses[i].addConstraint(BALL, V(0, 0, 2.5), 0.7)
+            elif local == "pl":
+                sim.masses[i].addConstraint(CONSTRAINT_PLANE, V(0, 0, 1),
+                                            0.3)
+            elif local == "dir":
+                sim.masses[i].addConstraint(DIRECTION, V(1, 0, 0), 0.2)
     if drag:
         st.drag[: st.n_masses] = drag
     if deleted:
@@ -60,6 +84,15 @@ VARIANTS = {
     "nonuniform_k": dict(nonuniform_k=True),
     "nonuniform_damped": dict(nonuniform_rest=True, damping=0.4),
     "verlet": dict(integrator="verlet"),
+    "actuated": dict(actuated=True),
+    "actuated_breathing_damped": dict(actuated=True, breathing=True,
+                                      damping=0.4),
+    "actuated_verlet": dict(actuated=True, integrator="verlet",
+                            nonuniform_rest=True),
+    "local_cp": dict(local="cp"),
+    "local_ball": dict(local="ball"),
+    "local_pl": dict(local="pl"),
+    "local_dir": dict(local="dir"),
 }
 
 
@@ -88,30 +121,50 @@ def test_tiled_matches_xla(variant, monkeypatch):
                                                        jnp.int32(30))
     out_x = build_chunk_fn(sim._shape)(sim._state, jnp.int32(30))
     n = sim._store.n_masses
-    # f32: kernel and XLA order float ops differently
+    # f32: kernel and XLA order float ops differently.  Actuated variants
+    # add the closed-form-vs-iterative rest difference (<= steps * eps *
+    # rest ~ 5e-7; pos stays within 6e-6 at 30 steps but vel amplifies it
+    # by ~1/dt under undamped Verlet ringing -- measured 8e-4, the same
+    # mechanism the random-combo harness below tolerates at 5e-3) -- see
+    # the module docstring of pallas_tiled.
+    act = variant.startswith("actuated")
+    ptol = dict(atol=3e-5, rtol=1e-4) if act else dict(atol=5e-6, rtol=1e-5)
+    vtol = dict(atol=5e-3, rtol=1e-3) if act else dict(atol=5e-6, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out_t.masses.pos)[:, :n],
-                               np.asarray(out_x.masses.pos)[:, :n],
-                               atol=5e-6, rtol=1e-5)
+                               np.asarray(out_x.masses.pos)[:, :n], **ptol)
     np.testing.assert_allclose(np.asarray(out_t.masses.vel)[:, :n],
-                               np.asarray(out_x.masses.vel)[:, :n],
-                               atol=5e-6, rtol=1e-5)
+                               np.asarray(out_x.masses.vel)[:, :n], **vtol)
     # acc is k-amplified position noise (acc ~ k*(rest-len)/m: a 1e-6 f32
     # ordering difference in pos becomes ~k*1e-6 in acc), so its tolerance
-    # scales with the spring constant (k=800 here)
+    # scales with the spring constant (k=800 here); actuated variants add
+    # the closed-form rest seed on top (same mechanism as vel above)
+    atol_acc = 1.0 if act else 5e-2
     np.testing.assert_allclose(np.asarray(out_t.masses.acc)[:, :n],
                                np.asarray(out_x.masses.acc)[:, :n],
-                               atol=5e-2, rtol=1e-3)
+                               atol=atol_acc, rtol=1e-3)
+    if variant.startswith("actuated"):
+        # closed-form rest must track the XLA path's iterative advance
+        # (difference is the fused vs accumulated f32 sums, ~1e-7 rel)
+        np.testing.assert_allclose(np.asarray(out_t.stencil.rest),
+                                   np.asarray(out_x.stencil.rest),
+                                   atol=1e-5, rtol=1e-5)
+        assert not np.allclose(np.asarray(out_t.stencil.rest),
+                               np.asarray(sim._state.stencil.rest)), \
+            "actuation did nothing"
 
 
 def test_tiled_envelope_rejections():
-    from titan_tpu import ACTUATED_EXPAND
+    # magnets stay outside the tiled envelope (remainder springs too);
+    # ACTUATED_* and local constraints joined the envelope in round 3
     sim = _scene()
     st = sim._store
-    st.s_type[: st.n_springs] = ACTUATED_EXPAND
-    st.l_max[: st.n_springs] = 2.0
-    st.rate[: st.n_springs] = 0.1
+    st.mag_maxf[:4] = 1.0
+    st.mag_rad[:4] = 0.05
     sim._marshal()
     assert not pallas_tiled.tiled_supported(sim._shape)
+    assert "magnet" in pallas_tiled.tiled_reject_reason(sim._shape)
+    assert pallas_tiled.tiled_supported(_scene(actuated=True)._shape)
+    assert pallas_tiled.tiled_supported(_scene(local="cp")._shape)
 
 
 @pytest.mark.parametrize("seed", range(4))
@@ -129,6 +182,8 @@ def test_tiled_matches_xla_random_combo(seed, monkeypatch):
         nonuniform_rest=bool(rng.randint(2)),
         nonuniform_k=bool(rng.randint(2)),
         integrator=[None, "verlet"][rng.randint(2)],
+        actuated=bool(rng.randint(2)),
+        local={0: None, 1: "cp", 2: "ball", 3: "pl", 4: "dir"}[rng.randint(5)],
     )
     sim = _scene(**kw)
     assert pallas_tiled.tiled_supported(sim._shape)

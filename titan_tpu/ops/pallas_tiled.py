@@ -21,8 +21,23 @@ Everything else (gravity+extern, planes, balls, drag, integration) happens
 on the tile's own rows via auto-pipelined blocked inputs.
 
 Envelope: Euler (velocity clamp optional) or Verlet; damping; breathing
-(ACTIVE_*); drag; soft-deleted masses; unbounded N.  Not yet: ACTUATED_*
-(per-step rest writeback), magnets, local constraints, remainder springs.
+(ACTIVE_*); ACTUATED_* springs; local constraints; drag; soft-deleted
+masses; unbounded N.  Not yet: magnets, remainder springs.
+
+ACTUATED_* rest needs no per-step writeback or carried state: the
+reference's rest mutation (sim.cu:1173-1181 -- advance by rate*dt each step
+while short of the one-sided bound, overshoot retained) is independent of
+the physics state, so rest at step s has the closed form
+``rest0 + min(s + 1, s_stop) * rate * dt`` with
+``s_stop = ceil((bound - rest0) / (rate * dt))``.  The kernel streams two
+extra windowed planes (rate*dt and s_stop) and evaluates the closed form
+from the SMEM step counter; the end-of-chunk rest is reconstructed in XLA
+the same way.  (f32 note: the closed form fuses the per-step additions the
+iterative paths accumulate, a ~1e-7 relative difference absorbed by the
+equivalence-test tolerances.)
+
+Local constraints are per-mass with no neighbor access, so their stacked
+slot planes ride the auto-pipelined blocked inputs (no halo windows).
 """
 
 from __future__ import annotations
@@ -35,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import (ACTIVE_CONTRACT_THEN_EXPAND, ACTIVE_EXPAND_THEN_CONTRACT,
-                      Integrator)
+                      ACTUATED_CONTRACT, ACTUATED_EXPAND, Integrator)
 from ..state import SceneShape, SimState
 
 
@@ -59,8 +74,15 @@ def _plan(shape: SceneShape):
     if not u_k:
         offsets["k"] = p
         p += nf
-    if not u_rest:
+    if not u_rest or shape.has_actuated:
+        # actuated rest is per-spring state even if initially uniform
         offsets["rest"] = p
+        p += nf
+    if shape.has_actuated:
+        # closed-form actuation inputs (see module docstring)
+        offsets["aratedt"] = p
+        p += nf
+        offsets["sstop"] = p
         p += nf
     if damping:
         # damping is ALWAYS windowed (zeroed at mask=False lanes): a
@@ -86,14 +108,15 @@ def _vmem_bytes(shape: SceneShape, t: int, h: int) -> int:
     _, n_param, n_state = _plan(shape)
     n_win = n_state + n_param + (1 if shape.stencil_uniform[0] else 0)
     win_bytes = 2 * 4 * (w // 128) * 128 * n_win
-    blk_bytes = 2 * 4 * t * (3 * 6 + 4)
+    from .pallas_step import _lc_planes
+    blk_bytes = 2 * 4 * t * (3 * 6 + 4 + _lc_planes(shape))
     return win_bytes + blk_bytes
 
 
 _VMEM_EST_BUDGET = 48 * 1024 * 1024
 
 
-def _tile_size(h: int, shape: SceneShape, n: int) -> int:
+def _tile_size(h: int) -> int:
     """Tile size: >= 4 halos wide; a multiple of 1024 so windows stay
     sublane-aligned (Mosaic faults otherwise -- see CLAUDE.md).  The mass
     array is padded up to a tile multiple.
@@ -106,23 +129,35 @@ def _tile_size(h: int, shape: SceneShape, n: int) -> int:
     return _round_up(max(4 * h, 32768), 1024)
 
 
-def tiled_supported(shape: SceneShape) -> bool:
+def tiled_reject_reason(shape: SceneShape):
+    """None if the grid-tiled kernel accepts this scene, else a one-line
+    reason naming the envelope condition that failed."""
     cfg = shape.config
     if cfg.integrator not in (Integrator.EULER, Integrator.VERLET):
-        return False
+        return (f"integrator {cfg.integrator.name} not supported by the "
+                "tiled kernel (Euler/Verlet only)")
     if cfg.dtype != "float32":
-        return False
+        return f"dtype {cfg.dtype} (tiled kernel is f32-only)"
     if not cfg.use_stencil or not shape.stencil_deltas:
-        return False
-    if shape.has_remainder or shape.has_actuated or shape.has_magnets:
-        return False
-    if any((shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)):
-        return False
+        return "no stencil spring families"
+    if shape.has_remainder:
+        return "irregular (remainder) springs not supported by the tiled "\
+               "kernel"
+    if shape.has_magnets:
+        return "magnets not supported by the tiled kernel"
     if not cfg.persistent_extern_force:
-        return False
+        return "strict per-step extern_force mode"
     h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
-    t = _tile_size(h, shape, shape.n_masses)
-    return _vmem_bytes(shape, t, h) < _VMEM_EST_BUDGET
+    t = _tile_size(h)
+    b = _vmem_bytes(shape, t, h)
+    if b >= _VMEM_EST_BUDGET:
+        return (f"tile window needs ~{b >> 20} MB of VMEM > "
+                f"{_VMEM_EST_BUDGET >> 20} MB budget")
+    return None
+
+
+def tiled_supported(shape: SceneShape) -> bool:
+    return tiled_reject_reason(shape) is None
 
 
 def _build_kernel(shape: SceneShape, t_size: int, h: int):
@@ -135,7 +170,10 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
     verlet = shape.config.integrator is Integrator.VERLET
     has_damping = shape.has_damping
     has_breathing = shape.has_breathing
+    has_actuated = shape.has_actuated
     has_drag = shape.has_drag
+    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+    has_local = any(caps)
     normal_coeff = shape.config.normal_coeff
     from .forces import use_rsqrt
     rsqrt_norms = use_rsqrt(jnp.float32)
@@ -164,6 +202,9 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
         i += 3
         if has_drag:
             drag_ref = refs[i]
+            i += 1
+        if has_local:
+            lc_ref = refs[i]    # [P_lc, tr, 128] stacked slot planes
             i += 1
         opos_ref, ovel_ref, oacc_ref = refs[i:i + 3]
         i += 3
@@ -277,6 +318,14 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
                 rest = pv[offsets["rest"] + fi]
             else:
                 rest = fparam_ref[1, fi]
+            if has_actuated:
+                # closed-form ACTUATED advance (module docstring): at step
+                # s the reference has applied min(s + 1, s_stop) per-step
+                # increments (advance-then-use, one-sided bound with the
+                # final overshoot retained, sim.cu:1173-1181)
+                adv = jnp.minimum(scal_ref[2] + 1.0,
+                                  pv[offsets["sstop"] + fi])
+                rest = rest + adv * pv[offsets["aratedt"] + fi]
             if has_breathing:
                 bsign = (pv[offsets["bsign"] + fi] if "bsign" in offsets
                          else fparam_ref[3, fi])
@@ -295,6 +344,7 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
         pos = pw[:, hr:hr + tr, :]
         f_acc = fw[:, hr:hr + tr, :] + cforce_ref[:]
         vel = vw[:, hr:hr + tr, :] if has_damping else vel_ref[:]
+        vel_in = vel   # pre-constraint vel: frozen masses keep this
         for p in range(n_planes):
             nx, ny, nz = plane_ref[p, 0], plane_ref[p, 1], plane_ref[p, 2]
             off, fk, fs = plane_ref[p, 3], plane_ref[p, 4], plane_ref[p, 5]
@@ -331,6 +381,83 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
             push = jnp.where((dist <= rad) & (dist > 0),
                              normal_coeff / safe, 0.0)
             f_acc = f_acc + jnp.stack([d0, d1, d2]) * push
+        if has_local:
+            # per-mass local constraint slots in reference order: contact
+            # planes, balls, constraint planes, directions
+            # (sim.cu:1311-1326); constraint planes and directions MUTATE
+            # vel, which drag and the integrator then consume -- same
+            # block as the VMEM kernel (pallas_step.py), on tile rows.
+            o = 0
+            for _ in range(caps[0]):             # contact planes
+                act = lc_ref[o] > 0.5
+                nvec = lc_ref[o + 1:o + 4]       # [3, tr, 128] per-mass
+                off = lc_ref[o + 4]
+                fk = lc_ref[o + 5]
+                fs = lc_ref[o + 6]
+                o += 7
+                disp = jnp.sum(pos * nvec, axis=0) - off
+                inside = disp < 0
+                fn_mag = jnp.sum(f_acc * nvec, axis=0)
+                f_n = fn_mag * nvec
+                has_fric = (fs > 0) | (fk > 0)
+                vdotn = jnp.sum(vel * nvec, axis=0)
+                v_perp = vel - vdotn * nvec
+                v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))
+                kinetic = v_norm > 1e-16
+                fn_abs = jnp.abs(fn_mag)
+                safe_vn = jnp.where(kinetic, v_norm, 1.0)
+                f_kin = f_acc - v_perp * (fk * fn_abs / safe_vn)
+                f_perp = f_acc - f_n
+                fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
+                f_sta = jnp.where(fs * fn_abs > fp_norm,
+                                  f_acc - f_perp, f_acc)
+                f_fric = jnp.where(kinetic, f_kin, f_sta)
+                f_new = jnp.where(inside & has_fric, f_fric, f_acc)
+                f_new = f_new + jnp.where(inside, -disp * normal_coeff,
+                                          0.0) * nvec
+                f_acc = jnp.where(act, f_new, f_acc)
+            for _ in range(caps[1]):             # balls
+                act = lc_ref[o] > 0.5
+                cvec = lc_ref[o + 1:o + 4]
+                rad = lc_ref[o + 4]
+                o += 5
+                dvec = pos - cvec
+                dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=0))
+                safe = jnp.where(dist > 0, dist, 1.0)
+                push = jnp.where((dist <= rad) & (dist > 0),
+                                 normal_coeff / safe, 0.0)
+                f_acc = jnp.where(act, f_acc + dvec * push, f_acc)
+            for _ in range(caps[2]):             # constraint planes
+                act = lc_ref[o] > 0.5
+                nvec = lc_ref[o + 1:o + 4]
+                fric = lc_ref[o + 4]
+                o += 5
+                # reference quirk (object.cu:118-127): |v| taken BEFORE
+                # the normal component is removed, friction applied to
+                # the UPDATED velocity over the OLD norm
+                nf_ = jnp.sum(f_acc * nvec, axis=0)
+                f2 = f_acc - nvec * nf_
+                v_norm = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+                moving = v_norm >= 1e-16
+                v2c = vel - nvec * jnp.sum(vel * nvec, axis=0)
+                safe_vn = jnp.where(moving, v_norm, 1.0)
+                f3 = f2 - fric * nf_ * v2c / safe_vn
+                f_acc = jnp.where(act, jnp.where(moving, f3, f2), f_acc)
+                vel = jnp.where(act & moving, v2c, vel)
+            for _ in range(caps[3]):             # directions
+                act = lc_ref[o] > 0.5
+                tvec = lc_ref[o + 1:o + 4]
+                fric = lc_ref[o + 4]
+                o += 5
+                nf_ = f_acc - tvec * jnp.sum(f_acc * tvec, axis=0)
+                f2 = f_acc - nf_
+                v_norm = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+                moving = v_norm >= 1e-16
+                nf_norm = jnp.sqrt(jnp.sum(nf_ * nf_, axis=0))
+                f3 = f2 - nf_norm * fric * tvec
+                f_acc = jnp.where(act, jnp.where(moving, f3, f2), f_acc)
+                vel = jnp.where(act & moving,
+                                tvec * jnp.sum(vel * tvec, axis=0), vel)
         if has_drag:
             vn = jnp.sqrt(jnp.sum(vel * vel, axis=0))
             f_acc = f_acc - drag_ref[:] * vn * vel
@@ -340,14 +467,14 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
         if verlet:
             # reference 'Verlet' (sim.cu:1350-1354)
             v2 = vel + 0.5 * (acc_ref[:] + acc) * dt
-            v2 = v2 * not_fixed + vel * fixed_ref[:]
+            v2 = v2 * not_fixed + vel_in * fixed_ref[:]
             opos_ref[:] = pos + (v2 * dt + 0.5 * acc * dt * dt) * not_fixed
         else:
             v2 = vel + acc * dt
             if clamp:
                 vn = jnp.sqrt(jnp.sum(v2 * v2, axis=0))
                 v2 = jnp.where(vn > 1.0, v2 / jnp.where(vn > 0, vn, 1.0), v2)
-            v2 = v2 * not_fixed + vel * fixed_ref[:]
+            v2 = v2 * not_fixed + vel_in * fixed_ref[:]
             opos_ref[:] = pos + v2 * dt * not_fixed
         ovel_ref[:] = v2
         oacc_ref[:] = acc * not_fixed
@@ -360,7 +487,7 @@ def build_tiled_chunk(shape: SceneShape):
     n = shape.n_masses
     deltas = shape.stencil_deltas
     h = _round_up(max(abs(d) for d in deltas), 1024)
-    t_size = _tile_size(h, shape, n)
+    t_size = _tile_size(h)
     n_tiles = -(-n // t_size)            # ceil: last tile covers padding
     n_t = n_tiles * t_size
     pad_n = n_t - n
@@ -374,6 +501,10 @@ def build_tiled_chunk(shape: SceneShape):
     verlet = shape.config.integrator is Integrator.VERLET
     u_k, u_rest, u_damp, u_type, u_omega = shape.stencil_uniform
     has_pwin = n_param > 0
+    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+    has_local = any(caps)
+    from .pallas_step import _lc_planes
+    p_lc = _lc_planes(shape)
 
     def blk3(i, s):
         return (0, i, 0)
@@ -402,6 +533,9 @@ def build_tiled_chunk(shape: SceneShape):
     if shape.has_drag:
         in_specs.append(pl.BlockSpec((1, tr, 128), blk3,
                                      memory_space=pltpu.VMEM))  # drag
+    if has_local:
+        in_specs.append(pl.BlockSpec((p_lc, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # lc slots
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # scal = [dt, t_now]
@@ -463,12 +597,41 @@ def build_tiled_chunk(shape: SceneShape):
             at0(stc.omega) if u_omega else jnp.zeros(nf),
         ]).astype(jnp.float32)
 
+        dt32 = state.dt.astype(jnp.float32)
+        t032 = state.t.astype(jnp.float32)
+
+        aratedt = sstop = None
+        if shape.has_actuated:
+            # closed-form actuation inputs (module docstring): per-spring
+            # signed rate*dt and the advance count at which the one-sided
+            # bound is crossed (invalid pairs never actuate: reference
+            # early-return at sim.cu:1163)
+            arate = jnp.where(styp == ACTUATED_EXPAND, stc.rate,
+                              jnp.where(styp == ACTUATED_CONTRACT,
+                                        -stc.rate, 0.0))
+            arate = jnp.where(pair_ok, arate, 0.0).astype(jnp.float32)
+            aratedt = arate * dt32
+            abound = jnp.where(
+                styp == ACTUATED_EXPAND, stc.l_max,
+                jnp.where(styp == ACTUATED_CONTRACT, stc.l_min,
+                          0.0)).astype(jnp.float32)
+            nz = aratedt != 0
+            sstop = jnp.where(
+                nz,
+                jnp.ceil((abound - stc.rest.astype(jnp.float32))
+                         / jnp.where(nz, aratedt, 1.0)), 0.0)
+            sstop = jnp.maximum(sstop, 0.0)
+
         # windowed (non-uniform) params, stacked into one HBM array
         parts = []
         if "k" in offsets:
             parts.append(k_eff)
         if "rest" in offsets:
             parts.append(stc.rest)
+        if "aratedt" in offsets:
+            parts.append(aratedt)
+        if "sstop" in offsets:
+            parts.append(sstop)
         if "damping" in offsets:
             parts.append(jnp.where(pair_ok, stc.damping, 0.0))
         if "bsign" in offsets:
@@ -496,6 +659,30 @@ def build_tiled_chunk(shape: SceneShape):
                              ((0, 0), (0, pad_n))))
         drag = (r3(jnp.pad(m.drag[None, :], ((0, 0), (0, pad_n))))
                 if shape.has_drag else None)
+        lc_in = None
+        if has_local:
+            lcon = state.lcon
+            lparts = []
+            for j in range(caps[0]):
+                lparts += [(j < lcon.cp_count).astype(jnp.float32)[None],
+                           lcon.cp_normal[:, j, :].T,
+                           lcon.cp_offset[:, j][None],
+                           lcon.cp_fk[:, j][None], lcon.cp_fs[:, j][None]]
+            for j in range(caps[1]):
+                lparts += [(j < lcon.ball_count).astype(jnp.float32)[None],
+                           lcon.ball_center[:, j, :].T,
+                           lcon.ball_radius[:, j][None]]
+            for j in range(caps[2]):
+                lparts += [(j < lcon.pl_count).astype(jnp.float32)[None],
+                           lcon.pl_normal[:, j, :].T,
+                           lcon.pl_friction[:, j][None]]
+            for j in range(caps[3]):
+                lparts += [(j < lcon.dir_count).astype(jnp.float32)[None],
+                           lcon.dir_tangent[:, j, :].T,
+                           lcon.dir_friction[:, j][None]]
+            lc_in = r3(jnp.pad(
+                jnp.concatenate(lparts, axis=0).astype(jnp.float32),
+                ((0, 0), (0, pad_n))))
         planes = jnp.zeros((n_planes, 6), jnp.float32)
         if shape.n_planes:
             planes = planes.at[: shape.n_planes].set(jnp.concatenate([
@@ -509,16 +696,14 @@ def build_tiled_chunk(shape: SceneShape):
                 state.gcon.ball_center,
                 state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
 
-        dt32 = state.dt.astype(jnp.float32)
-        t032 = state.t.astype(jnp.float32)
-
         def body(i, carry):
             pos, vel, acc = carry
             if shape.has_damping:
                 state_hbm = hpad(jnp.concatenate([pos, vel], axis=0))
             else:
                 state_hbm = hpad(pos)
-            scal = jnp.stack([dt32, t032 + i.astype(jnp.float32) * dt32])
+            i32 = i.astype(jnp.float32)
+            scal = jnp.stack([dt32, t032 + i32 * dt32, i32])
             args = [scal, planes, balls, fparams, state_hbm]
             if param_hbm is not None:
                 args.append(param_hbm)
@@ -531,6 +716,8 @@ def build_tiled_chunk(shape: SceneShape):
             args += [const_f, minv, fixed]
             if shape.has_drag:
                 args.append(drag)
+            if has_local:
+                args.append(lc_in)
             p2, v2, a2 = step_call(*args)
             flat = lambda x: x.reshape(3, n_t)[:, :n]
             return flat(p2), flat(v2), flat(a2)
@@ -546,6 +733,13 @@ def build_tiled_chunk(shape: SceneShape):
         new_m = dataclasses.replace(
             m, pos=pos, vel=vel, acc=acc,
             T=m.T + jnp.where(move, dtn, 0.0))
-        return dataclasses.replace(state, masses=new_m, t=state.t + dtn)
+        new_state = dataclasses.replace(state, masses=new_m, t=state.t + dtn)
+        if shape.has_actuated:
+            # end-of-chunk rest via the same closed form the kernel used
+            advn = jnp.minimum(jnp.asarray(n_steps, jnp.float32), sstop)
+            new_state = dataclasses.replace(
+                new_state, stencil=dataclasses.replace(
+                    stc, rest=stc.rest + advn * aratedt))
+        return new_state
 
     return chunk
