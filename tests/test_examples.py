@@ -52,3 +52,9 @@ def test_train_walker(capsys):
     _run("train_walker.py")
     out = capsys.readouterr().out
     assert "trained gait" in out
+
+
+def test_train_walker_ppo(capsys):
+    _run("train_walker_ppo.py")
+    out = capsys.readouterr().out
+    assert "mean rollout return" in out

@@ -80,6 +80,96 @@ def test_scan_rollout(env):
     assert np.isfinite(np.asarray(obs_t)).all()
 
 
+@pytest.fixture(scope="module")
+def epi_env():
+    return rl.walker_env(n_envs=8, control_dt=0.05, episode_length=3,
+                         reset_noise=0.05)
+
+
+def test_episodic_reset_is_seeded(epi_env):
+    """Same key -> identical state; different keys -> different states;
+    legacy env reset stays deterministic."""
+    s1, o1 = epi_env.reset(jax.random.key(7))
+    s2, o2 = epi_env.reset(jax.random.key(7))
+    s3, o3 = epi_env.reset(jax.random.key(8))
+    np.testing.assert_array_equal(np.asarray(s1.sim.masses.vel),
+                                  np.asarray(s2.sim.masses.vel))
+    assert not np.array_equal(np.asarray(s1.sim.masses.vel),
+                              np.asarray(s3.sim.masses.vel))
+    # positions are NOT noised (velocity-only default randomization)
+    np.testing.assert_array_equal(np.asarray(s1.sim.masses.pos),
+                                  np.asarray(s3.sim.masses.pos))
+    assert np.asarray(s1.t).shape == (8,) and np.all(np.asarray(s1.t) == 0)
+
+
+def test_truncation_and_auto_reset(epi_env):
+    """episode_length=3: done fires on step 3, episode counters reset, and
+    the done envs' physics state is rewound to a fresh initial state."""
+    es, _ = epi_env.reset(jax.random.key(0))
+    step = jax.jit(epi_env.step)
+    a = jnp.ones(8, jnp.float32)
+    es, _, _, d1, i1 = step(es, a)
+    es, _, _, d2, _ = step(es, a)
+    assert not np.any(np.asarray(d1)) and not np.any(np.asarray(d2))
+    assert np.all(np.asarray(es.t) == 2)
+    es3, obs3, _, d3, i3 = step(es, a)
+    assert np.all(np.asarray(d3))
+    assert np.all(np.asarray(i3["truncated"]))
+    assert not np.any(np.asarray(i3["terminated"]))
+    assert np.all(np.asarray(es3.t) == 0)
+    # post-reset: positions back at the initial template (auto-reset), so
+    # the returned obs is the post-reset one
+    init_pos = np.asarray(epi_env._state0.masses.pos)
+    np.testing.assert_allclose(np.asarray(es3.sim.masses.pos), init_pos,
+                               atol=1e-6)
+    # ...but velocities carry fresh reset noise, different from the first
+    # episode's draw
+    assert not np.array_equal(np.asarray(es3.sim.masses.vel),
+                              np.asarray(epi_env._state0.masses.vel))
+
+
+def test_termination_predicate_auto_resets():
+    """A custom terminate predicate fires per-env and only done envs are
+    rewound; the others keep their trajectory."""
+    calls = {}
+
+    def fell(state, env):
+        com = env.env_means(state.masses.pos)
+        # terminate envs whose COM drifted -x beyond a tiny threshold;
+        # with per-env actions this trips envs at different times
+        return com[0] < -0.002
+
+    env = rl.walker_env(n_envs=4, control_dt=0.05, terminate=fell)
+    es, _ = env.reset(jax.random.key(1))
+    step = jax.jit(env.step)
+    # env 0 nearly frozen gait, env 3 fast gait -> walks -x soonest
+    a = jnp.asarray([0.25, 0.8, 1.2, 2.0], jnp.float32)
+    saw_done = np.zeros(4, bool)
+    for _ in range(10):
+        es, obs, rew, done, info = step(es, a)
+        d = np.asarray(done)
+        if d.any() and not d.all():
+            nd = ~d
+            # non-done envs were NOT rewound to the initial state
+            init = np.asarray(env._state0.masses.pos)
+            cur = np.asarray(es.sim.masses.pos)
+            lane = np.asarray(env.env_of_lane())
+            moved = ~np.isclose(cur, init, atol=1e-7).all(axis=0)
+            assert moved[np.isin(lane, np.flatnonzero(nd))].any()
+        saw_done |= d
+    assert saw_done.any(), "terminate predicate never fired"
+    assert np.all(np.asarray(es.t) >= 0)
+
+
+def test_legacy_api_unchanged(env):
+    """Without episode args the 3-tuple API and deterministic reset are
+    exactly as before."""
+    assert not env.episodic
+    state, obs = env.reset()
+    out = env.step(state, jnp.ones(8, jnp.float32))
+    assert len(out) == 3
+
+
 def test_pusher_env_force_actions():
     """The second action mechanism: per-mass persistent external force.
     Envs pushed toward +x move there; pushed away move away; rewards

@@ -26,13 +26,27 @@ Design:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+import dataclasses
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .ops.step import build_chunk_fn
+
+
+class EnvState(NamedTuple):
+    """Episodic environment state (a pytree): the flat-packed physics state
+    plus per-env episode step counts and the PRNG key auto-resets consume.
+
+    NOTE the physics clock ``sim.t`` is GLOBAL to the flat-packed batch (one
+    scene, one time): an auto-reset env resumes with the batch's current
+    breathing phase rather than phase 0.  Episode-relative time lives in
+    ``t`` (control steps)."""
+    sim: object          # SimState
+    t: jax.Array         # [n_envs] int32: control steps into the episode
+    key: jax.Array       # PRNG key
 
 
 class BatchedEnv:
@@ -54,13 +68,41 @@ class BatchedEnv:
         x-displacement over the control step.
     spacing : optional Vec offset between env copies (keep None unless
         magnets are in play; see replicate_scene).
+
+    Episode semantics (opt-in).  Passing any of ``episode_length``,
+    ``terminate``, ``reset_noise`` or ``randomize`` switches the env to the
+    gym-style episodic API:
+
+        state, obs = env.reset(jax.random.key(0))          # EnvState
+        state, obs, reward, done, info = env.step(state, action)
+
+    where ``done = terminated | truncated`` ([n_envs] bool), ``info`` holds
+    the separate "terminated"/"truncated" flags, and done envs AUTO-RESET in
+    place: their per-env physics state (pos/vel/acc/T, mutated spring rests)
+    is overwritten with a freshly randomized initial state before ``obs`` is
+    computed, so the returned observation is the post-reset one (the brax /
+    vectorized-gym convention; correct bootstrapping uses the done flag).
+    Without any of these arguments the legacy 3-tuple API is unchanged.
+
+    episode_length : max control steps per episode; exceeding it TRUNCATES.
+    terminate : (state, env) -> [n_envs] bool, checked after each control
+        step (e.g. "fell over").  Non-finite per-env COM always terminates
+        (divergence guard).
+    reset_noise : std-dev of Gaussian velocity noise added to every valid
+        mass at (auto-)reset -- the default seeded randomization.
+    randomize : (sim_state, key, env) -> sim_state.  Custom randomization
+        applied at (auto-)reset instead of the velocity noise.
     """
 
     def __init__(self, template_sim, n_envs: int, control_dt: float = 0.02,
                  apply_action: Optional[Callable] = None,
                  observe: Optional[Callable] = None,
                  reward: Optional[Callable] = None,
-                 spacing=None):
+                 spacing=None,
+                 episode_length: Optional[int] = None,
+                 terminate: Optional[Callable] = None,
+                 reset_noise: float = 0.0,
+                 randomize: Optional[Callable] = None):
         from .parallel import replicate_scene
 
         big, _envs = replicate_scene(template_sim, n_envs, spacing=spacing)
@@ -78,22 +120,113 @@ class BatchedEnv:
         self._apply = apply_action or (lambda st, a, env: st)
         self._observe = observe or _com_obs
         self._reward = reward or _com_x_progress
+        self.episode_length = episode_length
+        self._terminate = terminate
+        self.reset_noise = float(reset_noise)
+        self._randomize = randomize
+        self.episodic = (episode_length is not None or terminate is not None
+                         or reset_noise > 0.0 or randomize is not None)
 
     # -- pure functions (jit/scan-safe) -------------------------------------
-    def reset(self):
-        """-> (state, obs).  The same initial state every time (the physics
-        is deterministic); randomize via apply_action or by editing the
-        returned state pytree."""
-        return self._state0, self._observe(self._state0, self)
+    def _randomized_initial(self, key):
+        """The initial physics state with this env's reset randomization."""
+        if self._randomize is not None:
+            return self._randomize(self._state0, key, self)
+        if self.reset_noise > 0.0:
+            m = self._state0.masses
+            noise = self.reset_noise * jax.random.normal(
+                key, m.vel.shape, m.vel.dtype)
+            move = m.valid & ~m.fixed
+            return dataclasses.replace(
+                self._state0,
+                masses=dataclasses.replace(
+                    m, vel=jnp.where(move, m.vel + noise, m.vel)))
+        return self._state0
+
+    def reset(self, key=None):
+        """-> (state, obs).
+
+        Legacy mode: the same deterministic initial state every call.
+        Episodic mode: ``key`` seeds the reset randomization and the
+        auto-reset stream; returns an EnvState."""
+        if not self.episodic:
+            return self._state0, self._observe(self._state0, self)
+        if key is None:
+            key = jax.random.key(0)
+        key, sub = jax.random.split(key)
+        sim = self._randomized_initial(sub)
+        es = EnvState(sim=sim,
+                      t=jnp.zeros(self.n_envs, jnp.int32), key=key)
+        return es, self._observe(sim, self)
+
+    def _done_flags(self, sim, t_next):
+        """(terminated, truncated) after a control step at episode step
+        ``t_next`` (1-based)."""
+        com = self.env_means(sim.masses.pos)               # [3, n_envs]
+        diverged = ~jnp.all(jnp.isfinite(com), axis=0)
+        if self._terminate is not None:
+            terminated = self._terminate(sim, self) | diverged
+        else:
+            terminated = diverged
+        if self.episode_length is not None:
+            truncated = t_next >= self.episode_length
+        else:
+            truncated = jnp.zeros(self.n_envs, bool)
+        return terminated, truncated
+
+    def _auto_reset(self, sim, fresh, done):
+        """Overwrite done envs' per-env physics state with ``fresh``."""
+        lane = done[self.env_of_lane()]                    # [N] bool
+        m, f = sim.masses, fresh.masses
+        new_m = dataclasses.replace(
+            m,
+            pos=jnp.where(lane, f.pos, m.pos),
+            vel=jnp.where(lane, f.vel, m.vel),
+            acc=jnp.where(lane, f.acc, m.acc),
+            extern_force=jnp.where(lane, f.extern_force, m.extern_force),
+            T=jnp.where(lane, f.T, m.T))
+        sim = dataclasses.replace(sim, masses=new_m)
+        if self.shape.has_actuated:
+            # mutated spring rests are per-env state too
+            sim = dataclasses.replace(
+                sim, stencil=dataclasses.replace(
+                    sim.stencil,
+                    rest=jnp.where(lane, fresh.stencil.rest,
+                                   sim.stencil.rest)))
+            if self.shape.has_remainder:
+                sp_lane = done[self.env_of_lane()[sim.springs.left]]
+                sim = dataclasses.replace(
+                    sim, springs=dataclasses.replace(
+                        sim.springs,
+                        rest=jnp.where(sp_lane, fresh.springs.rest,
+                                       sim.springs.rest)))
+        return sim
 
     def step(self, state, action):
-        """-> (state, obs, reward).  Pure: jit it, scan it, vmap the action
-        search over it."""
-        state = self._apply(state, action, self)
-        prev = state
-        state = self._chunk(state, jnp.int32(self.steps_per_control))
-        return (state, self._observe(state, self),
-                self._reward(prev, state, self))
+        """Legacy mode: (state, obs, reward).
+        Episodic mode: (state, obs, reward, done, info) with auto-reset
+        (see class docstring)."""
+        if not self.episodic:
+            state = self._apply(state, action, self)
+            prev = state
+            state = self._chunk(state, jnp.int32(self.steps_per_control))
+            return (state, self._observe(state, self),
+                    self._reward(prev, state, self))
+        es = state
+        sim = self._apply(es.sim, action, self)
+        prev = sim
+        sim = self._chunk(sim, jnp.int32(self.steps_per_control))
+        rew = self._reward(prev, sim, self)
+        t_next = es.t + 1
+        terminated, truncated = self._done_flags(sim, t_next)
+        done = terminated | truncated
+        key, sub = jax.random.split(es.key)
+        fresh = self._randomized_initial(sub)
+        sim = self._auto_reset(sim, fresh, done)
+        t_next = jnp.where(done, 0, t_next)
+        obs = self._observe(sim, self)                     # post-reset
+        return (EnvState(sim=sim, t=t_next, key=key), obs, rew, done,
+                {"terminated": terminated, "truncated": truncated})
 
     # -- helpers for action/observation authors ------------------------------
     def env_means(self, x):
@@ -126,7 +259,7 @@ def _com_x_progress(prev, state, env):
 
 def walker_env(n_envs: int = 256, control_dt: float = 0.05, n: int = 3,
                omega: float = 6.0, k: float = 2000.0,
-               config=None) -> BatchedEnv:
+               config=None, **episode_kwargs) -> BatchedEnv:
     """The flagship locomotion benchmark: a batch of breathing-gait walkers
     on a friction plane (models.walker physics; BASELINE config 4/5).
 
@@ -155,12 +288,12 @@ def walker_env(n_envs: int = 256, control_dt: float = 0.05, n: int = 3,
         return dataclasses.replace(state, stencil=st)
 
     return BatchedEnv(src, n_envs, control_dt=control_dt,
-                      apply_action=apply_action)
+                      apply_action=apply_action, **episode_kwargs)
 
 
 def pusher_env(n_envs: int = 256, control_dt: float = 0.05,
                target=(1.0, 0.0), f_max: float = 1.5,
-               config=None) -> BatchedEnv:
+               config=None, **episode_kwargs) -> BatchedEnv:
     """Classic-control flavored: push a soft cube to a target point.
 
     Action [n_envs, 2]: a horizontal force (fx, fy), clipped to +-f_max,
@@ -198,4 +331,5 @@ def pusher_env(n_envs: int = 256, control_dt: float = 0.05,
         return -jnp.linalg.norm(com[:2].T - tgt[None, :], axis=1)
 
     return BatchedEnv(src, n_envs, control_dt=control_dt,
-                      apply_action=apply_action, reward=reward)
+                      apply_action=apply_action, reward=reward,
+                      **episode_kwargs)
