@@ -4,4 +4,5 @@ from .batched import (  # noqa: F401
 from .sharded import build_sharded_chunk, shard_state  # noqa: F401
 from .halo import build_halo_chunk, halo_supported, place  # noqa: F401
 from .mesh import make_mesh  # noqa: F401
+from . import multihost  # noqa: F401
 from .flat import replicate_scene, set_env_gravity, set_env_plane  # noqa: F401
