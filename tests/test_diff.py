@@ -113,3 +113,51 @@ def test_trajectory_shape():
     final, traj = diff.trajectory(shape, state0, 100, every=10)
     assert traj.shape[0] == 10
     assert traj.shape[1] == 3
+
+
+def test_fast_rollout_values_and_grads_match():
+    """fast_rollout: fused-chunk primal + XLA-recompute backward must
+    reproduce rollout's values and gradients (on CPU the chunk IS the XLA
+    path, so this pins the custom_vjp wiring; the kernel-primal case is
+    covered by the TPU scripts)."""
+    import dataclasses as dc
+    shape, state0 = _projectile()
+
+    def final_x(vx, fn, **kw):
+        st = dc.replace(
+            state0, masses=dc.replace(
+                state0.masses, vel=state0.masses.vel.at[0, 0].set(vx)))
+        return fn(shape, st, 400, **kw).masses.pos[0, 0]
+
+    v_ref = final_x(2.0, diff.rollout)
+    g_ref = jax.grad(final_x)(2.0, diff.rollout)
+    for kw in (dict(), dict(segment=100)):
+        v = final_x(2.0, diff.fast_rollout, **kw)
+        g = jax.grad(final_x)(2.0, diff.fast_rollout, **kw)
+        assert float(v) == pytest.approx(float(v_ref), abs=1e-6)
+        assert float(g) == pytest.approx(float(g_ref), rel=1e-5)
+
+
+def test_fast_rollout_spring_scene():
+    """Gradients through springs+contact on a lattice scene survive the
+    segmented custom_vjp (checkpoint recompute path)."""
+    import dataclasses as dc
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    sim.createLattice(Vec(0, 0, 1), Vec(0.5, 0.5, 0.5), 3, 3, 3)
+    sim.setAllSpringConstantValues(300.0)
+    sim.createPlane(Vec(0, 0, 1), 0)
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    sim.setTimeStep(1e-4)
+    shape, state0 = diff.scene(sim)
+
+    def loss(k_scale, fn, **kw):
+        st = dc.replace(
+            state0, stencil=dc.replace(state0.stencil,
+                                       k=state0.stencil.k * k_scale))
+        out = fn(shape, st, 200, **kw)
+        return jnp.sum(out.masses.pos[2] ** 2)
+
+    g_ref = jax.grad(loss)(1.0, diff.rollout)
+    g = jax.grad(loss)(1.0, diff.fast_rollout, segment=50)
+    assert float(g) == pytest.approx(float(g_ref), rel=1e-4)
+    assert abs(float(g)) > 0

@@ -58,6 +58,52 @@ def _scan_steps(step, state: SimState, n: int) -> SimState:
     return out
 
 
+def fast_rollout(shape: SceneShape, state: SimState, n_steps: int,
+                 segment: Optional[int] = None) -> SimState:
+    """Differentiable rollout whose PRIMAL runs the fast chunk path.
+
+    ``rollout`` scans the XLA step, so the forward pass pays the ~5x
+    XLA-vs-kernel gap even when only the loss needs gradients.  Here each
+    ``segment``-step block is a jax.custom_vjp whose forward is the fused
+    chunk (VMEM Pallas kernel on TPU) and whose backward RECOMPUTES the
+    segment through the XLA step and differentiates that -- gradient
+    checkpointing with a faster primal.  Residual memory is one state per
+    segment (like checkpoint_every), and the backward pass costs the same
+    as ``rollout``'s; the net win is the forward fraction of fwd+bwd plus
+    every use where the same rollout also serves non-differentiated
+    consumers.
+
+    Caveat (standard for mixed-path checkpointing): the backward pass
+    linearizes the XLA recomputation, whose primal differs from the
+    kernel's by f32 op-ordering ulps; gradients equal ``rollout``'s to the
+    same tolerance the kernel-vs-XLA equivalence suite pins for values.
+    """
+    from .ops.step import build_chunk_fn
+    chunk = build_chunk_fn(shape)
+    step = build_step_fn(shape)
+    seg = segment or n_steps
+    assert n_steps % seg == 0
+
+    @jax.custom_vjp
+    def seg_fn(s):
+        return chunk(s, jnp.int32(seg))
+
+    def seg_fwd(s):
+        return seg_fn(s), s
+
+    def seg_bwd(s0, ct):
+        _, vjp = jax.vjp(lambda s: _scan_steps(step, s, seg), s0)
+        return vjp(ct)
+
+    seg_fn.defvjp(seg_fwd, seg_bwd)
+
+    if n_steps == seg:
+        return seg_fn(state)
+    out, _ = jax.lax.scan(lambda s, _: (seg_fn(s), None), state, None,
+                          length=n_steps // seg)
+    return out
+
+
 def trajectory(shape: SceneShape, state: SimState, n_steps: int,
                every: int = 1):
     """Differentiable rollout that also returns stacked positions
