@@ -29,7 +29,15 @@ import jax.numpy as jnp
 
 # First-compile latency on the tunneled TPU backend is large and highly
 # variable (observed 74-550 s for the same HLO); persist compiled programs
-# next to the repo so repeat runs start in seconds.
+# next to the repo.  ROUND-3 MEASUREMENT closing the question of why
+# compile_s stays large despite the cache: back-to-back bench runs with a
+# warm cache wrote ZERO new cache entries (the cache HITS) yet the first
+# run still reported compile_s=182 s while the second, launched seconds
+# later, reported 1.23 s.  The delay is axon SERVICE SESSION cold start on
+# the first dispatch of a cold session -- not compilation, not our HLO --
+# and cannot be pre-warmed from inside this process (it IS the first
+# program).  Expect compile_s ~1-6 min cold, ~1 s warm; ignore it for perf
+# comparisons.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".jax_cache"))
@@ -81,11 +89,15 @@ def main():
     sync(state)
     compile_s = time.perf_counter() - t0
 
-    state = chunk(state, jnp.int32(200))
+    state = chunk(state, jnp.int32(2000))
     sync(state)
 
-    # timed run
-    steps = 2000 if nx <= 64 else 300
+    # timed run.  The window must be long enough to amortize the tunneled
+    # backend's per-dispatch + readback latency (~25 ms observed): a
+    # 2,000-step window at the true ~50k steps/s is only ~40 ms of compute
+    # and UNDERSTATED throughput by ~40% (measured round 3: 30.3k steps/s
+    # at 2k steps vs 49.8-51.3k at 20k steps, same process, same kernel).
+    steps = 20000 if nx <= 64 else 600
     t0 = time.perf_counter()
     state = chunk(state, jnp.int32(steps))
     final_t = sync(state)

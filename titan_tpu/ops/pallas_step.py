@@ -231,6 +231,17 @@ def _build_kernel(shape: SceneShape):
             # matching the reference's double-pass rest-mutation quirk.
             # springs: stencil families, masked via k_eff == 0 padding
             f_acc = cforce_ref[:]               # m*g + persistent extern
+            # shared-subexpression force form (round-3, TPU only, gated
+            # like the rsqrt norms): the Hooke coefficient is computed as
+            #   c = k * (rest * inv - 1)        [== k*(rest - ln)*inv]
+            # so the length ln = d2*inv is never materialized and the
+            # damping term folds in through inv2 = inv*inv:
+            #   c += damping * dot(vl - vr, diff) * inv2.
+            # Exact at diff == 0 (f = c*diff = 0 either way); masked lanes
+            # have k = damping = 0.  TITAN_FMATH=legacy restores the
+            # reference-shaped mag*inv form for A/B.
+            fmath_shared = (rsqrt_norms
+                            and _os.environ.get("TITAN_FMATH", "") != "legacy")
             for fi, d in enumerate(deltas):
                 pr = roll_gather(pos, d)
                 diff = pr - pos
@@ -245,7 +256,7 @@ def _build_kernel(shape: SceneShape):
                     inv = jnp.where(d2 > 0,
                                     jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)),
                                     0.0)
-                    ln = d2 * inv
+                    ln = None if fmath_shared else d2 * inv
                 else:
                     ln = jnp.where(d2 > 0,
                                    jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
@@ -270,12 +281,20 @@ def _build_kernel(shape: SceneShape):
                     # bsign = -/+0.2 (0 for passive), reference sim.cu:1169-72
                     rest = rest * (1.0 + bsign_ref[fi]
                                    * jnp.sin(bomega_ref[fi] * t_now))
-                mag = k_ref[fi] * (rest - ln)
-                if has_damping:
-                    vr = roll_gather(vel, d)
-                    axial = jnp.sum((vel - vr) * diff, axis=0) * inv
-                    mag = mag + axial * damping_ref[fi]
-                f = (mag * inv) * diff
+                if fmath_shared:
+                    c = k_ref[fi] * (rest * inv - 1.0)
+                    if has_damping:
+                        vr = roll_gather(vel, d)
+                        axdot = jnp.sum((vel - vr) * diff, axis=0)
+                        c = c + (axdot * damping_ref[fi]) * (inv * inv)
+                    f = c * diff
+                else:
+                    mag = k_ref[fi] * (rest - ln)
+                    if has_damping:
+                        vr = roll_gather(vel, d)
+                        axial = jnp.sum((vel - vr) * diff, axis=0) * inv
+                        mag = mag + axial * damping_ref[fi]
+                    f = (mag * inv) * diff
                 f_acc = f_acc - f + roll_scatter(f, d)
             if has_remainder:
                 # irregular-topology (remainder) springs: endpoint gather

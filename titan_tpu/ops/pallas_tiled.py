@@ -292,6 +292,13 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
             mbits = mwin[slot][0]                    # [WR, 128] int32
 
         fw = jnp.zeros_like(pw)                      # window-wide force
+        # shared-subexpression force form (TPU only, gated like the rsqrt
+        # norms; measured +3% on the VMEM kernel, one-process A/B):
+        # c = k*(rest*inv - 1) never materializes ln, damping folds in via
+        # inv2.  See pallas_step.py for the derivation and exactness note.
+        import os as _os
+        fmath_shared = (rsqrt_norms
+                        and _os.environ.get("TITAN_FMATH", "") != "legacy")
         for fi, d in enumerate(deltas):
             pr = roll_gather(pw, d)
             diff = pr - pw
@@ -302,7 +309,7 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
             if rsqrt_norms:
                 inv = jnp.where(
                     d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
-                ln = d2 * inv
+                ln = None if fmath_shared else d2 * inv
             else:
                 ln = jnp.where(d2 > 0,
                                jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
@@ -332,13 +339,22 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
                 bomega = (pv[offsets["bomega"] + fi] if "bomega" in offsets
                           else fparam_ref[4, fi])
                 rest = rest * (1.0 + bsign * jnp.sin(bomega * t_now))
-            mag = k * (rest - ln)
-            if has_damping:
-                dmp = pv[offsets["damping"] + fi]
-                vr = roll_gather(vw, d)
-                axial = jnp.sum((vw - vr) * diff, axis=0) * inv
-                mag = mag + axial * dmp
-            f = (mag * inv) * diff
+            if fmath_shared:
+                c = k * (rest * inv - 1.0)
+                if has_damping:
+                    dmp = pv[offsets["damping"] + fi]
+                    vr = roll_gather(vw, d)
+                    axdot = jnp.sum((vw - vr) * diff, axis=0)
+                    c = c + (axdot * dmp) * (inv * inv)
+                f = c * diff
+            else:
+                mag = k * (rest - ln)
+                if has_damping:
+                    dmp = pv[offsets["damping"] + fi]
+                    vr = roll_gather(vw, d)
+                    axial = jnp.sum((vw - vr) * diff, axis=0) * inv
+                    mag = mag + axial * dmp
+                f = (mag * inv) * diff
             fw = fw - f + roll_scatter(f, d)
         # extract the tile's rows (aligned slice) and add mass-level forces
         pos = pw[:, hr:hr + tr, :]
