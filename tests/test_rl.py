@@ -183,3 +183,25 @@ def test_pusher_env_force_actions():
     assert obs[0, 0] > obs[3, 0] > obs[2, 0]
     assert rew[0] > rew[3] > rew[2]
     assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_make_observe_presets():
+    """Composable observation presets: COM + per-mass subsets + contact
+    fractions, with the documented feature order and real signal."""
+    obs_fn = rl.make_observe(com=True, mass_indices=(0, 3),
+                             contact_eps=0.05)
+    env = rl.walker_env(n_envs=4, control_dt=0.05, observe=obs_fn)
+    state, obs = env.reset()
+    # 6 (com) + 2*6 (masses) + 1 (one plane contact fraction)
+    assert obs.shape == (4, 6 + 12 + 1)
+    for _ in range(6):
+        state, obs, _ = env.step(state, jnp.ones(4, jnp.float32))
+    contact1 = np.asarray(obs[:, -1])
+    # a walker on its plane has SOME feet in contact, never all masses
+    assert np.all(contact1 > 0) and np.all(contact1 < 1)
+    # mass-subset features match direct per-lane reads: layout is
+    # [com 6 | mass0 pos 3 | mass3 pos 3 | mass0 vel 3 | mass3 vel 3 | c]
+    lane = 1 * env.n_per_env + 3     # env 1, template mass 3
+    np.testing.assert_allclose(
+        np.asarray(obs[1, 9:12]),
+        np.asarray(state.masses.pos[:, lane]), atol=0)

@@ -252,6 +252,50 @@ def _com_obs(state, env):
     return jnp.concatenate([pos, vel], axis=0).T   # [n_envs, 6]
 
 
+def make_observe(com: bool = True, mass_indices=None,
+                 contact_eps: Optional[float] = None):
+    """Build an ``observe(state, env)`` callback from preset parts.
+
+    com : include the per-env COM position + velocity (6 features).
+    mass_indices : template-scene mass indices whose per-env position and
+        velocity are observed (len(idx) * 6 features) -- e.g. feet and
+        head of a walker.  Indices are into ONE env's masses; the same
+        subset is read from every packed copy.
+    contact_eps : if set, one feature per global contact plane: the
+        fraction of the env's masses within ``contact_eps`` of the plane
+        surface (signed distance < eps) -- cheap contact flags for
+        locomotion tasks.
+
+    Feature order: [com? 6 | masses k*6 | contacts n_planes].
+    """
+    idx = None if mass_indices is None else np.asarray(mass_indices,
+                                                       np.int64)
+
+    def observe(state, env):
+        parts = []
+        if com:
+            parts.append(env.env_means(state.masses.pos).T)
+            parts.append(env.env_means(state.masses.vel).T)
+        if idx is not None:
+            lanes = (np.arange(env.n_envs)[:, None] * env.n_per_env
+                     + idx[None, :])                      # [n_envs, k]
+            lanes_j = jnp.asarray(lanes)
+            for field in (state.masses.pos, state.masses.vel):
+                sub = field[:, lanes_j]                   # [3, n_envs, k]
+                parts.append(sub.transpose(1, 2, 0).reshape(env.n_envs, -1))
+        if contact_eps is not None:
+            g = state.gcon
+            for p in range(env.shape.n_planes):
+                disp = (jnp.einsum("c,cn->n", g.plane_normal[p],
+                                   state.masses.pos) - g.plane_offset[p])
+                near = (disp < contact_eps) & state.masses.valid
+                parts.append(env.env_means(
+                    near.astype(state.masses.pos.dtype))[:, None])
+        return jnp.concatenate(parts, axis=1)
+
+    return observe
+
+
 def _com_x_progress(prev, state, env):
     return (env.env_means(state.masses.pos)[0]
             - env.env_means(prev.masses.pos)[0])   # [n_envs]
