@@ -217,75 +217,6 @@ def mode_actuated():
 
 
 
-def mode_magnets():
-    """Bin-table vs stripe-slab magnet force at 8k/50k/200k (one force
-    eval per measurement, interleaved; same random-cloud geometry as the
-    round-2 PERFORMANCE.md table: ~4 masses per 0.14 m cell, cap 8)."""
-    import numpy as _np
-    from titan_tpu.state import MassState, pad_to
-    from titan_tpu.ops.magnets import binned_magnet_forces, \
-        striped_magnet_forces
-    from titan_tpu.ops.forces import magnet_forces
-
-    def cloud(n, seed=0):
-        rng = _np.random.RandomState(seed)
-        # density: ~4 per cell of 0.14 -> volume side so n/(side/0.14)^2 ~ 4
-        side = 0.14 * (n / 4.0) ** 0.5
-        pos = rng.uniform(-side / 2, side / 2, (3, n)).astype(_np.float32)
-        pos[2] *= 0.01
-        N = pad_to(n)
-        z = _np.zeros
-        m = MassState(
-            pos=_np.pad(pos, ((0, 0), (0, N - n))),
-            vel=z((3, N), _np.float32), acc=z((3, N), _np.float32),
-            extern_force=z((3, N), _np.float32),
-            m=_np.ones(N, _np.float32), T=z(N, _np.float32),
-            fixed=z(N, bool),
-            valid=_np.arange(N) < n,
-            drag=z(N, _np.float32),
-            mag_rad=_np.pad(rng.uniform(0.01, 0.05, n).astype(_np.float32),
-                            (0, N - n)),
-            mag_stiffness=_np.pad(
-                rng.uniform(100, 500, n).astype(_np.float32), (0, N - n)),
-            mag_maxf=_np.pad(rng.uniform(0, 2, n).astype(_np.float32),
-                             (0, N - n)),
-            mag_scale=_np.pad(rng.choice([0.0, 1.0], n).astype(_np.float32),
-                              (0, N - n)),
-        )
-        import jax as _j
-        return _j.tree.map(jnp.asarray, m), N
-
-    cutoff = 0.14
-    for n in (8000, 50000, 200000):
-        m, N = cloud(n)
-        fb = jax.jit(lambda mm: binned_magnet_forces(
-            mm, cutoff, n_cells=pad_to(N, 8), cell_cap=8))
-        fs = jax.jit(lambda mm: striped_magnet_forces(mm, cutoff,
-                                                      cell_cap=8))
-        # correctness cross-check once per size
-        a = fb(m); b = fs(m)
-        da = float(jnp.max(jnp.abs(a - b)))
-        sc = float(jnp.max(jnp.abs(a)))
-        res = {"binned": [], "striped": []}
-        for fn in (fb, fs):
-            jax.device_get(fn(m))            # compile
-        for rep in range(3):
-            for name, fn in (("binned", fb), ("striped", fs)):
-                t0 = time.perf_counter()
-                for _ in range(10):
-                    out = fn(m)
-                jax.device_get(out[:, :1])
-                res[name].append(round((time.perf_counter() - t0) / 10 * 1e3,
-                                       2))
-        print(json.dumps({"mode": f"magnets_{n}", "binned_ms": res["binned"],
-                          "striped_ms": res["striped"],
-                          "maxdiff": da, "scale": sc,
-                          "speedup": round(min(res["binned"])
-                                           / min(res["striped"]), 2)}),
-              flush=True)
-
-
 if __name__ == "__main__":
     {"fmath": mode_fmath, "multiagent": mode_multiagent,
-     "remainder": mode_remainder, "actuated": mode_actuated,
-     "magnets": mode_magnets}[sys.argv[1]]()
+     "remainder": mode_remainder, "actuated": mode_actuated}[sys.argv[1]]()

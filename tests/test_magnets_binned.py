@@ -101,48 +101,3 @@ def test_binned_end_to_end_step():
     out2 = build_chunk_fn(sim2._shape)(sim2._state, jnp.int32(20))
     np.testing.assert_allclose(p, np.asarray(out2.masses.pos),
                                atol=1e-5, rtol=1e-4)
-
-
-@pytest.mark.parametrize("seed", [0, 3])
-def test_striped_matches_pairwise(seed):
-    """The round-3 stripe-slab formulation (striped_magnet_forces) against
-    the exact pairwise pass, including deleted + zero-param masses and a
-    forced shell-overlap pair (same harness as the bin-table test)."""
-    from titan_tpu.ops.magnets import striped_magnet_forces
-    sim = _magnet_scene(seed=seed)
-    st = sim._store
-    st.valid[11] = False
-    st.pos[300] = (2.5, 2.5, 0.0)
-    st.mag_rad[300] = 0.06
-    st.mag_stiffness[300] = 200.0
-    st.pos[301] = (2.53, 2.5, 0.0)
-    st.mag_rad[301] = st.mag_stiffness[301] = 0.0
-    st.mag_maxf[301] = st.mag_scale[301] = 0.0
-    sim._marshal()
-    m = sim._state.masses
-    cutoff = sim.config.magnet_cutoff
-    want = np.asarray(F.magnet_forces(m, cutoff))
-    got = np.asarray(striped_magnet_forces(m, cutoff, cell_cap=64))
-    scale = np.abs(want).max()
-    np.testing.assert_allclose(got, want, atol=2e-5 * max(scale, 1.0),
-                               rtol=1e-4)
-
-
-def test_striped_dense_cells_cap_semantics():
-    """A cluster denser than the stripe cap: capped stripes drop the
-    overflow sources (documented semantics) but stay finite and keep
-    uncapped physics identical."""
-    from titan_tpu.ops.magnets import striped_magnet_forces
-    rng = np.random.RandomState(9)
-    sim = _magnet_scene(n=300, seed=9, spread=0.12)   # all in ~2 cells
-    m = sim._state.masses
-    cutoff = sim.config.magnet_cutoff
-    want = np.asarray(F.magnet_forces(m, cutoff))
-    # cap big enough: exact
-    got = np.asarray(striped_magnet_forces(m, cutoff, cell_cap=512))
-    scale = np.abs(want).max()
-    np.testing.assert_allclose(got, want, atol=2e-5 * max(scale, 1.0),
-                               rtol=1e-4)
-    # tiny cap: capped, finite, not exact
-    capped = np.asarray(striped_magnet_forces(m, cutoff, cell_cap=8))
-    assert np.isfinite(capped).all()

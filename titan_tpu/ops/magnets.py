@@ -188,137 +188,3 @@ def binned_magnet_forces(masses: MassState, cutoff: float,
     f_sorted = jnp.where(msort, f_sorted, 0.0)
     out = jnp.zeros((3, n), pos.dtype).at[:, order].set(f_sorted)
     return out
-
-
-def striped_magnet_forces(masses: MassState, cutoff: float,
-                          cell_cap: int, chunk: int = 512) -> jax.Array:
-    """Magnet forces via 3-stripe SLAB gathers over the cell-sorted order.
-
-    Same grid/sort as binned_magnet_forces, but the candidate fetch is
-    restructured for the TPU's row-count-bound gather lowering: instead of
-    9 tiny bin rows per receiver (the bin-table formulation), each receiver
-    takes THREE CONTIGUOUS slabs of the cell-sorted field table, anchored
-    at ``start[cell - G - 1]``, ``start[cell - 1]`` and
-    ``start[cell + G - 1]`` -- each slab spans its grid row's cells
-    cy-1..cy+1 (population permitting) because the sort is row-major.
-    3x fewer gather rows at [6, 3C] slab width; physics stays exact under
-    the cutoff mask (cell size == cutoff, so every interacting pair is
-    within +-1 cell, and slab overrun into farther cells is masked by the
-    cutoff plus a cell-distance check).
-
-    Overflow semantics (documented deviation analog of the reference's
-    cell cap, sim.cu:850-859): when the 3-cell stripe holds more than
-    ``3 * cell_cap`` masses, the excess (largest-cy) ones stop acting as
-    sources for this stripe's receivers; they still receive forces.
-    """
-    pos = masses.pos                                       # [3, N]
-    n = pos.shape[1]
-    G = GRID_DIM
-    S = 3 * cell_cap                                       # slab width
-    sentinel = jnp.int32(G * G + 7)
-
-    cx = jnp.clip(jnp.floor(pos[0] / cutoff).astype(jnp.int32) + G // 2,
-                  0, G - 1)
-    cy = jnp.clip(jnp.floor(pos[1] / cutoff).astype(jnp.int32) + G // 2,
-                  0, G - 1)
-    # every valid mass is a source (see binned_magnet_forces)
-    cell = jnp.where(masses.valid, cx * G + cy, sentinel)  # [N]
-
-    order = jnp.argsort(cell)
-    csort = cell[order]
-    valid_sorted = csort != sentinel
-
-    # start-of-cell table over the dense grid: counts scatter + exclusive
-    # cumsum (65k lanes; a searchsorted here measured 5x the force budget)
-    counts = jnp.zeros(G * G + 1, jnp.int32).at[
-        jnp.minimum(cell, G * G)].add(1)
-    start = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                             jnp.cumsum(counts[:-1], dtype=jnp.int32)])
-
-    # sorted field table, padded with FAR positions so slab overrun past
-    # the valid region fails every distance test
-    FAR = jnp.asarray(1e9, pos.dtype)
-    npad = n + S
-    def padf(a, fill):
-        return jnp.concatenate(
-            [a, jnp.full((S,), fill, a.dtype)])
-    fx = padf(jnp.where(valid_sorted, pos[0][order], FAR), FAR)
-    fy = padf(jnp.where(valid_sorted, pos[1][order], FAR), FAR)
-    fz = padf(jnp.where(valid_sorted, pos[2][order], FAR), FAR)
-    frad = padf(masses.mag_rad[order], 0.0)
-    fscale = padf(masses.mag_scale[order], 0.0)
-    fid = padf(jnp.where(valid_sorted, order.astype(jnp.int32), n), n)
-    table = jnp.stack([fx, fy, fz, frad, fscale,
-                       fid.astype(pos.dtype)])             # [6, n + S]
-
-    # per-receiver stripe anchors AND exact end bounds (receiver = sorted
-    # mass, dense).  Stripe i covers sorted indices
-    # [start[cell + off_i], start[cell + off_i + 3]) clamped to width S:
-    # exactly the cells (row, cy-1..cy+1), so stripes never overlap (no
-    # double-counted sources at grid-row wrap points) and never overrun
-    # into farther cells.
-    ccell = jnp.where(valid_sorted, csort, 0)
-    offs = (-G - 1, -1, G - 1)
-    anchors = jnp.stack([
-        start[jnp.clip(ccell + o, 0, G * G)] for o in offs], axis=1)
-    ends = jnp.stack([
-        start[jnp.clip(ccell + o + 3, 0, G * G)] for o in offs], axis=1)
-    anchors = jnp.minimum(anchors, n)                       # [N, 3]
-    widths = jnp.clip(ends - anchors, 0, S)                 # [N, 3]
-
-    spos = pos[:, order]
-    srad = masses.mag_rad[order]
-    sstiff = masses.mag_stiffness[order]
-    smaxf = masses.mag_maxf[order]
-    sid = jnp.where(valid_sorted, order.astype(jnp.int32), n)
-
-    B = chunk
-    n_chunks = (n + B - 1) // B
-    Np = n_chunks * B
-    padr = lambda a, fill=0: jnp.pad(a, [(0, 0)] * (a.ndim - 1)
-                                     + [(0, Np - n)], constant_values=fill)
-    rpos = padr(spos, 1e9).reshape(3, n_chunks, B)
-    rrad = padr(srad).reshape(n_chunks, B)
-    rstiff = padr(sstiff).reshape(n_chunks, B)
-    rmaxf = padr(smaxf).reshape(n_chunks, B)
-    rid = padr(sid[None], n)[0].reshape(n_chunks, B)
-    ranch = jnp.pad(anchors, ((0, Np - n), (0, 0)),
-                    constant_values=n).reshape(n_chunks, B, 3)
-    rwid = jnp.pad(widths, ((0, Np - n), (0, 0))).reshape(n_chunks, B, 3)
-
-    def chunk_forces(carry, xs):
-        cpos, crad, cstiff, cmaxf, cid, canch, cwid = xs
-        # slab gather: [B, 3] starts, [6, S] slices -> [B, 3, 6, S]
-        cand = jax.vmap(jax.vmap(
-            lambda a: jax.lax.dynamic_slice(table, (0, a), (6, S))))(canch)
-        cand = cand.transpose(0, 2, 1, 3).reshape(-1, 6, 3 * S)
-        dpos = cand[:, 0:3].transpose(1, 0, 2)             # [3, B, 3S]
-        drad = cand[:, 3]
-        dscale = cand[:, 4]
-        did = cand[:, 5].astype(jnp.int32)
-        # exact stripe extents: lane j of stripe s is a candidate iff
-        # j < width[s] (no overrun into farther cells, no double count)
-        jlane = jax.lax.broadcasted_iota(jnp.int32, (1, 3, S), 2)
-        jmask = (jlane < cwid[:, :, None]).reshape(-1, 3 * S)  # [B, 3S]
-        diff = cpos[..., None] - dpos                      # [3, B, 3S]
-        dist2 = jnp.sum(diff * diff, axis=0)
-        pos_d = (dist2 > 0) & (dist2 < 1e17)
-        dist = jnp.where(pos_d, jnp.sqrt(jnp.where(pos_d, dist2, 1.0)), 1e9)
-        safe = jnp.where(pos_d, dist, 1.0)
-        pair_ok = (jmask & (dist < cutoff)
-                   & (cid[:, None] != did)
-                   & (cid[:, None] < n) & (did < n))
-        inter = dist - (crad[:, None] + drad)
-        shell = jnp.where(inter < 0,
-                          jnp.abs(inter) * cstiff[:, None], 0.0)
-        attract = (dscale * cmaxf[:, None]
-                   / jnp.maximum(dist2, 1e-12))
-        coeff = jnp.where(pair_ok, (shell - attract) / safe, 0.0)
-        return carry, jnp.sum(diff * coeff[None], axis=2)  # [3, B]
-
-    _, f_chunks = jax.lax.scan(
-        chunk_forces, 0,
-        (rpos.transpose(1, 0, 2), rrad, rstiff, rmaxf, rid, ranch, rwid))
-    f_sorted = f_chunks.transpose(1, 0, 2).reshape(3, Np)[:, :n]
-    f_sorted = jnp.where(valid_sorted, f_sorted, 0.0)
-    return jnp.zeros((3, n), pos.dtype).at[:, order].set(f_sorted)
