@@ -88,12 +88,14 @@ class SimConfig:
     # exact masked O(N^2) pass.  Binned is O(N) but with a large constant
     # (TPU row-gather throughput); measured on v5e it beats pairwise ~2x
     # from ~8k magnetic masses, 3.7x at 50k, 13x at 200k -- the default
-    # threshold sits where the win is unambiguous.  Per-cell capacity
+    # sits AT the measured crossover (round 3; the old 32768 default
+    # conceded up to ~4x across 8k-32k, the likely scale of a large
+    # RobotLink swarm).  Per-cell capacity
     # bounds occupancy of a 0.14 m cell (the reference caps at 128 and
     # printf-and-continues on overflow, sim.cu:850-859; here overflowing
     # masses stop acting as sources but still receive); gather volume
     # scales with the cap, so keep it near the real occupancy.
-    magnet_binned_threshold: int = 32768
+    magnet_binned_threshold: int = 8192
     magnet_cell_cap: int = 16
     # Scenes up to this many (padded) masses run the magnet pass INSIDE the
     # VMEM Pallas kernel as a dense pairwise sweep (O(N^2) but N is small
