@@ -214,9 +214,102 @@ def mode_actuated():
                           "steps_per_sec": round(r2, 1),
                           "speedup": round(r / r2, 2)}), flush=True)
 
+def mode_magthresh():
+    """Where should magnet scenes switch paths?  Step-rate of the three
+    magnet formulations -- in-VMEM Pallas pairwise, chunked XLA pairwise,
+    cell-binned -- on RobotLink-like random clouds at 2k-32k magnetic
+    masses (full step including spring/contact physics, via SimConfig
+    knobs), to re-derive magnet_pallas_max / magnet_binned_threshold."""
+    import numpy as _np
+
+    def scene(n, pallas_max, binned_thr):
+        rng = _np.random.RandomState(0)
+        side = 0.14 * (n / 4.0) ** 0.5
+        sim = Simulation(SimConfig(velocity_clamp=False,
+                                   magnet_pallas_max=pallas_max,
+                                   magnet_binned_threshold=binned_thr))
+        for i in range(n):
+            sim.createMass(Vec(*rng.uniform(-side / 2, side / 2, 3)))
+        st = sim._store
+        st.mag_rad[:n] = rng.uniform(0.01, 0.05, n)
+        st.mag_stiffness[:n] = rng.uniform(100, 500, n)
+        st.mag_maxf[:n] = rng.uniform(0, 2, n)
+        st.mag_scale[:n] = rng.choice([0.0, 1.0], n)
+        # a few springs so the scene has stencil families (kernel envelope)
+        for i in range(0, n - 1, 2):
+            sp = sim.createSpring(sim.masses[i], sim.masses[i + 1])
+            sp._k = 50.0
+            sp.defaultLength()
+        sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+        sim.setTimeStep(1e-4)
+        sim._T = 0.0
+        sim._marshal()
+        return sim
+
+    from titan_tpu.ops.step import build_chunk_fn
+    from titan_tpu.ops.pallas_step import pallas_supported
+    for n in (2048, 4096, 8192, 16384, 32768):
+        out = {"mode": f"magthresh_{n}"}
+        for name, pmax, bthr in (("pallas", 10**6, 10**9),
+                                 ("xla_pairwise", 0, 10**9),
+                                 ("binned", 0, 1)):
+            sim = scene(n, pmax, bthr)
+            if name == "pallas" and not pallas_supported(sim._shape):
+                out[name] = "envelope-reject"
+                continue
+            chunk = build_chunk_fn(sim._shape)
+            steps = 500 if n <= 8192 else 200
+            r, _ = measure(chunk, sim._state, steps, warm=steps // 5)
+            r2, _ = measure(chunk, sim._state, steps, warm=steps // 5)
+            out[name] = round(max(r, r2), 1)
+        print(json.dumps(out), flush=True)
+
+
+def mode_grad():
+    """Gradient-path cost at the 1M-spring bench: forward chunk vs
+    diff.rollout vs diff.fast_rollout fwd+bwd (measured statement for the
+    differentiable-simulation docs)."""
+    from titan_tpu import diff
+    sim = bench_scene()
+    shape, state = sim._shape, sim._state
+    n_steps, seg = 200, 50
+
+    import dataclasses as _dc
+
+    def with_pos(p):
+        return _dc.replace(state, masses=_dc.replace(state.masses, pos=p))
+
+    fwd = jax.jit(lambda p: diff.fast_rollout(
+        shape, with_pos(p), n_steps, seg).masses.pos)
+
+    def loss_fast(p):
+        return jnp.sum(diff.fast_rollout(shape, with_pos(p), n_steps,
+                                         seg).masses.pos ** 2)
+
+    def loss_xla(p):
+        return jnp.sum(diff.rollout(shape, with_pos(p), n_steps,
+                                    checkpoint_every=seg).masses.pos ** 2)
+
+    gfast = jax.jit(jax.grad(loss_fast))
+    gxla = jax.jit(jax.grad(loss_xla))
+    p0 = state.masses.pos
+    res = {}
+    for name, fn in (("forward_fast", fwd),
+                     ("grad_fast_primal", gfast),
+                     ("grad_xla", gxla)):
+        jax.device_get(fn(p0)[:, :1])              # compile
+        best = 0.0
+        for rep in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(fn(p0)[:, :1])
+            best = max(best, n_steps / (time.perf_counter() - t0))
+        res[name] = round(best, 1)
+    res["mode"] = "gradpath_200steps"
+    print(json.dumps(res), flush=True)
 
 
 
 if __name__ == "__main__":
     {"fmath": mode_fmath, "multiagent": mode_multiagent,
-     "remainder": mode_remainder, "actuated": mode_actuated}[sys.argv[1]]()
+     "remainder": mode_remainder, "actuated": mode_actuated,
+     "magthresh": mode_magthresh, "grad": mode_grad}[sys.argv[1]]()

@@ -77,6 +77,15 @@ def fast_rollout(shape: SceneShape, state: SimState, n_steps: int,
     linearizes the XLA recomputation, whose primal differs from the
     kernel's by f32 op-ordering ulps; gradients equal ``rollout``'s to the
     same tolerance the kernel-vs-XLA equivalence suite pins for values.
+
+    Measured cost at the 1M-spring bench scene (v5e, 200 steps,
+    segment=50): forward-only fast_rollout 6.5k steps/s (short-horizon,
+    dispatch-bound), fwd+bwd 739 steps/s with the fast primal vs 686
+    through the pure-XLA rollout -- the backward recompute dominates
+    either way, so differentiating costs ~70x the kernel's forward-only
+    throughput at this scale.  Use gradient horizons in the hundreds of
+    steps (docs/GUIDE.md BPTT guidance) and fast_rollout when the same
+    rollout also serves non-differentiated consumers.
     """
     from .ops.step import build_chunk_fn
     chunk = build_chunk_fn(shape)
