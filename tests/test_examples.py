@@ -54,7 +54,7 @@ def test_train_walker(capsys):
     assert "trained gait" in out
 
 
-def test_train_walker_ppo(capsys):
-    _run("train_walker_ppo.py")
+def test_train_ppo(capsys):
+    _run("train_ppo.py")
     out = capsys.readouterr().out
-    assert "mean rollout return" in out
+    assert "mean rollout return" in out and "improved" in out
