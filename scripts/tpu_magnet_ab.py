@@ -34,6 +34,7 @@ def main():
     st = sim._store
     st.reserve_masses(n)
     st.pos[:n] = rng.uniform(-spread, spread, (n, 3))
+    st.valid[:n] = True   # reserve_masses only grows capacity
     st.n_masses = n
     st.mag_rad[:n] = rng.uniform(0.01, 0.05, n)
     st.mag_stiffness[:n] = rng.uniform(100, 500, n)
@@ -63,6 +64,22 @@ def main():
     t_binned = (time.perf_counter() - t0) / reps
     print(f"binned   {t_binned*1e3:8.2f} ms/step", flush=True)
 
+    cap = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    from titan_tpu.ops.magnets_grid import grid_magnet_forces
+    grid = jax.jit(lambda mm: grid_magnet_forces(
+        mm, cutoff, pad_to(n, 8), cap))
+    t0 = time.perf_counter()
+    fg = grid(m)
+    sync(fg)
+    print(f"grid     compile+1st: {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fg = grid(m)
+    sync(fg)
+    t_grid = (time.perf_counter() - t0) / reps
+    print(f"grid     {t_grid*1e3:8.2f} ms/step "
+          f"({t_binned/t_grid:.1f}x binned)", flush=True)
+
     pairwise = jax.jit(lambda mm: F.magnet_forces(mm, cutoff))
     t0 = time.perf_counter()
     fp = pairwise(m)
@@ -76,9 +93,12 @@ def main():
     print(f"pairwise {t_pair*1e3:8.2f} ms/step", flush=True)
 
     fbn, fpn = np.asarray(jax.device_get(fb)), np.asarray(jax.device_get(fp))
+    fgn = np.asarray(jax.device_get(fg))
     scale = max(np.abs(fpn).max(), 1.0)
     err = np.abs(fbn - fpn).max() / scale
-    print(f"n={n}  speedup={t_pair/t_binned:.1f}x  rel_err={err:.2e}",
+    err_g = np.abs(fgn - fpn).max() / scale
+    print(f"n={n}  binned={t_pair/t_binned:.1f}x pairwise (rel_err={err:.2e})"
+          f"  grid={t_binned/t_grid:.1f}x binned (rel_err={err_g:.2e})",
           flush=True)
 
 

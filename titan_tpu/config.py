@@ -97,6 +97,13 @@ class SimConfig:
     # scales with the cap, so keep it near the real occupancy.
     magnet_binned_threshold: int = 8192
     magnet_cell_cap: int = 16
+    # Dense-grid Pallas magnet kernel (ops/magnets_grid.py): on TPU,
+    # cell-binned scenes with at least this many magnetic masses run the
+    # gather-free dense occupancy-grid kernel instead of the XLA binned
+    # pass (exact same physics; automatic runtime fallback to binned if
+    # any cell overflows magnet_cell_cap).  Requires float32 state and a
+    # cell cap that is a multiple of 8; 10**9 disables.
+    magnet_grid_threshold: int = 8192
     # Scenes up to this many (padded) masses run the magnet pass INSIDE the
     # VMEM Pallas kernel as a dense pairwise sweep (O(N^2) but N is small
     # and everything stays in VMEM) -- this is what puts full RobotLink

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.step import build_step_fn
-from .state import SceneShape, SimState
+from .state import SceneShape, SimState, xla_only_shape
 
 
 def scene(sim) -> Tuple[SceneShape, SimState]:
@@ -41,7 +41,7 @@ def scene(sim) -> Tuple[SceneShape, SimState]:
 def rollout(shape: SceneShape, state: SimState, n_steps: int,
             checkpoint_every: Optional[int] = None) -> SimState:
     """Run n_steps (static) differentiably; returns the final state."""
-    step = build_step_fn(shape)
+    step = build_step_fn(xla_only_shape(shape))
 
     if checkpoint_every:
         assert n_steps % checkpoint_every == 0
@@ -89,7 +89,7 @@ def fast_rollout(shape: SceneShape, state: SimState, n_steps: int,
     """
     from .ops.step import build_chunk_fn
     chunk = build_chunk_fn(shape)
-    step = build_step_fn(shape)
+    step = build_step_fn(xla_only_shape(shape))
     seg = segment or n_steps
     assert n_steps % seg == 0
 
@@ -117,7 +117,7 @@ def trajectory(shape: SceneShape, state: SimState, n_steps: int,
                every: int = 1):
     """Differentiable rollout that also returns stacked positions
     [n_steps//every, 3, N]."""
-    step = build_step_fn(shape)
+    step = build_step_fn(xla_only_shape(shape))
 
     def body(s, _):
         for _i in range(every):

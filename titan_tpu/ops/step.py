@@ -38,9 +38,16 @@ def _mass_forces(
         # integrate so the extra force is harmless -- masked for clarity.
         if shape.magnet_binned:
             a_cells, cell_cap = shape.magnet_binned
-            from .magnets import binned_magnet_forces
-            f_mag = binned_magnet_forces(masses, cfg.magnet_cutoff,
-                                         a_cells, cell_cap)
+            if shape.magnet_grid and _on_tpu():
+                # dense-grid Pallas kernel (gather-free); falls back to the
+                # binned pass at runtime on cell-cap overflow
+                from .magnets_grid import grid_magnet_forces
+                f_mag = grid_magnet_forces(masses, cfg.magnet_cutoff,
+                                           a_cells, cell_cap)
+            else:
+                from .magnets import binned_magnet_forces
+                f_mag = binned_magnet_forces(masses, cfg.magnet_cutoff,
+                                             a_cells, cell_cap)
         else:
             f_mag = F.magnet_forces(masses, cfg.magnet_cutoff)
         f = f + jnp.where(masses.fixed, 0.0, f_mag)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.step import build_step_fn
-from ..state import SceneShape, SimState
+from ..state import SceneShape, SimState, xla_only_shape
 
 
 def make_batched_state(state: SimState, n_envs: int) -> SimState:
@@ -42,7 +42,7 @@ def make_batched_state(state: SimState, n_envs: int) -> SimState:
 
 def build_batched_step(shape: SceneShape) -> Callable[[SimState], SimState]:
     """vmap of the single-scene step over the leading env axis."""
-    return jax.vmap(build_step_fn(shape))
+    return jax.vmap(build_step_fn(xla_only_shape(shape)))
 
 
 def shard_batched_state(state: SimState, mesh: Mesh,
@@ -83,7 +83,7 @@ class BatchedScenes:
         state = make_batched_state(sim._state, n_envs)
         if mesh is not None:
             state = shard_batched_state(state, mesh, axis)
-        step = build_step_fn(shape)
+        step = build_step_fn(xla_only_shape(shape))
 
         @jax.jit
         def chunk(s, n_steps):

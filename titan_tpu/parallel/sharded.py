@@ -17,7 +17,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.step import build_step_fn
-from ..state import SceneShape, SimState
+from ..state import SceneShape, SimState, xla_only_shape
 
 
 def _state_shardings(state: SimState, mesh: Mesh, axis: str) -> SimState:
@@ -47,7 +47,7 @@ def shard_state(state: SimState, mesh: Mesh, axis: str = "shard") -> SimState:
 
 def build_sharded_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
     """Jitted chunk over the sharded state; XLA SPMD inserts the collectives."""
-    step = build_step_fn(shape)
+    step = build_step_fn(xla_only_shape(shape))
 
     @jax.jit
     def chunk(state: SimState, n_steps) -> SimState:

@@ -372,6 +372,7 @@ class Simulation:
                             | (st.mag_scale[:n] != 0)
                             | (st.mag_stiffness[:n] != 0))))
         magnet_binned = ()
+        magnet_grid = False
         if has_magnets and n_magnetic >= cfg.magnet_binned_threshold:
             # the bin table holds every VALID mass (all are shell-contact
             # sources, matching the reference OG's insert-everything,
@@ -380,6 +381,9 @@ class Simulation:
             n_valid_cnt = int(np.count_nonzero(st.valid[:n]))
             magnet_binned = (pad_to(max(n_valid_cnt, 1), 8),
                              cfg.magnet_cell_cap)
+            magnet_grid = (n_magnetic >= cfg.magnet_grid_threshold
+                           and cfg.dtype == "float32"
+                           and cfg.magnet_cell_cap % 8 == 0)
         has_drag = bool(np.any(st.drag[:n] != 0.0))
         has_damping = bool(np.any(st.damping[:s] != 0.0))
         # all_valid = no soft-deleted REAL masses; padding slots are
@@ -400,6 +404,7 @@ class Simulation:
             plane_friction=tuple(bool(p[2] or p[3]) for p in self._planes),
             cap_cp=caps[0], cap_ball=caps[1], cap_pl=caps[2], cap_dir=caps[3],
             has_magnets=has_magnets, magnet_binned=magnet_binned,
+            magnet_grid=magnet_grid,
             has_drag=has_drag,
             has_breathing=has_breathing, has_actuated=has_actuated,
             has_damping=has_damping,

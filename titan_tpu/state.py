@@ -217,6 +217,10 @@ class SceneShape:
     # pairwise; (A, C) = bin-table height / per-cell capacity.  Chosen at
     # marshal from config.magnet_binned_threshold.
     magnet_binned: tuple = ()
+    # Dense-grid Pallas magnet kernel (ops/magnets_grid.py): set at marshal
+    # for large binned scenes on f32; only honored on TPU by ops/step, and
+    # cleared by the AD / vmap / auto-SPMD paths (no Pallas there).
+    magnet_grid: bool = False
     # max |right - left| over remainder springs (0 if none): the halo-exchange
     # multi-chip path (parallel/halo.py) can evaluate remainder springs
     # locally iff this span fits inside its halo window.
@@ -227,6 +231,19 @@ class SceneShape:
     # SMEM instead of streaming an [F, N] array from HBM every step (k's
     # embedded existence mask travels as one packed int32 bitmask per mass).
     stencil_uniform: tuple = (False, False, False, False, False)
+
+
+def xla_only_shape(shape: "SceneShape") -> "SceneShape":
+    """Shape variant with Pallas-backed sub-paths disabled.
+
+    The AD (diff.py), vmap (parallel/batched.py) and automatic-SPMD
+    (parallel/sharded.py) paths re-trace the XLA step; a pallas_call inside
+    would break reverse-mode AD and the SPMD partitioner, so those paths
+    build their step from this cleared shape.
+    """
+    if not shape.magnet_grid:
+        return shape
+    return dataclasses.replace(shape, magnet_grid=False)
 
 
 def pad_to(n: int, mult: int = 128) -> int:
