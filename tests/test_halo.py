@@ -14,7 +14,7 @@ from titan_tpu.parallel.halo import build_halo_chunk, halo_supported, place
 def _scene(damping=0.0, breathing=False, actuated=False, drag=0.0,
            deleted=False, local_constraint=False, integrator=None,
            magnets=False, remainder=False, remainder_actuated=False,
-           magnet_plain=False):
+           magnet_plain=False, magnet_binned=False):
     from titan_tpu import (ACTIVE_CONTRACT_THEN_EXPAND, ACTUATED_EXPAND,
                            CONTACT_PLANE, Integrator)
     cfg = dict(velocity_clamp=False)
@@ -24,6 +24,12 @@ def _scene(damping=0.0, breathing=False, actuated=False, drag=0.0,
         # lattice spacing (~0.26-0.33 m) exceeds the reference cutoff; widen
         # it so neighboring magnetic masses actually interact in the test
         cfg["magnet_cutoff"] = 0.6
+    if magnet_binned:
+        # force the cell-binned structure at test scale; cap raised so no
+        # source drops (the 0.6 m 2-D cells hold a whole z-column of the
+        # lattice) and the variant tests pure path equivalence
+        cfg["magnet_binned_threshold"] = 2
+        cfg["magnet_cell_cap"] = 64
     # long-x lattice so max(delta) (= ny*nz + nz + 1 = 21) << block (64)
     sim = Simulation(SimConfig(**cfg))
     sim.createLattice(Vec(0, 0, 3), Vec(8, 1, 1), 32, 4, 4)
@@ -122,6 +128,15 @@ VARIANTS = {
     "remainder_actuated": dict(remainder_actuated=True),
     "magnets_remainder": dict(magnets=True, remainder=True, deleted=True),
     "magnet_plain_contact": dict(magnets=True, magnet_plain=True),
+    # round 3: cell-binned magnets ride the halo path (replicated global
+    # bin structure, local receivers; bitwise-equal per receiver)
+    "magnets_binned": dict(magnets=True, magnet_binned=True),
+    "magnets_binned_deleted": dict(magnets=True, magnet_binned=True,
+                                   deleted=True),
+    "magnets_binned_plain": dict(magnets=True, magnet_binned=True,
+                                 magnet_plain=True),
+    "rk2_magnets_binned": dict(integrator="rk2", magnets=True,
+                               magnet_binned=True, remainder=True),
 }
 
 
@@ -160,6 +175,8 @@ def test_halo_matches_single_device(variant):
         assert sim._shape.has_remainder
     if variant.startswith("magnets"):
         assert sim._shape.has_magnets
+    if "binned" in variant:
+        assert sim._shape.magnet_binned
     assert len(out_h.masses.pos.sharding.device_set) == 8
 
 
@@ -193,14 +210,15 @@ def test_control_plane_distribute():
 
 
 def test_distribute_falls_back_outside_halo_envelope():
-    """Binned-magnet scenes leave the halo envelope; distribute() must
-    still work via the automatic SPMD partitioner."""
-    sim = Simulation(SimConfig(velocity_clamp=False,
-                               magnet_binned_threshold=2))
+    """A remainder spring spanning more than a device block leaves the halo
+    envelope; distribute() must still work via the automatic SPMD
+    partitioner."""
+    sim = Simulation(SimConfig(velocity_clamp=False))
     sim.createLattice(Vec(0, 0, 3), Vec(8, 1, 1), 32, 4, 4)
+    sp = sim.createSpring(sim.masses[0], sim.masses[300])
+    sp._k = 100.0
+    sp.defaultLength()
     st = sim._store
-    st.mag_maxf[:4] = 1.0
-    st.mag_rad[:4] = 0.05
     sim.distribute(make_mesh(("shard",)))
     sim.setTimeStep(1e-4)
     sim.start()
@@ -225,8 +243,8 @@ def test_halo_envelope():
     sim3._store.mag_rad[:4] = 0.05
     sim3._marshal()
     assert halo_supported(sim3._shape, 8)
-    # ...but cell-BINNED magnet scenes (large N) keep the automatic SPMD
-    # path, whose O(N) binned pass beats a pairwise sweep at that scale
+    # ...and so do cell-BINNED magnet scenes (round 3: replicated bin
+    # structure over the gathered pos, local receivers only)
     sim4 = Simulation(SimConfig(velocity_clamp=False,
                                 magnet_binned_threshold=2))
     sim4.createLattice(Vec(0, 0, 3), Vec(8, 1, 1), 32, 4, 4)
@@ -235,7 +253,7 @@ def test_halo_envelope():
     sim4._T = 0.0
     sim4._marshal()
     assert sim4._shape.magnet_binned
-    assert not halo_supported(sim4._shape, 8)
+    assert halo_supported(sim4._shape, 8)
     # a remainder spring spanning more than a device block is rejected
     sim5 = _scene()
     sp = sim5.createSpring(sim5.masses[0], sim5.masses[100])

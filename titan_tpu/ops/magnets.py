@@ -47,6 +47,19 @@ from ..state import MassState
 GRID_DIM = 256
 
 
+def cell_ids(pos: jax.Array, valid: jax.Array, cutoff: float) -> jax.Array:
+    """Flat 2-D cell id per mass; invalid masses get an out-of-grid
+    sentinel (> any real cell, so they sort last and never match a
+    neighborhood lookup)."""
+    G = GRID_DIM
+    sentinel = jnp.int32(G * G + 7)
+    cx = jnp.clip(jnp.floor(pos[0] / cutoff).astype(jnp.int32) + G // 2,
+                  0, G - 1)
+    cy = jnp.clip(jnp.floor(pos[1] / cutoff).astype(jnp.int32) + G // 2,
+                  0, G - 1)
+    return jnp.where(valid, cx * G + cy, sentinel)
+
+
 def binned_magnet_forces(masses: MassState, cutoff: float,
                          n_cells: int, cell_cap: int,
                          chunk_cells: int = 512) -> jax.Array:
@@ -64,21 +77,56 @@ def binned_magnet_forces(masses: MassState, cutoff: float,
     """
     pos = masses.pos                                       # [3, N]
     n = pos.shape[1]
+
+    bins, tbl, order, csort, msort = build_source_bins(
+        pos, masses.valid, masses.mag_rad, masses.mag_scale, cutoff,
+        n_cells, cell_cap)
+    order32 = order.astype(jnp.int32)
+
+    # receivers are the sorted masses themselves -- dense, no slot padding,
+    # no gather -- each fetching its cell's 3x3 candidate slabs
+    rows9 = neighborhood_rows(tbl, csort, n_cells)         # [N, 9]
+    spos = pos[:, order]
+    srad = masses.mag_rad[order]
+    sstiff = masses.mag_stiffness[order]
+    smaxf = masses.mag_maxf[order]
+
+    f_sorted = receiver_forces(bins, rows9, cutoff, n, spos, srad, sstiff,
+                               smaxf, order32, chunk_cells)
+    f_sorted = jnp.where(msort, f_sorted, 0.0)
+    out = jnp.zeros((3, n), pos.dtype).at[:, order].set(f_sorted)
+    return out
+
+
+def build_source_bins(pos, valid, mag_rad, mag_scale, cutoff: float,
+                      n_cells: int, cell_cap: int):
+    """Build the binned SOURCE structure over the full mass set.
+
+    Returns ``(bins, tbl, order, csort, msort)``: the [A+1, 6, C] candidate
+    table (x, y, z, rad, scale, id-as-float; row A = trash, empty slots hold
+    a far-away sentinel position so every pair test fails on distance), the
+    dense [G*G] cell -> bin-row table (A = empty cell), and the cell-sort
+    (order / sorted cell ids / valid-in-grid mask) for callers that want
+    sorted receivers.
+
+    ALL valid masses are binned as sources, not just ones with nonzero
+    magnet params: a zero-param mass still exerts shell contact force on
+    a receiver whose shell radius overlaps it (its rad_j merely adds 0 to
+    the intersection depth) -- matching ops/forces.magnet_forces
+    (src_valid = masses.valid) and the reference occupancy grid, which
+    inserts every mass (sim.cu:842).
+
+    Two measured TPU traps shaped the bin layout: per-element XLA gathers
+    at [A, 9C] scale were 4.7x SLOWER than the O(N^2) pairwise pass, and
+    slot-padded receivers ([A, C, 9C] pair tensor) wasted C x the compute
+    on empty slots.  Like the reference, a mass beyond the cell cap stops
+    acting as a SOURCE but still receives forces (it is absent from the
+    grid but still scans it, sim.cu:1250-1281).
+    """
+    n = pos.shape[1]
     G = GRID_DIM
     sentinel = jnp.int32(G * G + 7)                        # > any real cell
-
-    # ALL valid masses are binned as sources, not just ones with nonzero
-    # magnet params: a zero-param mass still exerts shell contact force on
-    # a receiver whose shell radius overlaps it (its rad_j merely adds 0 to
-    # the intersection depth) -- matching ops/forces.magnet_forces
-    # (src_valid = masses.valid) and the reference occupancy grid, which
-    # inserts every mass (sim.cu:842).  Receivers with all-zero stiffness
-    # and max force see zero force either way.
-    cx = jnp.clip(jnp.floor(pos[0] / cutoff).astype(jnp.int32) + G // 2,
-                  0, G - 1)
-    cy = jnp.clip(jnp.floor(pos[1] / cutoff).astype(jnp.int32) + G // 2,
-                  0, G - 1)
-    cell = jnp.where(masses.valid, cx * G + cy, sentinel)  # [N]
+    cell = cell_ids(pos, valid, cutoff)                    # [N]
 
     order = jnp.argsort(cell)                              # magnetic first
     csort = cell[order]
@@ -95,66 +143,76 @@ def binned_magnet_forces(masses: MassState, cutoff: float,
     acell = jnp.full(A, sentinel, jnp.int32).at[aidx].set(csort, mode="drop")
 
     # 9-neighborhood lookup via a dense cell -> bin-row table: one
-    # A-element scatter + one [A, 9] gather.  (A binary search here --
-    # jnp.searchsorted -- costs ~17 gather rounds and measured ~5x the
-    # whole pairwise-force budget on TPU.)
+    # A-element scatter + one gather per receiver row.  (A binary search
+    # here -- jnp.searchsorted -- costs ~17 gather rounds and measured ~5x
+    # the whole pairwise-force budget on TPU.)
     tbl = jnp.full(G * G, A, jnp.int32).at[acell].set(
         jnp.arange(A, dtype=jnp.int32), mode="drop")       # sentinel drops
-    shifts = jnp.asarray([dx * G + dy for dx in (-1, 0, 1)
-                          for dy in (-1, 0, 1)], jnp.int32)
-    ncell = acell[:, None] + shifts[None, :]               # [A, 9]
-    in_grid = (ncell >= 0) & (ncell < G * G)
-    jrow_full = jnp.where(in_grid,
-                          tbl[jnp.clip(ncell, 0, G * G - 1)], A)  # [A, 9]
 
-    # Bin the CANDIDATE data: one N-element scatter per field fills [A+1, C]
-    # slabs (slot = (cell, rank); row A = trash, empty slots get a far-away
-    # sentinel position so every pair test fails on distance).  Receivers
-    # are the sorted masses themselves -- dense, no slot padding, no gather
-    # -- and each fetches its cell's 3x3 candidate slabs as C-contiguous
-    # ROW-SLAB gathers.  Two measured TPU traps shaped this: per-element
-    # XLA gathers at [A, 9C] scale were 4.7x SLOWER than the O(N^2)
-    # pairwise pass, and slot-padded receivers ([A, C, 9C] pair tensor)
-    # wasted C x the compute on empty slots.  Like the reference, a mass
-    # beyond the cell cap stops acting as a SOURCE but still receives
-    # forces (it is absent from the grid but still scans it,
-    # sim.cu:1250-1281).
     FAR = jnp.asarray(1e9, pos.dtype)
     order32 = order.astype(jnp.int32)
-
     # ONE [A+1, 6, C] table (x, y, z, rad, scale, id-as-float) so each
     # receiver needs a single row-slab gather instead of six
     fields = jnp.stack([pos[0][order], pos[1][order], pos[2][order],
-                        masses.mag_rad[order], masses.mag_scale[order],
+                        mag_rad[order], mag_scale[order],
                         order32.astype(pos.dtype)])        # [6, N] sorted
     fill = jnp.asarray([FAR, FAR, FAR, 0.0, 0.0, n], pos.dtype)
     bins = jnp.broadcast_to(fill[None, :, None], (A + 1, 6, C))
     bins = bins.at[aidx, :, rank].set(fields.T, mode="drop")
+    return bins, tbl, order, csort, msort
 
-    # per-receiver (sorted-mass) fields + its cell's 9 candidate bin rows
-    rows9 = jnp.where((aidx < A)[:, None] & msort[:, None],
-                      jrow_full[jnp.clip(aidx, 0, A - 1)], A)   # [N, 9]
-    spos = pos[:, order]
-    srad = masses.mag_rad[order]
-    sstiff = masses.mag_stiffness[order]
-    smaxf = masses.mag_maxf[order]
 
+def neighborhood_rows(tbl: jax.Array, rcell: jax.Array,
+                      n_cells: int) -> jax.Array:
+    """3x3-neighborhood bin rows per receiver cell id; [R, 9].
+
+    Out-of-grid neighbor ids and the invalid-mass cell sentinel map to the
+    trash row A = ``n_cells``.  The flat-id +-1 wrap at grid x-edges only
+    introduces far-away candidates that the distance test rejects (cells
+    are cutoff-sized).
+    """
+    G = GRID_DIM
+    A = n_cells
+    shifts = jnp.asarray([dx * G + dy for dx in (-1, 0, 1)
+                          for dy in (-1, 0, 1)], jnp.int32)
+    ncell = rcell[:, None] + shifts[None, :]               # [R, 9]
+    ok = (ncell >= 0) & (ncell < G * G) & (rcell < G * G)[:, None]
+    return jnp.where(ok, tbl[jnp.clip(ncell, 0, G * G - 1)], A)
+
+
+def receiver_forces(bins: jax.Array, rows9: jax.Array, cutoff: float,
+                    n_total: int, rpos, rrad, rstiff, rmaxf, rid,
+                    chunk_cells: int = 512) -> jax.Array:
+    """Force on each of R receivers from the binned source structure; [3, R].
+
+    ``bins`` is the [A+1, 6, C] candidate table and ``rows9`` [R, 9] each
+    receiver's 3x3-neighborhood bin rows (row A = the empty trash row).
+    Receivers are arbitrary -- the single-device path passes the cell-sorted
+    masses; the halo multi-chip path passes its local index block against a
+    globally built ``bins``.  ``rid`` are global mass ids for the
+    self-pair exclusion; ``n_total`` the global mass count.
+    """
+    A = bins.shape[0] - 1
+    C = bins.shape[2]
+    n = n_total
+    FAR = jnp.asarray(1e9, rpos.dtype)
+    R = rpos.shape[1]
     B = chunk_cells                                        # receivers/chunk
-    n_chunks = (n + B - 1) // B
-    Np = n_chunks * B
-    spos_c = jnp.pad(spos, ((0, 0), (0, Np - n)),
+    n_chunks = (R + B - 1) // B
+    Rp = n_chunks * B
+    spos_c = jnp.pad(rpos, ((0, 0), (0, Rp - R)),
                      constant_values=FAR).reshape(3, n_chunks, B)
-    srad_c = jnp.pad(srad, (0, Np - n)).reshape(n_chunks, B)
-    sstiff_c = jnp.pad(sstiff, (0, Np - n)).reshape(n_chunks, B)
-    smaxf_c = jnp.pad(smaxf, (0, Np - n)).reshape(n_chunks, B)
-    sid_c = jnp.pad(order32, (0, Np - n),
+    srad_c = jnp.pad(rrad, (0, Rp - R)).reshape(n_chunks, B)
+    sstiff_c = jnp.pad(rstiff, (0, Rp - R)).reshape(n_chunks, B)
+    smaxf_c = jnp.pad(rmaxf, (0, Rp - R)).reshape(n_chunks, B)
+    sid_c = jnp.pad(rid, (0, Rp - R),
                     constant_values=n).reshape(n_chunks, B)
-    rows_c = jnp.pad(rows9, ((0, Np - n), (0, 0)),
+    rows_c = jnp.pad(rows9, ((0, Rp - R), (0, 0)),
                      constant_values=A).reshape(n_chunks, B, 9)
 
     def chunk_forces(carry, xs):
-        # (bin-table formulation; striped_magnet_forces below is the
-        # round-3 slab-gather variant measured against this one)
+        # (bin-table formulation; the round-3 slab-gather variant was
+        # measured 3.8-5.8x slower and removed -- docs/PERFORMANCE.md)
         rpos = xs[0]                                       # [3, B]
         rrad, rstiff, rmaxf, rid, rows = xs[1:]            # [B], [B, 9]
         cand = jnp.take(bins, rows, axis=0)                # [B, 9, 6, C]
@@ -184,7 +242,4 @@ def binned_magnet_forces(masses: MassState, cutoff: float,
         chunk_forces, 0,
         (spos_c.transpose(1, 0, 2), srad_c, sstiff_c, smaxf_c, sid_c,
          rows_c))                                          # [nc, 3, B]
-    f_sorted = f_chunks.transpose(1, 0, 2).reshape(3, Np)[:, :n]
-    f_sorted = jnp.where(msort, f_sorted, 0.0)
-    out = jnp.zeros((3, n), pos.dtype).at[:, order].set(f_sorted)
-    return out
+    return f_chunks.transpose(1, 0, 2).reshape(3, Rp)[:, :R]

@@ -55,7 +55,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..state import MassState
-from .magnets import GRID_DIM, binned_magnet_forces
+from .magnets import GRID_DIM, binned_magnet_forces, cell_ids
 
 _BX = 8          # grid x-rows per kernel block (f32 sublane tile)
 _RC = 8          # receiver slots per inner chunk
@@ -152,12 +152,8 @@ def grid_magnet_forces(masses: MassState, cutoff: float,
     nx = G // _BX
     sentinel = jnp.int32(G * G + 7)
 
-    # --- shared binning setup (identical arithmetic to ops/magnets.py) ---
-    cx = jnp.clip(jnp.floor(pos[0] / cutoff).astype(jnp.int32) + G // 2,
-                  0, G - 1)
-    cy = jnp.clip(jnp.floor(pos[1] / cutoff).astype(jnp.int32) + G // 2,
-                  0, G - 1)
-    cell = jnp.where(masses.valid, cx * G + cy, sentinel)
+    # --- shared binning setup (ops/magnets.cell_ids) ---
+    cell = cell_ids(pos, masses.valid, cutoff)
 
     order = jnp.argsort(cell)
     csort = cell[order]

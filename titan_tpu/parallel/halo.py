@@ -28,12 +28,13 @@ to the left endpoint's block; remainder rest mutation depends only on
 replicated spring arrays, so every device computes it identically); axial
 damping (adds vel halos); drag; local constraints (per-mass, sharded with the
 masses); soft-deleted masses; gravity, persistent external force, fixed
-masses, global planes/balls; exact pairwise magnets (per-step pos all_gather,
-O(N^2/D) compute per device -- strictly better than the automatic
-partitioner's gather collectives at the same compute).  Block size must
-exceed max(|delta|, remainder span).  Cell-BINNED magnet scenes
-(shape.magnet_binned, large N) use sharded.py's automatic partitioner, whose
-O(N) binned pass beats a pairwise sweep at that scale.
+masses, global planes/balls; magnets in both forms -- exact pairwise
+(per-step pos all_gather, O(N^2/D) compute per device) and cell-BINNED for
+large N (the same all_gather; every device builds the identical global bin
+structure and evaluates only its own receivers, so the gather-bound force
+cost is D-way parallel and results are bitwise equal to the single-device
+binned path; setup's argsort over N is replicated).  Block size must
+exceed max(|delta|, remainder span).
 """
 
 from __future__ import annotations
@@ -63,9 +64,6 @@ def halo_reject_reason(shape: SceneShape, n_devices: int):
         return "use_stencil off"
     if not shape.stencil_deltas and not shape.has_remainder:
         return "no springs to exchange halos for"
-    if shape.magnet_binned:
-        return ("cell-binned magnet scene (large-N magnets use the "
-                "automatic SPMD partitioner's O(N) binned pass)")
     if not cfg.persistent_extern_force:
         return "strict per-step extern_force mode"
     if shape.n_masses % n_devices != 0:
@@ -227,7 +225,35 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
         f_acc = f_acc.at[:, :halo].add(from_prev)
         f_acc = f_acc.at[:, -halo:].add(from_next)
         f_acc = jnp.where(m.fixed, 0.0, f_acc)
-        if shape.has_magnets:
+        if shape.has_magnets and shape.magnet_binned:
+            # cell-BINNED magnets, D-way parallel: every device builds the
+            # identical global bin structure from the all-gathered pos
+            # (setup is replicated -- one argsort over N), then evaluates
+            # forces only for its own index block's receivers, which is
+            # where the cost lives (the candidate slab gathers).  Per-
+            # receiver candidate order matches the single-device binned
+            # path exactly, so results are bitwise equal to it.  No
+            # collective beyond the pos all_gather the pairwise branch
+            # already pays; forces land directly on their owning device.
+            from ..ops.magnets import (build_source_bins, cell_ids,
+                                       neighborhood_rows, receiver_forces)
+            a_cells, cell_cap = shape.magnet_binned
+            src_pos = jax.lax.all_gather(pos, axis, axis=1, tiled=True)
+            src_rad, src_scale, src_ok = mag_src
+            bins, tbl, _, _, _ = build_source_bins(
+                src_pos, src_ok, src_rad, src_scale, cfg.magnet_cutoff,
+                a_cells, cell_cap)
+            rcell = cell_ids(pos, m.valid, cfg.magnet_cutoff)     # [B]
+            rows9 = neighborhood_rows(tbl, rcell, a_cells)        # [B, 9]
+            rid = (dev_index(axis) * b
+                   + jnp.arange(b, dtype=jnp.int32))
+            f_mag = receiver_forces(bins, rows9, cfg.magnet_cutoff,
+                                    shape.n_masses, pos, m.mag_rad,
+                                    m.mag_stiffness, m.mag_maxf, rid)
+            # fixed masses early-return before the magnet pass
+            # (sim.cu:1292-1298); they still act as sources above
+            f_acc = f_acc + jnp.where(m.fixed | ~m.valid, 0.0, f_mag)
+        elif shape.has_magnets:
             # exact pairwise magnets, D-way parallel: local receivers vs the
             # all-gathered global source set (reference
             # computeExternalMagnetForce, sim.cu:1223-1241; force order --

@@ -580,16 +580,11 @@ class Simulation:
         else:
             # the automatic partitioner is a measured ~3.1x step-rate cliff
             # vs the halo path (docs/PERFORMANCE.md) -- warn, naming the
-            # failed envelope condition (VERDICT r2 weak #4); binned-magnet
-            # scenes are the designed exception (the O(N) binned pass wins
-            # there), keep those at info level
-            msg = ("scene is outside the halo-exchange envelope; using "
-                   "XLA's automatic SPMD partitioner (~3x slower per "
-                   "step): %s")
-            if shape.magnet_binned:
-                get_logger().info(msg, reason)
-            else:
-                get_logger().warning(msg, reason)
+            # failed envelope condition (VERDICT r2 weak #4)
+            get_logger().warning(
+                "scene is outside the halo-exchange envelope; using "
+                "XLA's automatic SPMD partitioner (~3x slower per "
+                "step): %s", reason)
             self._state = shard_state(self._state, mesh, axis)
             self._chunk = build_sharded_chunk(shape, mesh, axis)
             path = "sharded"
