@@ -14,7 +14,7 @@ from titan_tpu.parallel.halo import build_halo_chunk, halo_supported, place
 def _scene(damping=0.0, breathing=False, actuated=False, drag=0.0,
            deleted=False, local_constraint=False, integrator=None,
            magnets=False, remainder=False, remainder_actuated=False,
-           magnet_plain=False, magnet_binned=False):
+           magnet_plain=False, magnet_binned=False, remainder_long=False):
     from titan_tpu import (ACTIVE_CONTRACT_THEN_EXPAND, ACTUATED_EXPAND,
                            CONTACT_PLANE, Integrator)
     cfg = dict(velocity_clamp=False)
@@ -48,6 +48,14 @@ def _scene(damping=0.0, breathing=False, actuated=False, drag=0.0,
                 sp._type = ACTUATED_CONTRACT
                 sp._l_min = sp._rest * 0.8
                 sp._rate = 0.4
+    if remainder_long:
+        # spans far beyond the 64-mass device block (round 3: these ride
+        # the GATHERED remainder path -- replicated spring eval over
+        # all-gathered pos); unique deltas so they stay remainder springs
+        for base, d in ((10, 293), (40, 211), (5, 449), (100, 307)):
+            sp = sim.createSpring(sim.masses[base], sim.masses[base + d])
+            sp._k = 800.0
+            sp.defaultLength()
     if magnets:
         # pairs within the widened cutoff, including the 63/79 pair that
         # straddles the 64-mass device-block boundary
@@ -137,6 +145,13 @@ VARIANTS = {
                                  magnet_plain=True),
     "rk2_magnets_binned": dict(integrator="rk2", magnets=True,
                                magnet_binned=True, remainder=True),
+    # round 3: remainder spans > device block ride the gathered path
+    "remainder_long": dict(remainder_long=True),
+    "remainder_long_damped": dict(remainder_long=True, damping=0.5),
+    "remainder_long_actuated": dict(remainder_long=True, actuated=True,
+                                    breathing=True),
+    "rk2_remainder_long_magnets": dict(integrator="rk2",
+                                       remainder_long=True, magnets=True),
 }
 
 
@@ -153,12 +168,17 @@ def test_halo_matches_single_device(variant):
     out_s = build_chunk_fn(sim._shape)(sim._state, jnp.int32(200))
 
     n = sim._store.n_masses
+    # the gathered remainder path accumulates spring forces in a different
+    # (but fixed) order than the single-device segment sums; under the
+    # oscillatory actuated+breathing dynamics that 1-2-ulp seed grows to
+    # ~5e-5 in vel over the 200-step f32 horizon (pos stays at 1e-5)
+    atol = 1e-4 if variant == "remainder_long_actuated" else 1e-5
     np.testing.assert_allclose(np.asarray(out_h.masses.pos)[:, :n],
                                np.asarray(out_s.masses.pos)[:, :n],
-                               atol=1e-5)
+                               atol=atol)
     np.testing.assert_allclose(np.asarray(out_h.masses.vel)[:, :n],
                                np.asarray(out_s.masses.vel)[:, :n],
-                               atol=1e-5)
+                               atol=atol)
     if variant == "actuated":
         np.testing.assert_allclose(np.asarray(out_h.stencil.rest),
                                    np.asarray(out_s.stencil.rest),
@@ -177,6 +197,9 @@ def test_halo_matches_single_device(variant):
         assert sim._shape.has_magnets
     if "binned" in variant:
         assert sim._shape.magnet_binned
+    if "remainder_long" in variant:
+        # spans exceed the 64-mass device block -> gathered remainder path
+        assert sim._shape.remainder_span > sim._shape.n_masses // 8
     assert len(out_h.masses.pos.sharding.device_set) == 8
 
 
@@ -210,14 +233,11 @@ def test_control_plane_distribute():
 
 
 def test_distribute_falls_back_outside_halo_envelope():
-    """A remainder spring spanning more than a device block leaves the halo
-    envelope; distribute() must still work via the automatic SPMD
-    partitioner."""
-    sim = Simulation(SimConfig(velocity_clamp=False))
+    """Strict per-step extern-force mode leaves the halo envelope;
+    distribute() must still work via the automatic SPMD partitioner."""
+    sim = Simulation(SimConfig(velocity_clamp=False,
+                               persistent_extern_force=False))
     sim.createLattice(Vec(0, 0, 3), Vec(8, 1, 1), 32, 4, 4)
-    sp = sim.createSpring(sim.masses[0], sim.masses[300])
-    sp._k = 100.0
-    sp.defaultLength()
     st = sim._store
     sim.distribute(make_mesh(("shard",)))
     sim.setTimeStep(1e-4)
@@ -254,14 +274,22 @@ def test_halo_envelope():
     sim4._marshal()
     assert sim4._shape.magnet_binned
     assert halo_supported(sim4._shape, 8)
-    # a remainder spring spanning more than a device block is rejected
+    # a remainder spring spanning more than a device block rides the halo
+    # path too (round 3: gathered remainder evaluation)
     sim5 = _scene()
     sp = sim5.createSpring(sim5.masses[0], sim5.masses[100])
     sp._k = 100.0
     sp.defaultLength()
     sim5._marshal()
     assert sim5._shape.remainder_span == 100
-    assert not halo_supported(sim5._shape, 8)
+    assert halo_supported(sim5._shape, 8)
+    # strict per-step extern-force mode is (still) outside the envelope
+    sim6 = Simulation(SimConfig(velocity_clamp=False,
+                                persistent_extern_force=False))
+    sim6.createLattice(Vec(0, 0, 3), Vec(8, 1, 1), 32, 4, 4)
+    sim6._T = 0.0
+    sim6._marshal()
+    assert not halo_supported(sim6._shape, 8)
 
 
 @pytest.mark.parametrize("seed", range(4))

@@ -34,7 +34,10 @@ large N (the same all_gather; every device builds the identical global bin
 structure and evaluates only its own receivers, so the gather-bound force
 cost is D-way parallel and results are bitwise equal to the single-device
 binned path; setup's argsort over N is replicated).  Block size must
-exceed max(|delta|, remainder span).
+exceed the max stencil |delta|; remainder springs fit the halo window when
+their span allows and otherwise switch to a gathered path (replicated
+evaluation of the small spring set over all-gathered pos, dropping
+scatters into the local block), so no remainder span rejects the scene.
 """
 
 from __future__ import annotations
@@ -70,8 +73,11 @@ def halo_reject_reason(shape: SceneShape, n_devices: int):
         return (f"{shape.n_masses} masses not divisible by "
                 f"{n_devices} devices")
     block = shape.n_masses // n_devices
-    if block <= _halo_width(shape):
-        return (f"halo width {_halo_width(shape)} (max spring index span) "
+    # remainder spans wider than the block don't reject the scene: those
+    # springs switch to the gathered path (round 3)
+    w = _halo_width(shape, _remainder_windowed(shape, n_devices))
+    if block <= w:
+        return (f"halo width {w} (max stencil index span) "
                 f">= per-device block {block}")
     return None
 
@@ -80,18 +86,27 @@ def halo_supported(shape: SceneShape, n_devices: int) -> bool:
     return halo_reject_reason(shape, n_devices) is None
 
 
-def _halo_width(shape: SceneShape) -> int:
+def _halo_width(shape: SceneShape, include_remainder: bool = True) -> int:
     spans = [abs(d) for d in shape.stencil_deltas]
-    if shape.has_remainder:
+    if shape.has_remainder and include_remainder:
         spans.append(shape.remainder_span)
     return max(spans + [1])
+
+
+def _remainder_windowed(shape: SceneShape, n_devices: int) -> bool:
+    """True if remainder springs fit the halo window (evaluated locally,
+    spills ppermuted); False -> the gathered path (all_gather pos,
+    replicated spring eval, dropping scatters into the local block)."""
+    block = shape.n_masses // n_devices
+    return shape.has_remainder and shape.remainder_span < block
 
 
 def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
     """Returns make(state) -> jitted chunk(state, n_steps) on ``mesh``."""
     deltas = shape.stencil_deltas
-    halo = _halo_width(shape)
     n_dev = mesh.shape[axis]
+    rem_windowed = _remainder_windowed(shape, n_dev)
+    halo = _halo_width(shape, rem_windowed)
     cfg = shape.config
     is_verlet = cfg.integrator is Integrator.VERLET
     is_rk2 = cfg.integrator is Integrator.RK2
@@ -168,7 +183,60 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
             spill = spill + jnp.concatenate(
                 [c[:, :halo], c[:, halo + b:]], axis=1)
         new_rem_rest = rem_rest
-        if shape.has_remainder:
+        if shape.has_remainder and not rem_windowed:
+            # GATHERED remainder path (round 3): spans wider than the halo
+            # window (> device block).  Spring arrays are replicated and S
+            # is small, so every device evaluates ALL remainder springs
+            # from the all-gathered pos (one [3, N] collective per force
+            # pass -- the same one magnet scenes pay) and applies, via
+            # dropping scatters, exactly the force components that land in
+            # its own block.  The ACTUATED rest mutation reads only
+            # replicated arrays, so every device computes the identical
+            # new rest.
+            sp = state.springs
+            dev = jax.lax.axis_index(axis)
+            my0 = dev * b
+            pos_all = jax.lax.all_gather(pos, axis, axis=1, tiled=True)
+            pl = jnp.take(pos_all, sp.left, axis=1)        # [3, S]
+            pr = jnp.take(pos_all, sp.right, axis=1)
+            diff = pr - pl
+            length = jnp.sqrt(jnp.sum(diff * diff, axis=0))
+            inv = jnp.where(length > 0,
+                            1.0 / jnp.where(length > 0, length, 1.0), 0.0)
+            rest = rem_rest
+            scale = 1.0
+            if shape.has_breathing:
+                styp = sp.type
+                sin_wt = jnp.sin(sp.omega * t_now)
+                scale = jnp.where(
+                    styp == ACTIVE_CONTRACT_THEN_EXPAND, 1.0 - 0.2 * sin_wt,
+                    jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
+                              1.0 + 0.2 * sin_wt, 1.0))
+                rest = jnp.where(
+                    sp.valid & (styp == ACTUATED_EXPAND)
+                    & (rest < sp.l_max),
+                    rest + sp.rate * state.dt,
+                    jnp.where(
+                        sp.valid & (styp == ACTUATED_CONTRACT)
+                        & (rest > sp.l_min),
+                        rest - sp.rate * state.dt, rest))
+                new_rem_rest = rest
+            mag = sp.k * (rest * scale - length)
+            if shape.has_damping:
+                vel_all = jax.lax.all_gather(vel, axis, axis=1, tiled=True)
+                vl = jnp.take(vel_all, sp.left, axis=1)
+                vr = jnp.take(vel_all, sp.right, axis=1)
+                axial = jnp.sum((vl - vr) * (diff * inv), axis=0)
+                mag = mag + axial * sp.damping
+            f = jnp.where(sp.valid, mag, 0.0) * (diff * inv)   # [3, S]
+            li = sp.left - my0
+            ri = sp.right - my0
+            li_s = jnp.where((li >= 0) & (li < b), li, b)  # b = drop row
+            ri_s = jnp.where((ri >= 0) & (ri < b), ri, b)
+            buf = jnp.zeros((3, b + 1), pos.dtype)
+            buf = buf.at[:, li_s].add(-f).at[:, ri_s].add(f)
+            f_acc = f_acc + buf[:, :b]
+        elif shape.has_remainder:
             # each remainder spring is owned by its LEFT endpoint's device;
             # |right - left| <= halo (envelope), so both endpoints are inside
             # the extended window.  Spring arrays are replicated; per-device
