@@ -309,7 +309,10 @@ def test_halo_matches_single_device_random_combo(seed):
         integrator=[None, "verlet", "rk2"][rng.randint(3)],
         magnets=bool(rng.randint(2)),
         remainder=bool(rng.randint(2)),
+        remainder_long=bool(rng.randint(2)),
     )
+    if kw["magnets"]:
+        kw["magnet_binned"] = bool(rng.randint(2))
     sim = _scene(**kw)
     mesh = make_mesh(("shard",))
     assert halo_supported(sim._shape, 8)
