@@ -51,8 +51,9 @@ def main():
 
     reps = 20
 
+    cap = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     binned = jax.jit(lambda mm: binned_magnet_forces(
-        mm, cutoff, n_cells=pad_to(n, 8), cell_cap=32))
+        mm, cutoff, n_cells=pad_to(n, 8), cell_cap=cap))
     t0 = time.perf_counter()
     fb = binned(m)
     sync(fb)
@@ -64,7 +65,6 @@ def main():
     t_binned = (time.perf_counter() - t0) / reps
     print(f"binned   {t_binned*1e3:8.2f} ms/step", flush=True)
 
-    cap = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     from titan_tpu.ops.magnets_grid import grid_magnet_forces
     grid = jax.jit(lambda mm: grid_magnet_forces(
         mm, cutoff, pad_to(n, 8), cap))

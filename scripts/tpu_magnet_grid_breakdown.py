@@ -115,7 +115,7 @@ def main():
         spec = lambda f: pl.BlockSpec((C, 8, _BX, G),
                                       lambda i, a, b: (0, 0, f(i), 0))
         return pl.pallas_call(
-            _grid_kernel(C, cutoff, nx),
+            _grid_kernel(C, cutoff),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2, grid=(nx,),
                 in_specs=[spec(lambda i: jnp.maximum(i - 1, 0)),

@@ -122,6 +122,8 @@ def test_marshal_sets_magnet_grid_flag():
     assert not _big_magnet_sim(dtype="float64")._shape.magnet_grid
     assert not _big_magnet_sim(magnet_cell_cap=12)._shape.magnet_grid
     assert not _big_magnet_sim(magnet_grid_threshold=10**9)._shape.magnet_grid
+    # use_pallas=False must keep the step Pallas-free end to end
+    assert not _big_magnet_sim(use_pallas=False)._shape.magnet_grid
 
 
 def test_grid_edge_cells():

@@ -61,7 +61,7 @@ _BX = 8          # grid x-rows per kernel block (f32 sublane tile)
 _RC = 8          # receiver slots per inner chunk
 
 
-def _grid_kernel(cell_cap: int, cutoff: float, nx: int):
+def _grid_kernel(cell_cap: int, cutoff: float):
     """Kernel body: 3x3 neighborhood sweep over one x-block of the grid."""
     C = cell_cap
 
@@ -206,7 +206,7 @@ def grid_magnet_forces(masses: MassState, cutoff: float,
         spec = lambda f: pl.BlockSpec((C, 8, _BX, G),
                                       lambda i, a, b: (0, 0, f(i), 0))
         out = pl.pallas_call(
-            _grid_kernel(C, cutoff, nx),
+            _grid_kernel(C, cutoff),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(nx,),

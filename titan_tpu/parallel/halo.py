@@ -134,6 +134,12 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
         m = state.masses
         st = state.stencil
         b = pos.shape[1]
+        # one [3, N] pos gather per force pass serves the gathered-remainder
+        # AND magnet branches (a channel-id'd collective inside shard_map is
+        # not CSE'd by XLA, so share it explicitly)
+        rem_gathered = shape.has_remainder and not rem_windowed
+        pos_all = (jax.lax.all_gather(pos, axis, axis=1, tiled=True)
+                   if (rem_gathered or shape.has_magnets) else None)
         pos_ext = halo_extend(pos)                     # [3, H + B + H]
         if shape.has_damping:
             vel_ext = halo_extend(vel)
@@ -194,9 +200,7 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
             # replicated arrays, so every device computes the identical
             # new rest.
             sp = state.springs
-            dev = jax.lax.axis_index(axis)
-            my0 = dev * b
-            pos_all = jax.lax.all_gather(pos, axis, axis=1, tiled=True)
+            my0 = jax.lax.axis_index(axis) * b
             pl = jnp.take(pos_all, sp.left, axis=1)        # [3, S]
             pr = jnp.take(pos_all, sp.right, axis=1)
             diff = pr - pl
@@ -306,14 +310,13 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
             from ..ops.magnets import (build_source_bins, cell_ids,
                                        neighborhood_rows, receiver_forces)
             a_cells, cell_cap = shape.magnet_binned
-            src_pos = jax.lax.all_gather(pos, axis, axis=1, tiled=True)
             src_rad, src_scale, src_ok = mag_src
             bins, tbl, _, _, _ = build_source_bins(
-                src_pos, src_ok, src_rad, src_scale, cfg.magnet_cutoff,
+                pos_all, src_ok, src_rad, src_scale, cfg.magnet_cutoff,
                 a_cells, cell_cap)
             rcell = cell_ids(pos, m.valid, cfg.magnet_cutoff)     # [B]
             rows9 = neighborhood_rows(tbl, rcell, a_cells)        # [B, 9]
-            rid = (dev_index(axis) * b
+            rid = (jax.lax.axis_index(axis) * b
                    + jnp.arange(b, dtype=jnp.int32))
             f_mag = receiver_forces(bins, rows9, cfg.magnet_cutoff,
                                     shape.n_masses, pos, m.mag_rad,
@@ -328,9 +331,9 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
             # magnets before gravity -- matches ops/step._mass_forces).
             # Source params (mag_src) were gathered once at chunk entry;
             # only pos moves between steps.
-            src_pos = jax.lax.all_gather(pos, axis, axis=1, tiled=True)
+            src_pos = pos_all
             src_rad, src_scale, src_ok = mag_src
-            my0 = dev_index(axis) * b
+            my0 = jax.lax.axis_index(axis) * b
             diff = pos[:, :, None] - src_pos[:, None, :]     # [3, B, N]
             dist2 = jnp.sum(diff * diff, axis=0)
             dist = jnp.where(dist2 > 0,
@@ -407,9 +410,6 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
                 springs=dataclasses.replace(state.springs,
                                             rest=new_rem_rest))
         return new_state
-
-    def dev_index(ax):
-        return jax.lax.axis_index(ax)
 
     def chunk_body(state: SimState, n_steps) -> SimState:
         if shape.has_magnets:

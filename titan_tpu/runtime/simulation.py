@@ -381,7 +381,10 @@ class Simulation:
             n_valid_cnt = int(np.count_nonzero(st.valid[:n]))
             magnet_binned = (pad_to(max(n_valid_cnt, 1), 8),
                              cfg.magnet_cell_cap)
-            magnet_grid = (n_magnetic >= cfg.magnet_grid_threshold
+            # use_pallas=False must keep the whole step Pallas-free (the
+            # flag's documented purpose is an XLA-only escape hatch)
+            magnet_grid = (cfg.use_pallas
+                           and n_magnetic >= cfg.magnet_grid_threshold
                            and cfg.dtype == "float32"
                            and cfg.magnet_cell_cap % 8 == 0)
         has_drag = bool(np.any(st.drag[:n] != 0.0))
