@@ -44,7 +44,7 @@ print(f"setup {time.perf_counter()-t0:.1f}s  springs={sim._store.n_springs}",
 shipped = pallas_tiled._tile_size
 
 
-def floor_tile(h, shape, n):
+def floor_tile(h, shape=None):
     return pallas_tiled._round_up(max(4 * h, 32768), 1024)
 
 

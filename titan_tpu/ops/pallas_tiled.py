@@ -116,17 +116,30 @@ def _vmem_bytes(shape: SceneShape, t: int, h: int) -> int:
 _VMEM_EST_BUDGET = 48 * 1024 * 1024
 
 
-def _tile_size(h: int) -> int:
-    """Tile size: >= 4 halos wide; a multiple of 1024 so windows stay
-    sublane-aligned (Mosaic faults otherwise -- see CLAUDE.md).  The mass
-    array is padded up to a tile multiple.
+def _tile_size(h: int, shape: SceneShape = None) -> int:
+    """Tile size: 4 halos wide by default; a multiple of 1024 so windows
+    stay sublane-aligned (Mosaic faults otherwise -- see CLAUDE.md).  The
+    mass array is padded up to a tile multiple.
 
     A work-minimizing larger pick (131072 at 100^3, window overhead 1.21x
     vs this floor's 1.50x) measured NO faster (1,424 vs 1,450 steps/s,
     one-process A/B on v5e, scripts/tpu_tiled_ab.py) -- the halo tax does
     not convert to wall time at this geometry, so keep the small tile and
-    its cheaper VMEM footprint."""
-    return _round_up(max(4 * h, 32768), 1024)
+    its cheaper VMEM footprint.
+
+    When ``shape`` is given, the tile SHRINKS (halving, toward one halo)
+    until the window fits the VMEM budget: beyond ~180^3 the 4-halo
+    window overflows and the old fixed tile fell off the kernel entirely
+    (a measured ~10x cliff to the XLA path at 190^3); since the halo DMA
+    overhead does not convert to wall time, a 2-3x-overhead window is
+    strictly better than the cliff."""
+    t = _round_up(max(4 * h, 32768), 1024)
+    if shape is None:
+        return t
+    floor = _round_up(h, 1024)
+    while t > floor and _vmem_bytes(shape, t, h) >= _VMEM_EST_BUDGET:
+        t = _round_up(max(t // 2, h), 1024)
+    return t
 
 
 def tiled_reject_reason(shape: SceneShape):
@@ -148,11 +161,12 @@ def tiled_reject_reason(shape: SceneShape):
     if not cfg.persistent_extern_force:
         return "strict per-step extern_force mode"
     h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
-    t = _tile_size(h)
+    t = _tile_size(h, shape)             # shrinks toward one halo to fit
     b = _vmem_bytes(shape, t, h)
     if b >= _VMEM_EST_BUDGET:
         return (f"tile window needs ~{b >> 20} MB of VMEM > "
-                f"{_VMEM_EST_BUDGET >> 20} MB budget")
+                f"{_VMEM_EST_BUDGET >> 20} MB budget even at the "
+                f"one-halo tile")
     return None
 
 
@@ -503,7 +517,7 @@ def build_tiled_chunk(shape: SceneShape):
     n = shape.n_masses
     deltas = shape.stencil_deltas
     h = _round_up(max(abs(d) for d in deltas), 1024)
-    t_size = _tile_size(h)
+    t_size = _tile_size(h, shape)
     n_tiles = -(-n // t_size)            # ceil: last tile covers padding
     n_t = n_tiles * t_size
     pad_n = n_t - n
