@@ -11,7 +11,8 @@ from titan_tpu.ops.step import build_chunk_fn
 
 def _scene(friction=True, damping=0.0, breathing=False, drag=0.0,
            deleted=False, nonuniform_rest=False, nonuniform_k=False,
-           integrator=None, actuated=False, local=None):
+           integrator=None, actuated=False, local=None, magnets=False,
+           remainder=False):
     from titan_tpu import (ACTIVE_CONTRACT_THEN_EXPAND, ACTUATED_CONTRACT,
                            ACTUATED_EXPAND, BALL, CONSTRAINT_PLANE,
                            CONTACT_PLANE, DIRECTION, Integrator, Vec as V)
@@ -62,6 +63,36 @@ def _scene(friction=True, damping=0.0, breathing=False, drag=0.0,
     if nonuniform_k:
         rng = np.random.RandomState(1)
         st.k[: st.n_springs] *= 1.0 + 0.1 * rng.rand(st.n_springs)
+    if magnets:
+        # a line of magnetic masses along x (index stride ny*nz = 36,
+        # spacing ~0.103 < the 0.14 cutoff): magnet + remainder forces
+        # run OUTSIDE the tiled kernel as per-step glue (round 3)
+        for i in (0, 36, 72, 108, 144):
+            st.mag_rad[i] = 0.05
+            st.mag_stiffness[i] = 200.0
+            st.mag_maxf[i] = 1e-4
+            st.mag_scale[i] = 1.0
+    if remainder:
+        # irregular long-range springs: one spring per unique delta stays
+        # below build_stencil_groups' min_count, so they all land in the
+        # remainder (gather+segment-sum) path
+        rng2 = np.random.RandomState(7)
+        a_idx = rng2.choice(600, 10, replace=False)
+        b_idx = 640 + rng2.choice(700, 10, replace=False)
+        new = [sim.createSpring(sim.masses[int(a)], sim.masses[int(b)])
+               for a, b in zip(a_idx, b_idx)]
+        idx = np.array([sp._i for sp in new])
+        st = sim._store          # createSpring may grow/replace store arrays
+        st.k[idx] = 300.0
+        if damping:
+            st.damping[idx] = damping
+        if breathing:
+            st.s_type[idx[:3]] = ACTIVE_CONTRACT_THEN_EXPAND
+            st.omega[idx[:3]] = 7.0
+        if actuated:
+            st.s_type[idx[3:6]] = ACTUATED_EXPAND
+            st.l_max[idx[3:6]] = st.rest[idx[3:6]] * 1.1
+            st.rate[idx[3:6]] = 0.5
     if friction:
         sim.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
     else:
@@ -93,6 +124,12 @@ VARIANTS = {
     "local_ball": dict(local="ball"),
     "local_pl": dict(local="pl"),
     "local_dir": dict(local="dir"),
+    "magnets": dict(magnets=True),
+    "remainder": dict(remainder=True),
+    "magnets_remainder_damped": dict(magnets=True, remainder=True,
+                                     damping=0.4),
+    "remainder_breathing_actuated": dict(remainder=True, breathing=True,
+                                         actuated=True),
 }
 
 
@@ -106,6 +143,13 @@ def test_tiled_matches_xla(variant, monkeypatch):
         assert not sim._shape.stencil_uniform[0]
     if variant == "plain":
         assert sim._shape.stencil_uniform == (True,) * 5
+    if "magnets" in variant:
+        assert sim._shape.has_magnets
+        from titan_tpu.ops.step import magnet_pass
+        mp = np.asarray(magnet_pass(sim._state.masses, sim._shape))
+        assert np.any(mp != 0.0), "magnet scene exerts no magnet force"
+    if "remainder" in variant:
+        assert sim._shape.has_remainder
 
     import jax.experimental.pallas as pl
     orig = pl.pallas_call
@@ -127,7 +171,7 @@ def test_tiled_matches_xla(variant, monkeypatch):
     # by ~1/dt under undamped Verlet ringing -- measured 8e-4, the same
     # mechanism the random-combo harness below tolerates at 5e-3) -- see
     # the module docstring of pallas_tiled.
-    act = variant.startswith("actuated")
+    act = "actuated" in variant
     ptol = dict(atol=3e-5, rtol=1e-4) if act else dict(atol=5e-6, rtol=1e-5)
     vtol = dict(atol=5e-3, rtol=1e-3) if act else dict(atol=5e-6, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out_t.masses.pos)[:, :n],
@@ -142,7 +186,7 @@ def test_tiled_matches_xla(variant, monkeypatch):
     np.testing.assert_allclose(np.asarray(out_t.masses.acc)[:, :n],
                                np.asarray(out_x.masses.acc)[:, :n],
                                atol=atol_acc, rtol=1e-3)
-    if variant.startswith("actuated"):
+    if act:
         # closed-form rest must track the XLA path's iterative advance
         # (difference is the fused vs accumulated f32 sums, ~1e-7 rel)
         np.testing.assert_allclose(np.asarray(out_t.stencil.rest),
@@ -151,20 +195,32 @@ def test_tiled_matches_xla(variant, monkeypatch):
         assert not np.allclose(np.asarray(out_t.stencil.rest),
                                np.asarray(sim._state.stencil.rest)), \
             "actuation did nothing"
+    if "remainder" in variant:
+        # remainder rest advances ITERATIVELY in the per-step glue -- the
+        # same code as the XLA path, so it must match tightly; actuated
+        # remainder variants must actually advance it
+        np.testing.assert_allclose(np.asarray(out_t.springs.rest),
+                                   np.asarray(out_x.springs.rest),
+                                   atol=1e-6, rtol=1e-6)
+        if act:
+            assert not np.allclose(np.asarray(out_t.springs.rest),
+                                   np.asarray(sim._state.springs.rest)), \
+                "remainder actuation did nothing"
 
 
-def test_tiled_envelope_rejections():
-    # magnets stay outside the tiled envelope (remainder springs too);
-    # ACTUATED_* and local constraints joined the envelope in round 3
-    sim = _scene()
-    st = sim._store
-    st.mag_maxf[:4] = 1.0
-    st.mag_rad[:4] = 0.05
-    sim._marshal()
-    assert not pallas_tiled.tiled_supported(sim._shape)
-    assert "magnet" in pallas_tiled.tiled_reject_reason(sim._shape)
+def test_tiled_envelope_acceptance():
+    # ACTUATED_* and local constraints joined the envelope in round 3;
+    # magnets and remainder springs joined late round 3 (per-step glue
+    # outside the kernel) -- the tiled envelope is now feature-complete
+    # for f32 Euler/Verlet scenes, like the reference kernels
+    # (sim.cu:1157-1367)
     assert pallas_tiled.tiled_supported(_scene(actuated=True)._shape)
     assert pallas_tiled.tiled_supported(_scene(local="cp")._shape)
+    assert pallas_tiled.tiled_supported(_scene(magnets=True)._shape)
+    assert pallas_tiled.tiled_supported(_scene(remainder=True)._shape)
+    rk2 = pallas_tiled.tiled_reject_reason(_scene(integrator="rk2")._shape)
+    assert rk2 and "RK2" in rk2
+    assert pallas_tiled.tiled_supported(_scene()._shape)
 
 
 @pytest.mark.parametrize("seed", range(4))
@@ -184,6 +240,10 @@ def test_tiled_matches_xla_random_combo(seed, monkeypatch):
         integrator=[None, "verlet"][rng.randint(2)],
         actuated=bool(rng.randint(2)),
         local={0: None, 1: "cp", 2: "ball", 3: "pl", 4: "dir"}[rng.randint(5)],
+        # late round 3: magnets + remainder glue (drawn LAST so earlier
+        # seeds' feature draws are unchanged)
+        magnets=bool(rng.randint(2)),
+        remainder=bool(rng.randint(2)),
     )
     sim = _scene(**kw)
     assert pallas_tiled.tiled_supported(sim._shape)

@@ -22,7 +22,19 @@ on the tile's own rows via auto-pipelined blocked inputs.
 
 Envelope: Euler (velocity clamp optional) or Verlet; damping; breathing
 (ACTIVE_*); ACTUATED_* springs; local constraints; drag; soft-deleted
-masses; unbounded N.  Not yet: magnets, remainder springs.
+masses; magnets; remainder (irregular) springs; unbounded N.  Magnet and
+remainder forces are evaluated OUTSIDE the kernel each step -- by exactly
+the code the XLA step path would run (dense-grid Pallas / cell-binned /
+pairwise magnets via ops.step.magnet_pass; gather+segment-sum remainder
+via ops.forces) -- and enter the kernel through its per-mass constant-
+force input, which becomes per-step when either feature is present.
+Ordering is safe because force accumulation commutes and the kernel
+applies global/local constraints and friction to the completed sum, same
+as the XLA step.  This makes the tiled path feature-complete for f32
+scenes (the reference kernels support all features at any scene size,
+sim.cu:1157-1367) and never SLOWER than the XLA fallback: the glue per
+step costs what the XLA path would pay for the same term, while the
+stencil springs -- the bulk at beyond-VMEM scale -- stay in the kernel.
 
 ACTUATED_* rest needs no per-step writeback or carried state: the
 reference's rest mutation (sim.cu:1173-1181 -- advance by rate*dt each step
@@ -153,11 +165,6 @@ def tiled_reject_reason(shape: SceneShape):
         return f"dtype {cfg.dtype} (tiled kernel is f32-only)"
     if not cfg.use_stencil or not shape.stencil_deltas:
         return "no stencil spring families"
-    if shape.has_remainder:
-        return "irregular (remainder) springs not supported by the tiled "\
-               "kernel"
-    if shape.has_magnets:
-        return "magnets not supported by the tiled kernel"
     if not cfg.persistent_extern_force:
         return "strict per-step extern_force mode"
     h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
@@ -685,8 +692,8 @@ def build_tiled_chunk(shape: SceneShape):
         minv = r3(jnp.pad((1.0 / m.m)[None, :], ((0, 0), (0, pad_n))))
         fixed = r3(jnp.pad((~move).astype(m.pos.dtype)[None, :],
                            ((0, 0), (0, pad_n))))
-        const_f = r3(jnp.pad(m.extern_force + m.m * state.g[:, None],
-                             ((0, 0), (0, pad_n))))
+        const_flat = m.extern_force + m.m * state.g[:, None]
+        const_f = r3(jnp.pad(const_flat, ((0, 0), (0, pad_n))))
         drag = (r3(jnp.pad(m.drag[None, :], ((0, 0), (0, pad_n))))
                 if shape.has_drag else None)
         lc_in = None
@@ -727,7 +734,30 @@ def build_tiled_chunk(shape: SceneShape):
                 state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
 
         def body(i, carry):
-            pos, vel, acc = carry
+            pos, vel, acc, rem_rest = carry
+            cf = const_f
+            if shape.has_remainder or shape.has_magnets:
+                # per-step magnet/remainder glue (module docstring): the
+                # same XLA/Pallas code the step path runs, entering the
+                # kernel through its constant-force input
+                from . import forces as F
+                from .step import magnet_pass
+                mm = dataclasses.replace(m, pos=pos, vel=vel)
+                extra = jnp.zeros_like(pos)
+                if shape.has_remainder:
+                    t_i = state.t + i.astype(state.t.dtype) * state.dt
+                    sp = dataclasses.replace(state.springs, rest=rem_rest)
+                    f_sp, rem_rest = F.spring_forces(
+                        mm, sp, t_i, state.dt, shape.has_breathing)
+                    extra = extra + F.scatter_spring_forces(
+                        f_sp, state.topo, m.fixed, shape.n_masses,
+                        shape.config.scatter)
+                if shape.has_magnets:
+                    # fixed masses stay field sources but receive nothing
+                    # (sim.cu:1292-1298), matching ops.step._mass_forces
+                    extra = extra + jnp.where(m.fixed, 0.0,
+                                              magnet_pass(mm, shape))
+                cf = r3(jnp.pad(const_flat + extra, ((0, 0), (0, pad_n))))
             if shape.has_damping:
                 state_hbm = hpad(jnp.concatenate([pos, vel], axis=0))
             else:
@@ -743,17 +773,17 @@ def build_tiled_chunk(shape: SceneShape):
                 args.append(r3(jnp.pad(vel, ((0, 0), (0, pad_n)))))
             if verlet:
                 args.append(r3(jnp.pad(acc, ((0, 0), (0, pad_n)))))
-            args += [const_f, minv, fixed]
+            args += [cf, minv, fixed]
             if shape.has_drag:
                 args.append(drag)
             if has_local:
                 args.append(lc_in)
             p2, v2, a2 = step_call(*args)
             flat = lambda x: x.reshape(3, n_t)[:, :n]
-            return flat(p2), flat(v2), flat(a2)
+            return flat(p2), flat(v2), flat(a2), rem_rest
 
-        pos, vel, acc = jax.lax.fori_loop(
-            0, n_steps, body, (m.pos, m.vel, m.acc))
+        pos, vel, acc, rem_rest = jax.lax.fori_loop(
+            0, n_steps, body, (m.pos, m.vel, m.acc, state.springs.rest))
         # the kernel zeroes frozen masses' acc each step; the reference
         # (massForcesAndUpdate early-return) and the VMEM kernel preserve
         # the prior value, so restore it once after the loop
@@ -770,6 +800,11 @@ def build_tiled_chunk(shape: SceneShape):
             new_state = dataclasses.replace(
                 new_state, stencil=dataclasses.replace(
                     stc, rest=stc.rest + advn * aratedt))
+        if shape.has_remainder:
+            # remainder rest advanced iteratively in the per-step glue
+            new_state = dataclasses.replace(
+                new_state, springs=dataclasses.replace(
+                    state.springs, rest=rem_rest))
         return new_state
 
     return chunk

@@ -21,6 +21,25 @@ from . import forces as F
 from . import integrators as I
 
 
+def magnet_pass(masses: MassState, shape: SceneShape) -> jax.Array:
+    """Magnet force field [3, N] via the strategy the static shape picked
+    (exact masked pairwise / cell-binned / dense-grid Pallas kernel).  Shared
+    by the XLA step and the tiled chunk's per-step magnet glue."""
+    cfg = shape.config
+    if shape.magnet_binned:
+        a_cells, cell_cap = shape.magnet_binned
+        if shape.magnet_grid and _on_tpu():
+            # dense-grid Pallas kernel (gather-free); falls back to the
+            # binned pass at runtime on cell-cap overflow
+            from .magnets_grid import grid_magnet_forces
+            return grid_magnet_forces(masses, cfg.magnet_cutoff,
+                                      a_cells, cell_cap)
+        from .magnets import binned_magnet_forces
+        return binned_magnet_forces(masses, cfg.magnet_cutoff,
+                                    a_cells, cell_cap)
+    return F.magnet_forces(masses, cfg.magnet_cutoff)
+
+
 def _mass_forces(
     state: SimState, masses: MassState, f: jax.Array, shape: SceneShape,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -36,21 +55,7 @@ def _mass_forces(
         # fixed masses early-return before the magnet pass (sim.cu:1292-1298)
         # but still act as field sources; receivers that are fixed never
         # integrate so the extra force is harmless -- masked for clarity.
-        if shape.magnet_binned:
-            a_cells, cell_cap = shape.magnet_binned
-            if shape.magnet_grid and _on_tpu():
-                # dense-grid Pallas kernel (gather-free); falls back to the
-                # binned pass at runtime on cell-cap overflow
-                from .magnets_grid import grid_magnet_forces
-                f_mag = grid_magnet_forces(masses, cfg.magnet_cutoff,
-                                           a_cells, cell_cap)
-            else:
-                from .magnets import binned_magnet_forces
-                f_mag = binned_magnet_forces(masses, cfg.magnet_cutoff,
-                                             a_cells, cell_cap)
-        else:
-            f_mag = F.magnet_forces(masses, cfg.magnet_cutoff)
-        f = f + jnp.where(masses.fixed, 0.0, f_mag)
+        f = f + jnp.where(masses.fixed, 0.0, magnet_pass(masses, shape))
     f = f + masses.m * state.g[:, None]
     f = f + masses.extern_force
     f = F.apply_global_constraints(
