@@ -223,6 +223,31 @@ def test_tiled_envelope_acceptance():
     assert pallas_tiled.tiled_supported(_scene()._shape)
 
 
+def test_carry_modes_agree(monkeypatch):
+    """The padded-flat carry (round-3 glue-traffic fix) must be BITWISE
+    equal to the legacy [3, n] carry: pads and slices change HBM copies,
+    not the values the kernel sees."""
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    monkeypatch.setattr("titan_tpu.ops.pallas_tiled.pl.pallas_call", interp)
+    sim = _scene(damping=0.4, deleted=True)
+    outs = {}
+    for mode in ("legacy", "padded"):
+        monkeypatch.setattr(pallas_tiled, "CARRY_MODE", mode)
+        outs[mode] = pallas_tiled.build_tiled_chunk(sim._shape)(
+            sim._state, jnp.int32(10))
+    for field in ("pos", "vel", "acc"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(outs["legacy"].masses, field)),
+            np.asarray(getattr(outs["padded"].masses, field)))
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_tiled_matches_xla_random_combo(seed, monkeypatch):
     """Seeded random FEATURE COMBINATIONS through the tiled-vs-XLA

@@ -127,6 +127,12 @@ def _vmem_bytes(shape: SceneShape, t: int, h: int) -> int:
 
 _VMEM_EST_BUDGET = 48 * 1024 * 1024
 
+# A/B hook (scripts/tpu_tiled_carry_ab.py): "padded" keeps the fori_loop
+# carry in the kernel's padded-flat [3, n_t] layout (no per-step output
+# slices / input right-pads); "legacy" reproduces the round-3 [3, n] carry
+# and its per-step pad/slice traffic.  Build-time flag, not traced.
+CARRY_MODE = "padded"
+
 
 def _tile_size(h: int, shape: SceneShape = None) -> int:
     """Tile size: 4 halos wide by default; a multiple of 1024 so windows
@@ -734,6 +740,13 @@ def build_tiled_chunk(shape: SceneShape):
                 state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
 
         def body(i, carry):
+            # carries stay in the kernel's padded-flat [3, n_t] layout the
+            # whole chunk (tail rows are inert: minv = 0 there, so they
+            # never move) -- the per-step [:, :n] output slices and the
+            # right-pads of vel/acc that a [3, n] carry forced were pure
+            # HBM copies, ~100 MB/step at 100^3, and tile-size-INDEPENDENT
+            # (why the round-3 bigger-tile A/B measured a wash).  Only the
+            # (h, h) halo pad of the windowed planes remains per step.
             pos, vel, acc, rem_rest = carry
             cf = const_f
             if shape.has_remainder or shape.has_magnets:
@@ -742,8 +755,8 @@ def build_tiled_chunk(shape: SceneShape):
                 # kernel through its constant-force input
                 from . import forces as F
                 from .step import magnet_pass
-                mm = dataclasses.replace(m, pos=pos, vel=vel)
-                extra = jnp.zeros_like(pos)
+                mm = dataclasses.replace(m, pos=pos[:, :n], vel=vel[:, :n])
+                extra = jnp.zeros_like(const_flat)
                 if shape.has_remainder:
                     t_i = state.t + i.astype(state.t.dtype) * state.dt
                     sp = dataclasses.replace(state.springs, rest=rem_rest)
@@ -759,9 +772,9 @@ def build_tiled_chunk(shape: SceneShape):
                                               magnet_pass(mm, shape))
                 cf = r3(jnp.pad(const_flat + extra, ((0, 0), (0, pad_n))))
             if shape.has_damping:
-                state_hbm = hpad(jnp.concatenate([pos, vel], axis=0))
+                state_hbm = win_in(jnp.concatenate([pos, vel], axis=0))
             else:
-                state_hbm = hpad(pos)
+                state_hbm = win_in(pos)
             i32 = i.astype(jnp.float32)
             scal = jnp.stack([dt32, t032 + i32 * dt32, i32])
             args = [scal, planes, balls, fparams, state_hbm]
@@ -770,20 +783,32 @@ def build_tiled_chunk(shape: SceneShape):
             if mask_hbm is not None:
                 args.append(mask_hbm)
             if not shape.has_damping:
-                args.append(r3(jnp.pad(vel, ((0, 0), (0, pad_n)))))
+                args.append(blk_in(vel))
             if verlet:
-                args.append(r3(jnp.pad(acc, ((0, 0), (0, pad_n)))))
+                args.append(blk_in(acc))
             args += [cf, minv, fixed]
             if shape.has_drag:
                 args.append(drag)
             if has_local:
                 args.append(lc_in)
             p2, v2, a2 = step_call(*args)
-            flat = lambda x: x.reshape(3, n_t)[:, :n]
-            return flat(p2), flat(v2), flat(a2), rem_rest
+            return out_tx(p2), out_tx(v2), out_tx(a2), rem_rest
+
+        padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
+        if CARRY_MODE == "legacy":
+            win_in = hpad                               # (h, h + pad_n) pad
+            blk_in = lambda x: r3(padf(x))
+            out_tx = lambda x: x.reshape(3, n_t)[:, :n]
+            init = (m.pos, m.vel, m.acc)
+        else:
+            win_in = lambda x: r3(jnp.pad(x, ((0, 0), (h, h))))
+            blk_in = r3
+            out_tx = lambda x: x.reshape(3, n_t)
+            init = (padf(m.pos), padf(m.vel), padf(m.acc))
 
         pos, vel, acc, rem_rest = jax.lax.fori_loop(
-            0, n_steps, body, (m.pos, m.vel, m.acc, state.springs.rest))
+            0, n_steps, body, init + (state.springs.rest,))
+        pos, vel, acc = pos[:, :n], vel[:, :n], acc[:, :n]
         # the kernel zeroes frozen masses' acc each step; the reference
         # (massForcesAndUpdate early-return) and the VMEM kernel preserve
         # the prior value, so restore it once after the loop
