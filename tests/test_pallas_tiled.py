@@ -9,6 +9,19 @@ from titan_tpu.ops import pallas_tiled
 from titan_tpu.ops.step import build_chunk_fn
 
 
+def _interpret_tiled(monkeypatch):
+    """Force the tiled kernel's pallas_call into interpret mode (CPU)."""
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    monkeypatch.setattr("titan_tpu.ops.pallas_tiled.pl.pallas_call", interp)
+
+
 def _scene(friction=True, damping=0.0, breathing=False, drag=0.0,
            deleted=False, nonuniform_rest=False, nonuniform_k=False,
            integrator=None, actuated=False, local=None, magnets=False,
@@ -151,15 +164,7 @@ def test_tiled_matches_xla(variant, monkeypatch):
     if "remainder" in variant:
         assert sim._shape.has_remainder
 
-    import jax.experimental.pallas as pl
-    orig = pl.pallas_call
-
-    def interp(*a, **k):
-        k["interpret"] = True
-        k.pop("compiler_params", None)
-        return orig(*a, **k)
-
-    monkeypatch.setattr("titan_tpu.ops.pallas_tiled.pl.pallas_call", interp)
+    _interpret_tiled(monkeypatch)
 
     out_t = pallas_tiled.build_tiled_chunk(sim._shape)(sim._state,
                                                        jnp.int32(30))
@@ -227,15 +232,7 @@ def test_carry_modes_agree(monkeypatch):
     """The padded-flat carry (round-3 glue-traffic fix) must be BITWISE
     equal to the legacy [3, n] carry: pads and slices change HBM copies,
     not the values the kernel sees."""
-    import jax.experimental.pallas as pl
-    orig = pl.pallas_call
-
-    def interp(*a, **k):
-        k["interpret"] = True
-        k.pop("compiler_params", None)
-        return orig(*a, **k)
-
-    monkeypatch.setattr("titan_tpu.ops.pallas_tiled.pl.pallas_call", interp)
+    _interpret_tiled(monkeypatch)
     sim = _scene(damping=0.4, deleted=True)
     outs = {}
     for mode in ("legacy", "padded"):
@@ -273,15 +270,7 @@ def test_tiled_matches_xla_random_combo(seed, monkeypatch):
     sim = _scene(**kw)
     assert pallas_tiled.tiled_supported(sim._shape)
 
-    import jax.experimental.pallas as pl
-    orig = pl.pallas_call
-
-    def interp(*a, **k):
-        k["interpret"] = True
-        k.pop("compiler_params", None)
-        return orig(*a, **k)
-
-    monkeypatch.setattr("titan_tpu.ops.pallas_tiled.pl.pallas_call", interp)
+    _interpret_tiled(monkeypatch)
 
     chunk_t = pallas_tiled.build_tiled_chunk(sim._shape)
     chunk_x = build_chunk_fn(sim._shape)

@@ -130,7 +130,10 @@ _VMEM_EST_BUDGET = 48 * 1024 * 1024
 # A/B hook (scripts/tpu_tiled_carry_ab.py): "padded" keeps the fori_loop
 # carry in the kernel's padded-flat [3, n_t] layout (no per-step output
 # slices / input right-pads); "legacy" reproduces the round-3 [3, n] carry
-# and its per-step pad/slice traffic.  Build-time flag, not traced.
+# and its per-step pad/slice traffic.  Snapshotted by build_tiled_chunk at
+# BUILD time (a module global read inside the jitted chunk would resolve
+# at first-call trace time instead -- the flag must bind when the chunk is
+# built, not when it first runs).
 CARRY_MODE = "padded"
 
 
@@ -548,6 +551,7 @@ def build_tiled_chunk(shape: SceneShape):
     has_local = any(caps)
     from .pallas_step import _lc_planes
     p_lc = _lc_planes(shape)
+    carry_legacy = CARRY_MODE == "legacy"   # bound at build time, not trace
 
     def blk3(i, s):
         return (0, i, 0)
@@ -795,7 +799,7 @@ def build_tiled_chunk(shape: SceneShape):
             return out_tx(p2), out_tx(v2), out_tx(a2), rem_rest
 
         padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
-        if CARRY_MODE == "legacy":
+        if carry_legacy:
             win_in = hpad                               # (h, h + pad_n) pad
             blk_in = lambda x: r3(padf(x))
             out_tx = lambda x: x.reshape(3, n_t)[:, :n]
