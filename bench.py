@@ -75,7 +75,12 @@ def main():
     n_masses = sim._store.n_masses
     setup_s = time.perf_counter() - t_setup
 
-    chunk = build_chunk_fn(sim._shape, donate=True)
+    # donate=False deliberately: at 43^3 the state is ~4 MB (donation buys
+    # nothing) and the driver-critical bench should not be the first run
+    # of buffer donation through the experimental axon backend.  The
+    # 130^3-200^3 scale probes (scripts/tpu_scale_probe.py) donate, where
+    # the un-donated pos/vel/acc copies are real HBM-ceiling growth.
+    chunk = build_chunk_fn(sim._shape, donate=False)
     state = sim._state
 
     def sync(st):

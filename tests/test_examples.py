@@ -15,14 +15,14 @@ EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "examples")
 
 
-def _run(name, as_main=True):
-    argv = sys.argv
-    sys.argv = [name]
+def _run(name, as_main=True, argv=()):
+    old_argv = sys.argv
+    sys.argv = [name, *argv]
     try:
         runpy.run_path(os.path.join(EXAMPLES, name),
                        run_name="__main__" if as_main else "example")
     finally:
-        sys.argv = argv
+        sys.argv = old_argv
 
 
 def test_readme_demo(capsys):
@@ -58,3 +58,10 @@ def test_train_ppo(capsys):
     _run("train_ppo.py")
     out = capsys.readouterr().out
     assert "mean rollout return" in out and "improved" in out
+
+
+def test_magnetic_swarm(capsys):
+    # tiny config: 2,000 particles stay on the exact pairwise path on CPU
+    _run("magnetic_swarm.py", argv=["2000", "0.004"])
+    out = capsys.readouterr().out
+    assert "done:" in out and "mean z=" in out

@@ -593,13 +593,16 @@ def _build_kernel(shape: SceneShape):
     return kernel
 
 
-def build_pallas_chunk(shape: SceneShape):
-    """Jitted chunk(state, n_steps) -> state using the fused VMEM kernel."""
+def build_pallas_chunk(shape: SceneShape, donate: bool = False):
+    """Jitted chunk(state, n_steps) -> state using the fused VMEM kernel.
+
+    donate=True donates the input state's buffers (exclusive-owner callers
+    like bench.py; the control plane keeps donate=False because concurrent
+    getAll() readers hold state snapshots)."""
     kernel = _build_kernel(shape)
     n = shape.n_masses
     n_planes, n_balls = max(shape.n_planes, 1), max(shape.n_balls, 1)
 
-    @jax.jit
     def chunk(state: SimState, n_steps) -> SimState:
         m = state.masses
         # loop invariants, precomputed outside the kernel:
@@ -772,4 +775,4 @@ def build_pallas_chunk(shape: SceneShape):
                         state.springs, rest=outs[4].reshape(-1)))
         return new_state
 
-    return chunk
+    return jax.jit(chunk, donate_argnums=(0,) if donate else ())

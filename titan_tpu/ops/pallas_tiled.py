@@ -528,8 +528,13 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
     return kernel
 
 
-def build_tiled_chunk(shape: SceneShape):
-    """Jitted chunk(state, n_steps): fori_loop of per-step tiled launches."""
+def build_tiled_chunk(shape: SceneShape, donate: bool = False):
+    """Jitted chunk(state, n_steps): fori_loop of per-step tiled launches.
+
+    donate=True donates the input state's buffers (exclusive-owner callers
+    like bench.py and the scale probes -- at the ~200^3 HBM ceiling the
+    un-donated pos/vel/acc copies are live growth); the control plane
+    keeps donate=False for its concurrent getAll() snapshot readers."""
     n = shape.n_masses
     deltas = shape.stencil_deltas
     h = _round_up(max(abs(d) for d in deltas), 1024)
@@ -612,7 +617,6 @@ def build_tiled_chunk(shape: SceneShape):
             vmem_limit_bytes=96 * 1024 * 1024),
     )
 
-    @jax.jit
     def chunk(state: SimState, n_steps) -> SimState:
         m = state.masses
         stc = state.stencil
@@ -836,4 +840,4 @@ def build_tiled_chunk(shape: SceneShape):
                     state.springs, rest=rem_rest))
         return new_state
 
-    return chunk
+    return jax.jit(chunk, donate_argnums=(0,) if donate else ())

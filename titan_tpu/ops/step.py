@@ -206,10 +206,10 @@ def build_chunk_fn(shape: SceneShape, donate: bool = False):
         from .pallas_tiled import tiled_reject_reason, build_tiled_chunk
         r_vmem = pallas_reject_reason(shape)
         if r_vmem is None:
-            return build_pallas_chunk(shape)
+            return build_pallas_chunk(shape, donate=donate)
         r_tiled = tiled_reject_reason(shape)
         if r_tiled is None:
-            return build_tiled_chunk(shape)
+            return build_tiled_chunk(shape, donate=donate)
         # landing on the XLA step path is a measured ~5-8x step-rate cliff
         # vs the kernels (docs/PERFORMANCE.md) -- say so, loudly, naming
         # the envelope conditions that failed (VERDICT r2 weak #4)
