@@ -121,6 +121,41 @@ check("gait finite", np.isfinite(p3).all())
 check("gait grounded", (p3[:, 2] > -0.05).all())
 sim3.stop()
 
+# --- 6. beyond-VMEM scene with magnets + remainder springs (tiled glue) ---
+sim4 = Simulation(SimConfig(host_store_dtype="float32"))
+sim4.createLattice(Vec(0, 0, 4), Vec(3, 3, 3), 64, 64, 64)
+sim4.setAllSpringConstantValues(1000.0)
+sim4.defaultRestLengths()
+st4 = sim4._store
+n4 = st4.n_masses
+midx = np.linspace(0, n4 - 1, 10_000).astype(np.int64)  # grid-kernel scale
+st4.mag_rad[midx] = 0.01
+st4.mag_stiffness[midx] = 100.0
+st4.mag_maxf[midx] = 1e-5
+st4.mag_scale[midx] = 1.0
+rng4 = np.random.RandomState(3)
+for a, b in zip(rng4.randint(0, n4, 50), rng4.randint(0, n4, 50)):
+    if a != b:
+        sim4.createSpring(sim4.masses[int(a)], sim4.masses[int(b)])
+sim4.createPlane(Vec(0, 0, 1), 0)
+sim4.setTimeStep(1e-4)
+sim4.setGlobalAcceleration(Vec(0, 0, -9.8))
+sim4._T = 0.0
+sim4._marshal()
+from titan_tpu.ops.pallas_step import pallas_reject_reason
+from titan_tpu.ops.pallas_tiled import tiled_reject_reason
+check("64^3+features picks the tiled path",
+      pallas_reject_reason(sim4._shape) is not None
+      and tiled_reject_reason(sim4._shape) is None
+      and sim4._shape.has_magnets and sim4._shape.has_remainder)
+sim4.start()
+sim4.wait(0.05)
+sim4.pause(sim4.time())
+sim4.getAll()
+p4 = np.array([[m.pos[i] for i in range(3)] for m in sim4.masses[:2000]])
+check("tiled-glue finite", np.isfinite(p4).all())
+sim4.stop()
+
 fails = [n for n, c in ok if not c]
 print(f"\nSOAK: {len(ok) - len(fails)}/{len(ok)} passed"
       + (f"  FAILURES: {fails}" if fails else ""), flush=True)
