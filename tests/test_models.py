@@ -41,6 +41,40 @@ def test_rope_hangs():
     sim.stop()
 
 
+def test_tensegrity_holds_shape():
+    """The six-strut tensegrity is self-stressed: dropped onto a plane with
+    no fixed masses, it settles without collapsing or flying apart."""
+    sim = Simulation(SimConfig(velocity_clamp=False))
+    t = models.tensegrity(sim, Vec(0, 0, 1.0), radius=0.5)
+    sim.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    sim.setTimeStep(0.0001)
+    st = sim._store
+    k = st.k[t._spring_idx]
+    assert t._mass_idx.shape[0] == 12 and t._spring_idx.shape[0] == 30
+    assert int((k > 10000).sum()) == 6          # struts
+    assert int((k < 10000).sum()) == 24         # cables
+    d0 = st.pos[t._mass_idx]
+    r0 = np.linalg.norm(d0 - d0.mean(0), axis=1).max()
+    sim.start()
+    sim.pause(1.0)
+    sim.getAll()
+    p = st.pos[t._mass_idx]
+    assert np.all(np.isfinite(p))
+    assert p[:, 2].min() > -0.05                # resting on the plane
+    r = np.linalg.norm(p - p.mean(0), axis=1)
+    assert r.max() < 2.0 * r0                   # didn't explode
+    assert r.min() > 0.25 * r0                  # didn't collapse
+    # struts stay rigid: length within 2% of rest
+    li = st.left[t._spring_idx]
+    ri = st.right[t._spring_idx]
+    lens = np.linalg.norm(st.pos[ri] - st.pos[li], axis=1)
+    strut = st.k[t._spring_idx] > 10000
+    np.testing.assert_allclose(lens[strut], st.rest[t._spring_idx][strut],
+                               rtol=0.02)
+    sim.stop()
+
+
 def test_walker_walks():
     sim = Simulation(SimConfig())
     body = models.walker(sim, n=4)

@@ -1,2 +1,2 @@
-from .archetypes import (cloth, quadruped, rope, truss_tetrahedron,  # noqa: F401
-                         walker)
+from .archetypes import (cloth, quadruped, rope, tensegrity,  # noqa: F401
+                         truss_tetrahedron, walker)

@@ -127,6 +127,53 @@ def quadruped(sim, center=None, body_size: float = 0.8,
     return {"body": body, "legs": legs}
 
 
+def tensegrity(sim, center, radius: float = 0.5, strut_k: float = 20000.0,
+               cable_k: float = 300.0, cable_tension: float = 0.12,
+               mass: float = 0.05, damping: float = 0.4) -> Container:
+    """A six-strut tensegrity icosahedron (Snelson's 'expanded octahedron',
+    the canonical soft-robotics tensegrity module).
+
+    12 masses at icosahedron vertices (0, +-1, +-phi) cyclic; of the 30
+    equal-length edges, the 6 opposite pairs that differ only in the +-1
+    coordinate become rigid struts (stiff springs at exact rest) and the
+    remaining 24 become pre-tensioned cables (rest shortened by
+    ``cable_tension``), yielding a self-stressed structure that holds its
+    shape with no fixed masses.  The reference has no assembled model like
+    this; it composes from the same Mass/Spring primitives
+    (mass.h:16-87, spring.h:20-75).
+    """
+    from itertools import combinations
+    phi = (1 + 5 ** 0.5) / 2
+    base = []
+    for a in (-1.0, 1.0):
+        for b in (-phi, phi):
+            base += [(0.0, a, b), (b, 0.0, a), (a, b, 0.0)]
+    verts = np.asarray(base)                    # 12 vertices, edge length 2
+    verts *= radius / np.linalg.norm(verts[0])  # circumradius -> radius
+    pos = Vec(center).numpy() + verts
+
+    c = Container(sim)
+    c._mass_idx = sim._store.add_masses_bulk(pos, m=mass)
+    d2 = ((verts[:, None] - verts[None]) ** 2).sum(-1)
+    e2 = np.sort(np.unique(np.round(d2, 9)))[1]     # squared edge length
+    pairs = np.array([(i, j) for i, j in combinations(range(12), 2)
+                      if abs(d2[i, j] - e2) < 1e-9])
+    assert pairs.shape[0] == 30
+    # struts: the two endpoints differ ONLY in the +-1 coordinate
+    diff_axes = np.count_nonzero(
+        np.abs(verts[pairs[:, 0]] - verts[pairs[:, 1]]) > 1e-12, axis=1)
+    is_strut = diff_axes == 1
+    assert int(is_strut.sum()) == 6
+    edge = float(np.sqrt(e2))
+    k = np.where(is_strut, strut_k, cable_k)
+    rest = np.where(is_strut, edge, edge * (1.0 - cable_tension))
+    c._spring_idx = sim._store.add_springs_bulk(
+        c._mass_idx[pairs[:, 0]], c._mass_idx[pairs[:, 1]], k=k, rest=rest)
+    sim._store.damping[c._spring_idx] = damping
+    sim.containers.append(c)
+    return c
+
+
 def truss_tetrahedron(sim, center, edge: float = 0.3, link_mass: float = 0.1,
                       expansion_ratio: float = 1.5, rate: float = 0.009,
                       k: float = 1000.0, mag_force: float = 0.5) -> list:
