@@ -60,6 +60,15 @@ def test_train_ppo(capsys):
     assert "mean rollout return" in out and "improved" in out
 
 
+def test_train_es(capsys):
+    # tiny config: 8 antithetic pairs x 2 envs, 12 generations
+    _run("train_es.py", argv=["12", "8", "2"])
+    out = capsys.readouterr().out
+    assert "ES improved" in out
+    first, last = out.rsplit("ES improved ", 1)[1].split(" -> ")
+    assert float(last) > float(first), "ES did not improve the return"
+
+
 def test_magnetic_swarm(capsys):
     # tiny config: 2,000 particles stay on the exact pairwise path on CPU
     _run("magnetic_swarm.py", argv=["2000", "0.004"])
