@@ -228,6 +228,18 @@ def test_tiled_envelope_acceptance():
     assert pallas_tiled.tiled_supported(_scene()._shape)
 
 
+def test_donate_chunk_builds_and_matches(monkeypatch):
+    """donate=True wrapping (real buffer donation on TPU; ignored with a
+    warning on CPU) must trace and produce the same physics."""
+    _interpret_tiled(monkeypatch)
+    sim = _scene()
+    a = pallas_tiled.build_tiled_chunk(sim._shape)(sim._state, jnp.int32(5))
+    b = pallas_tiled.build_tiled_chunk(sim._shape, donate=True)(
+        sim._state, jnp.int32(5))
+    np.testing.assert_array_equal(np.asarray(a.masses.pos),
+                                  np.asarray(b.masses.pos))
+
+
 def test_carry_modes_agree(monkeypatch):
     """The padded-flat carry (round-3 glue-traffic fix) must be BITWISE
     equal to the legacy [3, n] carry: pads and slices change HBM copies,
