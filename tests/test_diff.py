@@ -115,6 +115,31 @@ def test_trajectory_shape():
     assert traj.shape[1] == 3
 
 
+def test_fast_trajectory_matches_trajectory():
+    """fast_trajectory: same samples as trajectory (bitwise on CPU, where
+    the fused chunk IS the XLA path) and matching gradients through a
+    trajectory-dependent loss."""
+    import dataclasses as dc
+    shape, state0 = _projectile()
+    f_ref, t_ref = diff.trajectory(shape, state0, 100, every=10)
+    f, t = diff.fast_trajectory(shape, state0, 100, every=10)
+    assert t.shape == t_ref.shape
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(f.masses.pos),
+                               np.asarray(f_ref.masses.pos), atol=1e-7)
+
+    def path_len(vx, fn):
+        st = dc.replace(
+            state0, masses=dc.replace(
+                state0.masses, vel=state0.masses.vel.at[0, 0].set(vx)))
+        _, tr = fn(shape, st, 100, every=10)
+        return jnp.sum(tr[:, 0, 0])          # sum of sampled x positions
+
+    g_ref = jax.grad(path_len)(2.0, diff.trajectory)
+    g = jax.grad(path_len)(2.0, diff.fast_trajectory)
+    assert float(g) == pytest.approx(float(g_ref), rel=1e-5)
+
+
 def test_fast_rollout_values_and_grads_match():
     """fast_rollout: fused-chunk primal + XLA-recompute backward must
     reproduce rollout's values and gradients (on CPU the chunk IS the XLA

@@ -87,11 +87,22 @@ def fast_rollout(shape: SceneShape, state: SimState, n_steps: int,
     steps (docs/GUIDE.md BPTT guidance) and fast_rollout when the same
     rollout also serves non-differentiated consumers.
     """
+    seg = segment or n_steps
+    assert n_steps % seg == 0
+    seg_fn = _fast_segment(shape, seg)
+    if n_steps == seg:
+        return seg_fn(state)
+    out, _ = jax.lax.scan(lambda s, _: (seg_fn(s), None), state, None,
+                          length=n_steps // seg)
+    return out
+
+
+def _fast_segment(shape: SceneShape, seg: int):
+    """custom_vjp segment: fused-chunk primal, XLA-recompute backward
+    (the shared engine of fast_rollout / fast_trajectory)."""
     from .ops.step import build_chunk_fn
     chunk = build_chunk_fn(shape)
     step = build_step_fn(xla_only_shape(shape))
-    seg = segment or n_steps
-    assert n_steps % seg == 0
 
     @jax.custom_vjp
     def seg_fn(s):
@@ -105,12 +116,24 @@ def fast_rollout(shape: SceneShape, state: SimState, n_steps: int,
         return vjp(ct)
 
     seg_fn.defvjp(seg_fwd, seg_bwd)
+    return seg_fn
 
-    if n_steps == seg:
-        return seg_fn(state)
-    out, _ = jax.lax.scan(lambda s, _: (seg_fn(s), None), state, None,
-                          length=n_steps // seg)
-    return out
+
+def fast_trajectory(shape: SceneShape, state: SimState, n_steps: int,
+                    every: int = 1):
+    """``trajectory`` with the fast primal: positions sampled every
+    ``every`` steps, each inter-sample block a ``_fast_segment`` (fused
+    chunk forward, XLA-recompute backward).  Same caveat as
+    ``fast_rollout``; residual memory is one state per sample."""
+    assert n_steps % every == 0
+    seg_fn = _fast_segment(shape, every)
+
+    def body(s, _):
+        s = seg_fn(s)
+        return s, s.masses.pos
+
+    final, traj = jax.lax.scan(body, state, None, length=n_steps // every)
+    return final, traj
 
 
 def trajectory(shape: SceneShape, state: SimState, n_steps: int,
