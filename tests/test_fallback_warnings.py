@@ -34,7 +34,7 @@ def test_reject_reasons_name_the_condition():
 
     rk2 = _scene(integrator=Integrator.RK2)
     assert halo_reject_reason(rk2._shape, 8) is None   # RK2 halo: round 3
-    assert "RK2" in tiled_reject_reason(rk2._shape)
+    assert tiled_reject_reason(rk2._shape) is None     # RK2 tiled: round 3
 
     strict = _scene(persistent_extern_force=False)
     assert "extern_force" in halo_reject_reason(strict._shape, 8)

@@ -143,6 +143,13 @@ VARIANTS = {
                                      damping=0.4),
     "remainder_breathing_actuated": dict(remainder=True, breathing=True,
                                          actuated=True),
+    # RK2 joined the tiled envelope late round 3 (two launches per step)
+    "rk2": dict(integrator="rk2"),
+    "rk2_damped_friction": dict(integrator="rk2", damping=0.4),
+    "rk2_actuated": dict(integrator="rk2", actuated=True),
+    "rk2_local_pl_drag": dict(integrator="rk2", local="pl", drag=0.3),
+    "rk2_magnets_remainder": dict(integrator="rk2", magnets=True,
+                                  remainder=True, damping=0.4),
 }
 
 
@@ -215,16 +222,15 @@ def test_tiled_matches_xla(variant, monkeypatch):
 
 def test_tiled_envelope_acceptance():
     # ACTUATED_* and local constraints joined the envelope in round 3;
-    # magnets and remainder springs joined late round 3 (per-step glue
-    # outside the kernel) -- the tiled envelope is now feature-complete
-    # for f32 Euler/Verlet scenes, like the reference kernels
-    # (sim.cu:1157-1367)
+    # magnets and remainder springs (per-step glue outside the kernel)
+    # and RK2 (two launches per step) joined late round 3 -- the tiled
+    # envelope is now feature-complete for f32 scenes under every
+    # reference integrator, like the reference kernels (sim.cu:1157-1367)
     assert pallas_tiled.tiled_supported(_scene(actuated=True)._shape)
     assert pallas_tiled.tiled_supported(_scene(local="cp")._shape)
     assert pallas_tiled.tiled_supported(_scene(magnets=True)._shape)
     assert pallas_tiled.tiled_supported(_scene(remainder=True)._shape)
-    rk2 = pallas_tiled.tiled_reject_reason(_scene(integrator="rk2")._shape)
-    assert rk2 and "RK2" in rk2
+    assert pallas_tiled.tiled_supported(_scene(integrator="rk2")._shape)
     assert pallas_tiled.tiled_supported(_scene()._shape)
 
 
@@ -240,12 +246,14 @@ def test_donate_chunk_builds_and_matches(monkeypatch):
                                   np.asarray(b.masses.pos))
 
 
-def test_carry_modes_agree(monkeypatch):
+@pytest.mark.parametrize("integrator", [None, "rk2"])
+def test_carry_modes_agree(integrator, monkeypatch):
     """The padded-flat carry (round-3 glue-traffic fix) must be BITWISE
     equal to the legacy [3, n] carry: pads and slices change HBM copies,
-    not the values the kernel sees."""
+    not the values the kernel sees.  RK2's two-launch step threads the
+    carry through both launches, so it is pinned too."""
     _interpret_tiled(monkeypatch)
-    sim = _scene(damping=0.4, deleted=True)
+    sim = _scene(damping=0.4, deleted=True, integrator=integrator)
     outs = {}
     for mode in ("legacy", "padded"):
         monkeypatch.setattr(pallas_tiled, "CARRY_MODE", mode)
@@ -257,11 +265,16 @@ def test_carry_modes_agree(monkeypatch):
             np.asarray(getattr(outs["padded"].masses, field)))
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", list(range(4)) + ["rk2-0", "rk2-1"])
 def test_tiled_matches_xla_random_combo(seed, monkeypatch):
     """Seeded random FEATURE COMBINATIONS through the tiled-vs-XLA
     harness (the named variants cover singles); two horizons like the
-    VMEM-kernel fuzz: 1 step tight, 30 steps at the usual tolerance."""
+    VMEM-kernel fuzz: 1 step tight, 30 steps at the usual tolerance.
+    The "rk2-N" seeds force integrator=rk2 over the same feature draw
+    (appended so the original seeds' scenes are unchanged)."""
+    force_rk2 = isinstance(seed, str)
+    if force_rk2:
+        seed = int(seed.split("-")[1])
     rng = np.random.RandomState(500 + seed)
     kw = dict(
         friction=bool(rng.randint(2)),
@@ -279,6 +292,8 @@ def test_tiled_matches_xla_random_combo(seed, monkeypatch):
         magnets=bool(rng.randint(2)),
         remainder=bool(rng.randint(2)),
     )
+    if force_rk2:
+        kw["integrator"] = "rk2"
     sim = _scene(**kw)
     assert pallas_tiled.tiled_supported(sim._shape)
 

@@ -20,7 +20,9 @@ are handled two ways (decided by the static scene shape):
 Everything else (gravity+extern, planes, balls, drag, integration) happens
 on the tile's own rows via auto-pipelined blocked inputs.
 
-Envelope: Euler (velocity clamp optional) or Verlet; damping; breathing
+Envelope: Euler (velocity clamp optional), Verlet, or RK2 (two kernel
+launches per step -- midpoint predictor then corrector, the same double
+force pass the reference pays, sim.cu:1778-1799); damping; breathing
 (ACTIVE_*); ACTUATED_* springs; local constraints; drag; soft-deleted
 masses; magnets; remainder (irregular) springs; unbounded N.  Magnet and
 remainder forces are evaluated OUTSIDE the kernel each step -- by exactly
@@ -121,7 +123,10 @@ def _vmem_bytes(shape: SceneShape, t: int, h: int) -> int:
     n_win = n_state + n_param + (1 if shape.stencil_uniform[0] else 0)
     win_bytes = 2 * 4 * (w // 128) * 128 * n_win
     from .pallas_step import _lc_planes
-    blk_bytes = 2 * 4 * t * (3 * 6 + 4 + _lc_planes(shape))
+    # RK2's corrector launch streams three extra blocked [3, T] inputs
+    # (original pos, pass-1 vel, pre-step vel)
+    rk2_planes = 9 if shape.config.integrator is Integrator.RK2 else 0
+    blk_bytes = 2 * 4 * t * (3 * 6 + 4 + rk2_planes + _lc_planes(shape))
     return win_bytes + blk_bytes
 
 
@@ -167,9 +172,10 @@ def tiled_reject_reason(shape: SceneShape):
     """None if the grid-tiled kernel accepts this scene, else a one-line
     reason naming the envelope condition that failed."""
     cfg = shape.config
-    if cfg.integrator not in (Integrator.EULER, Integrator.VERLET):
+    if cfg.integrator not in (Integrator.EULER, Integrator.VERLET,
+                              Integrator.RK2):
         return (f"integrator {cfg.integrator.name} not supported by the "
-                "tiled kernel (Euler/Verlet only)")
+                "tiled kernel")
     if cfg.dtype != "float32":
         return f"dtype {cfg.dtype} (tiled kernel is f32-only)"
     if not cfg.use_stencil or not shape.stencil_deltas:
@@ -190,14 +196,26 @@ def tiled_supported(shape: SceneShape) -> bool:
     return tiled_reject_reason(shape) is None
 
 
-def _build_kernel(shape: SceneShape, t_size: int, h: int):
+def _build_kernel(shape: SceneShape, t_size: int, h: int,
+                  mode: str = "single"):
+    """mode selects the integrate tail: "single" is one launch per step
+    (Euler or Verlet); "rk2a"/"rk2b" are the two launches of one RK2 step
+    (midpoint predictor / corrector, reference sim.cu:1778-1799 +
+    1336-1349).  The force evaluation (springs over the halo'd window,
+    planes/balls/local constraints/drag on tile rows) is identical in all
+    modes -- rk2a receives (pos, vel) and emits (pos_half, vel_half, vel1);
+    rk2b receives (pos_half, vel_half) windows plus blocked original pos,
+    pass-1 vel1, and pre-step vel0, and emits the final (pos, vel, acc)."""
     deltas = shape.stencil_deltas
     w = t_size + 2 * h
     wr, tr, hr = w // 128, t_size // 128, h // 128
     n_planes, n_balls = shape.n_planes, shape.n_balls
     plane_friction = shape.plane_friction
     clamp = shape.config.velocity_clamp
-    verlet = shape.config.integrator is Integrator.VERLET
+    rk2a = mode == "rk2a"
+    rk2b = mode == "rk2b"
+    verlet = (mode == "single"
+              and shape.config.integrator is Integrator.VERLET)
     has_damping = shape.has_damping
     has_breathing = shape.has_breathing
     has_actuated = shape.has_actuated
@@ -230,6 +248,9 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
             i += 1
         cforce_ref, minv_ref, fixed_ref = refs[i:i + 3]
         i += 3
+        if rk2b:
+            pos0_ref, vel1_ref, vel0_ref = refs[i:i + 3]
+            i += 3
         if has_drag:
             drag_ref = refs[i]
             i += 1
@@ -510,11 +531,35 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
 
         not_fixed = 1.0 - fixed_ref[:]
         acc = f_acc * minv_ref[:]
-        if verlet:
+        if rk2a:
+            # RK2 midpoint predictor (sim.cu:1336-1343): half-step state
+            # from the pass-1 forces; fixed masses keep pos, and their
+            # pass-2 velocity input stays vel1 (the constraint-mutated
+            # value) -- mirroring the `half` state of ops/step.py's RK2
+            # branch and the VMEM kernel (pallas_step.py).  `vel` here is
+            # the post-constraint pass-1 velocity (vel1).
+            pos_h = pos + 0.5 * vel * dt
+            vel_h = vel + 0.5 * acc * dt
+            opos_ref[:] = pos_h * not_fixed + pos * fixed_ref[:]
+            ovel_ref[:] = vel_h * not_fixed + vel * fixed_ref[:]
+            oacc_ref[:] = vel            # third output carries vel1
+        elif rk2b:
+            # RK2 corrector (sim.cu:1344-1349): pos from the ORIGINAL pos
+            # plus the pass-2 constraint-mutated velocity (`vel` here is
+            # vel2); vel from pass-1's vel1 plus the pass-2 acc; frozen
+            # masses keep their pre-step velocity vel0.
+            v2 = ((vel1_ref[:] + acc * dt) * not_fixed
+                  + vel0_ref[:] * fixed_ref[:])
+            opos_ref[:] = pos0_ref[:] + vel * dt * not_fixed
+            ovel_ref[:] = v2
+            oacc_ref[:] = acc * not_fixed
+        elif verlet:
             # reference 'Verlet' (sim.cu:1350-1354)
             v2 = vel + 0.5 * (acc_ref[:] + acc) * dt
             v2 = v2 * not_fixed + vel_in * fixed_ref[:]
             opos_ref[:] = pos + (v2 * dt + 0.5 * acc * dt * dt) * not_fixed
+            ovel_ref[:] = v2
+            oacc_ref[:] = acc * not_fixed
         else:
             v2 = vel + acc * dt
             if clamp:
@@ -522,8 +567,8 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int):
                 v2 = jnp.where(vn > 1.0, v2 / jnp.where(vn > 0, vn, 1.0), v2)
             v2 = v2 * not_fixed + vel_in * fixed_ref[:]
             opos_ref[:] = pos + v2 * dt * not_fixed
-        ovel_ref[:] = v2
-        oacc_ref[:] = acc * not_fixed
+            ovel_ref[:] = v2
+            oacc_ref[:] = acc * not_fixed
 
     return kernel
 
@@ -545,10 +590,10 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
     tr = t_size // 128
     w = t_size + 2 * h
     wr = w // 128
-    kernel = _build_kernel(shape, t_size, h)
     n_planes, n_balls = max(shape.n_planes, 1), max(shape.n_balls, 1)
     nf = len(deltas)
     offsets, n_param, n_state = _plan(shape)
+    rk2 = shape.config.integrator is Integrator.RK2
     verlet = shape.config.integrator is Integrator.VERLET
     u_k, u_rest, u_damp, u_type, u_omega = shape.stencil_uniform
     has_pwin = n_param > 0
@@ -561,61 +606,71 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
     def blk3(i, s):
         return (0, i, 0)
 
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # planes
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # balls
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # fparams [5, nf]
-        pl.BlockSpec(memory_space=pl.ANY),    # state windows (HBM)
-    ]
-    if has_pwin:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # param windows
-    if u_k:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # mask bits
-    if not shape.has_damping:
-        in_specs.append(pl.BlockSpec((3, tr, 128), blk3,
-                                     memory_space=pltpu.VMEM))  # vel
-    if verlet:
-        in_specs.append(pl.BlockSpec((3, tr, 128), blk3,
-                                     memory_space=pltpu.VMEM))  # acc
-    in_specs += [
-        pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),  # cf
-        pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # minv
-        pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # fixed
-    ]
-    if shape.has_drag:
-        in_specs.append(pl.BlockSpec((1, tr, 128), blk3,
-                                     memory_space=pltpu.VMEM))  # drag
-    if has_local:
-        in_specs.append(pl.BlockSpec((p_lc, tr, 128), blk3,
-                                     memory_space=pltpu.VMEM))  # lc slots
+    def _make_call(mode):
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # planes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # balls
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # fparams [5, nf]
+            pl.BlockSpec(memory_space=pl.ANY),    # state windows (HBM)
+        ]
+        if has_pwin:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # param wins
+        if u_k:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # mask bits
+        if not shape.has_damping:
+            in_specs.append(pl.BlockSpec((3, tr, 128), blk3,
+                                         memory_space=pltpu.VMEM))  # vel
+        if mode == "single" and verlet:
+            in_specs.append(pl.BlockSpec((3, tr, 128), blk3,
+                                         memory_space=pltpu.VMEM))  # acc
+        in_specs += [
+            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),  # cf
+            pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # minv
+            pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # fixd
+        ]
+        if mode == "rk2b":
+            # corrector extras: original pos, pass-1 vel1, pre-step vel0
+            in_specs += [pl.BlockSpec((3, tr, 128), blk3,
+                                      memory_space=pltpu.VMEM)] * 3
+        if shape.has_drag:
+            in_specs.append(pl.BlockSpec((1, tr, 128), blk3,
+                                         memory_space=pltpu.VMEM))  # drag
+        if has_local:
+            in_specs.append(pl.BlockSpec((p_lc, tr, 128), blk3,
+                                         memory_space=pltpu.VMEM))  # lc slots
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # scal = [dt, t_now]
-        grid=(n_tiles,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=(
-            [pltpu.VMEM((2, n_state, wr, 128), jnp.float32)]  # state windows
-            + ([pltpu.VMEM((2, n_param, wr, 128), jnp.float32)]
-               if has_pwin else [])                           # param windows
-            + ([pltpu.VMEM((2, 1, wr, 128), jnp.int32)]
-               if u_k else [])                                # mask bits
-            + [pltpu.SemaphoreType.DMA((2, 1 + has_pwin + u_k))]
-        ),
-    )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # scal = [dt, t_now, advance base]
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=(
+                [pltpu.VMEM((2, n_state, wr, 128), jnp.float32)]  # state wins
+                + ([pltpu.VMEM((2, n_param, wr, 128), jnp.float32)]
+                   if has_pwin else [])                         # param wins
+                + ([pltpu.VMEM((2, 1, wr, 128), jnp.int32)]
+                   if u_k else [])                              # mask bits
+                + [pltpu.SemaphoreType.DMA((2, 1 + has_pwin + u_k))]
+            ),
+        )
 
-    step_call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((3, n_t // 128, 128), jnp.float32)
-                   for _ in range(3)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
-    )
+        return pl.pallas_call(
+            _build_kernel(shape, t_size, h, mode),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((3, n_t // 128, 128), jnp.float32)
+                       for _ in range(3)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+        )
+
+    if rk2:
+        call_a, call_b = _make_call("rk2a"), _make_call("rk2b")
+    else:
+        step_call = _make_call("single")
 
     def chunk(state: SimState, n_steps) -> SimState:
         m = state.masses
@@ -747,6 +802,57 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
                 state.gcon.ball_center,
                 state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
 
+        has_glue = shape.has_remainder or shape.has_magnets
+
+        def glue_cf(pos_c, vel_c, t_i, rem_rest):
+            # per-step magnet/remainder glue (module docstring): the same
+            # XLA/Pallas code the step path runs, entering the kernel
+            # through its constant-force input.  RK2 evaluates it once per
+            # force pass -- at (pos, vel, t) then (pos_h, vel_h, t + dt/2)
+            # -- advancing the remainder rest each pass, exactly like
+            # ops/step.py's RK2 branch re-stamps rests between passes.
+            from . import forces as F
+            from .step import magnet_pass
+            mm = dataclasses.replace(m, pos=pos_c[:, :n], vel=vel_c[:, :n])
+            extra = jnp.zeros_like(const_flat)
+            if shape.has_remainder:
+                sp = dataclasses.replace(state.springs, rest=rem_rest)
+                f_sp, rem_rest = F.spring_forces(
+                    mm, sp, t_i, state.dt, shape.has_breathing)
+                extra = extra + F.scatter_spring_forces(
+                    f_sp, state.topo, m.fixed, shape.n_masses,
+                    shape.config.scatter)
+            if shape.has_magnets:
+                # fixed masses stay field sources but receive nothing
+                # (sim.cu:1292-1298), matching ops.step._mass_forces
+                extra = extra + jnp.where(m.fixed, 0.0,
+                                          magnet_pass(mm, shape))
+            return (r3(jnp.pad(const_flat + extra, ((0, 0), (0, pad_n)))),
+                    rem_rest)
+
+        def call_args(scal, pos_c, vel_c, cf, acc_c=None, extra3=None):
+            if shape.has_damping:
+                state_hbm = win_in(jnp.concatenate([pos_c, vel_c], axis=0))
+            else:
+                state_hbm = win_in(pos_c)
+            args = [scal, planes, balls, fparams, state_hbm]
+            if param_hbm is not None:
+                args.append(param_hbm)
+            if mask_hbm is not None:
+                args.append(mask_hbm)
+            if not shape.has_damping:
+                args.append(blk_in(vel_c))
+            if acc_c is not None:
+                args.append(blk_in(acc_c))
+            args += [cf, minv, fixed]
+            if extra3 is not None:
+                args += [blk_in(x) for x in extra3]
+            if shape.has_drag:
+                args.append(drag)
+            if has_local:
+                args.append(lc_in)
+            return args
+
         def body(i, carry):
             # carries stay in the kernel's padded-flat [3, n_t] layout the
             # whole chunk (tail rows are inert: minv = 0 there, so they
@@ -756,50 +862,31 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
             # (why the round-3 bigger-tile A/B measured a wash).  Only the
             # (h, h) halo pad of the windowed planes remains per step.
             pos, vel, acc, rem_rest = carry
-            cf = const_f
-            if shape.has_remainder or shape.has_magnets:
-                # per-step magnet/remainder glue (module docstring): the
-                # same XLA/Pallas code the step path runs, entering the
-                # kernel through its constant-force input
-                from . import forces as F
-                from .step import magnet_pass
-                mm = dataclasses.replace(m, pos=pos[:, :n], vel=vel[:, :n])
-                extra = jnp.zeros_like(const_flat)
-                if shape.has_remainder:
-                    t_i = state.t + i.astype(state.t.dtype) * state.dt
-                    sp = dataclasses.replace(state.springs, rest=rem_rest)
-                    f_sp, rem_rest = F.spring_forces(
-                        mm, sp, t_i, state.dt, shape.has_breathing)
-                    extra = extra + F.scatter_spring_forces(
-                        f_sp, state.topo, m.fixed, shape.n_masses,
-                        shape.config.scatter)
-                if shape.has_magnets:
-                    # fixed masses stay field sources but receive nothing
-                    # (sim.cu:1292-1298), matching ops.step._mass_forces
-                    extra = extra + jnp.where(m.fixed, 0.0,
-                                              magnet_pass(mm, shape))
-                cf = r3(jnp.pad(const_flat + extra, ((0, 0), (0, pad_n))))
-            if shape.has_damping:
-                state_hbm = win_in(jnp.concatenate([pos, vel], axis=0))
-            else:
-                state_hbm = win_in(pos)
             i32 = i.astype(jnp.float32)
-            scal = jnp.stack([dt32, t032 + i32 * dt32, i32])
-            args = [scal, planes, balls, fparams, state_hbm]
-            if param_hbm is not None:
-                args.append(param_hbm)
-            if mask_hbm is not None:
-                args.append(mask_hbm)
-            if not shape.has_damping:
-                args.append(blk_in(vel))
-            if verlet:
-                args.append(blk_in(acc))
-            args += [cf, minv, fixed]
-            if shape.has_drag:
-                args.append(drag)
-            if has_local:
-                args.append(lc_in)
-            p2, v2, a2 = step_call(*args)
+            t_i = state.t + i.astype(state.t.dtype) * state.dt
+            cf = const_f
+            if has_glue:
+                cf, rem_rest = glue_cf(pos, vel, t_i, rem_rest)
+            if rk2:
+                # two launches per step (module docstring); scal[2] is the
+                # count of ACTUATED rest advances already applied, which
+                # runs at TWO per dt under RK2 (the reference's double-pass
+                # rest-mutation quirk, sim.cu:1778-1799)
+                scal = jnp.stack([dt32, t032 + i32 * dt32, 2.0 * i32])
+                ph, vh, v1 = call_a(*call_args(scal, pos, vel, cf))
+                ph, vh, v1 = out_tx(ph), out_tx(vh), out_tx(v1)
+                cf2 = const_f
+                if has_glue:
+                    cf2, rem_rest = glue_cf(ph, vh, t_i + 0.5 * state.dt,
+                                            rem_rest)
+                scal2 = jnp.stack([dt32, t032 + (i32 + 0.5) * dt32,
+                                   2.0 * i32 + 1.0])
+                p2, v2, a2 = call_b(*call_args(
+                    scal2, ph, vh, cf2, extra3=(pos, v1, vel)))
+            else:
+                scal = jnp.stack([dt32, t032 + i32 * dt32, i32])
+                p2, v2, a2 = step_call(*call_args(
+                    scal, pos, vel, cf, acc_c=acc if verlet else None))
             return out_tx(p2), out_tx(v2), out_tx(a2), rem_rest
 
         padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
@@ -828,8 +915,10 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
             T=m.T + jnp.where(move, dtn, 0.0))
         new_state = dataclasses.replace(state, masses=new_m, t=state.t + dtn)
         if shape.has_actuated:
-            # end-of-chunk rest via the same closed form the kernel used
-            advn = jnp.minimum(jnp.asarray(n_steps, jnp.float32), sstop)
+            # end-of-chunk rest via the same closed form the kernel used;
+            # RK2 advances rest twice per dt (reference double-pass quirk)
+            n_adv = jnp.asarray(n_steps, jnp.float32) * (2.0 if rk2 else 1.0)
+            advn = jnp.minimum(n_adv, sstop)
             new_state = dataclasses.replace(
                 new_state, stencil=dataclasses.replace(
                     stc, rest=stc.rest + advn * aratedt))
