@@ -1,0 +1,187 @@
+"""Distributed tiled kernel (shard_map + per-shard Pallas) vs the
+single-device tiled chunk (expected BITWISE equal: same kernel, same
+per-row op order, halo windows filled with the same true neighbor data)
+and vs the XLA chunk (the tiled suite's tolerances)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from titan_tpu import Simulation, SimConfig, Vec
+from titan_tpu.ops import pallas_tiled
+from titan_tpu.ops.step import build_chunk_fn
+from titan_tpu.parallel import make_mesh
+from titan_tpu.parallel.halo import place
+from titan_tpu.parallel.halo_tiled import (build_halo_tiled_chunk,
+                                           halo_tiled_reject_reason,
+                                           halo_tiled_supported)
+
+
+def _interpret_tiled(monkeypatch):
+    """Force every tiled pallas_call into interpret mode (CPU)."""
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    monkeypatch.setattr("titan_tpu.ops.pallas_tiled.pl.pallas_call", interp)
+
+
+def _scene(friction=True, damping=0.0, breathing=False, drag=0.0,
+           deleted=False, nonuniform_rest=False, integrator=None,
+           actuated=False, local=None):
+    from titan_tpu import (ACTIVE_CONTRACT_THEN_EXPAND, ACTUATED_CONTRACT,
+                           ACTUATED_EXPAND, CONTACT_PLANE, Integrator,
+                           Vec as V)
+    cfg = {}
+    if integrator:
+        cfg["integrator"] = Integrator(integrator)
+    sim = Simulation(SimConfig(**cfg))
+    sim.createLattice(Vec(0, 0, 3), Vec(4, 1, 1), 40, 6, 6)
+    sim.setAllSpringConstantValues(800.0)
+    st = sim._store
+    if damping:
+        st.damping[: st.n_springs] = damping
+    if breathing:
+        half = st.n_springs // 2
+        st.s_type[:half] = ACTIVE_CONTRACT_THEN_EXPAND
+        st.omega[:half] = 7.0
+    if actuated:
+        s = st.n_springs
+        third = s // 3
+        st.s_type[:third] = ACTUATED_EXPAND
+        st.l_max[:third] = st.rest[:third] * 1.2
+        st.rate[:third] = 0.5
+        st.s_type[third:2 * third] = ACTUATED_CONTRACT
+        st.l_min[third:2 * third] = st.rest[third:2 * third] * 0.8
+        st.rate[third:2 * third] = 0.5
+    if local:
+        for i in (2, 99, 380):
+            sim.masses[i].addConstraint(CONTACT_PLANE, V(0, 1, 2), -0.3)
+    if drag:
+        st.drag[: st.n_masses] = drag
+    if deleted:
+        st.valid[7] = False
+        st.valid[100] = False
+    if nonuniform_rest:
+        rng = np.random.RandomState(0)
+        st.rest[: st.n_springs] *= 1.0 + 0.01 * rng.rand(st.n_springs)
+    if friction:
+        sim.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
+    else:
+        sim.createPlane(Vec(0, 0, 1), 0)
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    sim.setTimeStep(0.0001)
+    sim._T = 0.0
+    sim._marshal()
+    return sim
+
+
+VARIANTS = {
+    "plain": dict(friction=False),
+    "friction": dict(),
+    "damping": dict(damping=0.4),
+    "breathing": dict(breathing=True),
+    "drag": dict(drag=0.3),
+    "deleted": dict(deleted=True),
+    "nonuniform_rest": dict(nonuniform_rest=True),
+    "verlet": dict(integrator="verlet"),
+    "verlet_damped": dict(integrator="verlet", damping=0.4),
+    "actuated": dict(actuated=True),
+    "actuated_breathing_damped": dict(actuated=True, breathing=True,
+                                      damping=0.4),
+    "local_cp": dict(local="cp"),
+    "rk2": dict(integrator="rk2"),
+    "rk2_damped_actuated": dict(integrator="rk2", damping=0.4,
+                                actuated=True),
+    "rk2_drag_local": dict(integrator="rk2", drag=0.3, local="cp"),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_halo_tiled_matches_single_tiled(variant, monkeypatch):
+    """Distributed (8-way) tiled chunk == single-device tiled chunk,
+    bitwise: the same kernel runs per shard on halo'd windows that hold
+    the same true neighbor rows the single-device windows DMA."""
+    sim = _scene(**VARIANTS[variant])
+    mesh = make_mesh(("shard",))
+    assert halo_tiled_supported(sim._shape, 8), \
+        halo_tiled_reject_reason(sim._shape, 8)
+
+    _interpret_tiled(monkeypatch)
+    sharded = place(sim._state, mesh)
+    out_d = build_halo_tiled_chunk(sim._shape, mesh)(sharded, jnp.int32(30))
+    out_s = pallas_tiled.build_tiled_chunk(sim._shape)(sim._state,
+                                                       jnp.int32(30))
+    n = sim._store.n_masses
+    np.testing.assert_array_equal(np.asarray(out_d.masses.pos)[:, :n],
+                                  np.asarray(out_s.masses.pos)[:, :n])
+    np.testing.assert_array_equal(np.asarray(out_d.masses.vel)[:, :n],
+                                  np.asarray(out_s.masses.vel)[:, :n])
+    np.testing.assert_array_equal(np.asarray(out_d.masses.acc)[:, :n],
+                                  np.asarray(out_s.masses.acc)[:, :n])
+    np.testing.assert_array_equal(np.asarray(out_d.stencil.rest),
+                                  np.asarray(out_s.stencil.rest))
+    assert abs(float(out_d.t) - float(out_s.t)) < 1e-12
+    assert len(out_d.masses.pos.sharding.device_set) == 8
+
+
+@pytest.mark.parametrize("variant", ["friction", "damping", "verlet",
+                                     "rk2", "actuated", "deleted"])
+def test_halo_tiled_matches_xla(variant, monkeypatch):
+    """And against the XLA step path, at the tiled suite's tolerances."""
+    sim = _scene(**VARIANTS[variant])
+    mesh = make_mesh(("shard",))
+    _interpret_tiled(monkeypatch)
+    sharded = place(sim._state, mesh)
+    out_d = build_halo_tiled_chunk(sim._shape, mesh)(sharded, jnp.int32(30))
+    out_x = build_chunk_fn(sim._shape)(sim._state, jnp.int32(30))
+    n = sim._store.n_masses
+    act = "actuated" in variant
+    ptol = dict(atol=3e-5, rtol=1e-4) if act else dict(atol=5e-6, rtol=1e-5)
+    vtol = dict(atol=5e-3, rtol=1e-3) if act else dict(atol=5e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_d.masses.pos)[:, :n],
+                               np.asarray(out_x.masses.pos)[:, :n], **ptol)
+    np.testing.assert_allclose(np.asarray(out_d.masses.vel)[:, :n],
+                               np.asarray(out_x.masses.vel)[:, :n], **vtol)
+
+
+def test_reject_reasons():
+    """Envelope rejections name the failed condition."""
+    sim = _scene()
+    # magnets -> halo.py handles them
+    st = sim._store
+    st.mag_rad[3] = 0.05
+    st.mag_stiffness[3] = 100.0
+    st.mag_maxf[3] = 1e-4
+    st.mag_scale[3] = 1.0
+    sim._marshal()
+    assert "magnet" in halo_tiled_reject_reason(sim._shape, 8)
+
+    # remainder springs -> halo.py handles them
+    sim2 = _scene()
+    sp = sim2.createSpring(sim2.masses[10], sim2.masses[400])
+    sp._k = 100.0
+    sp.defaultLength()
+    sim2._marshal()
+    assert "remainder" in halo_tiled_reject_reason(sim2._shape, 8)
+
+    # block smaller than the halo width: max|delta| > 1024 with few masses
+    sim3 = Simulation(SimConfig())
+    sim3.createLattice(Vec(0, 0, 3), Vec(1, 2, 2), 5, 33, 33)
+    sim3.setAllSpringConstantValues(500.0)
+    sim3._T = 0.0
+    sim3._marshal()
+    r = halo_tiled_reject_reason(sim3._shape, 8)
+    assert r is not None and "block" in r
+
+    # f64 stays on the XLA path (tiled envelope)
+    sim4 = Simulation(SimConfig(dtype="float64"))
+    sim4.createLattice(Vec(0, 0, 3), Vec(4, 1, 1), 40, 6, 6)
+    sim4.setAllSpringConstantValues(500.0)
+    sim4._T = 0.0
+    sim4._marshal()
+    assert halo_tiled_reject_reason(sim4._shape, 8) is not None

@@ -573,6 +573,226 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
     return kernel
 
 
+def make_tiled_call(shape: SceneShape, t_size: int, h: int, n_tiles: int,
+                    mode: str):
+    """The pallas_call for one tiled launch, reusable by both the
+    single-device chunk (build_tiled_chunk) and the distributed halo path
+    (parallel/halo_tiled.py, which runs the SAME kernel per device shard
+    with its window pads filled by ppermuted neighbor halos)."""
+    tr = t_size // 128
+    w = t_size + 2 * h
+    wr = w // 128
+    n_t = n_tiles * t_size
+    offsets, n_param, n_state = _plan(shape)
+    verlet = shape.config.integrator is Integrator.VERLET
+    u_k = shape.stencil_uniform[0]
+    has_pwin = n_param > 0
+    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+    has_local = any(caps)
+    from .pallas_step import _lc_planes
+    p_lc = _lc_planes(shape)
+
+    def blk3(i, s):
+        return (0, i, 0)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # planes
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # balls
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # fparams [5, nf]
+        pl.BlockSpec(memory_space=pl.ANY),    # state windows (HBM)
+    ]
+    if has_pwin:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # param wins
+    if u_k:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # mask bits
+    if not shape.has_damping:
+        in_specs.append(pl.BlockSpec((3, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # vel
+    if mode == "single" and verlet:
+        in_specs.append(pl.BlockSpec((3, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # acc
+    in_specs += [
+        pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),  # cf
+        pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # minv
+        pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # fixd
+    ]
+    if mode == "rk2b":
+        # corrector extras: original pos, pass-1 vel1, pre-step vel0
+        in_specs += [pl.BlockSpec((3, tr, 128), blk3,
+                                  memory_space=pltpu.VMEM)] * 3
+    if shape.has_drag:
+        in_specs.append(pl.BlockSpec((1, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # drag
+    if has_local:
+        in_specs.append(pl.BlockSpec((p_lc, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # lc slots
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # scal = [dt, t_now, advance base]
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((2, n_state, wr, 128), jnp.float32)]  # state wins
+            + ([pltpu.VMEM((2, n_param, wr, 128), jnp.float32)]
+               if has_pwin else [])                         # param wins
+            + ([pltpu.VMEM((2, 1, wr, 128), jnp.int32)]
+               if u_k else [])                              # mask bits
+            + [pltpu.SemaphoreType.DMA((2, 1 + has_pwin + u_k))]
+        ),
+    )
+
+    return pl.pallas_call(
+        _build_kernel(shape, t_size, h, mode),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((3, n_t // 128, 128), jnp.float32)
+                   for _ in range(3)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )
+
+
+def prep_flat_inputs(shape: SceneShape, state: SimState):
+    """The per-chunk FLAT (unpadded, [.., n]) kernel inputs shared by the
+    single-device chunk and the distributed halo path: validity-folded
+    pair masks, SMEM family scalars, the stacked windowed-param planes and
+    packed mask bitmask, closed-form actuation inputs, and the blocked
+    per-mass planes.  Traceable (called inside jit)."""
+    deltas = shape.stencil_deltas
+    nf = len(deltas)
+    offsets, _, _ = _plan(shape)
+    u_k, u_rest, u_damp, u_type, u_omega = shape.stencil_uniform
+    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+    n_planes, n_balls = max(shape.n_planes, 1), max(shape.n_balls, 1)
+    m = state.masses
+    stc = state.stencil
+
+    pair_ok = stc.mask
+    if not shape.all_valid:
+        pair_ok = jnp.stack([
+            pair_ok[fi] & m.valid & jnp.roll(m.valid, -d)
+            for fi, d in enumerate(deltas)])
+    k_eff = jnp.where(pair_ok, stc.k, 0.0)
+
+    # family scalar params (SMEM) for the uniform fields; value taken
+    # from each family's first masked lane (mask-free families read 0,
+    # harmless because their k is 0 everywhere)
+    lane0 = jnp.argmax(stc.mask, axis=1)
+    at0 = lambda a: jnp.take_along_axis(a, lane0[:, None], 1)[:, 0]
+    styp = stc.type
+    bsign_full = jnp.where(
+        styp == ACTIVE_CONTRACT_THEN_EXPAND, -0.2,
+        jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT, 0.2,
+                  0.0)).astype(jnp.float32)
+    fparams = jnp.stack([
+        at0(stc.k) if u_k else jnp.zeros(nf),
+        at0(stc.rest) if u_rest else jnp.zeros(nf),
+        at0(stc.damping) if u_damp else jnp.zeros(nf),
+        at0(bsign_full) if u_type else jnp.zeros(nf),
+        at0(stc.omega) if u_omega else jnp.zeros(nf),
+    ]).astype(jnp.float32)
+
+    dt32 = state.dt.astype(jnp.float32)
+
+    aratedt = sstop = None
+    if shape.has_actuated:
+        # closed-form actuation inputs (module docstring): per-spring
+        # signed rate*dt and the advance count at which the one-sided
+        # bound is crossed (invalid pairs never actuate: reference
+        # early-return at sim.cu:1163)
+        arate = jnp.where(styp == ACTUATED_EXPAND, stc.rate,
+                          jnp.where(styp == ACTUATED_CONTRACT,
+                                    -stc.rate, 0.0))
+        arate = jnp.where(pair_ok, arate, 0.0).astype(jnp.float32)
+        aratedt = arate * dt32
+        abound = jnp.where(
+            styp == ACTUATED_EXPAND, stc.l_max,
+            jnp.where(styp == ACTUATED_CONTRACT, stc.l_min,
+                      0.0)).astype(jnp.float32)
+        nz = aratedt != 0
+        sstop = jnp.where(
+            nz,
+            jnp.ceil((abound - stc.rest.astype(jnp.float32))
+                     / jnp.where(nz, aratedt, 1.0)), 0.0)
+        sstop = jnp.maximum(sstop, 0.0)
+
+    # windowed (non-uniform) params, stacked into one HBM array
+    parts = []
+    if "k" in offsets:
+        parts.append(k_eff)
+    if "rest" in offsets:
+        parts.append(stc.rest)
+    if "aratedt" in offsets:
+        parts.append(aratedt)
+    if "sstop" in offsets:
+        parts.append(sstop)
+    if "damping" in offsets:
+        parts.append(jnp.where(pair_ok, stc.damping, 0.0))
+    if "bsign" in offsets:
+        parts.append(bsign_full)
+    if "bomega" in offsets:
+        parts.append(stc.omega)
+    param_flat = (jnp.concatenate(parts, axis=0).astype(jnp.float32)
+                  if parts else None)
+    bits_flat = None
+    if u_k:
+        # pack each family's existence+validity mask into bit fi of one
+        # int32 per mass: 1/F the traffic of streaming k itself
+        bits = jnp.zeros(pair_ok.shape[1], jnp.int32)
+        for fi in range(nf):
+            bits = bits | (pair_ok[fi].astype(jnp.int32) << fi)
+        bits_flat = bits[None, :]
+
+    move = m.valid & ~m.fixed
+    minv_flat = (1.0 / m.m)[None, :]
+    fixed_flat = (~move).astype(m.pos.dtype)[None, :]
+    const_flat = m.extern_force + m.m * state.g[:, None]
+    drag_flat = m.drag[None, :] if shape.has_drag else None
+    lc_flat = None
+    if any(caps):
+        lcon = state.lcon
+        lparts = []
+        for j in range(caps[0]):
+            lparts += [(j < lcon.cp_count).astype(jnp.float32)[None],
+                       lcon.cp_normal[:, j, :].T,
+                       lcon.cp_offset[:, j][None],
+                       lcon.cp_fk[:, j][None], lcon.cp_fs[:, j][None]]
+        for j in range(caps[1]):
+            lparts += [(j < lcon.ball_count).astype(jnp.float32)[None],
+                       lcon.ball_center[:, j, :].T,
+                       lcon.ball_radius[:, j][None]]
+        for j in range(caps[2]):
+            lparts += [(j < lcon.pl_count).astype(jnp.float32)[None],
+                       lcon.pl_normal[:, j, :].T,
+                       lcon.pl_friction[:, j][None]]
+        for j in range(caps[3]):
+            lparts += [(j < lcon.dir_count).astype(jnp.float32)[None],
+                       lcon.dir_tangent[:, j, :].T,
+                       lcon.dir_friction[:, j][None]]
+        lc_flat = jnp.concatenate(lparts, axis=0).astype(jnp.float32)
+    planes = jnp.zeros((n_planes, 6), jnp.float32)
+    if shape.n_planes:
+        planes = planes.at[: shape.n_planes].set(jnp.concatenate([
+            state.gcon.plane_normal,
+            state.gcon.plane_offset[:, None],
+            state.gcon.plane_fk[:, None],
+            state.gcon.plane_fs[:, None]], axis=1).astype(jnp.float32))
+    balls = jnp.zeros((n_balls, 4), jnp.float32)
+    if shape.n_balls:
+        balls = balls.at[: shape.n_balls].set(jnp.concatenate([
+            state.gcon.ball_center,
+            state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
+    return dict(fparams=fparams, param_flat=param_flat, bits_flat=bits_flat,
+                minv_flat=minv_flat, fixed_flat=fixed_flat,
+                const_flat=const_flat, drag_flat=drag_flat, lc_flat=lc_flat,
+                planes=planes, balls=balls, aratedt=aratedt, sstop=sstop,
+                move=move)
+
+
 def build_tiled_chunk(shape: SceneShape, donate: bool = False):
     """Jitted chunk(state, n_steps): fori_loop of per-step tiled launches.
 
@@ -587,220 +807,42 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
     n_tiles = -(-n // t_size)            # ceil: last tile covers padding
     n_t = n_tiles * t_size
     pad_n = n_t - n
-    tr = t_size // 128
-    w = t_size + 2 * h
-    wr = w // 128
-    n_planes, n_balls = max(shape.n_planes, 1), max(shape.n_balls, 1)
-    nf = len(deltas)
-    offsets, n_param, n_state = _plan(shape)
     rk2 = shape.config.integrator is Integrator.RK2
     verlet = shape.config.integrator is Integrator.VERLET
-    u_k, u_rest, u_damp, u_type, u_omega = shape.stencil_uniform
-    has_pwin = n_param > 0
-    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
-    has_local = any(caps)
-    from .pallas_step import _lc_planes
-    p_lc = _lc_planes(shape)
     carry_legacy = CARRY_MODE == "legacy"   # bound at build time, not trace
 
-    def blk3(i, s):
-        return (0, i, 0)
-
-    def _make_call(mode):
-        in_specs = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # planes
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # balls
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # fparams [5, nf]
-            pl.BlockSpec(memory_space=pl.ANY),    # state windows (HBM)
-        ]
-        if has_pwin:
-            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # param wins
-        if u_k:
-            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # mask bits
-        if not shape.has_damping:
-            in_specs.append(pl.BlockSpec((3, tr, 128), blk3,
-                                         memory_space=pltpu.VMEM))  # vel
-        if mode == "single" and verlet:
-            in_specs.append(pl.BlockSpec((3, tr, 128), blk3,
-                                         memory_space=pltpu.VMEM))  # acc
-        in_specs += [
-            pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),  # cf
-            pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # minv
-            pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # fixd
-        ]
-        if mode == "rk2b":
-            # corrector extras: original pos, pass-1 vel1, pre-step vel0
-            in_specs += [pl.BlockSpec((3, tr, 128), blk3,
-                                      memory_space=pltpu.VMEM)] * 3
-        if shape.has_drag:
-            in_specs.append(pl.BlockSpec((1, tr, 128), blk3,
-                                         memory_space=pltpu.VMEM))  # drag
-        if has_local:
-            in_specs.append(pl.BlockSpec((p_lc, tr, 128), blk3,
-                                         memory_space=pltpu.VMEM))  # lc slots
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # scal = [dt, t_now, advance base]
-            grid=(n_tiles,),
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=(
-                [pltpu.VMEM((2, n_state, wr, 128), jnp.float32)]  # state wins
-                + ([pltpu.VMEM((2, n_param, wr, 128), jnp.float32)]
-                   if has_pwin else [])                         # param wins
-                + ([pltpu.VMEM((2, 1, wr, 128), jnp.int32)]
-                   if u_k else [])                              # mask bits
-                + [pltpu.SemaphoreType.DMA((2, 1 + has_pwin + u_k))]
-            ),
-        )
-
-        return pl.pallas_call(
-            _build_kernel(shape, t_size, h, mode),
-            grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((3, n_t // 128, 128), jnp.float32)
-                       for _ in range(3)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=96 * 1024 * 1024),
-        )
-
     if rk2:
-        call_a, call_b = _make_call("rk2a"), _make_call("rk2b")
+        call_a = make_tiled_call(shape, t_size, h, n_tiles, "rk2a")
+        call_b = make_tiled_call(shape, t_size, h, n_tiles, "rk2b")
     else:
-        step_call = _make_call("single")
+        step_call = make_tiled_call(shape, t_size, h, n_tiles, "single")
 
     def chunk(state: SimState, n_steps) -> SimState:
         m = state.masses
         stc = state.stencil
-        pair_ok = stc.mask
-        if not shape.all_valid:
-            pair_ok = jnp.stack([
-                pair_ok[fi] & m.valid & jnp.roll(m.valid, -d)
-                for fi, d in enumerate(deltas)])
-        k_eff = jnp.where(pair_ok, stc.k, 0.0)
+        p = prep_flat_inputs(shape, state)
+        move, aratedt, sstop = p["move"], p["aratedt"], p["sstop"]
+        const_flat = p["const_flat"]
+        planes, balls, fparams = p["planes"], p["balls"], p["fparams"]
 
         r3 = lambda x: x.reshape(x.shape[0], -1, 128)
         hpad = lambda x: r3(jnp.pad(x, ((0, 0), (h, h + pad_n))))
 
-        # family scalar params (SMEM) for the uniform fields; value taken
-        # from each family's first masked lane (mask-free families read 0,
-        # harmless because their k is 0 everywhere)
-        lane0 = jnp.argmax(stc.mask, axis=1)
-        at0 = lambda a: jnp.take_along_axis(a, lane0[:, None], 1)[:, 0]
-        styp = stc.type
-        bsign_full = jnp.where(
-            styp == ACTIVE_CONTRACT_THEN_EXPAND, -0.2,
-            jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT, 0.2,
-                      0.0)).astype(jnp.float32)
-        fparams = jnp.stack([
-            at0(stc.k) if u_k else jnp.zeros(nf),
-            at0(stc.rest) if u_rest else jnp.zeros(nf),
-            at0(stc.damping) if u_damp else jnp.zeros(nf),
-            at0(bsign_full) if u_type else jnp.zeros(nf),
-            at0(stc.omega) if u_omega else jnp.zeros(nf),
-        ]).astype(jnp.float32)
+        param_hbm = hpad(p["param_flat"]) if p["param_flat"] is not None \
+            else None
+        mask_hbm = hpad(p["bits_flat"]) if p["bits_flat"] is not None \
+            else None
+
+        # blocked per-tile inputs; invalid masses are frozen like fixed ones
+        zpad = lambda x: r3(jnp.pad(x, ((0, 0), (0, pad_n))))
+        minv = zpad(p["minv_flat"])
+        fixed = zpad(p["fixed_flat"])
+        const_f = zpad(const_flat)
+        drag = zpad(p["drag_flat"]) if p["drag_flat"] is not None else None
+        lc_in = zpad(p["lc_flat"]) if p["lc_flat"] is not None else None
 
         dt32 = state.dt.astype(jnp.float32)
         t032 = state.t.astype(jnp.float32)
-
-        aratedt = sstop = None
-        if shape.has_actuated:
-            # closed-form actuation inputs (module docstring): per-spring
-            # signed rate*dt and the advance count at which the one-sided
-            # bound is crossed (invalid pairs never actuate: reference
-            # early-return at sim.cu:1163)
-            arate = jnp.where(styp == ACTUATED_EXPAND, stc.rate,
-                              jnp.where(styp == ACTUATED_CONTRACT,
-                                        -stc.rate, 0.0))
-            arate = jnp.where(pair_ok, arate, 0.0).astype(jnp.float32)
-            aratedt = arate * dt32
-            abound = jnp.where(
-                styp == ACTUATED_EXPAND, stc.l_max,
-                jnp.where(styp == ACTUATED_CONTRACT, stc.l_min,
-                          0.0)).astype(jnp.float32)
-            nz = aratedt != 0
-            sstop = jnp.where(
-                nz,
-                jnp.ceil((abound - stc.rest.astype(jnp.float32))
-                         / jnp.where(nz, aratedt, 1.0)), 0.0)
-            sstop = jnp.maximum(sstop, 0.0)
-
-        # windowed (non-uniform) params, stacked into one HBM array
-        parts = []
-        if "k" in offsets:
-            parts.append(k_eff)
-        if "rest" in offsets:
-            parts.append(stc.rest)
-        if "aratedt" in offsets:
-            parts.append(aratedt)
-        if "sstop" in offsets:
-            parts.append(sstop)
-        if "damping" in offsets:
-            parts.append(jnp.where(pair_ok, stc.damping, 0.0))
-        if "bsign" in offsets:
-            parts.append(bsign_full)
-        if "bomega" in offsets:
-            parts.append(stc.omega)
-        param_hbm = (hpad(jnp.concatenate(parts, axis=0).astype(jnp.float32))
-                     if parts else None)
-        if u_k:
-            # pack each family's existence+validity mask into bit fi of one
-            # int32 per mass: 1/F the traffic of streaming k itself
-            bits = jnp.zeros(pair_ok.shape[1], jnp.int32)
-            for fi in range(nf):
-                bits = bits | (pair_ok[fi].astype(jnp.int32) << fi)
-            mask_hbm = hpad(bits[None, :])
-        else:
-            mask_hbm = None
-
-        # blocked per-tile inputs; invalid masses are frozen like fixed ones
-        move = m.valid & ~m.fixed
-        minv = r3(jnp.pad((1.0 / m.m)[None, :], ((0, 0), (0, pad_n))))
-        fixed = r3(jnp.pad((~move).astype(m.pos.dtype)[None, :],
-                           ((0, 0), (0, pad_n))))
-        const_flat = m.extern_force + m.m * state.g[:, None]
-        const_f = r3(jnp.pad(const_flat, ((0, 0), (0, pad_n))))
-        drag = (r3(jnp.pad(m.drag[None, :], ((0, 0), (0, pad_n))))
-                if shape.has_drag else None)
-        lc_in = None
-        if has_local:
-            lcon = state.lcon
-            lparts = []
-            for j in range(caps[0]):
-                lparts += [(j < lcon.cp_count).astype(jnp.float32)[None],
-                           lcon.cp_normal[:, j, :].T,
-                           lcon.cp_offset[:, j][None],
-                           lcon.cp_fk[:, j][None], lcon.cp_fs[:, j][None]]
-            for j in range(caps[1]):
-                lparts += [(j < lcon.ball_count).astype(jnp.float32)[None],
-                           lcon.ball_center[:, j, :].T,
-                           lcon.ball_radius[:, j][None]]
-            for j in range(caps[2]):
-                lparts += [(j < lcon.pl_count).astype(jnp.float32)[None],
-                           lcon.pl_normal[:, j, :].T,
-                           lcon.pl_friction[:, j][None]]
-            for j in range(caps[3]):
-                lparts += [(j < lcon.dir_count).astype(jnp.float32)[None],
-                           lcon.dir_tangent[:, j, :].T,
-                           lcon.dir_friction[:, j][None]]
-            lc_in = r3(jnp.pad(
-                jnp.concatenate(lparts, axis=0).astype(jnp.float32),
-                ((0, 0), (0, pad_n))))
-        planes = jnp.zeros((n_planes, 6), jnp.float32)
-        if shape.n_planes:
-            planes = planes.at[: shape.n_planes].set(jnp.concatenate([
-                state.gcon.plane_normal,
-                state.gcon.plane_offset[:, None],
-                state.gcon.plane_fk[:, None],
-                state.gcon.plane_fs[:, None]], axis=1).astype(jnp.float32))
-        balls = jnp.zeros((n_balls, 4), jnp.float32)
-        if shape.n_balls:
-            balls = balls.at[: shape.n_balls].set(jnp.concatenate([
-                state.gcon.ball_center,
-                state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
 
         has_glue = shape.has_remainder or shape.has_magnets
 
@@ -849,7 +891,7 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
                 args += [blk_in(x) for x in extra3]
             if shape.has_drag:
                 args.append(drag)
-            if has_local:
+            if lc_in is not None:
                 args.append(lc_in)
             return args
 

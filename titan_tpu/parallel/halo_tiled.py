@@ -1,0 +1,259 @@
+"""Distributed beyond-VMEM stepping: the grid-tiled Pallas kernel per shard.
+
+The halo-exchange path (halo.py) steps each device's block with XLA rolls
+-- the right tool for small blocks, but a big distributed scene then pays
+the same ~10x kernel-vs-XLA gap the single-device tiled kernel
+(ops/pallas_tiled.py) was built to close (100^3: ~2,245 steps/s tiled vs
+~224 XLA on one v5e).  This module runs THE SAME tiled kernel on every
+device's contiguous block inside ``shard_map``.
+
+Why the kernel composes with halos unchanged: the tiled kernel already
+evaluates spring families over an H-row halo'd window and discards the
+halo rows (only the center tile is extracted); window-edge roll wrap-around
+corrupts only rows within max|delta| <= H of the window edge, i.e. only
+discarded halo rows.  Single-device, the global array's (H, H) edge pads
+are zeros and masks kill boundary pairs.  Distributed, each device's
+(H, H) pads are filled with its neighbors' true edge rows instead:
+
+  - per STEP: two ``ppermute``s move the [3, H] pos (+vel when damped)
+    block edges between ring neighbors -- a few hundred KB over ICI,
+    independent of scene size;
+  - per CHUNK: the same exchange, once, for the spring-parameter planes
+    and the packed family bitmask.  Spring params are chunk-constant BY
+    CONSTRUCTION -- the closed-form ACTUATED rest (rest0 + min(s+1,
+    s_stop)*rate*dt, see pallas_tiled.py) needs no rest writeback, so
+    even actuated scenes exchange parameters once per chunk, and every
+    device computes its halo springs' rests identically.
+
+Forces on owned rows are then complete without any force spill exchange
+(halo.py ppermutes spill buffers instead): springs owned by a neighbor's
+edge masses are evaluated REDUNDANTLY on this device from the halo'd
+window -- max|delta| <= H of redundant rows per side, <2% of a 100^3/8
+block -- and the incomplete/garbage updates of the halo rows themselves
+are overwritten by fresh neighbor data at the next step's exchange.
+Per-device per-row arithmetic is identical (same kernel, same op order)
+to the single-device tiled kernel, so trajectories match it bitwise;
+tests pin that plus the XLA-path tolerance suite.
+
+RK2 runs the reference's double force pass (sim.cu:1778-1799) as two
+kernel launches with FRESH halo exchanges before each, mirroring
+halo.py's RK2 and the single-device two-launch scheme.
+
+Envelope (`halo_tiled_reject_reason`): the tiled kernel's own envelope,
+minus magnets and remainder springs (their per-step glue is not yet wired
+into the distributed path -- those scenes use halo.py, which handles both
+D-way parallel), plus block-geometry conditions: the 1024-aligned
+per-device block must be at least the 1024-aligned halo width H.  Scenes
+are padded (inert rows: minv = 0, masks false) up to D x 1024 alignment
+inside the chunk, so any mass count divides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import Integrator
+from ..ops.pallas_tiled import (_round_up, _tile_size, _vmem_bytes,
+                                _VMEM_EST_BUDGET, make_tiled_call,
+                                prep_flat_inputs, tiled_reject_reason)
+from ..state import SceneShape, SimState
+
+
+def _geometry(shape: SceneShape, n_devices: int):
+    """(h, b, t_size): 1024-aligned halo width, per-device block, and the
+    largest VMEM-fitting tile size that divides the block."""
+    h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
+    b = _round_up(-(-shape.n_masses // n_devices), 1024)
+    t = min(_tile_size(h, shape), b)
+    while t > 1024 and (b % t or _vmem_bytes(shape, t, h)
+                        >= _VMEM_EST_BUDGET):
+        t -= 1024
+    return h, b, t
+
+
+def halo_tiled_reject_reason(shape: SceneShape, n_devices: int):
+    """None if the distributed tiled path accepts this scene on
+    ``n_devices``, else a one-line reason naming the failed condition."""
+    r = tiled_reject_reason(shape)
+    if r is not None:
+        return r
+    if shape.has_magnets:
+        return ("magnet glue is not wired into the distributed tiled "
+                "path yet (halo.py handles magnets D-way parallel)")
+    if shape.has_remainder:
+        return ("remainder-spring glue is not wired into the distributed "
+                "tiled path yet (halo.py handles remainder springs)")
+    if not shape.config.use_pallas:
+        return "use_pallas off"
+    h, b, t = _geometry(shape, n_devices)
+    if b < h:
+        return (f"per-device block {b} < halo width {h} (scene too small "
+                f"for {n_devices}-way distribution of the tiled kernel)")
+    if _vmem_bytes(shape, t, h) >= _VMEM_EST_BUDGET:
+        return (f"tile window needs more VMEM than the "
+                f"{_VMEM_EST_BUDGET >> 20} MB budget even at the minimum "
+                f"block-dividing tile")
+    return None
+
+
+def halo_tiled_supported(shape: SceneShape, n_devices: int) -> bool:
+    return halo_tiled_reject_reason(shape, n_devices) is None
+
+
+def build_halo_tiled_chunk(shape: SceneShape, mesh: Mesh,
+                           axis: str = "shard"):
+    """Jitted chunk(state, n_steps) stepping the scene with one tiled
+    Pallas kernel launch per device per step (two under RK2)."""
+    n = shape.n_masses
+    n_dev = mesh.shape[axis]
+    h, b, t_size = _geometry(shape, n_dev)
+    n_dist = n_dev * b
+    pad_n = n_dist - n
+    n_tiles = b // t_size
+    cfg = shape.config
+    rk2 = cfg.integrator is Integrator.RK2
+    verlet = cfg.integrator is Integrator.VERLET
+    has_damping = shape.has_damping
+    if rk2:
+        call_a = make_tiled_call(shape, t_size, h, n_tiles, "rk2a")
+        call_b = make_tiled_call(shape, t_size, h, n_tiles, "rk2b")
+    else:
+        step_call = make_tiled_call(shape, t_size, h, n_tiles, "single")
+    to_prev = [(i, (i - 1) % n_dev) for i in range(n_dev)]  # recv from next
+    to_next = [(i, (i + 1) % n_dev) for i in range(n_dev)]  # recv from prev
+
+    def body_fn(inp):
+        """Per-device: window the halo'd block and fori the kernel."""
+        r3 = lambda x: x.reshape(x.shape[0], -1, 128)
+
+        def ext(x):
+            """[., B] -> [., H + B + H] with both ring neighbors' edges.
+            The global array end is padded/masked, so the ring wrap
+            contributes nothing (same masking that kills the global
+            jnp.roll wrap in the XLA and single-device tiled paths)."""
+            head_from_next = jax.lax.ppermute(x[:, :h], axis, to_prev)
+            tail_from_prev = jax.lax.ppermute(x[:, -h:], axis, to_next)
+            return jnp.concatenate([tail_from_prev, x, head_from_next],
+                                   axis=1)
+
+        # chunk-constant windows: ONE parameter halo exchange per chunk
+        param_hbm = r3(ext(inp["param"])) if "param" in inp else None
+        mask_hbm = r3(ext(inp["bits"])) if "bits" in inp else None
+        minv_t, fixed_t = r3(inp["minv"]), r3(inp["fixed"])
+        cf = r3(inp["cf"])
+        drag_t = r3(inp["drag"]) if "drag" in inp else None
+        lc_t = r3(inp["lc"]) if "lc" in inp else None
+        fparams, planes, balls = inp["fparams"], inp["planes"], inp["balls"]
+        dt32, t032 = inp["scal0"][0], inp["scal0"][1]
+
+        def call_args(scal, pos_c, vel_c, acc_c=None, extra3=None):
+            if has_damping:
+                state_hbm = r3(jnp.concatenate([ext(pos_c), ext(vel_c)],
+                                               axis=0))
+            else:
+                state_hbm = r3(ext(pos_c))
+            args = [scal, planes, balls, fparams, state_hbm]
+            if param_hbm is not None:
+                args.append(param_hbm)
+            if mask_hbm is not None:
+                args.append(mask_hbm)
+            if not has_damping:
+                args.append(r3(vel_c))
+            if acc_c is not None:
+                args.append(r3(acc_c))
+            args += [cf, minv_t, fixed_t]
+            if extra3 is not None:
+                args += [r3(x) for x in extra3]
+            if drag_t is not None:
+                args.append(drag_t)
+            if lc_t is not None:
+                args.append(lc_t)
+            return args
+
+        flat = lambda x: x.reshape(3, b)
+
+        def body(i, carry):
+            pos, vel, acc = carry
+            i32 = i.astype(jnp.float32)
+            if rk2:
+                # two launches per dt, fresh halos per pass (the kernel's
+                # rk2a/rk2b modes; scal[2] counts ACTUATED advances, two
+                # per dt -- the reference's double-pass rest quirk)
+                scal = jnp.stack([dt32, t032 + i32 * dt32, 2.0 * i32])
+                ph, vh, v1 = call_a(*call_args(scal, pos, vel))
+                ph, vh, v1 = flat(ph), flat(vh), flat(v1)
+                scal2 = jnp.stack([dt32, t032 + (i32 + 0.5) * dt32,
+                                   2.0 * i32 + 1.0])
+                p2, v2, a2 = call_b(*call_args(scal2, ph, vh,
+                                               extra3=(pos, v1, vel)))
+            else:
+                scal = jnp.stack([dt32, t032 + i32 * dt32, i32])
+                p2, v2, a2 = step_call(*call_args(
+                    scal, pos, vel, acc_c=acc if verlet else None))
+            return flat(p2), flat(v2), flat(a2)
+
+        pos, vel, acc = jax.lax.fori_loop(
+            0, inp["n_steps"], body, (inp["pos"], inp["vel"], inp["acc"]))
+        return pos, vel, acc
+
+    def chunk(state: SimState, n_steps) -> SimState:
+        m, stc = state.masses, state.stencil
+        p = prep_flat_inputs(shape, state)
+        move = p["move"]
+        padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
+
+        sh = P(None, axis)
+        rep = P()
+        inp = {"pos": padf(m.pos), "vel": padf(m.vel), "acc": padf(m.acc),
+               "minv": padf(p["minv_flat"]), "fixed": padf(p["fixed_flat"]),
+               "cf": padf(p["const_flat"]),
+               "fparams": p["fparams"], "planes": p["planes"],
+               "balls": p["balls"],
+               "scal0": jnp.stack([state.dt.astype(jnp.float32),
+                                   state.t.astype(jnp.float32)]),
+               "n_steps": jnp.asarray(n_steps, jnp.int32)}
+        specs = {"pos": sh, "vel": sh, "acc": sh, "minv": sh, "fixed": sh,
+                 "cf": sh, "fparams": rep, "planes": rep, "balls": rep,
+                 "scal0": rep, "n_steps": rep}
+        if p["param_flat"] is not None:
+            inp["param"] = padf(p["param_flat"])
+            specs["param"] = sh
+        if p["bits_flat"] is not None:
+            inp["bits"] = padf(p["bits_flat"])
+            specs["bits"] = sh
+        if p["drag_flat"] is not None:
+            inp["drag"] = padf(p["drag_flat"])
+            specs["drag"] = sh
+        if p["lc_flat"] is not None:
+            inp["lc"] = padf(p["lc_flat"])
+            specs["lc"] = sh
+
+        # check_vma=False: pallas_call inside shard_map has no varying-
+        # mesh-axes annotation on its out_shape structs
+        pos, vel, acc = jax.shard_map(
+            body_fn, mesh=mesh, in_specs=(specs,),
+            out_specs=(sh, sh, sh), check_vma=False)(inp)
+        pos, vel, acc = pos[:, :n], vel[:, :n], acc[:, :n]
+        # the kernel zeroes frozen masses' acc; the reference preserves it
+        acc = jnp.where(move, acc, m.acc)
+
+        dtn = jnp.asarray(n_steps, state.dt.dtype) * state.dt
+        new_m = dataclasses.replace(
+            m, pos=pos, vel=vel, acc=acc,
+            T=m.T + jnp.where(move, dtn, 0.0))
+        new_state = dataclasses.replace(state, masses=new_m,
+                                        t=state.t + dtn)
+        if shape.has_actuated:
+            # end-of-chunk rest via the same closed form the kernel used
+            n_adv = jnp.asarray(n_steps, jnp.float32) * (2.0 if rk2 else 1.0)
+            advn = jnp.minimum(n_adv, p["sstop"])
+            new_state = dataclasses.replace(
+                new_state, stencil=dataclasses.replace(
+                    stc, rest=stc.rest + advn * p["aratedt"]))
+        return new_state
+
+    return jax.jit(chunk)
