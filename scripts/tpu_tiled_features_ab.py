@@ -2,11 +2,21 @@
 """Single-process TPU A/B: the tiled kernel's magnet/remainder per-step glue
 vs the XLA fallback those scenes used to land on (late round 3).
 
-Scene: 100^3 lattice (12.7M springs) + 10,000 magnetic masses (above
-magnet_grid_threshold, so the dense-grid Pallas kernel serves the magnet
-term) + 1,024 irregular long-range springs (remainder path).  Before the
-glue, has_magnets/has_remainder each rejected the scene from the tiled
-kernel and it fell to the XLA step path (~224 steps/s at 100^3).
+Scene: 100^3 lattice (12.7M springs) + 10,000 magnetic ATTRACTORS
+(mag_rad = 0, so the binned pass runs with compacted receivers --
+SceneShape.magnet_receivers) + 1,024 irregular long-range springs
+(remainder path).  Before the glue, has_magnets/has_remainder each
+rejected the scene from the tiled kernel and it fell to the XLA step
+path (~224 steps/s at 100^3).
+
+HISTORY: the first version of this scene gave the magnets shell radii,
+which forces the RECEIVER-DENSE binned pass (exactness: shell contact can
+reach any mass inside a fat source's radius) -- ~0.95 s/step at 1M
+receivers (receiver-gather bound), which made the warm dispatch a ~50 s
+single dispatch and the TUNNEL killed the worker ("TPU worker crashed",
+the known >1 min dispatch kill, CLAUDE.md).  Receiver compaction is the
+fix for attractor scenes; receiver-dense scenes must keep dispatches
+short (max_dispatch below guards this A/B either way).
 """
 import json
 import os
@@ -49,11 +59,9 @@ sim.createPlane(Vec(0, 0, 1), 0)
 st = sim._store
 n = st.n_masses
 if n_mag:
-    # gentle magnet params: enough to exercise the grid kernel, not enough
-    # to blow up the lattice
+    # gentle pure attractors (rad = 0 -> receiver compaction; maxf small
+    # enough not to blow up the lattice)
     idx = np.linspace(0, n - 1, n_mag).astype(np.int64)
-    st.mag_rad[idx] = 0.01
-    st.mag_stiffness[idx] = 100.0
     st.mag_maxf[idx] = 1e-5
     st.mag_scale[idx] = 1.0
 if n_rem:
@@ -70,7 +78,7 @@ sim._T = 0.0
 sim._marshal()
 shape = sim._shape
 assert shape.has_magnets and shape.has_remainder
-assert shape.magnet_grid, "expected the dense-grid magnet kernel"
+assert shape.magnet_receivers, "expected compacted magnet receivers"
 reason = pallas_tiled.tiled_reject_reason(shape)
 assert reason is None, reason
 print(f"setup {time.perf_counter()-t0:.1f}s  springs={st.n_springs} "
@@ -81,20 +89,37 @@ step = build_step_fn(shape)
 xla_chunk = jax.jit(lambda s, k: jax.lax.fori_loop(
     0, k, lambda i, ss: step(ss), s))
 
+# the tunnel kills single dispatches past ~1 min (CLAUDE.md); run every
+# window as repeated bounded dispatches
+MAX_DISPATCH = int(os.environ.get("TITAN_MAX_DISPATCH", "100"))
+
+
+def run(chunk, state, steps):
+    """Bounded dispatches, queued WITHOUT intermediate syncs (a sync per
+    dispatch would re-add the ~25 ms tunnel readback the round-3 bench
+    window fix removed); the caller syncs once at the end."""
+    left = steps
+    while left > 0:
+        k = min(left, MAX_DISPATCH)
+        state = chunk(state, jnp.int32(k))
+        left -= k
+    return state
+
+
 for name, chunk in (("xla", xla_chunk),
                     ("tiled+glue", pallas_tiled.build_tiled_chunk(shape))):
     state = sim._state
     t0 = time.perf_counter()
-    state = chunk(state, jnp.int32(1))
+    state = run(chunk, state, 1)
     sync(state)
     compile_s = time.perf_counter() - t0
     warm = 50 if name == "xla" else 200
-    state = chunk(state, jnp.int32(warm))
+    state = run(chunk, state, warm)
     sync(state)
     steps = int(os.environ.get("TITAN_AB_STEPS", "300" if name == "xla"
                                else "1200"))
     t0 = time.perf_counter()
-    state = chunk(state, jnp.int32(steps))
+    state = run(chunk, state, steps)
     sync(state)
     el = time.perf_counter() - t0
     print(json.dumps({

@@ -101,3 +101,103 @@ def test_binned_end_to_end_step():
     out2 = build_chunk_fn(sim2._shape)(sim2._state, jnp.int32(20))
     np.testing.assert_allclose(p, np.asarray(out2.masses.pos),
                                atol=1e-5, rtol=1e-4)
+
+
+def _attractor_scene(n=600, n_att=24, seed=3, threshold=16):
+    """Sparse pure attractors (mag_rad == 0 everywhere) in a big cloud:
+    the receiver-compaction case (SceneShape.magnet_receivers)."""
+    rng = np.random.RandomState(seed)
+    sim = Simulation(SimConfig(magnet_binned_threshold=threshold))
+    st = sim._store
+    for i in range(n):
+        sim.createMass(Vec(*rng.uniform(-1.5, 1.5, 3)))
+    att = rng.choice(n, n_att, replace=False)
+    st.mag_maxf[att] = rng.uniform(0.5, 2.0, n_att)
+    st.mag_scale[:n] = 1.0     # every mass is a susceptibility source
+    sim.setTimeStep(1e-4)
+    sim._T = 0.0
+    sim._marshal()
+    return sim, att
+
+
+def test_receiver_compaction_marshal_flags():
+    sim, _ = _attractor_scene()
+    # sparse attractors, all shell radii zero -> compaction engages and
+    # the grid kernel stays off (its per-slot compute scans every source)
+    assert sim._shape.magnet_receivers == pad_to(24, 8)
+    assert not sim._shape.magnet_grid
+
+    # any nonzero shell radius makes compaction inexact -> receiver-dense
+    sim2, att2 = _attractor_scene(seed=4)
+    sim2._store.mag_rad[att2[0]] = 0.05
+    sim2._marshal()
+    assert sim2._shape.magnet_receivers == 0
+
+    # dense attractors (>= 1/4 of the scene) -> compaction not worth it
+    sim3, _ = _attractor_scene(n=64, n_att=40)
+    assert sim3._shape.magnet_receivers == 0
+
+
+def test_receiver_compaction_exact():
+    """Compacted receivers == receiver-dense binned == pairwise, with
+    deleted masses (incl. a deleted attractor, which must receive nothing
+    and stop attracting)."""
+    sim, att = _attractor_scene()
+    st = sim._store
+    st.valid[att[0]] = False      # deleted attractor
+    st.valid[17] = False
+    sim._marshal()
+    assert sim._shape.magnet_receivers
+    m = sim._state.masses
+    cutoff = sim.config.magnet_cutoff
+    a_cells, cap = sim._shape.magnet_binned
+
+    dense = np.asarray(binned_magnet_forces(m, cutoff, a_cells, cap))
+    compact = np.asarray(binned_magnet_forces(
+        m, cutoff, a_cells, cap, receivers=sim._shape.magnet_receivers))
+    # with all shell radii zero, non-attractors receive exactly 0 on the
+    # dense path too -- per-receiver math identical -> bitwise
+    np.testing.assert_array_equal(compact, dense)
+
+    want = np.asarray(F.magnet_forces(m, cutoff))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(compact, want, atol=2e-5 * max(scale, 1.0),
+                               rtol=1e-4)
+    # the compacted rows really are just the attractors
+    nz = np.nonzero(np.any(compact != 0.0, axis=0))[0]
+    assert set(nz) <= set(att.tolist())
+
+
+def test_receiver_compaction_push_overflow_remarshals():
+    """set()-pushes that break the compaction preconditions (new shell
+    radius, or more attractors than the padded capacity) re-marshal."""
+    import jax.numpy as jnp
+    sim, att = _attractor_scene(n_att=9)   # padded capacity 16
+    assert sim._shape.magnet_receivers == pad_to(9, 8)
+    sim.start()
+    sim.pause(0.0)
+
+    # adding attractors up to the padded capacity: plain push, no re-marshal
+    shape_before = sim._shape
+    for i in range(7):
+        mm = sim.masses[500 + i]
+        mm.max_mag_force = 1.0
+        sim.set(mm)
+    assert sim._shape is shape_before
+
+    # one more attractor overflows the static capacity -> re-marshal
+    mm = sim.masses[550]
+    mm.max_mag_force = 1.0
+    sim.set(mm)
+    assert sim._shape.magnet_receivers >= 17 or sim._structure_dirty
+
+    # a new shell radius breaks the all-rad-zero precondition
+    sim2, _ = _attractor_scene(n_att=9)
+    sim2.start()
+    sim2.pause(0.0)
+    mm2 = sim2.masses[100]
+    mm2.rad = 0.05
+    sim2.set(mm2)
+    assert sim2._shape.magnet_receivers == 0 or sim2._structure_dirty
+    sim.stop()
+    sim2.stop()

@@ -36,7 +36,8 @@ def magnet_pass(masses: MassState, shape: SceneShape) -> jax.Array:
                                       a_cells, cell_cap)
         from .magnets import binned_magnet_forces
         return binned_magnet_forces(masses, cfg.magnet_cutoff,
-                                    a_cells, cell_cap)
+                                    a_cells, cell_cap,
+                                    receivers=shape.magnet_receivers)
     return F.magnet_forces(masses, cfg.magnet_cutoff)
 
 

@@ -373,6 +373,7 @@ class Simulation:
                             | (st.mag_stiffness[:n] != 0))))
         magnet_binned = ()
         magnet_grid = False
+        magnet_receivers = 0
         if has_magnets and n_magnetic >= cfg.magnet_binned_threshold:
             # the bin table holds every VALID mass (all are shell-contact
             # sources, matching the reference OG's insert-everything,
@@ -381,9 +382,25 @@ class Simulation:
             n_valid_cnt = int(np.count_nonzero(st.valid[:n]))
             magnet_binned = (pad_to(max(n_valid_cnt, 1), 8),
                              cfg.magnet_cell_cap)
+            # receiver compaction (state.py SceneShape.magnet_receivers):
+            # EXACT only when no mass has a shell radius -- shell contact
+            # on a zero-param receiver is then impossible and the receiver
+            # set is statically {valid & mag_maxf != 0}.  Engaged when
+            # those attractors are sparse (< 1/4 of the scene): the binned
+            # pass is receiver-gather bound, so this is the difference
+            # between ~1 s and ~ms per force pass at 1M masses.
+            n_recv = int(np.count_nonzero(st.valid[:n]
+                                          & (st.mag_maxf[:n] != 0.0)))
+            if (not np.any(st.mag_rad[:n] != 0.0)
+                    and n_recv < n_valid_cnt // 4):
+                magnet_receivers = pad_to(max(n_recv, 1), 8)
             # use_pallas=False must keep the whole step Pallas-free (the
-            # flag's documented purpose is an XLA-only escape hatch)
+            # flag's documented purpose is an XLA-only escape hatch);
+            # compacted-receiver scenes prefer binned+compaction (the grid
+            # kernel's per-slot compute scans every SOURCE slot, wasted
+            # when almost nothing receives)
             magnet_grid = (cfg.use_pallas
+                           and magnet_receivers == 0
                            and n_magnetic >= cfg.magnet_grid_threshold
                            and cfg.dtype == "float32"
                            and cfg.magnet_cell_cap % 8 == 0)
@@ -407,7 +424,7 @@ class Simulation:
             plane_friction=tuple(bool(p[2] or p[3]) for p in self._planes),
             cap_cp=caps[0], cap_ball=caps[1], cap_pl=caps[2], cap_dir=caps[3],
             has_magnets=has_magnets, magnet_binned=magnet_binned,
-            magnet_grid=magnet_grid,
+            magnet_grid=magnet_grid, magnet_receivers=magnet_receivers,
             has_drag=has_drag,
             has_breathing=has_breathing, has_actuated=has_actuated,
             has_damping=has_damping,
@@ -567,14 +584,32 @@ class Simulation:
     def _place_distributed(self, shape: SceneShape, mesh) -> None:
         """Shard state + chunk over the mesh chosen by distribute().
 
-        Prefers the explicit halo-exchange path (~3x the automatic
-        partitioner on an 8-device mesh, docs/PERFORMANCE.md); scenes
-        outside its envelope fall back to XLA's automatic SPMD.  Re-marshal
-        (feature flips, topology edits) re-places automatically."""
+        Beyond-VMEM scenes in the distributed-tiled envelope run the
+        grid-tiled Pallas kernel per shard (parallel/halo_tiled.py -- the
+        single-device kernel's measured ~10x over XLA at 100^3, with only
+        pos/vel halo ppermutes per step); other scenes prefer the explicit
+        halo-exchange path (~3x the automatic partitioner on an 8-device
+        mesh, docs/PERFORMANCE.md); scenes outside both envelopes fall
+        back to XLA's automatic SPMD.  Re-marshal (feature flips, topology
+        edits) re-places automatically."""
+        from ..ops.pallas_step import pallas_supported
         from ..parallel.halo import build_halo_chunk, halo_reject_reason, \
             place
+        from ..parallel.halo_tiled import (build_halo_tiled_chunk,
+                                           halo_tiled_reject_reason)
         from ..parallel.sharded import build_sharded_chunk, shard_state
         axis = self._mesh_axis
+        ht_reason = halo_tiled_reject_reason(shape, mesh.shape[axis])
+        if ht_reason is None and not pallas_supported(shape):
+            # scenes beyond the VMEM kernel: per-shard tiled Pallas kernel
+            # (the envelope rule is conservative -- smaller scenes keep the
+            # XLA halo path, whose per-step cost at small blocks is known)
+            self._state = place(self._state, mesh, axis)
+            self._chunk = build_halo_tiled_chunk(shape, mesh, axis)
+            get_logger().info(
+                "distributed over %d devices via the per-shard tiled "
+                "Pallas kernel", mesh.devices.size)
+            return
         reason = halo_reject_reason(shape, mesh.shape[axis])
         if reason is None:
             self._state = place(self._state, mesh, axis)
@@ -963,8 +998,21 @@ class Simulation:
         needs_magnets = bool(np.any(st.mag_maxf[idx] != 0.0)
                              or np.any(st.mag_rad[idx] != 0.0))
         needs_drag = bool(np.any(st.drag[idx] != 0.0))
+        recv_overflow = False
+        if self._shape.magnet_receivers:
+            # compacted-receiver trace (SceneShape.magnet_receivers): a push
+            # can break its static preconditions -- any nonzero shell radius
+            # (shell contact then reaches plain masses: receiver-dense
+            # required) or more attractors than the padded capacity
+            nm = self._store.n_masses
+            recv_overflow = (
+                bool(np.any(st.mag_rad[:nm] != 0.0))
+                or int(np.count_nonzero(st.valid[:nm]
+                                        & (st.mag_maxf[:nm] != 0.0)))
+                > self._shape.magnet_receivers)
         if ((needs_magnets and not self._shape.has_magnets)
-                or (needs_drag and not self._shape.has_drag)):
+                or (needs_drag and not self._shape.has_drag)
+                or recv_overflow):
             self._remarshal_preserving_store_rows(mass_idx=idx, spring_idx=None)
             return
         with self._cv:

@@ -221,6 +221,19 @@ class SceneShape:
     # for large binned scenes on f32; only honored on TPU by ops/step, and
     # cleared by the AD / vmap / auto-SPMD paths (no Pallas there).
     magnet_grid: bool = False
+    # Receiver compaction for the binned magnet pass (ops/magnets.py):
+    # 0 = receiver-dense (every valid mass computes its magnet force --
+    # the reference semantics, and REQUIRED for exactness whenever any
+    # mass has mag_rad != 0, because shell contact can reach a plain
+    # mass that drifts inside a fat source's radius).  > 0 = the padded
+    # capacity of the static receiver set {valid & mag_maxf != 0}, exact
+    # when every mag_rad == 0 (shell force is then impossible: the
+    # intersection depth dist - (rad_r + rad_s) = dist >= 0), set at
+    # marshal for scenes where attractors are sparse in a big lattice --
+    # the binned pass is receiver-gather bound (~9 bin-row gathers per
+    # receiver), so compacting 1M receivers to a few thousand is the
+    # difference between ~1 s and ~ms per force pass.
+    magnet_receivers: int = 0
     # max |right - left| over remainder springs (0 if none): the halo-exchange
     # multi-chip path (parallel/halo.py) can evaluate remainder springs
     # locally iff this span fits inside its halo window.
