@@ -9,6 +9,7 @@ device_get so the lazy UNAVAILABLE error localizes:
 
 Run phases selectively: TITAN_BISECT=1,2,3 (default all).
 """
+import json
 import os
 import sys
 import time
@@ -149,3 +150,36 @@ if "6" in phases:
         print(json.dumps({"phase6": tag, "ms_per_pass": round(el * 1e3, 2),
                           "sum": s, "compile_s": round(compile_s, 1)}),
               flush=True)
+
+if "7" in phases:
+    # breakdown of the compact pass: where do the ~170 ms go?
+    from titan_tpu.ops.magnets import (build_source_bins, cell_ids,
+                                       magnet_receiver_idx)
+    sim7 = build(attractors_only=True)
+    shape = sim7._shape
+    m = sim7._state.masses
+    a_cells, cap = shape.magnet_binned
+    cutoff = sim7.config.magnet_cutoff
+    parts = {
+        "top_k": jax.jit(lambda mm: magnet_receiver_idx(
+            mm, shape.magnet_receivers)),
+        "cell_ids": jax.jit(lambda mm: cell_ids(mm.pos, mm.valid, cutoff)),
+        "argsort": jax.jit(lambda mm: jnp.argsort(
+            cell_ids(mm.pos, mm.valid, cutoff))),
+        "bins_full": jax.jit(lambda mm: build_source_bins(
+            mm.pos, mm.valid, mm.mag_rad, mm.mag_scale, cutoff,
+            a_cells, cap)[0]),
+    }
+    for tag, f in parts.items():
+        out = f(m)
+        jax.device_get(jnp.sum(out) if out.dtype != jnp.int32
+                       else jnp.sum(out.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            out = f(m)
+        jax.device_get(jnp.sum(out) if out.dtype != jnp.int32
+                       else jnp.sum(out.astype(jnp.float32)))
+        el = (time.perf_counter() - t0) / reps
+        print(json.dumps({"phase7": tag,
+                          "ms": round(el * 1e3, 2)}), flush=True)

@@ -201,3 +201,35 @@ def test_receiver_compaction_push_overflow_remarshals():
     assert sim2._shape.magnet_receivers == 0 or sim2._structure_dirty
     sim.stop()
     sim2.stop()
+
+
+def test_deleted_mass_never_pollutes_trash_row():
+    """Regression: invalid masses used to be scattered into bins row A --
+    the TRASH row every empty-cell lookup reads -- so a receiver with any
+    empty neighbor cell felt a DELETED magnet's stale-position force
+    (measured 3.1e3 N on this scene before the fix).  Invalid masses must
+    drop out of the table entirely."""
+    sim = Simulation(SimConfig())
+    st = sim._store
+    # receiver at origin; deleted magnet 0.05 m away (inside the cutoff);
+    # the rest of the cloud far away so the receiver's 3x3 window is
+    # mostly EMPTY cells (-> rows9 includes the trash row)
+    sim.createMass(Vec(0, 0, 0))
+    sim.createMass(Vec(0.05, 0, 0))
+    for i in range(30):
+        sim.createMass(Vec(5 + i * 0.5, 5, 5))
+    n = st.n_masses
+    st.mag_rad[:2] = 0.05
+    st.mag_stiffness[:2] = 200.0
+    st.mag_maxf[:2] = 1.0
+    st.mag_scale[:2] = 1.0
+    st.valid[1] = False
+    sim.setTimeStep(1e-4)
+    sim._T = 0.0
+    sim._marshal()
+    m = sim._state.masses
+    cutoff = sim.config.magnet_cutoff
+    want = np.asarray(F.magnet_forces(m, cutoff))
+    got = np.asarray(binned_magnet_forces(m, cutoff, pad_to(n, 8), 16))
+    np.testing.assert_allclose(got, want, atol=1e-7)
+    assert np.all(got[:, 0] == 0.0)     # nothing left in range

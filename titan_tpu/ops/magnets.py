@@ -60,10 +60,20 @@ def cell_ids(pos: jax.Array, valid: jax.Array, cutoff: float) -> jax.Array:
     return jnp.where(valid, cx * G + cy, sentinel)
 
 
+def magnet_receiver_idx(masses: MassState, receivers: int) -> jax.Array:
+    """The compacted receiver index set (top-``receivers`` by the flag
+    ``valid & mag_maxf != 0``); [R] int32.  Chunk-constant -- hoist to
+    chunk entry rather than paying the top_k over N every step."""
+    flag = masses.valid & (masses.mag_maxf != 0.0)
+    _, ridx = jax.lax.top_k(flag.astype(jnp.int32), receivers)
+    return ridx.astype(jnp.int32)
+
+
 def binned_magnet_forces(masses: MassState, cutoff: float,
                          n_cells: int, cell_cap: int,
                          chunk_cells: int = 512,
-                         receivers: int = 0) -> jax.Array:
+                         receivers: int = 0,
+                         ridx: jax.Array | None = None) -> jax.Array:
     """Magnet forces via the cell-binned neighbor structure; [3, N].
 
     Physics identical to ops/forces.magnet_forces (reference
@@ -88,15 +98,16 @@ def binned_magnet_forces(masses: MassState, cutoff: float,
     pos = masses.pos                                       # [3, N]
     n = pos.shape[1]
 
-    bins, tbl, order, csort, msort = build_source_bins(
+    bins, tbl, cell = build_source_bins(
         pos, masses.valid, masses.mag_rad, masses.mag_scale, cutoff,
         n_cells, cell_cap)
 
     if receivers:
-        flag = masses.valid & (masses.mag_maxf != 0.0)
-        _, ridx = jax.lax.top_k(flag.astype(jnp.int32), receivers)
-        ridx = ridx.astype(jnp.int32)
-        cell = cell_ids(pos, masses.valid, cutoff)
+        if ridx is None:
+            # callers stepping in a loop should hoist this to chunk entry
+            # (magnet_receiver_idx): the top_k over N is chunk-constant
+            ridx = magnet_receiver_idx(masses, receivers)
+        flag = masses.valid[ridx] & (masses.mag_maxf[ridx] != 0.0)
         rows9 = neighborhood_rows(tbl, cell[ridx], n_cells)   # [R, 9]
         f_r = receiver_forces(bins, rows9, cutoff, n, pos[:, ridx],
                               masses.mag_rad[ridx],
@@ -104,35 +115,31 @@ def binned_magnet_forces(masses: MassState, cutoff: float,
                               masses.mag_maxf[ridx], ridx, chunk_cells)
         # top_k padding beyond the true attractor count picks unflagged
         # indices; mask them (an INVALID mass can carry nonzero params)
-        f_r = jnp.where(flag[ridx], f_r, 0.0)
+        f_r = jnp.where(flag, f_r, 0.0)
         return jnp.zeros((3, n), pos.dtype).at[:, ridx].set(f_r)
 
-    order32 = order.astype(jnp.int32)
-    # receivers are the sorted masses themselves -- dense, no slot padding,
-    # no gather -- each fetching its cell's 3x3 candidate slabs
-    rows9 = neighborhood_rows(tbl, csort, n_cells)         # [N, 9]
-    spos = pos[:, order]
-    srad = masses.mag_rad[order]
-    sstiff = masses.mag_stiffness[order]
-    smaxf = masses.mag_maxf[order]
-
-    f_sorted = receiver_forces(bins, rows9, cutoff, n, spos, srad, sstiff,
-                               smaxf, order32, chunk_cells)
-    f_sorted = jnp.where(msort, f_sorted, 0.0)
-    out = jnp.zeros((3, n), pos.dtype).at[:, order].set(f_sorted)
-    return out
+    # receivers are the masses in ORIGINAL order -- dense, no slot padding,
+    # and (round-3 continued) no gathers: receiver order is irrelevant to
+    # the per-receiver candidate sweep, so the old cell-sorted receiver
+    # staging (four [N]-row gathers in + one [N]-row unsort scatter out)
+    # was pure overhead on the TPU's row-count-bound gathers
+    rows9 = neighborhood_rows(tbl, cell, n_cells)          # [N, 9]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    f = receiver_forces(bins, rows9, cutoff, n, pos, masses.mag_rad,
+                        masses.mag_stiffness, masses.mag_maxf, iota,
+                        chunk_cells)
+    return jnp.where(masses.valid, f, 0.0)
 
 
 def build_source_bins(pos, valid, mag_rad, mag_scale, cutoff: float,
                       n_cells: int, cell_cap: int):
     """Build the binned SOURCE structure over the full mass set.
 
-    Returns ``(bins, tbl, order, csort, msort)``: the [A+1, 6, C] candidate
-    table (x, y, z, rad, scale, id-as-float; row A = trash, empty slots hold
-    a far-away sentinel position so every pair test fails on distance), the
-    dense [G*G] cell -> bin-row table (A = empty cell), and the cell-sort
-    (order / sorted cell ids / valid-in-grid mask) for callers that want
-    sorted receivers.
+    Returns ``(bins, tbl, cell)``: the [A+1, 6, C] candidate table
+    (x, y, z, rad, scale, id-as-float; row A = trash, empty slots hold
+    a far-away sentinel position so every pair test fails on distance),
+    the dense [G*G] cell -> bin-row table (A = empty cell), and each
+    mass's cell id (receiver lookups index ``tbl`` with it).
 
     ALL valid masses are binned as sources, not just ones with nonzero
     magnet params: a zero-param mass still exerts shell contact force on
@@ -141,21 +148,29 @@ def build_source_bins(pos, valid, mag_rad, mag_scale, cutoff: float,
     (src_valid = masses.valid) and the reference occupancy grid, which
     inserts every mass (sim.cu:842).
 
-    Two measured TPU traps shaped the bin layout: per-element XLA gathers
-    at [A, 9C] scale were 4.7x SLOWER than the O(N^2) pairwise pass, and
-    slot-padded receivers ([A, C, 9C] pair tensor) wasted C x the compute
-    on empty slots.  Like the reference, a mass beyond the cell cap stops
-    acting as a SOURCE but still receives forces (it is absent from the
-    grid but still scans it, sim.cu:1250-1281).
+    Measured TPU traps shaped this (docs/PERFORMANCE.md): per-element XLA
+    gathers at [A, 9C] scale were 4.7x SLOWER than the O(N^2) pairwise
+    pass; slot-padded receivers ([A, C, 9C] pair tensor) wasted C x the
+    compute on empty slots; and (round-3 continued, 1M-mass breakdown)
+    staging the six field rows in CELL-SORTED order cost eight [N]-row
+    gathers = ~150 of the ~170 ms compact pass -- the sort itself is only
+    ~4 ms.  The table is therefore scattered in ORIGINAL mass order (the
+    same in-layout trick as ops/magnets_grid.py): lax.sort carries the
+    index as a second operand (no csort gather), per-mass (bin row, slot)
+    come back to original order via two cheap scatters, and the field
+    stack needs no reordering at all.  Like the reference, a mass beyond
+    the cell cap stops acting as a SOURCE but still receives forces (it
+    is absent from the grid but still scans it, sim.cu:1250-1281).
     """
     n = pos.shape[1]
     G = GRID_DIM
     sentinel = jnp.int32(G * G + 7)                        # > any real cell
     cell = cell_ids(pos, valid, cutoff)                    # [N]
 
-    order = jnp.argsort(cell)                              # magnetic first
-    csort = cell[order]
     iota = jnp.arange(n, dtype=jnp.int32)
+    # one stable two-operand sort: sorted cells AND the permutation,
+    # without the cell[order] gather
+    csort, order = jax.lax.sort((cell, iota), num_keys=1, is_stable=True)
     first = jnp.concatenate([jnp.ones(1, bool),
                              csort[1:] != csort[:-1]])     # segment starts
     seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1       # [N] 0..K-1
@@ -163,8 +178,15 @@ def build_source_bins(pos, valid, mag_rad, mag_scale, cutoff: float,
     rank = iota - seg_start                                # slot within cell
 
     msort = csort != sentinel
-    aidx = jnp.where(msort, seg_id, n_cells)               # drop via OOB
     A, C = n_cells, cell_cap
+    # invalid masses route to A+1: out of bounds of BOTH the [A] acell
+    # scatter and the [A+1, 6, C] bins scatter, so mode="drop" removes
+    # them entirely.  (A alone is the TRASH row of bins -- in bounds! --
+    # and routing invalid masses there polluted it: a receiver with any
+    # empty neighbor cell reads row A, and a DELETED magnet's stale
+    # fields in it exerted real force.  Regression-pinned in
+    # tests/test_magnets_binned.py::test_deleted_mass_never_pollutes_trash_row.)
+    aidx = jnp.where(msort, seg_id, A + 1)
     acell = jnp.full(A, sentinel, jnp.int32).at[aidx].set(csort, mode="drop")
 
     # 9-neighborhood lookup via a dense cell -> bin-row table: one
@@ -174,17 +196,31 @@ def build_source_bins(pos, valid, mag_rad, mag_scale, cutoff: float,
     tbl = jnp.full(G * G, A, jnp.int32).at[acell].set(
         jnp.arange(A, dtype=jnp.int32), mode="drop")       # sentinel drops
 
+    # each mass's flat slot base in the [A+1, 6, C] table, routed OOB for
+    # invalid masses AND over-cap ranks (rank >= C would otherwise bleed
+    # into the next field's slots in flat addressing), then unsorted to
+    # original mass order with ONE scatter.  (int32 flat addressing bounds
+    # the table at (A+1)*6*C < 2^31, i.e. ~22M valid masses -- the [A,6,C]
+    # table itself hits HBM limits far earlier.)
+    size = (A + 1) * 6 * C
+    assert size < 2 ** 31, "bins table exceeds int32 flat addressing"
+    base_s = jnp.where(msort & (rank < C), aidx * (6 * C) + rank, size)
+    base_o = jnp.full(n, size, jnp.int32).at[order].set(base_s)
+
     FAR = jnp.asarray(1e9, pos.dtype)
-    order32 = order.astype(jnp.int32)
     # ONE [A+1, 6, C] table (x, y, z, rad, scale, id-as-float) so each
-    # receiver needs a single row-slab gather instead of six
-    fields = jnp.stack([pos[0][order], pos[1][order], pos[2][order],
-                        mag_rad[order], mag_scale[order],
-                        order32.astype(pos.dtype)])        # [6, N] sorted
+    # receiver needs a single row-slab gather instead of six; fields stay
+    # in original mass order (zero gathers), written by SIX flat
+    # per-field element scatters -- measured 1.75x the row-windowed
+    # two-index scatter at 1M masses on a v5e (134 -> 76 ms; scatters,
+    # like gathers, are element-count bound on TPU)
+    fields = jnp.stack([pos[0], pos[1], pos[2], mag_rad, mag_scale,
+                        iota.astype(pos.dtype)])           # [6, N]
     fill = jnp.asarray([FAR, FAR, FAR, 0.0, 0.0, n], pos.dtype)
-    bins = jnp.broadcast_to(fill[None, :, None], (A + 1, 6, C))
-    bins = bins.at[aidx, :, rank].set(fields.T, mode="drop")
-    return bins, tbl, order, csort, msort
+    flat = jnp.broadcast_to(fill[None, :, None], (A + 1, 6, C)).reshape(-1)
+    for f in range(6):
+        flat = flat.at[base_o + f * C].set(fields[f], mode="drop")
+    return flat.reshape(A + 1, 6, C), tbl, cell
 
 
 def neighborhood_rows(tbl: jax.Array, rcell: jax.Array,

@@ -845,6 +845,12 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
         t032 = state.t.astype(jnp.float32)
 
         has_glue = shape.has_remainder or shape.has_magnets
+        magnet_ridx = None
+        if shape.has_magnets and shape.magnet_receivers:
+            # hoist the chunk-constant compacted-receiver top_k out of the
+            # per-step glue
+            from .magnets import magnet_receiver_idx
+            magnet_ridx = magnet_receiver_idx(m, shape.magnet_receivers)
 
         def glue_cf(pos_c, vel_c, t_i, rem_rest):
             # per-step magnet/remainder glue (module docstring): the same
@@ -868,7 +874,8 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
                 # fixed masses stay field sources but receive nothing
                 # (sim.cu:1292-1298), matching ops.step._mass_forces
                 extra = extra + jnp.where(m.fixed, 0.0,
-                                          magnet_pass(mm, shape))
+                                          magnet_pass(mm, shape,
+                                                      magnet_ridx))
             return (r3(jnp.pad(const_flat + extra, ((0, 0), (0, pad_n)))),
                     rem_rest)
 

@@ -21,10 +21,14 @@ from . import forces as F
 from . import integrators as I
 
 
-def magnet_pass(masses: MassState, shape: SceneShape) -> jax.Array:
+def magnet_pass(masses: MassState, shape: SceneShape,
+                ridx: jax.Array | None = None) -> jax.Array:
     """Magnet force field [3, N] via the strategy the static shape picked
     (exact masked pairwise / cell-binned / dense-grid Pallas kernel).  Shared
-    by the XLA step and the tiled chunk's per-step magnet glue."""
+    by the XLA step and the tiled chunk's per-step magnet glue.  ``ridx``
+    is the optional hoisted compacted-receiver index set
+    (magnets.magnet_receiver_idx -- chunk-constant, so loop callers pass
+    it instead of paying the top_k over N every step)."""
     cfg = shape.config
     if shape.magnet_binned:
         a_cells, cell_cap = shape.magnet_binned
@@ -37,12 +41,14 @@ def magnet_pass(masses: MassState, shape: SceneShape) -> jax.Array:
         from .magnets import binned_magnet_forces
         return binned_magnet_forces(masses, cfg.magnet_cutoff,
                                     a_cells, cell_cap,
-                                    receivers=shape.magnet_receivers)
+                                    receivers=shape.magnet_receivers,
+                                    ridx=ridx)
     return F.magnet_forces(masses, cfg.magnet_cutoff)
 
 
 def _mass_forces(
     state: SimState, masses: MassState, f: jax.Array, shape: SceneShape,
+    magnet_ridx: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Accumulate all non-spring forces onto ``f`` and apply velocity-mutating
     constraints, following the reference order (massForcesAndUpdate,
@@ -56,7 +62,8 @@ def _mass_forces(
         # fixed masses early-return before the magnet pass (sim.cu:1292-1298)
         # but still act as field sources; receivers that are fixed never
         # integrate so the extra force is harmless -- masked for clarity.
-        f = f + jnp.where(masses.fixed, 0.0, magnet_pass(masses, shape))
+        f = f + jnp.where(masses.fixed, 0.0,
+                          magnet_pass(masses, shape, magnet_ridx))
     f = f + masses.m * state.g[:, None]
     f = f + masses.extern_force
     f = F.apply_global_constraints(
@@ -138,14 +145,14 @@ def build_step_fn(shape: SceneShape) -> Callable[[SimState], SimState]:
         return new
 
     if cfg.integrator is Integrator.RK2:
-        def step(state: SimState) -> SimState:
+        def step(state: SimState, magnet_ridx=None) -> SimState:
             # Reference RK2 (sim.cu:1778-1799): two spring+mass passes per dt;
             # the spring actuation rest mutation runs in BOTH passes at the
             # full dt rate (a reference quirk, reproduced).
             masses, dt = state.masses, state.dt
             f1, st_rest1, rem_rest1 = spring_pass(state, masses, state.t)
             state = put_rests(state, st_rest1, rem_rest1)
-            f1, vel1 = _mass_forces(state, masses, f1, shape)
+            f1, vel1 = _mass_forces(state, masses, f1, shape, magnet_ridx)
             masses1 = dataclasses.replace(masses, vel=vel1)
             pos_h, vel_h, acc1 = I.rk2_half(masses.pos, vel1, f1, masses.m, dt)
             half = finish(masses1, pos_h, vel_h, acc1, 0.5 * dt)
@@ -153,7 +160,7 @@ def build_step_fn(shape: SceneShape) -> Callable[[SimState], SimState]:
             f2, st_rest2, rem_rest2 = spring_pass(state, half,
                                                   state.t + 0.5 * dt)
             state = put_rests(state, st_rest2, rem_rest2)
-            f2, vel2 = _mass_forces(state, half, f2, shape)
+            f2, vel2 = _mass_forces(state, half, f2, shape, magnet_ridx)
             pos, vel, acc2 = I.rk2_full(masses.pos, masses1.vel, vel2, f2,
                                         masses.m, dt)
             out = finish(dataclasses.replace(half, vel=vel2), pos, vel, acc2,
@@ -167,11 +174,11 @@ def build_step_fn(shape: SceneShape) -> Callable[[SimState], SimState]:
             )
             return dataclasses.replace(state, masses=out, t=state.t + dt)
     else:
-        def step(state: SimState) -> SimState:
+        def step(state: SimState, magnet_ridx=None) -> SimState:
             masses, dt = state.masses, state.dt
             f, st_rest, rem_rest = spring_pass(state, masses, state.t)
             state = put_rests(state, st_rest, rem_rest)
-            f, vel = _mass_forces(state, masses, f, shape)
+            f, vel = _mass_forces(state, masses, f, shape, magnet_ridx)
             if cfg.integrator is Integrator.VERLET:
                 pos, vel, acc = I.verlet(masses.pos, vel, masses.acc, f,
                                          masses.m, dt)
@@ -223,7 +230,15 @@ def build_chunk_fn(shape: SceneShape, donate: bool = False):
     step = build_step_fn(shape)
 
     def chunk(state: SimState, n_steps) -> SimState:
-        return jax.lax.fori_loop(0, n_steps, lambda i, s: step(s), state)
+        ridx = None
+        if shape.has_magnets and shape.magnet_receivers:
+            # hoist the chunk-constant compacted-receiver top_k out of the
+            # per-step loop
+            from .magnets import magnet_receiver_idx
+            ridx = magnet_receiver_idx(state.masses, shape.magnet_receivers)
+        return jax.lax.fori_loop(0, n_steps,
+                                 lambda i, s: step(s, magnet_ridx=ridx),
+                                 state)
 
     if donate:
         return jax.jit(chunk, donate_argnums=0)

@@ -311,7 +311,7 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
                                        neighborhood_rows, receiver_forces)
             a_cells, cell_cap = shape.magnet_binned
             src_rad, src_scale, src_ok = mag_src
-            bins, tbl, _, _, _ = build_source_bins(
+            bins, tbl, _ = build_source_bins(
                 pos_all, src_ok, src_rad, src_scale, cfg.magnet_cutoff,
                 a_cells, cell_cap)
             rcell = cell_ids(pos, m.valid, cfg.magnet_cutoff)     # [B]
