@@ -169,14 +169,16 @@ def test_reject_reasons():
     sim2._marshal()
     assert "remainder" in halo_tiled_reject_reason(sim2._shape, 8)
 
-    # block smaller than the halo width: max|delta| > 1024 with few masses
+    # a tiny scene with big stencil deltas is ACCEPTED: blocks are padded
+    # up to a tile multiple (>= the halo width by construction), the pads
+    # inert -- wasteful but correct (the _place_distributed gate keeps
+    # such scenes on the halo-XLA path anyway)
     sim3 = Simulation(SimConfig())
     sim3.createLattice(Vec(0, 0, 3), Vec(1, 2, 2), 5, 33, 33)
     sim3.setAllSpringConstantValues(500.0)
     sim3._T = 0.0
     sim3._marshal()
-    r = halo_tiled_reject_reason(sim3._shape, 8)
-    assert r is not None and "block" in r
+    assert halo_tiled_reject_reason(sim3._shape, 8) is None
 
     # f64 stays on the XLA path (tiled envelope)
     sim4 = Simulation(SimConfig(dtype="float64"))

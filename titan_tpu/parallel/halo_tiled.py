@@ -65,13 +65,16 @@ from ..state import SceneShape, SimState
 
 def _geometry(shape: SceneShape, n_devices: int):
     """(h, b, t_size): 1024-aligned halo width, per-device block, and the
-    largest VMEM-fitting tile size that divides the block."""
+    VMEM-fitting tile size.  The BLOCK is padded up to a tile multiple --
+    not the tile shrunk to a block divisor: an unlucky block row count
+    (e.g. 1e6/1024 = 977, prime) would otherwise collapse the tile to
+    1024 rows and a 21x halo-window overhead (measured 3.5x wall-time on
+    hardware, scripts/tpu_halo_tiled_check.py).  Global padding sits at
+    the END of the mass array, so every device's block stays a contiguous
+    global slice and stencil neighbors cross block boundaries intact."""
     h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
-    b = _round_up(-(-shape.n_masses // n_devices), 1024)
-    t = min(_tile_size(h, shape), b)
-    while t > 1024 and (b % t or _vmem_bytes(shape, t, h)
-                        >= _VMEM_EST_BUDGET):
-        t -= 1024
+    t = _tile_size(h, shape)             # VMEM-fitted, multiple of 1024
+    b = _round_up(-(-shape.n_masses // n_devices), t)
     return h, b, t
 
 
