@@ -395,3 +395,27 @@ def test_float32_host_store():
 
     np.testing.assert_allclose(run("float32"), run("float64"),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_worker_learns_step_rate():
+    """The worker probes fresh chunk fns and learns steps/s so every
+    dispatch stays under config.max_chunk_seconds (the tunneled-TPU
+    runtime kills single dispatches past ~1 min; a slow magnet scene at
+    max_chunk_steps used to crash the worker mid-soak)."""
+    from titan_tpu import Simulation, SimConfig, Vec
+    sim = Simulation(SimConfig())
+    sim.createLattice(Vec(0, 0, 3), Vec(1, 1, 1), 4, 4, 4)
+    sim.createPlane(Vec(0, 0, 1), 0)
+    sim.setTimeStep(1e-4)
+    sim.start()
+    sim.wait(0.05)          # 500 steps: probe chunks then rated chunks
+    assert sim._rate is not None and sim._rate > 0
+    assert abs(sim.time() - 0.05) < 1e-12   # exact-time semantics intact
+    rate1 = sim._rate
+    # a re-marshal (topology edit) resets the probe state
+    sim.pause(sim.time())
+    sim.createMass(Vec(0, 0, 5))
+    sim.resume()
+    sim.wait(sim.time() + 0.02)
+    assert sim._rate is not None
+    sim.stop()

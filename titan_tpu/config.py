@@ -113,6 +113,18 @@ class SimConfig:
     # Steps dispatched per on-device fori_loop chunk when no breakpoint is
     # nearer.  Bounds host `time()` granularity and re-dispatch overhead.
     max_chunk_steps: int = 1000
+    # Wall-time cap per dispatched chunk.  The tunneled-TPU runtime kills
+    # single dispatches past ~1 min ("TPU worker crashed" at the next
+    # readback -- hit twice in round 3 by slow magnet scenes at
+    # max_chunk_steps), so the worker PROBES each freshly (re)built chunk
+    # with probe_chunk_steps-sized dispatches, learns the step rate from
+    # a hard sync, and then sizes every dispatch to stay under this many
+    # seconds.  Fast scenes are unaffected (the steps cap binds first).
+    max_chunk_seconds: float = 10.0
+    # Dispatch size while the step rate of a fresh chunk fn is unknown:
+    # small enough that even a ~1 s/step pathological scene stays well
+    # under the dispatch kill.
+    probe_chunk_steps: int = 32
     # Entity compaction (the reference's thrust::remove after delete,
     # sim.cu:353-414): when at least this fraction of masses or springs is
     # soft-deleted at a re-marshal, the store physically drops them so

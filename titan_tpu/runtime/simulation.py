@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import heapq
 import math
+import time
 import threading
 from typing import Dict, Optional
 
@@ -87,6 +88,8 @@ class Simulation:
         self._diverged_at: Optional[float] = None
         self._shape: Optional[SceneShape] = None
         self._chunk = None
+        self._rate: Optional[float] = None   # measured steps/s of _chunk
+        self._timed_chunks = 0               # dispatches since _chunk built
         self._worker: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------------ guards
@@ -578,6 +581,10 @@ class Simulation:
             self._place_distributed(shape, mesh)
         else:
             self._chunk = _chunk_for(shape)
+        # a fresh chunk fn (possibly a different path/scene cost) must be
+        # re-probed before long dispatches (worker loop, max_chunk_seconds)
+        self._rate = None
+        self._timed_chunks = 0
         self._structure_dirty = False
         get_logger().debug("marshalled scene shape: %s", shape)
 
@@ -648,6 +655,8 @@ class Simulation:
         self._mesh_axis = axis
         if self._state is not None and self._shape is not None:
             self._place_distributed(self._shape, mesh)
+            self._rate = None
+            self._timed_chunks = 0
 
     # ----------------------------------------------------------------- control
     def start(self) -> None:
@@ -702,8 +711,31 @@ class Simulation:
                 dt = self._dt
                 n = int(math.ceil((nxt - self._T) / dt - 1e-9))
                 n = max(1, min(n, self.config.max_chunk_steps))
+                # wall-time cap: the tunneled-TPU runtime kills single
+                # dispatches past ~1 min (config.max_chunk_seconds).  A
+                # fresh chunk fn runs two probe-sized dispatches first
+                # (the first one carries compile time and is not timed);
+                # the learned rate then sizes every dispatch, re-measured
+                # periodically for drift.
+                if self._rate is None:
+                    n = min(n, self.config.probe_chunk_steps)
+                else:
+                    n = min(n, max(1, int(self._rate
+                                          * self.config.max_chunk_seconds)))
+                measure = (self._timed_chunks == 1
+                           or self._timed_chunks % 64 == 0)
                 state, chunk = self._state, self._chunk
+            t0 = time.perf_counter()
             new_state = chunk(state, jnp.int32(n))
+            if measure and self._timed_chunks > 0:
+                # hard sync (device_get -- block_until_ready is unreliable
+                # on the axon backend, CLAUDE.md) and fold into the rate;
+                # dispatch 0 (compile) is deliberately never timed
+                jax.device_get(new_state.t)
+                r = n / max(time.perf_counter() - t0, 1e-6)
+                self._rate = r if self._rate is None \
+                    else 0.5 * self._rate + 0.5 * r
+            self._timed_chunks += 1
             if self.config.check_finite:
                 ok = bool(jax.device_get(
                     jnp.isfinite(new_state.masses.pos).all()
