@@ -411,11 +411,13 @@ def test_worker_learns_step_rate():
     sim.wait(0.05)          # 500 steps: probe chunks then rated chunks
     assert sim._rate is not None and sim._rate > 0
     assert abs(sim.time() - 0.05) < 1e-12   # exact-time semantics intact
-    rate1 = sim._rate
-    # a re-marshal (topology edit) resets the probe state
-    sim.pause(sim.time())
+    # a re-marshal (topology edit) resets the probe state; the sim is
+    # ALREADY paused after wait() (an extra pause(time()) here would push
+    # a stale breakpoint that resume() pops into an instant re-pause,
+    # making the next wait() a documented no-op)
     sim.createMass(Vec(0, 0, 5))
     sim.resume()
-    sim.wait(sim.time() + 0.02)
-    assert sim._rate is not None
+    assert sim._rate is None         # reset by the resume-time re-marshal
+    sim.wait(0.02)
+    assert sim._rate is not None and abs(sim.time() - 0.07) < 1e-12
     sim.stop()
