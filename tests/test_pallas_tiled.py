@@ -10,16 +10,8 @@ from titan_tpu.ops.step import build_chunk_fn
 
 
 def _interpret_tiled(monkeypatch):
-    """Force the tiled kernel's pallas_call into interpret mode (CPU)."""
-    import jax.experimental.pallas as pl
-    orig = pl.pallas_call
-
-    def interp(*a, **k):
-        k["interpret"] = True
-        k.pop("compiler_params", None)
-        return orig(*a, **k)
-
-    monkeypatch.setattr("titan_tpu.ops.pallas_tiled.pl.pallas_call", interp)
+    from conftest import force_tiled_interpret
+    force_tiled_interpret(monkeypatch)
 
 
 def _scene(friction=True, damping=0.0, breathing=False, drag=0.0,

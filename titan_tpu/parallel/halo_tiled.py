@@ -57,8 +57,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Integrator
-from ..ops.pallas_tiled import (_round_up, _tile_size, _vmem_bytes,
-                                _VMEM_EST_BUDGET, make_tiled_call,
+from ..ops.pallas_tiled import (_round_up, _tile_size, make_tiled_call,
                                 prep_flat_inputs, tiled_reject_reason)
 from ..state import SceneShape, SimState
 
@@ -92,14 +91,12 @@ def halo_tiled_reject_reason(shape: SceneShape, n_devices: int):
                 "tiled path yet (halo.py handles remainder springs)")
     if not shape.config.use_pallas:
         return "use_pallas off"
-    h, b, t = _geometry(shape, n_devices)
-    if b < h:
-        return (f"per-device block {b} < halo width {h} (scene too small "
-                f"for {n_devices}-way distribution of the tiled kernel)")
-    if _vmem_bytes(shape, t, h) >= _VMEM_EST_BUDGET:
-        return (f"tile window needs more VMEM than the "
-                f"{_VMEM_EST_BUDGET >> 20} MB budget even at the minimum "
-                f"block-dividing tile")
+    # no geometry rejection: _tile_size's floor is the (1024-aligned) halo
+    # width and blocks are padded up to a tile multiple, so b >= t >= h by
+    # construction and the VMEM window fit was already checked by
+    # tiled_reject_reason with the same (t, h); tiny scenes are simply
+    # padded (inert rows) -- the _place_distributed gate keeps them on the
+    # halo-XLA path anyway
     return None
 
 

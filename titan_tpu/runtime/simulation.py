@@ -723,14 +723,23 @@ class Simulation:
                     n = min(n, max(1, int(self._rate
                                           * self.config.max_chunk_seconds)))
                 measure = (self._timed_chunks == 1
-                           or self._timed_chunks % 64 == 0)
+                           or self._timed_chunks % 64 == 0) \
+                    and self._timed_chunks > 0
                 state, chunk = self._state, self._chunk
+            if measure:
+                # drain in-flight dispatches BEFORE starting the timer --
+                # otherwise the timed window absorbs the previous chunk's
+                # device execution (on axon, dispatch 0's window includes
+                # the 70-550 s session cold start, collapsing the learned
+                # rate to ~0 and shattering the next 64 dispatches into
+                # single steps).  Hard sync via device_get:
+                # block_until_ready is unreliable on axon (CLAUDE.md).
+                jax.device_get(state.t)
             t0 = time.perf_counter()
             new_state = chunk(state, jnp.int32(n))
-            if measure and self._timed_chunks > 0:
-                # hard sync (device_get -- block_until_ready is unreliable
-                # on the axon backend, CLAUDE.md) and fold into the rate;
-                # dispatch 0 (compile) is deliberately never timed
+            if measure:
+                # dispatch 0 (compile + cold start) is deliberately never
+                # timed
                 jax.device_get(new_state.t)
                 r = n / max(time.perf_counter() - t0, 1e-6)
                 self._rate = r if self._rate is None \
@@ -1035,13 +1044,19 @@ class Simulation:
             # compacted-receiver trace (SceneShape.magnet_receivers): a push
             # can break its static preconditions -- any nonzero shell radius
             # (shell contact then reaches plain masses: receiver-dense
-            # required) or more attractors than the padded capacity
-            nm = self._store.n_masses
-            recv_overflow = (
-                bool(np.any(st.mag_rad[:nm] != 0.0))
-                or int(np.count_nonzero(st.valid[:nm]
-                                        & (st.mag_maxf[:nm] != 0.0)))
-                > self._shape.magnet_receivers)
+            # required) or more attractors than the padded capacity.  Only
+            # the PUSHED rows can introduce either (marshal guaranteed the
+            # rest), so the full-store attractor recount runs only when a
+            # pushed row actually carries an attractor flag -- a plain
+            # pos/vel push of one mass stays O(|idx|), not O(N).
+            if bool(np.any(st.mag_rad[idx] != 0.0)):
+                recv_overflow = True
+            elif bool(np.any(st.valid[idx] & (st.mag_maxf[idx] != 0.0))):
+                nm = self._store.n_masses
+                recv_overflow = (
+                    int(np.count_nonzero(st.valid[:nm]
+                                         & (st.mag_maxf[:nm] != 0.0)))
+                    > self._shape.magnet_receivers)
         if ((needs_magnets and not self._shape.has_magnets)
                 or (needs_drag and not self._shape.has_drag)
                 or recv_overflow):
