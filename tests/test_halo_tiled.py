@@ -24,13 +24,18 @@ def _interpret_tiled(monkeypatch):
 
 def _scene(friction=True, damping=0.0, breathing=False, drag=0.0,
            deleted=False, nonuniform_rest=False, integrator=None,
-           actuated=False, local=None):
+           actuated=False, local=None, magnets=False, remainder=False):
     from titan_tpu import (ACTIVE_CONTRACT_THEN_EXPAND, ACTUATED_CONTRACT,
                            ACTUATED_EXPAND, CONTACT_PLANE, Integrator,
                            Vec as V)
     cfg = {}
     if integrator:
         cfg["integrator"] = Integrator(integrator)
+    if magnets:
+        # force the binned structure at test scale (the distributed glue
+        # uses it); widen the cutoff so lattice neighbors interact
+        cfg.update(magnet_cutoff=0.6, magnet_binned_threshold=2,
+                   magnet_cell_cap=64)
     sim = Simulation(SimConfig(**cfg))
     sim.createLattice(Vec(0, 0, 3), Vec(4, 1, 1), 40, 6, 6)
     sim.setAllSpringConstantValues(800.0)
@@ -55,6 +60,28 @@ def _scene(friction=True, damping=0.0, breathing=False, drag=0.0,
             sim.masses[i].addConstraint(CONTACT_PLANE, V(0, 1, 2), -0.3)
     if drag:
         st.drag[: st.n_masses] = drag
+    if magnets:
+        # magnetic pairs inside the widened cutoff, incl. 63/79 straddling
+        # a block boundary at test scale.  "attract" (rad = 0) engages
+        # receiver COMPACTION -- the fast glue path; "shell" keeps shell
+        # radii and the receiver-DENSE glue (whose CPU-interpret cost
+        # scales with the tile-padded block, so its test shrinks the tile)
+        for i in (3, 7, 19, 63, 79, 200, 204):
+            if magnets == "shell":
+                st.mag_rad[i] = 0.05
+                st.mag_stiffness[i] = 200.0
+            st.mag_maxf[i] = 1.0
+            st.mag_scale[i] = 1.0
+    if remainder:
+        # unique index deltas so each lands in the remainder partition,
+        # incl. spans wider than a device block (gathered evaluation
+        # serves ANY span)
+        for base, d in ((10, 23), (70, 29), (200, 31), (5, 449),
+                        (100, 307)):
+            sp = sim.createSpring(sim.masses[base], sim.masses[base + d])
+            sp._k = 800.0
+            sp.defaultLength()
+            st = sim._store
     if deleted:
         st.valid[7] = False
         st.valid[100] = False
@@ -121,6 +148,61 @@ def test_halo_tiled_matches_single_tiled(variant, monkeypatch):
     assert len(out_d.masses.pos.sharding.device_set) == 8
 
 
+VARIANTS_GLUE = {
+    "magnets": dict(magnets="attract"),
+    "magnets_deleted": dict(magnets="attract", deleted=True),
+    "magnets_dense": dict(magnets="shell"),    # receiver-dense glue
+    "remainder": dict(remainder=True),
+    "remainder_damped": dict(remainder=True, damping=0.4),
+    "magnets_remainder": dict(magnets="attract", remainder=True),
+    "rk2_magnets_remainder": dict(integrator="rk2", magnets="attract",
+                                  remainder=True),
+    "verlet_magnets": dict(integrator="verlet", magnets="attract"),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS_GLUE))
+def test_halo_tiled_glue_matches_single_tiled(variant, monkeypatch):
+    """Magnet/remainder glue variants vs the single-device tiled chunk
+    (the glue's D-way accumulation orders remainder terms differently, so
+    tolerances rather than bitwise)."""
+    if variant == "magnets_dense":
+        # receiver-dense glue cost scales with the tile-PADDED block --
+        # shrink the distributed path's tile so the CPU-interpret test
+        # stays tractable (per-row math is tile-size independent)
+        monkeypatch.setattr("titan_tpu.parallel.halo_tiled._tile_size",
+                            lambda h, shape=None: 1024)
+    sim = _scene(**VARIANTS_GLUE[variant])
+    mesh = make_mesh(("shard",))
+    assert halo_tiled_supported(sim._shape, 8), \
+        halo_tiled_reject_reason(sim._shape, 8)
+    if "magnets" in variant:
+        assert sim._shape.has_magnets and sim._shape.magnet_binned
+    if "remainder" in variant:
+        assert sim._shape.has_remainder
+        # spans include 449 > typical halo windows: gathered eval only
+    _interpret_tiled(monkeypatch)
+    sharded = place(sim._state, mesh)
+    out_d = build_halo_tiled_chunk(sim._shape, mesh)(sharded, jnp.int32(30))
+    out_s = pallas_tiled.build_tiled_chunk(sim._shape)(sim._state,
+                                                       jnp.int32(30))
+    n = sim._store.n_masses
+    np.testing.assert_allclose(np.asarray(out_d.masses.pos)[:, :n],
+                               np.asarray(out_s.masses.pos)[:, :n],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_d.masses.vel)[:, :n],
+                               np.asarray(out_s.masses.vel)[:, :n],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_d.springs.rest),
+                               np.asarray(out_s.springs.rest), atol=1e-6)
+    assert len(out_d.masses.pos.sharding.device_set) == 8
+    if "magnets" in variant:
+        # the magnet term really fires in this scene
+        from titan_tpu.ops.step import magnet_pass
+        assert np.any(np.asarray(
+            magnet_pass(sim._state.masses, sim._shape)) != 0.0)
+
+
 @pytest.mark.parametrize("variant", ["friction", "damping", "verlet",
                                      "rk2", "actuated", "deleted"])
 def test_halo_tiled_matches_xla(variant, monkeypatch):
@@ -153,13 +235,13 @@ def test_reject_reasons():
     sim._marshal()
     assert "magnet" in halo_tiled_reject_reason(sim._shape, 8)
 
-    # remainder springs -> halo.py handles them
+    # remainder springs at ANY span are ACCEPTED (gathered glue)
     sim2 = _scene()
     sp = sim2.createSpring(sim2.masses[10], sim2.masses[400])
     sp._k = 100.0
     sp.defaultLength()
     sim2._marshal()
-    assert "remainder" in halo_tiled_reject_reason(sim2._shape, 8)
+    assert halo_tiled_reject_reason(sim2._shape, 8) is None
 
     # a tiny scene with big stencil deltas is ACCEPTED: blocks are padded
     # up to a tile multiple (>= the halo width by construction), the pads

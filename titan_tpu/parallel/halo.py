@@ -101,6 +101,85 @@ def _remainder_windowed(shape: SceneShape, n_devices: int) -> bool:
     return shape.has_remainder and shape.remainder_span < block
 
 
+def gathered_remainder_forces(sp, pos_all, vel_all, rem_rest, t_now, dt,
+                              my0, b, has_breathing, has_damping):
+    """Remainder-spring force on one device's block from ALL-GATHERED
+    positions (round 3): spring arrays are replicated and S is small, so
+    every device evaluates ALL remainder springs and applies, via dropping
+    scatters, exactly the force components that land in its own block.
+    The ACTUATED rest mutation reads only replicated arrays, so every
+    device computes the identical new rest.  Shared by the halo-XLA path
+    (spans wider than its window) and the distributed tiled path's
+    per-step glue (all spans).  Returns (f_local [3, b], new_rem_rest).
+    """
+    pl_ = jnp.take(pos_all, sp.left, axis=1)               # [3, S]
+    pr = jnp.take(pos_all, sp.right, axis=1)
+    diff = pr - pl_
+    length = jnp.sqrt(jnp.sum(diff * diff, axis=0))
+    inv = jnp.where(length > 0,
+                    1.0 / jnp.where(length > 0, length, 1.0), 0.0)
+    rest = rem_rest
+    scale = 1.0
+    new_rem_rest = rem_rest
+    if has_breathing:
+        styp = sp.type
+        sin_wt = jnp.sin(sp.omega * t_now)
+        scale = jnp.where(
+            styp == ACTIVE_CONTRACT_THEN_EXPAND, 1.0 - 0.2 * sin_wt,
+            jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
+                      1.0 + 0.2 * sin_wt, 1.0))
+        rest = jnp.where(
+            sp.valid & (styp == ACTUATED_EXPAND) & (rest < sp.l_max),
+            rest + sp.rate * dt,
+            jnp.where(
+                sp.valid & (styp == ACTUATED_CONTRACT)
+                & (rest > sp.l_min),
+                rest - sp.rate * dt, rest))
+        new_rem_rest = rest
+    mag = sp.k * (rest * scale - length)
+    if has_damping:
+        vl = jnp.take(vel_all, sp.left, axis=1)
+        vr = jnp.take(vel_all, sp.right, axis=1)
+        axial = jnp.sum((vl - vr) * (diff * inv), axis=0)
+        mag = mag + axial * sp.damping
+    f = jnp.where(sp.valid, mag, 0.0) * (diff * inv)       # [3, S]
+    li = sp.left - my0
+    ri = sp.right - my0
+    li_s = jnp.where((li >= 0) & (li < b), li, b)          # b = drop row
+    ri_s = jnp.where((ri >= 0) & (ri < b), ri, b)
+    buf = jnp.zeros((3, b + 1), pos_all.dtype)
+    buf = buf.at[:, li_s].add(-f).at[:, ri_s].add(f)
+    return buf[:, :b], new_rem_rest
+
+
+def binned_magnet_block_forces(shape, pos_all, mag_src, pos_loc, valid_loc,
+                               rad_loc, stiff_loc, maxf_loc, rid):
+    """Cell-binned magnet force for one device's receivers, D-way parallel:
+    every device builds the identical global bin structure from the
+    gathered pos (setup replicated) and evaluates forces only for the
+    receiver rows it owns -- where the cost lives (candidate slab
+    gathers).  Per-receiver candidate order matches the single-device
+    binned path exactly, so results are bitwise equal to it.  ``rid`` are
+    the receivers' GLOBAL mass ids; receiver param arrays align with it.
+    Shared by the halo-XLA path (receivers = the local block) and the
+    distributed tiled glue (receivers = the block's attractors when
+    compaction is on, else the block).  Returns [3, len(rid)].
+    """
+    from ..ops.magnets import (build_source_bins, cell_ids,
+                               neighborhood_rows, receiver_forces)
+    cfg = shape.config
+    a_cells, cell_cap = shape.magnet_binned
+    src_rad, src_scale, src_ok = mag_src
+    bins, tbl, _ = build_source_bins(
+        pos_all, src_ok, src_rad, src_scale, cfg.magnet_cutoff,
+        a_cells, cell_cap)
+    rcell = cell_ids(pos_loc, valid_loc, cfg.magnet_cutoff)
+    rows9 = neighborhood_rows(tbl, rcell, a_cells)
+    return receiver_forces(bins, rows9, cfg.magnet_cutoff,
+                           shape.n_masses, pos_loc, rad_loc, stiff_loc,
+                           maxf_loc, rid)
+
+
 def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
     """Returns make(state) -> jitted chunk(state, n_steps) on ``mesh``."""
     deltas = shape.stencil_deltas
@@ -191,55 +270,16 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
         new_rem_rest = rem_rest
         if shape.has_remainder and not rem_windowed:
             # GATHERED remainder path (round 3): spans wider than the halo
-            # window (> device block).  Spring arrays are replicated and S
-            # is small, so every device evaluates ALL remainder springs
-            # from the all-gathered pos (one [3, N] collective per force
-            # pass -- the same one magnet scenes pay) and applies, via
-            # dropping scatters, exactly the force components that land in
-            # its own block.  The ACTUATED rest mutation reads only
-            # replicated arrays, so every device computes the identical
-            # new rest.
-            sp = state.springs
-            my0 = jax.lax.axis_index(axis) * b
-            pl = jnp.take(pos_all, sp.left, axis=1)        # [3, S]
-            pr = jnp.take(pos_all, sp.right, axis=1)
-            diff = pr - pl
-            length = jnp.sqrt(jnp.sum(diff * diff, axis=0))
-            inv = jnp.where(length > 0,
-                            1.0 / jnp.where(length > 0, length, 1.0), 0.0)
-            rest = rem_rest
-            scale = 1.0
-            if shape.has_breathing:
-                styp = sp.type
-                sin_wt = jnp.sin(sp.omega * t_now)
-                scale = jnp.where(
-                    styp == ACTIVE_CONTRACT_THEN_EXPAND, 1.0 - 0.2 * sin_wt,
-                    jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
-                              1.0 + 0.2 * sin_wt, 1.0))
-                rest = jnp.where(
-                    sp.valid & (styp == ACTUATED_EXPAND)
-                    & (rest < sp.l_max),
-                    rest + sp.rate * state.dt,
-                    jnp.where(
-                        sp.valid & (styp == ACTUATED_CONTRACT)
-                        & (rest > sp.l_min),
-                        rest - sp.rate * state.dt, rest))
-                new_rem_rest = rest
-            mag = sp.k * (rest * scale - length)
-            if shape.has_damping:
-                vel_all = jax.lax.all_gather(vel, axis, axis=1, tiled=True)
-                vl = jnp.take(vel_all, sp.left, axis=1)
-                vr = jnp.take(vel_all, sp.right, axis=1)
-                axial = jnp.sum((vl - vr) * (diff * inv), axis=0)
-                mag = mag + axial * sp.damping
-            f = jnp.where(sp.valid, mag, 0.0) * (diff * inv)   # [3, S]
-            li = sp.left - my0
-            ri = sp.right - my0
-            li_s = jnp.where((li >= 0) & (li < b), li, b)  # b = drop row
-            ri_s = jnp.where((ri >= 0) & (ri < b), ri, b)
-            buf = jnp.zeros((3, b + 1), pos.dtype)
-            buf = buf.at[:, li_s].add(-f).at[:, ri_s].add(f)
-            f_acc = f_acc + buf[:, :b]
+            # window (> device block); one [3, N] collective per force
+            # pass -- the same one magnet scenes pay (shared helper,
+            # also the distributed tiled glue's remainder form)
+            vel_all = (jax.lax.all_gather(vel, axis, axis=1, tiled=True)
+                       if shape.has_damping else None)
+            f_rem, new_rem_rest = gathered_remainder_forces(
+                state.springs, pos_all, vel_all, rem_rest, t_now, state.dt,
+                jax.lax.axis_index(axis) * b, b,
+                shape.has_breathing, shape.has_damping)
+            f_acc = f_acc + f_rem
         elif shape.has_remainder:
             # each remainder spring is owned by its LEFT endpoint's device;
             # |right - left| <= halo (envelope), so both endpoints are inside
@@ -298,29 +338,16 @@ def build_halo_chunk(shape: SceneShape, mesh: Mesh, axis: str = "shard"):
         f_acc = f_acc.at[:, -halo:].add(from_next)
         f_acc = jnp.where(m.fixed, 0.0, f_acc)
         if shape.has_magnets and shape.magnet_binned:
-            # cell-BINNED magnets, D-way parallel: every device builds the
-            # identical global bin structure from the all-gathered pos
-            # (setup is replicated -- one argsort over N), then evaluates
-            # forces only for its own index block's receivers, which is
-            # where the cost lives (the candidate slab gathers).  Per-
-            # receiver candidate order matches the single-device binned
-            # path exactly, so results are bitwise equal to it.  No
+            # cell-BINNED magnets, D-way parallel (shared helper, also
+            # the distributed tiled glue's magnet form): replicated bin
+            # build over the gathered pos, local receivers only -- no
             # collective beyond the pos all_gather the pairwise branch
-            # already pays; forces land directly on their owning device.
-            from ..ops.magnets import (build_source_bins, cell_ids,
-                                       neighborhood_rows, receiver_forces)
-            a_cells, cell_cap = shape.magnet_binned
-            src_rad, src_scale, src_ok = mag_src
-            bins, tbl, _ = build_source_bins(
-                pos_all, src_ok, src_rad, src_scale, cfg.magnet_cutoff,
-                a_cells, cell_cap)
-            rcell = cell_ids(pos, m.valid, cfg.magnet_cutoff)     # [B]
-            rows9 = neighborhood_rows(tbl, rcell, a_cells)        # [B, 9]
+            # already pays; bitwise equal to the single-device binned pass
             rid = (jax.lax.axis_index(axis) * b
                    + jnp.arange(b, dtype=jnp.int32))
-            f_mag = receiver_forces(bins, rows9, cfg.magnet_cutoff,
-                                    shape.n_masses, pos, m.mag_rad,
-                                    m.mag_stiffness, m.mag_maxf, rid)
+            f_mag = binned_magnet_block_forces(
+                shape, pos_all, mag_src, pos, m.valid, m.mag_rad,
+                m.mag_stiffness, m.mag_maxf, rid)
             # fixed masses early-return before the magnet pass
             # (sim.cu:1292-1298); they still act as sources above
             f_acc = f_acc + jnp.where(m.fixed | ~m.valid, 0.0, f_mag)

@@ -39,13 +39,20 @@ RK2 runs the reference's double force pass (sim.cu:1778-1799) as two
 kernel launches with FRESH halo exchanges before each, mirroring
 halo.py's RK2 and the single-device two-launch scheme.
 
-Envelope (`halo_tiled_reject_reason`): the tiled kernel's own envelope,
-minus magnets and remainder springs (their per-step glue is not yet wired
-into the distributed path -- those scenes use halo.py, which handles both
-D-way parallel), plus block-geometry conditions: the 1024-aligned
-per-device block must be at least the 1024-aligned halo width H.  Scenes
-are padded (inert rows: minv = 0, masks false) up to D x 1024 alignment
-inside the chunk, so any mass count divides.
+Magnet and remainder-spring forces ride along as per-step glue through
+the kernel's constant-force input (same structure as the single-device
+tiled chunk), in halo.py's D-way-parallel forms: remainder springs at ANY
+span via gathered replicated evaluation with dropping scatters
+(`halo.gathered_remainder_forces`); binned magnets via the replicated bin
+build with local receivers (`halo.binned_magnet_block_forces`), with
+per-block attractor compaction when `SceneShape.magnet_receivers` is set.
+One [3, N] pos all_gather per force pass serves both terms.
+
+Envelope (`halo_tiled_reject_reason`): the tiled kernel's own envelope;
+magnet scenes need the binned structure (exact-pairwise scenes below
+magnet_binned_threshold stay on halo.py).  Blocks are padded up to a
+tile multiple (inert rows: minv = 0, masks false), so any mass count
+divides.
 """
 
 from __future__ import annotations
@@ -83,12 +90,10 @@ def halo_tiled_reject_reason(shape: SceneShape, n_devices: int):
     r = tiled_reject_reason(shape)
     if r is not None:
         return r
-    if shape.has_magnets:
-        return ("magnet glue is not wired into the distributed tiled "
-                "path yet (halo.py handles magnets D-way parallel)")
-    if shape.has_remainder:
-        return ("remainder-spring glue is not wired into the distributed "
-                "tiled path yet (halo.py handles remainder springs)")
+    if shape.has_magnets and not shape.magnet_binned:
+        return ("exact-pairwise magnet scenes (below "
+                "magnet_binned_threshold) stay on the halo-XLA path -- "
+                "the distributed glue uses the D-way binned structure")
     if not shape.config.use_pallas:
         return "use_pallas off"
     # no geometry rejection: _tile_size's floor is the (1024-aligned) halo
@@ -126,6 +131,9 @@ def build_halo_tiled_chunk(shape: SceneShape, mesh: Mesh,
     to_prev = [(i, (i - 1) % n_dev) for i in range(n_dev)]  # recv from next
     to_next = [(i, (i + 1) % n_dev) for i in range(n_dev)]  # recv from prev
 
+    has_glue = shape.has_remainder or shape.has_magnets
+    compact = shape.magnet_receivers
+
     def body_fn(inp):
         """Per-device: window the halo'd block and fori the kernel."""
         r3 = lambda x: x.reshape(x.shape[0], -1, 128)
@@ -150,7 +158,67 @@ def build_halo_tiled_chunk(shape: SceneShape, mesh: Mesh,
         fparams, planes, balls = inp["fparams"], inp["planes"], inp["balls"]
         dt32, t032 = inp["scal0"][0], inp["scal0"][1]
 
-        def call_args(scal, pos_c, vel_c, acc_c=None, extra3=None):
+        # --- magnet/remainder per-step glue (the tiled kernel's constant-
+        # force input becomes per-pass), D-way parallel via the halo.py
+        # helpers: gathered-replicated remainder eval with dropping
+        # scatters, replicated bin build with local receivers for magnets
+        my0 = jax.lax.axis_index(axis) * b
+        if shape.has_magnets:
+            valid_loc = inp["valid"][0]                    # [b] bool
+            mag_src = tuple(
+                jax.lax.all_gather(x, axis, axis=0, tiled=True)
+                for x in (inp["mag_rad"][0], inp["mag_scale"][0],
+                          valid_loc))
+            if compact:
+                # per-device attractor compaction (exact: rad == 0
+                # scene-wide, SceneShape.magnet_receivers): receivers are
+                # this block's flagged masses, capacity = the global
+                # padded count (a single block can hold at most all of
+                # them); chunk-constant, hoisted out of the step loop
+                flag_loc = valid_loc & (inp["mag_maxf"][0] != 0.0)
+                r_cap = min(compact, b)
+                _, ridx_loc = jax.lax.top_k(flag_loc.astype(jnp.int32),
+                                            r_cap)
+                ridx_loc = ridx_loc.astype(jnp.int32)
+                recv_mask = flag_loc[ridx_loc]
+            else:
+                ridx_loc = jnp.arange(b, dtype=jnp.int32)
+                recv_mask = valid_loc
+            rid = my0 + ridx_loc
+            rad_r = inp["mag_rad"][0][ridx_loc]
+            stiff_r = inp["mag_stiffness"][0][ridx_loc]
+            maxf_r = inp["mag_maxf"][0][ridx_loc]
+            valid_r = valid_loc[ridx_loc]
+            fixed_r = inp["fixed"][0][ridx_loc] > 0.5
+
+        def glue(pos_c, vel_c, t_i, rem_rest):
+            from .halo import (binned_magnet_block_forces,
+                               gathered_remainder_forces)
+            extra = jnp.zeros((3, b), pos_c.dtype)
+            pos_all = jax.lax.all_gather(pos_c, axis, axis=1, tiled=True)
+            if shape.has_remainder:
+                vel_all = (jax.lax.all_gather(vel_c, axis, axis=1,
+                                              tiled=True)
+                           if shape.has_damping else None)
+                f_rem, rem_rest = gathered_remainder_forces(
+                    inp["springs"], pos_all, vel_all, rem_rest, t_i, dt32,
+                    my0, b, shape.has_breathing, shape.has_damping)
+                # spring forces never land on fixed masses (the same mask
+                # the XLA step's scatter applies, sim.cu:1187-1193)
+                extra = extra + jnp.where(inp["fixed"] > 0.5, 0.0, f_rem)
+            if shape.has_magnets:
+                f_mag = binned_magnet_block_forces(
+                    shape, pos_all, mag_src, pos_c[:, ridx_loc], valid_r,
+                    rad_r, stiff_r, maxf_r, rid)
+                # fixed masses receive nothing (sim.cu:1292-1298); top_k
+                # padding picks unflagged rows -- masked like the
+                # single-device compact path
+                f_mag = jnp.where(recv_mask & ~fixed_r, f_mag, 0.0)
+                extra = extra.at[:, ridx_loc].add(f_mag)
+            return r3(extra), rem_rest
+
+        def call_args(scal, pos_c, vel_c, acc_c=None, extra3=None,
+                      cf_step=None):
             if has_damping:
                 state_hbm = r3(jnp.concatenate([ext(pos_c), ext(vel_c)],
                                                axis=0))
@@ -165,7 +233,8 @@ def build_halo_tiled_chunk(shape: SceneShape, mesh: Mesh,
                 args.append(r3(vel_c))
             if acc_c is not None:
                 args.append(r3(acc_c))
-            args += [cf, minv_t, fixed_t]
+            args += [cf if cf_step is None else cf_step,
+                     minv_t, fixed_t]
             if extra3 is not None:
                 args += [r3(x) for x in extra3]
             if drag_t is not None:
@@ -177,28 +246,43 @@ def build_halo_tiled_chunk(shape: SceneShape, mesh: Mesh,
         flat = lambda x: x.reshape(3, b)
 
         def body(i, carry):
-            pos, vel, acc = carry
+            pos, vel, acc, rem_rest = carry
             i32 = i.astype(jnp.float32)
+            t_i = t032 + i32 * dt32
+            cfs = None
+            if has_glue:
+                cfs, rem_rest = glue(pos, vel, t_i, rem_rest)
+                cfs = cf + cfs
             if rk2:
                 # two launches per dt, fresh halos per pass (the kernel's
                 # rk2a/rk2b modes; scal[2] counts ACTUATED advances, two
-                # per dt -- the reference's double-pass rest quirk)
-                scal = jnp.stack([dt32, t032 + i32 * dt32, 2.0 * i32])
-                ph, vh, v1 = call_a(*call_args(scal, pos, vel))
+                # per dt -- the reference's double-pass rest quirk); glue
+                # re-evaluated at the midpoint state, advancing the
+                # remainder rest each pass like the single-device chunk
+                scal = jnp.stack([dt32, t_i, 2.0 * i32])
+                ph, vh, v1 = call_a(*call_args(scal, pos, vel,
+                                               cf_step=cfs))
                 ph, vh, v1 = flat(ph), flat(vh), flat(v1)
-                scal2 = jnp.stack([dt32, t032 + (i32 + 0.5) * dt32,
+                if has_glue:
+                    cfs, rem_rest = glue(ph, vh, t_i + 0.5 * dt32,
+                                         rem_rest)
+                    cfs = cf + cfs
+                scal2 = jnp.stack([dt32, t_i + 0.5 * dt32,
                                    2.0 * i32 + 1.0])
                 p2, v2, a2 = call_b(*call_args(scal2, ph, vh,
-                                               extra3=(pos, v1, vel)))
+                                               extra3=(pos, v1, vel),
+                                               cf_step=cfs))
             else:
-                scal = jnp.stack([dt32, t032 + i32 * dt32, i32])
+                scal = jnp.stack([dt32, t_i, i32])
                 p2, v2, a2 = step_call(*call_args(
-                    scal, pos, vel, acc_c=acc if verlet else None))
-            return flat(p2), flat(v2), flat(a2)
+                    scal, pos, vel, acc_c=acc if verlet else None,
+                    cf_step=cfs))
+            return flat(p2), flat(v2), flat(a2), rem_rest
 
-        pos, vel, acc = jax.lax.fori_loop(
-            0, inp["n_steps"], body, (inp["pos"], inp["vel"], inp["acc"]))
-        return pos, vel, acc
+        pos, vel, acc, rem_rest = jax.lax.fori_loop(
+            0, inp["n_steps"], body,
+            (inp["pos"], inp["vel"], inp["acc"], inp["rem_rest"]))
+        return pos, vel, acc, rem_rest
 
     def chunk(state: SimState, n_steps) -> SimState:
         m, stc = state.masses, state.stencil
@@ -231,12 +315,34 @@ def build_halo_tiled_chunk(shape: SceneShape, mesh: Mesh,
         if p["lc_flat"] is not None:
             inp["lc"] = padf(p["lc_flat"])
             specs["lc"] = sh
+        pad1 = lambda x: jnp.pad(x[None, :], ((0, 0), (0, pad_n)))
+        if shape.has_magnets:
+            for name, arr in (("valid", pad1(m.valid)),
+                              ("mag_rad", pad1(m.mag_rad)),
+                              ("mag_stiffness", pad1(m.mag_stiffness)),
+                              ("mag_maxf", pad1(m.mag_maxf)),
+                              ("mag_scale", pad1(m.mag_scale))):
+                inp[name] = arr
+                specs[name] = sh
+        springs = state.springs
+        if shape.has_remainder and not shape.all_valid:
+            # fold endpoint validity while the arrays are still global
+            # (validity only changes at re-marshal boundaries), mirroring
+            # halo.py's chunk entry
+            v = m.valid
+            springs = dataclasses.replace(
+                springs,
+                valid=springs.valid & v[springs.left] & v[springs.right])
+        inp["springs"] = springs          # replicated pytree (S small)
+        specs["springs"] = jax.tree_util.tree_map(lambda _: rep, springs)
+        inp["rem_rest"] = springs.rest
+        specs["rem_rest"] = rep
 
         # check_vma=False: pallas_call inside shard_map has no varying-
         # mesh-axes annotation on its out_shape structs
-        pos, vel, acc = jax.shard_map(
+        pos, vel, acc, rem_rest = jax.shard_map(
             body_fn, mesh=mesh, in_specs=(specs,),
-            out_specs=(sh, sh, sh), check_vma=False)(inp)
+            out_specs=(sh, sh, sh, rep), check_vma=False)(inp)
         pos, vel, acc = pos[:, :n], vel[:, :n], acc[:, :n]
         # the kernel zeroes frozen masses' acc; the reference preserves it
         acc = jnp.where(move, acc, m.acc)
@@ -254,6 +360,13 @@ def build_halo_tiled_chunk(shape: SceneShape, mesh: Mesh,
             new_state = dataclasses.replace(
                 new_state, stencil=dataclasses.replace(
                     stc, rest=stc.rest + advn * p["aratedt"]))
+        if shape.has_remainder:
+            # remainder rest advanced iteratively in the per-pass glue
+            # (keep the ORIGINAL valid flags in state; the folded copy was
+            # glue-local)
+            new_state = dataclasses.replace(
+                new_state, springs=dataclasses.replace(
+                    state.springs, rest=rem_rest))
         return new_state
 
     return jax.jit(chunk)
