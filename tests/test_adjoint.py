@@ -1,0 +1,288 @@
+"""The fused adjoint kernel (ops/adjoint.py).
+
+Two layers of pinning:
+1. The hand-derived transpose (backward_step) against jax.vjp of the
+   identically-shaped forward (forward_step) under jnp rolls -- exact
+   math-level check, every force form and constraint variant.
+2. adjoint_rollout's gradients against jax.grad through diff.rollout
+   (the independent XLA step path) on real scenes, kernels in interpret
+   mode -- wiring + kernel-level check.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from titan_tpu import Simulation, SimConfig, Vec
+from titan_tpu.ops import adjoint
+from titan_tpu.ops.adjoint import (adjoint_reject_reason, adjoint_rollout,
+                                   adjoint_supported, backward_step,
+                                   forward_step, jnp_rolls)
+
+ROWS = 4
+N = ROWS * 128
+DELTAS = (1, 127, 128, 200)
+
+
+def _mkP(rng, fmath_shared, damping, clamp, drag, planes, fric, ball,
+         fixed):
+    F = len(DELTAS)
+    sh = (ROWS, 128)
+    P = {
+        "deltas": DELTAS,
+        "k": jnp.asarray(rng.uniform(50.0, 200.0, (F,) + sh), jnp.float32),
+        "rest": jnp.asarray(rng.uniform(0.5, 1.5, (F,) + sh), jnp.float32),
+        "damping": (jnp.asarray(rng.uniform(0.0, 0.6, (F,) + sh),
+                                jnp.float32) if damping else None),
+        "minv": jnp.asarray(rng.uniform(0.5, 2.0, (1,) + sh), jnp.float32),
+        "fixed": (jnp.asarray(rng.uniform(0, 1, (1,) + sh) < 0.1,
+                              jnp.float32) if fixed
+                  else jnp.zeros((1,) + sh, jnp.float32)),
+        "cf": jnp.asarray(rng.normal(0, 1, (3,) + sh), jnp.float32),
+        "drag": (jnp.asarray(rng.uniform(0.0, 0.5, (1,) + sh), jnp.float32)
+                 if drag else None),
+        "planes": [(jnp.float32(0.1), jnp.float32(0.2), jnp.float32(0.97),
+                    jnp.float32(-0.5), jnp.float32(0.4 if fric else 0.0),
+                    jnp.float32(0.6 if fric else 0.0))] * planes,
+        "plane_friction": (fric,) * planes,
+        "balls": ([(jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+                    jnp.float32(2.0))] if ball else []),
+        "dt": jnp.float32(1e-3),
+        "clamp": clamp,
+        "has_damping": damping,
+        "has_drag": drag,
+        "normal_coeff": 100.0,
+        "rsqrt_norms": False,          # CPU gate; flipped per-test below
+        "fmath_shared": fmath_shared,
+    }
+    if fmath_shared:
+        # the shared force form only exists under rsqrt norms
+        P["rsqrt_norms"] = True
+    return P
+
+
+VARIANTS = {
+    "plain": dict(),
+    "damping": dict(damping=True),
+    "clamp": dict(clamp=True),
+    "drag": dict(drag=True),
+    "plane": dict(planes=1),
+    "plane_friction": dict(planes=1, fric=True),
+    "two_planes_fric": dict(planes=2, fric=True),
+    "ball": dict(ball=True),
+    "fixed": dict(fixed=True),
+    "everything": dict(damping=True, clamp=True, drag=True, planes=2,
+                       fric=True, ball=True, fixed=True),
+}
+
+
+@pytest.mark.parametrize("fmath", ["legacy", "shared"])
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_backward_step_matches_jax_vjp(variant, fmath):
+    """backward_step == jax.vjp(forward_step) for state AND params."""
+    rng = np.random.RandomState(7)
+    kw = dict(damping=False, clamp=False, drag=False, planes=0, fric=False,
+              ball=False, fixed=False)
+    kw.update(VARIANTS[variant])
+    P = _mkP(rng, fmath == "shared", **kw)
+    rg, rs = jnp_rolls(ROWS)
+
+    pos = jnp.asarray(rng.normal(0, 1, (3, ROWS, 128)), jnp.float32)
+    vel = jnp.asarray(rng.normal(0, 0.8, (3, ROWS, 128)), jnp.float32)
+    acc = jnp.asarray(rng.normal(0, 1, (3, ROWS, 128)), jnp.float32)
+    gp2 = jnp.asarray(rng.normal(0, 1, (3, ROWS, 128)), jnp.float32)
+    gv2 = jnp.asarray(rng.normal(0, 1, (3, ROWS, 128)), jnp.float32)
+    ga2 = jnp.asarray(rng.normal(0, 1, (3, ROWS, 128)), jnp.float32)
+
+    diffable = ["k", "rest", "cf", "minv"]
+    if kw["damping"]:
+        diffable.append("damping")
+    if kw["drag"]:
+        diffable.append("drag")
+
+    def fwd(pos, vel, acc, params):
+        Q = dict(P)
+        Q.update(params)
+        return forward_step(pos, vel, acc, Q, rg, rs)
+
+    params = {k: P[k] for k in diffable}
+    out, vjp = jax.vjp(fwd, pos, vel, acc, params)
+    gpos_j, gvel_j, gacc_j, gpar_j = vjp((gp2, gv2, ga2))
+
+    gpos, gvel, gacc_prev, bars = backward_step(pos, vel, gp2, gv2, ga2,
+                                                P, rg, rs)
+    tol = dict(rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gpos), np.asarray(gpos_j), **tol)
+    np.testing.assert_allclose(np.asarray(gvel), np.asarray(gvel_j), **tol)
+    np.testing.assert_allclose(np.asarray(gacc_prev), np.asarray(gacc_j),
+                               **tol)
+    np.testing.assert_allclose(np.asarray(jnp.stack(bars["k"])),
+                               np.asarray(gpar_j["k"]), **tol)
+    np.testing.assert_allclose(np.asarray(jnp.stack(bars["rest"])),
+                               np.asarray(gpar_j["rest"]), **tol)
+    np.testing.assert_allclose(np.asarray(bars["cf"]),
+                               np.asarray(gpar_j["cf"]), **tol)
+    np.testing.assert_allclose(np.asarray(bars["minv"]),
+                               np.asarray(gpar_j["minv"]), **tol)
+    if kw["damping"]:
+        np.testing.assert_allclose(np.asarray(jnp.stack(bars["damping"])),
+                                   np.asarray(gpar_j["damping"]), **tol)
+    if kw["drag"]:
+        np.testing.assert_allclose(np.asarray(bars["drag"]),
+                                   np.asarray(gpar_j["drag"]), **tol)
+
+
+# ---------------------------------------------------------------------------
+# Integration: adjoint_rollout vs jax.grad through the XLA path
+# ---------------------------------------------------------------------------
+
+def _scene(clamp=False, friction=False, ball=False, fixed_face=False,
+           damping=0.0, drag=0.0, deleted=False, extern=False):
+    cfg = dict(velocity_clamp=clamp)
+    sim = Simulation(SimConfig(**cfg))
+    if fixed_face:
+        sim.createBeam(Vec(0, 0, 2), Vec(1, 1, 1), 4, 4, 4)
+    else:
+        sim.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 4, 4, 4)
+    sim.setAllSpringConstantValues(800.0)
+    st = sim._store
+    if damping:
+        st.damping[: st.n_springs] = damping
+    if drag:
+        st.drag[: st.n_masses] = drag
+    if deleted:
+        st.valid[3] = False
+        st.valid[17] = False
+    if extern:
+        st.extern_force[2, :8] = 0.5
+    if friction:
+        sim.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
+    else:
+        sim.createPlane(Vec(0, 0, 1), 0)
+    if ball:
+        sim.createBall(Vec(0.2, 0.2, 1.2), 0.8)
+    sim.setTimeStep(1e-4)
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    sim._T = 0.0
+    sim._marshal()
+    return sim
+
+
+SCENES = {
+    "friction_damping": dict(friction=True, damping=0.3),
+    "clamp": dict(clamp=True, damping=0.2, friction=True),
+    "drag_ball": dict(drag=0.3, ball=True),
+    "beam_fixed": dict(fixed_face=True, damping=0.4, friction=True),
+    "deleted_extern": dict(deleted=True, extern=True, friction=True),
+}
+
+
+def _interp(monkeypatch):
+    import jax.experimental.pallas as pl
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr("titan_tpu.ops.adjoint.pl.pallas_call", interp_call)
+    monkeypatch.setattr("titan_tpu.ops.pallas_step.pl.pallas_call",
+                        interp_call)
+
+
+@pytest.mark.parametrize("scene_name", sorted(SCENES))
+def test_adjoint_rollout_grads_match_xla(scene_name, monkeypatch):
+    from titan_tpu import diff
+    from titan_tpu.state import xla_only_shape
+
+    sim = _scene(**SCENES[scene_name])
+    shape, state = sim._shape, sim._state
+    assert adjoint_supported(shape), adjoint_reject_reason(shape)
+    _interp(monkeypatch)
+
+    n = sim._store.n_masses
+    rng = np.random.RandomState(3)
+    wpos = jnp.asarray(rng.normal(0, 1, (3, state.masses.pos.shape[1])),
+                       jnp.float32).at[:, n:].set(0.0)
+    wvel = jnp.asarray(rng.normal(0, 1, (3, state.masses.pos.shape[1])),
+                       jnp.float32).at[:, n:].set(0.0)
+
+    def run(rollout_fn, pos0, vel0, k, rest, m, extern, g):
+        st = dataclasses.replace(
+            state,
+            masses=dataclasses.replace(state.masses, pos=pos0, vel=vel0,
+                                       m=m, extern_force=extern),
+            stencil=dataclasses.replace(state.stencil, k=k, rest=rest),
+            g=g)
+        out = rollout_fn(st)
+        return (jnp.sum(out.masses.pos * wpos)
+                + jnp.sum(out.masses.vel * wvel))
+
+    args = (state.masses.pos, state.masses.vel, state.stencil.k,
+            state.stencil.rest, state.masses.m, state.masses.extern_force,
+            state.g)
+
+    g_adj = jax.grad(
+        lambda *a: run(lambda s: adjoint_rollout(shape, s, 20, segment=10),
+                       *a), argnums=tuple(range(7)))(*args)
+    g_xla = jax.grad(
+        lambda *a: run(lambda s: diff.rollout(xla_only_shape(shape), s, 20),
+                       *a), argnums=tuple(range(7)))(*args)
+
+    names = ["pos", "vel", "k", "rest", "m", "extern", "g"]
+    mask_n = state.masses.valid
+    for name, a, x in zip(names, g_adj, g_xla):
+        a, x = np.asarray(a), np.asarray(x)
+        if name in ("pos", "vel", "extern"):
+            a, x = a[:, :n], x[:, :n]
+        elif name in ("m",):
+            a, x = a[:n], x[:n]
+        elif name in ("k", "rest"):
+            msk = np.asarray(state.stencil.mask)
+            a, x = a * msk, x * msk
+        scale = max(np.abs(x).max(), 1e-8)
+        np.testing.assert_allclose(a / scale, x / scale, atol=5e-4,
+                                   err_msg=f"grad[{name}] mismatch")
+    assert mask_n is not None
+
+
+def test_adjoint_forward_matches_chunk(monkeypatch):
+    """adjoint_rollout's primal == the plain fused chunk (same kernel)."""
+    from titan_tpu.ops.pallas_step import build_pallas_chunk
+
+    sim = _scene(friction=True, damping=0.3)
+    shape, state = sim._shape, sim._state
+    _interp(monkeypatch)
+    out_a = adjoint_rollout(shape, state, 20, segment=10)
+    out_c = build_pallas_chunk(shape)(state, jnp.int32(20))
+    np.testing.assert_array_equal(np.asarray(out_a.masses.pos),
+                                  np.asarray(out_c.masses.pos))
+    np.testing.assert_array_equal(np.asarray(out_a.masses.vel),
+                                  np.asarray(out_c.masses.vel))
+
+
+def test_reject_reasons():
+    from titan_tpu import Integrator
+
+    sim = _scene(friction=True)
+    assert adjoint_reject_reason(sim._shape) is None
+
+    sim2 = Simulation(SimConfig(integrator=Integrator("rk2")))
+    sim2.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 4, 4, 4)
+    sim2.setTimeStep(1e-4)
+    sim2._T = 0.0
+    sim2._marshal()
+    assert "Euler" in adjoint_reject_reason(sim2._shape)
+
+    sim3 = _scene()
+    st = sim3._store
+    from titan_tpu import ACTUATED_EXPAND
+    st.s_type[:4] = ACTUATED_EXPAND
+    st.l_max[:4] = st.rest[:4] * 1.2
+    st.rate[:4] = 0.5
+    sim3._marshal()
+    assert "actuated" in adjoint_reject_reason(sim3._shape)

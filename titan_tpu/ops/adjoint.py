@@ -1,0 +1,864 @@
+"""Fused multi-step ADJOINT Pallas kernel: gradients at kernel speed.
+
+diff.fast_rollout's backward pass recomputes every segment through the
+per-step XLA path and differentiates that, so the gradient path runs at
+XLA-step speed (~700 fwd+bwd steps/s at the 1M-spring bench vs ~50k
+forward-only through the VMEM kernel -- the backward is HBM-bound: every
+step round-trips state AND the [F, N] spring params).  This module closes
+that gap with a hand-derived adjoint that has the same VMEM-residency
+structure as the forward kernel (ops/pallas_step.py):
+
+  forward (primal)   : the existing fused VMEM chunk, unchanged.
+  backward, per seg  : (1) a TRACE kernel re-runs the segment with state
+                       resident in VMEM, streaming only (pos_t, vel_t) per
+                       step to an HBM trace buffer (DMA overlapped with
+                       the step compute);
+                       (2) a BACKWARD kernel sweeps the trace in reverse,
+                       keeping the adjoint state (gpos, gvel, gacc) and
+                       all param-gradient accumulators VMEM-resident,
+                       re-reading one (pos_t, vel_t) pair per step
+                       (double-buffered DMA).
+
+The adjoint math is hand-derived transpose-of-the-forward, written as
+pure functions on [.., R, 128] arrays parameterized by the roll pair so
+the SAME code runs inside the kernel (pltpu.roll 2-D decomposition) and
+under plain jnp.roll in tests, where it is pinned against jax.vjp of the
+identically-shaped forward (tests/test_adjoint.py).
+
+Differentiable inputs (exact VJP of the kernel's forward physics):
+  masses.pos, masses.vel, masses.acc, masses.extern_force, masses.m,
+  masses.drag, stencil.k, stencil.rest, stencil.damping, state.g.
+NOT differentiated (cotangents pass through untouched / stay zero):
+  dt, global plane/ball geometry, t.  Scenes needing those gradients
+  (or features outside the envelope below) use diff.rollout /
+  diff.fast_rollout, which differentiate everything through the XLA step.
+
+Envelope (``adjoint_reject_reason``): the VMEM kernel's envelope minus
+breathing/actuated springs, magnets, remainder springs, and local
+constraints; Euler only (with or without the velocity clamp).  Supports
+damping, drag, fixed/deleted masses, global contact planes incl.
+static+kinetic friction, and balls.
+
+Reference: the physics being differentiated is computeSpringForces +
+massForcesAndUpdate (sim.cu:1157-1200, 1285-1367); the reference has no
+gradient capability at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Integrator
+from ..state import SceneShape, SimState
+
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def adjoint_reject_reason(shape: SceneShape):
+    """None if the fused adjoint kernels accept this scene, else why not."""
+    from .pallas_step import pallas_reject_reason
+    r = pallas_reject_reason(shape)
+    if r is not None:
+        return r
+    if shape.config.integrator is not Integrator.EULER:
+        return (f"integrator {shape.config.integrator.name}: the adjoint "
+                "kernel covers Euler only")
+    if shape.has_breathing:
+        return "breathing/actuated springs not in the adjoint envelope yet"
+    if shape.has_magnets:
+        return "magnets not in the adjoint envelope"
+    if shape.has_remainder:
+        return "remainder (irregular) springs not in the adjoint envelope"
+    if any((shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)):
+        return "local constraints not in the adjoint envelope"
+    n, f = shape.n_masses, len(shape.stencil_deltas)
+    # resident: k/rest(/damping) in + the same param-grad accumulators out,
+    # minv/fixed/cf(+drag) + their grads, adjoint carries in+out, two trace
+    # slots, ~10 vec3 temporaries
+    fam = f * (3 if shape.has_damping else 2) * 2
+    bytes_ = 4 * n * (fam + 3 * 14 + 8 + 12)
+    if bytes_ >= _VMEM_BUDGET:
+        return (f"adjoint residency ~{bytes_ >> 20} MB exceeds "
+                f"{_VMEM_BUDGET >> 20} MB budget")
+    return None
+
+
+def adjoint_supported(shape: SceneShape) -> bool:
+    return adjoint_reject_reason(shape) is None
+
+
+# ---------------------------------------------------------------------------
+# Pure step math on [.., R, 128] arrays.
+#
+# ``P`` is a dict: k/rest/damping indexable per family -> [R, 128] (refs in
+# the kernel, arrays in tests); minv/fixed [1, R, 128]; cf [3, R, 128];
+# drag [1, R, 128] or None; planes: list of (nx, ny, nz, off, fk, fs)
+# scalars; plane_friction: static per-plane bools; balls: list of
+# (cx, cy, cz, rad); dt scalar; plus static flags: deltas, clamp,
+# has_damping, has_drag, normal_coeff, fmath_shared, rsqrt_norms.
+# ``rg``/``rs`` are the roll_gather / roll_scatter pair.
+# ---------------------------------------------------------------------------
+
+def _vdot3(a, b):
+    return jnp.sum(a * b, axis=0)
+
+
+def _inv_len(d2, P):
+    """Guarded 1/|d| and |d| from d2, matching the forward kernel's
+    backend-gated forms (pallas_step.py:252-264)."""
+    if P["rsqrt_norms"]:
+        inv = jnp.where(d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)),
+                        0.0)
+        ln = None if P["fmath_shared"] else d2 * inv
+    else:
+        ln = jnp.where(d2 > 0, jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
+        inv = jnp.where(ln > 0, 1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
+    return inv, ln
+
+
+def _force(pos, vel, P, rg, rs, keep_stages=False):
+    """Full force evaluation (springs + planes + balls + drag), mirroring
+    the forward kernel's compute_forces for the adjoint envelope.  With
+    keep_stages, returns the per-constraint input forces the transpose
+    needs (the plane friction select reads the accumulated force)."""
+    f = P["cf"] + 0.0
+    for fi, d in enumerate(P["deltas"]):
+        pr = rg(pos, d)
+        diff = pr - pos
+        d2 = _vdot3(diff, diff)
+        inv, ln = _inv_len(d2, P)
+        rest = P["rest"][fi]
+        if P["fmath_shared"]:
+            c = P["k"][fi] * (rest * inv - 1.0)
+            if P["has_damping"]:
+                vr = rg(vel, d)
+                axdot = _vdot3(vel - vr, diff)
+                c = c + (axdot * P["damping"][fi]) * (inv * inv)
+            fs_ = c * diff
+        else:
+            mag = P["k"][fi] * (rest - ln)
+            if P["has_damping"]:
+                vr = rg(vel, d)
+                axial = _vdot3(vel - vr, diff) * inv
+                mag = mag + axial * P["damping"][fi]
+            fs_ = (mag * inv) * diff
+        f = f - fs_ + rs(fs_, d)
+    stages = {"f_springs": f} if keep_stages else None
+    plane_in = []
+    for p, pp in enumerate(P["planes"]):
+        if keep_stages:
+            plane_in.append(f)
+        f = _plane_fwd(f, pos, vel, pp, P["plane_friction"][p],
+                       P["normal_coeff"])
+    ball_in = []
+    for bb in P["balls"]:
+        if keep_stages:
+            ball_in.append(f)
+        f = _ball_fwd(f, pos, bb, P["normal_coeff"])
+    if keep_stages:
+        stages["plane_in"] = plane_in
+        stages["ball_in"] = ball_in
+        stages["drag_in"] = f
+    if P["has_drag"]:
+        sq = _vdot3(vel, vel)
+        vn = jnp.sqrt(sq)
+        f = f - P["drag"] * vn * vel
+    return f, stages
+
+
+def _plane_fwd(f, pos, vel, pp, fric, normal_coeff):
+    """One global contact plane (object.cu:76-109 order), identical to the
+    forward kernel's plane block."""
+    nx, ny, nz, off, fk, fs = pp
+    disp = pos[0] * nx + pos[1] * ny + pos[2] * nz - off
+    nvec = jnp.stack([jnp.full_like(disp, nx), jnp.full_like(disp, ny),
+                      jnp.full_like(disp, nz)])
+    inside = disp < 0
+    if fric:
+        fn_mag = f[0] * nx + f[1] * ny + f[2] * nz
+        f_n = fn_mag * nvec
+        has_fric = (fs > 0) | (fk > 0)
+        vdotn = vel[0] * nx + vel[1] * ny + vel[2] * nz
+        v_perp = vel - vdotn * nvec
+        v_norm = jnp.sqrt(_vdot3(v_perp, v_perp))
+        kinetic = v_norm > 1e-16
+        fn_abs = jnp.abs(fn_mag)
+        safe_vn = jnp.where(kinetic, v_norm, 1.0)
+        f_kin = f - v_perp * (fk * fn_abs / safe_vn)
+        f_perp = f - f_n
+        fp_norm = jnp.sqrt(_vdot3(f_perp, f_perp))
+        f_sta = jnp.where(fs * fn_abs > fp_norm, f - f_perp, f)
+        f_fric = jnp.where(kinetic, f_kin, f_sta)
+        f = jnp.where(inside & has_fric, f_fric, f)
+    contact = jnp.where(inside, -disp * normal_coeff, 0.0)
+    return f + contact * nvec
+
+
+def _ball_fwd(f, pos, bb, normal_coeff):
+    cx, cy, cz, rad = bb
+    d0 = pos[0] - cx
+    d1 = pos[1] - cy
+    d2_ = pos[2] - cz
+    dist = jnp.sqrt(d0 * d0 + d1 * d1 + d2_ * d2_)
+    safe = jnp.where(dist > 0, dist, 1.0)
+    push = jnp.where((dist <= rad) & (dist > 0), normal_coeff / safe, 0.0)
+    return f + jnp.stack([d0, d1, d2_]) * push
+
+
+def forward_step(pos, vel, acc_prev, P, rg, rs):
+    """One Euler step, the adjoint envelope's slice of the forward
+    kernel's body (pallas_step.py:567-588).  Returns (pos2, vel2, acc)."""
+    f, _ = _force(pos, vel, P, rg, rs)
+    nf = 1.0 - P["fixed"]
+    fx = P["fixed"]
+    dt = P["dt"]
+    acc = f * P["minv"]
+    v2 = vel + acc * dt
+    if P["clamp"]:
+        vn = jnp.sqrt(_vdot3(v2, v2))
+        v2 = jnp.where(vn > 1.0, v2 / jnp.where(vn > 0, vn, 1.0), v2)
+    v2 = v2 * nf + vel * fx
+    pos2 = pos + v2 * dt * nf
+    acc_out = acc * nf + acc_prev * fx
+    return pos2, v2, acc_out
+
+
+def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs):
+    """Transpose of forward_step at primal (pos, vel): given cotangents of
+    (pos2, vel2, acc_out), produce cotangents of (pos, vel, acc_prev) plus
+    param-gradient increments.  Recomputes the forward force pipeline
+    (standard recompute-adjoint; the trace stores only pos/vel).
+
+    Hand-derived and pinned against jax.vjp of forward_step under jnp
+    rolls in tests/test_adjoint.py (both force forms, every constraint
+    variant)."""
+    nf = 1.0 - P["fixed"]
+    fx = P["fixed"]
+    dt = P["dt"]
+    f_final, st = _force(pos, vel, P, rg, rs, keep_stages=True)
+    acc = f_final * P["minv"]
+
+    # ---- integrate transpose ----
+    gpos = gpos2 + 0.0
+    gv2 = gvel2 + gpos2 * (dt * nf)
+    gacc_prev = gacc2 * fx
+    gacc = gacc2 * nf
+    gvel = gv2 * fx
+    gv2c = gv2 * nf
+    if P["clamp"]:
+        v1 = vel + acc * dt
+        vn2 = _vdot3(v1, v1)
+        vn = jnp.sqrt(jnp.where(vn2 > 0, vn2, 1.0))
+        over = (vn2 > 0) & (vn > 1.0)
+        invn = 1.0 / vn
+        dot_ = _vdot3(v1, gv2c)
+        gv1 = jnp.where(over, invn * gv2c - ((invn ** 3) * dot_) * v1, gv2c)
+    else:
+        gv1 = gv2c
+    gvel = gvel + gv1
+    gacc = gacc + gv1 * dt
+    gf = gacc * P["minv"]
+    bars = {"minv": jnp.sum(gacc * f_final, axis=0, keepdims=True)}
+
+    # ---- drag transpose ----
+    if P["has_drag"]:
+        sq = _vdot3(vel, vel)
+        vn = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+        vnm = jnp.where(sq > 0, vn, 0.0)
+        dotv = _vdot3(vel, gf)
+        gvel = gvel - P["drag"] * (vnm * gf
+                                   + jnp.where(sq > 0, dotv / vn, 0.0) * vel)
+        bars["drag"] = -(vnm * dotv)[None]
+
+    # ---- balls transpose (reverse order) ----
+    nc = P["normal_coeff"]
+    for bb, f_in in zip(reversed(P["balls"]), reversed(st["ball_in"])):
+        cx, cy, cz, rad = bb
+        dvec = jnp.stack([pos[0] - cx, pos[1] - cy, pos[2] - cz])
+        dist = jnp.sqrt(_vdot3(dvec, dvec))
+        safe = jnp.where(dist > 0, dist, 1.0)
+        active = (dist <= rad) & (dist > 0)
+        push = jnp.where(active, nc / safe, 0.0)
+        gpush = _vdot3(dvec, gf)
+        gdvec = push * gf
+        gdist = jnp.where(active, -nc * gpush / (safe * safe), 0.0)
+        gdvec = gdvec + (gdist / safe) * dvec
+        gpos = gpos + gdvec
+        # gf passes through unchanged (f_out = f_in + dvec*push)
+
+    # ---- planes transpose (reverse order) ----
+    for p in range(len(P["planes"]) - 1, -1, -1):
+        pp = P["planes"][p]
+        f_in = st["plane_in"][p]
+        nx, ny, nz, off, fk, fs = pp
+        disp = pos[0] * nx + pos[1] * ny + pos[2] * nz - off
+        nvec = jnp.stack([jnp.full_like(disp, nx), jnp.full_like(disp, ny),
+                          jnp.full_like(disp, nz)])
+        inside = disp < 0
+        gcontact = _vdot3(gf, nvec)
+        gdisp = jnp.where(inside, -nc * gcontact, 0.0)
+        gpos = gpos + gdisp * nvec
+        if P["plane_friction"][p]:
+            f = f_in
+            fn_mag = f[0] * nx + f[1] * ny + f[2] * nz
+            f_n = fn_mag * nvec
+            has_fric = (fs > 0) | (fk > 0)
+            vdotn = vel[0] * nx + vel[1] * ny + vel[2] * nz
+            v_perp = vel - vdotn * nvec
+            v_norm = jnp.sqrt(_vdot3(v_perp, v_perp))
+            kinetic = v_norm > 1e-16
+            fn_abs = jnp.abs(fn_mag)
+            safe_vn = jnp.where(kinetic, v_norm, 1.0)
+            f_perp = f - f_n
+            fp_norm = jnp.sqrt(_vdot3(f_perp, f_perp))
+            sta_hold = fs * fn_abs > fp_norm
+            sel = inside & has_fric
+            gf1 = gf
+            gf_fric = jnp.where(sel, gf1, 0.0)
+            gf = jnp.where(sel, 0.0, gf1)
+            gf_kin = jnp.where(kinetic, gf_fric, 0.0)
+            gf_sta = jnp.where(kinetic, 0.0, gf_fric)
+            # f_sta = where(hold, f - f_perp, f)
+            gf = gf + gf_sta
+            gf_perp = jnp.where(sta_hold, -gf_sta, 0.0)
+            # f_perp = f - f_n
+            gf = gf + gf_perp
+            gf_n = -gf_perp
+            # f_kin = f - v_perp * s,  s = fk*fn_abs/safe_vn
+            gf = gf + gf_kin
+            s = fk * fn_abs / safe_vn
+            gs = -_vdot3(v_perp, gf_kin)
+            gv_perp = -s * gf_kin
+            gfn_abs = fk * gs / safe_vn
+            gsafe_vn = -fk * fn_abs * gs / (safe_vn * safe_vn)
+            gv_norm = jnp.where(kinetic, gsafe_vn, 0.0)
+            gv_perp = gv_perp + jnp.where(v_norm > 0,
+                                          gv_norm / safe_vn, 0.0) * v_perp
+            # v_perp = vel - vdotn*nvec
+            gvel = gvel + gv_perp
+            gvdotn = -_vdot3(nvec, gv_perp)
+            gvel = gvel + gvdotn * nvec
+            # f_n = fn_mag*nvec; fn_abs = |fn_mag|; fn_mag = dot(f, n)
+            gfn_mag = _vdot3(gf_n, nvec) + jnp.sign(fn_mag) * gfn_abs
+            gf = gf + gfn_mag * nvec
+
+    # ---- spring families transpose (recompute per family) ----
+    nfam = len(P["deltas"])
+    gk = [None] * nfam
+    grest = [None] * nfam
+    gdamp = [None] * nfam if P["has_damping"] else None
+    for fi, d in enumerate(P["deltas"]):
+        pr = rg(pos, d)
+        diff = pr - pos
+        d2 = _vdot3(diff, diff)
+        inv, ln = _inv_len(d2, P)
+        rest = P["rest"][fi]
+        k = P["k"][fi]
+        # f_acc += -f + rs(f, d)  =>  fbar = -g + rg(g, d)
+        fbar = -gf + rg(gf, d)
+        if P["fmath_shared"]:
+            c0 = k * (rest * inv - 1.0)
+            if P["has_damping"]:
+                vr = rg(vel, d)
+                axdot = _vdot3(vel - vr, diff)
+                dmp = P["damping"][fi]
+                c = c0 + (axdot * dmp) * (inv * inv)
+            else:
+                c = c0
+            cbar = _vdot3(fbar, diff)
+            dbar = c * fbar
+            gk[fi] = cbar * (rest * inv - 1.0)
+            grest[fi] = cbar * k * inv
+            invbar = cbar * k * rest
+            if P["has_damping"]:
+                axbar = cbar * dmp * (inv * inv)
+                invbar = invbar + cbar * axdot * dmp * 2.0 * inv
+                gdamp[fi] = cbar * axdot * (inv * inv)
+                dbar = dbar + axbar * (vel - vr)
+                gvel = gvel + axbar * diff + rs(-(axbar * diff), d)
+            d2bar = jnp.where(d2 > 0, -0.5 * invbar * inv * inv * inv, 0.0)
+        else:
+            mag0 = k * (rest - ln)
+            if P["has_damping"]:
+                vr = rg(vel, d)
+                ax_a = _vdot3(vel - vr, diff)
+                dmp = P["damping"][fi]
+                mag = mag0 + (ax_a * inv) * dmp
+            else:
+                mag = mag0
+            cbar = _vdot3(fbar, diff)
+            dbar = (mag * inv) * fbar
+            magbar = cbar * inv
+            invbar = cbar * mag
+            gk[fi] = magbar * (rest - ln)
+            grest[fi] = magbar * k
+            lnbar = -magbar * k
+            if P["has_damping"]:
+                axialbar = magbar * dmp
+                abar = axialbar * inv
+                invbar = invbar + axialbar * ax_a
+                gdamp[fi] = magbar * (ax_a * inv)
+                dbar = dbar + abar * (vel - vr)
+                gvel = gvel + abar * diff + rs(-(abar * diff), d)
+            # inv = 1/ln (guarded); ln = sqrt(d2) (guarded)
+            lnbar = lnbar - jnp.where(ln > 0, invbar * inv * inv, 0.0)
+            d2bar = jnp.where(d2 > 0, 0.5 * lnbar * inv, 0.0)
+        dbar = dbar + 2.0 * diff * d2bar
+        gpos = gpos - dbar + rs(dbar, d)
+    bars["cf"] = gf
+    bars["k"] = gk
+    bars["rest"] = grest
+    if P["has_damping"]:
+        bars["damping"] = gdamp
+    return gpos, gvel, gacc_prev, bars
+
+
+def jnp_rolls(rows: int):
+    """(roll_gather, roll_scatter) under plain jnp.roll on the flattened
+    trailing [R, 128] axes -- flat-index semantics identical to the
+    kernel's 2-D pltpu.roll decomposition.  For tests and oracles."""
+    def rg(x, d):
+        flat = x.reshape(x.shape[:-2] + (rows * 128,))
+        return jnp.roll(flat, -d, axis=-1).reshape(x.shape)
+
+    def rs(x, d):
+        flat = x.reshape(x.shape[:-2] + (rows * 128,))
+        return jnp.roll(flat, d, axis=-1).reshape(x.shape)
+
+    return rg, rs
+
+
+def _pltpu_rolls(rows: int):
+    """The kernel's 2-D roll decomposition (pallas_step.py:187-214)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+
+    def rg(x, d):
+        q, r = divmod(d, 128)
+        if r == 0:
+            return pltpu.roll(x, (-q) % rows, 1)
+        a = pltpu.roll(x, (-q) % rows, 1)
+        b = pltpu.roll(x, (-(q + 1)) % rows, 1)
+        z = jnp.where(lane >= r, a, b)
+        return pltpu.roll(z, 128 - r, 2)
+
+    def rs(x, d):
+        q, r = divmod(d, 128)
+        if r == 0:
+            return pltpu.roll(x, q % rows, 1)
+        a = pltpu.roll(x, q % rows, 1)
+        b = pltpu.roll(x, (q + 1) % rows, 1)
+        z = jnp.where(lane < 128 - r, a, b)
+        return pltpu.roll(z, r, 2)
+
+    return rg, rs
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _static_flags(shape: SceneShape):
+    from .forces import use_rsqrt
+    rsqrt_norms = use_rsqrt(jnp.float32)
+    fmath_shared = (rsqrt_norms
+                    and os.environ.get("TITAN_FMATH", "") != "legacy")
+    return rsqrt_norms, fmath_shared
+
+
+def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
+            drag, plane_ref, ball_ref, dt):
+    rsqrt_norms, fmath_shared = _static_flags(shape)
+    planes = [tuple(plane_ref[p, c] for c in range(6))
+              for p in range(shape.n_planes)]
+    balls = [tuple(ball_ref[b, c] for c in range(4))
+             for b in range(shape.n_balls)]
+    return {
+        "deltas": shape.stencil_deltas, "k": k_ref, "rest": rest_ref,
+        "damping": damp_ref, "minv": minv, "fixed": fixed, "cf": cf,
+        "drag": drag, "planes": planes,
+        "plane_friction": shape.plane_friction, "balls": balls, "dt": dt,
+        "clamp": shape.config.velocity_clamp,
+        "has_damping": shape.has_damping, "has_drag": shape.has_drag,
+        "normal_coeff": shape.config.normal_coeff,
+        "rsqrt_norms": rsqrt_norms, "fmath_shared": fmath_shared,
+    }
+
+
+def _build_trace_kernel(shape: SceneShape, seg: int):
+    """Forward replay writing (pos_t, vel_t) per step to an HBM trace.
+    The DMA of step t's inputs overlaps that step's compute: it reads the
+    output refs BEFORE they are overwritten, and is waited just before
+    the overwrite."""
+    rows = shape.n_masses // 128
+    has_damping, has_drag = shape.has_damping, shape.has_drag
+
+    def kernel(*refs):
+        (scal_ref, plane_ref, ball_ref, pos_ref, vel_ref, acc_ref,
+         cf_ref, minv_ref, fixed_ref, k_ref, rest_ref) = refs[:11]
+        i = 11
+        damp_ref = None
+        if has_damping:
+            damp_ref = refs[i]
+            i += 1
+        drag_ref = None
+        if has_drag:
+            drag_ref = refs[i]
+            i += 1
+        opos_ref, ovel_ref, oacc_ref, trace_ref = refs[i:i + 4]
+        sem = refs[i + 4]
+
+        rg, rs = _pltpu_rolls(rows)
+        P = _make_P(shape, k_ref, rest_ref, damp_ref, minv_ref[:],
+                    fixed_ref[:], cf_ref[:],
+                    drag_ref[:] if has_drag else None,
+                    plane_ref, ball_ref, scal_ref[0])
+        opos_ref[:] = pos_ref[:]
+        ovel_ref[:] = vel_ref[:]
+        oacc_ref[:] = acc_ref[:]
+
+        def body(t, _):
+            cp = pltpu.make_async_copy(opos_ref, trace_ref.at[t, 0:3],
+                                       sem.at[0])
+            cv = pltpu.make_async_copy(ovel_ref, trace_ref.at[t, 3:6],
+                                       sem.at[1])
+            cp.start()
+            cv.start()
+            pos2, vel2, acc2 = forward_step(opos_ref[:], ovel_ref[:],
+                                            oacc_ref[:], P, rg, rs)
+            cp.wait()
+            cv.wait()
+            opos_ref[:] = pos2
+            ovel_ref[:] = vel2
+            oacc_ref[:] = acc2
+            return 0
+
+        jax.lax.fori_loop(0, seg, body, 0)
+
+    return kernel
+
+
+def _build_bwd_kernel(shape: SceneShape, seg: int):
+    """Reverse sweep over the trace: adjoint state and param-grad
+    accumulators VMEM-resident, one (pos_t, vel_t) DMA per step
+    (double-buffered: slot for t-1 issued while t computes)."""
+    rows = shape.n_masses // 128
+    has_damping, has_drag = shape.has_damping, shape.has_drag
+    nfam = len(shape.stencil_deltas)
+
+    def kernel(*refs):
+        (scal_ref, plane_ref, ball_ref, cf_ref, minv_ref, fixed_ref,
+         k_ref, rest_ref) = refs[:8]
+        i = 8
+        damp_ref = None
+        if has_damping:
+            damp_ref = refs[i]
+            i += 1
+        drag_ref = None
+        if has_drag:
+            drag_ref = refs[i]
+            i += 1
+        gposK_ref, gvelK_ref, gaccK_ref, trace_ref = refs[i:i + 4]
+        i += 4
+        gpos_ref, gvel_ref, gacc_ref = refs[i:i + 3]
+        gk_ref, grest_ref = refs[i + 3], refs[i + 4]
+        i += 5
+        gdamp_ref = None
+        if has_damping:
+            gdamp_ref = refs[i]
+            i += 1
+        gcf_ref, gminv_ref = refs[i], refs[i + 1]
+        i += 2
+        gdrag_ref = None
+        if has_drag:
+            gdrag_ref = refs[i]
+            i += 1
+        tslot, sem = refs[i], refs[i + 1]
+
+        rg, rs = _pltpu_rolls(rows)
+        P = _make_P(shape, k_ref, rest_ref, damp_ref, minv_ref[:],
+                    fixed_ref[:], cf_ref[:],
+                    drag_ref[:] if has_drag else None,
+                    plane_ref, ball_ref, scal_ref[0])
+        gpos_ref[:] = gposK_ref[:]
+        gvel_ref[:] = gvelK_ref[:]
+        gacc_ref[:] = gaccK_ref[:]
+        zero = lambda ref: jnp.zeros(ref.shape, ref.dtype)
+        gk_ref[:] = zero(gk_ref)
+        grest_ref[:] = zero(grest_ref)
+        if has_damping:
+            gdamp_ref[:] = zero(gdamp_ref)
+        gcf_ref[:] = zero(gcf_ref)
+        gminv_ref[:] = zero(gminv_ref)
+        if has_drag:
+            gdrag_ref[:] = zero(gdrag_ref)
+
+        def issue(t, slot):
+            pltpu.make_async_copy(trace_ref.at[t], tslot.at[slot],
+                                  sem.at[slot]).start()
+
+        issue(seg - 1, 0)
+
+        def body(ii, _):
+            t = seg - 1 - ii
+            slot = jax.lax.rem(ii, 2)
+            pltpu.make_async_copy(trace_ref.at[t], tslot.at[slot],
+                                  sem.at[slot]).wait()
+
+            @pl.when(t > 0)
+            def _():
+                issue(t - 1, 1 - slot)
+
+            tv = tslot[slot]
+            pos, vel = tv[0:3], tv[3:6]
+            gpos, gvel, gacc_prev, bars = backward_step(
+                pos, vel, gpos_ref[:], gvel_ref[:], gacc_ref[:], P, rg, rs)
+            gpos_ref[:] = gpos
+            gvel_ref[:] = gvel
+            gacc_ref[:] = gacc_prev
+            for fi in range(nfam):
+                gk_ref[fi] = gk_ref[fi] + bars["k"][fi]
+                grest_ref[fi] = grest_ref[fi] + bars["rest"][fi]
+                if has_damping:
+                    gdamp_ref[fi] = gdamp_ref[fi] + bars["damping"][fi]
+            gcf_ref[:] = gcf_ref[:] + bars["cf"]
+            gminv_ref[:] = gminv_ref[:] + bars["minv"]
+            if has_drag:
+                gdrag_ref[:] = gdrag_ref[:] + bars["drag"]
+            return 0
+
+        jax.lax.fori_loop(0, seg, body, 0)
+
+    return kernel
+
+
+def _prep(shape: SceneShape, state: SimState):
+    """Loop-invariant kernel inputs, mirroring build_pallas_chunk's prep
+    (validity folded into k/damping/fixed)."""
+    m = state.masses
+    n = shape.n_masses
+    rows = n // 128
+    r3 = lambda x: x.reshape(x.shape[:-1] + (rows, 128))
+    pair_ok = state.stencil.mask
+    if not shape.all_valid:
+        pair_ok = jnp.stack([
+            pair_ok[fi] & m.valid & jnp.roll(m.valid, -d)
+            for fi, d in enumerate(shape.stencil_deltas)])
+    k_eff = jnp.where(pair_ok, state.stencil.k, 0.0)
+    damp_eff = jnp.where(pair_ok, state.stencil.damping, 0.0)
+    minv = (1.0 / m.m)[None, :]
+    move = m.valid & ~m.fixed
+    fixed = (~move).astype(m.pos.dtype)[None, :]
+    cf = m.extern_force + m.m * state.g[:, None]
+    scal = jnp.stack([state.dt.astype(jnp.float32)])
+    n_planes, n_balls = max(shape.n_planes, 1), max(shape.n_balls, 1)
+    planes = jnp.zeros((n_planes, 6), jnp.float32)
+    if shape.n_planes:
+        planes = planes.at[: shape.n_planes].set(jnp.concatenate([
+            state.gcon.plane_normal, state.gcon.plane_offset[:, None],
+            state.gcon.plane_fk[:, None],
+            state.gcon.plane_fs[:, None]], axis=1).astype(jnp.float32))
+    balls = jnp.zeros((n_balls, 4), jnp.float32)
+    if shape.n_balls:
+        balls = balls.at[: shape.n_balls].set(jnp.concatenate([
+            state.gcon.ball_center,
+            state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
+    out = {"scal": scal, "planes": planes, "balls": balls,
+           "pos": r3(m.pos), "vel": r3(m.vel), "acc": r3(m.acc),
+           "cf": r3(cf), "minv": r3(minv), "fixed": r3(fixed),
+           "k": r3(k_eff), "rest": r3(state.stencil.rest),
+           "pair_ok": pair_ok, "r3": r3}
+    if shape.has_damping:
+        out["damping"] = r3(damp_eff)
+    if shape.has_drag:
+        out["drag"] = r3(m.drag[None, :])
+    return out
+
+
+def build_trace_run(shape: SceneShape, seg: int):
+    """(state) -> trace [seg, 6, rows, 128] (HBM), the segment's per-step
+    (pos_t, vel_t) inputs."""
+    kernel = _build_trace_kernel(shape, seg)
+    rows = shape.n_masses // 128
+
+    def run(state: SimState):
+        p = _prep(shape, state)
+        ins = [p["planes"], p["balls"], p["pos"], p["vel"], p["acc"],
+               p["cf"], p["minv"], p["fixed"], p["k"], p["rest"]]
+        if shape.has_damping:
+            ins.append(p["damping"])
+        if shape.has_drag:
+            ins.append(p["drag"])
+        out_shape = [
+            jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((seg, 6, rows, 128), jnp.float32),
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                         + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                         * (len(ins) - 2),
+                out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                          + [pl.BlockSpec(memory_space=pl.ANY)],
+                scratch_shapes=(pltpu.SemaphoreType.DMA((2,)),),
+            ),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_BUDGET + 24 * 1024 * 1024),
+        )(p["scal"], *ins)
+        return outs[3]
+
+    return run
+
+
+def build_bwd_run(shape: SceneShape, seg: int):
+    """(state0, trace, gpos, gvel, gacc) -> dict of gradients
+    (pos, vel, acc [3, N]; k, rest(, damping) [F, N]; cf [3, N];
+    minv(, drag) [N])."""
+    kernel = _build_bwd_kernel(shape, seg)
+    n = shape.n_masses
+    rows = n // 128
+    nfam = len(shape.stencil_deltas)
+
+    def run(state: SimState, trace, gpos, gvel, gacc):
+        p = _prep(shape, state)
+        r3 = p["r3"]
+        ins = [p["planes"], p["balls"], p["cf"], p["minv"], p["fixed"],
+               p["k"], p["rest"]]
+        if shape.has_damping:
+            ins.append(p["damping"])
+        if shape.has_drag:
+            ins.append(p["drag"])
+        ins += [r3(gpos), r3(gvel), r3(gacc), trace]
+        v3 = jax.ShapeDtypeStruct((3, rows, 128), jnp.float32)
+        vf = jax.ShapeDtypeStruct((nfam, rows, 128), jnp.float32)
+        v1 = jax.ShapeDtypeStruct((1, rows, 128), jnp.float32)
+        out_shape = [v3, v3, v3, vf, vf]
+        if shape.has_damping:
+            out_shape.append(vf)
+        out_shape += [v3, v1]
+        if shape.has_drag:
+            out_shape.append(v1)
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                         + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                         * (len(ins) - 3)
+                         + [pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+                          * len(out_shape),
+                scratch_shapes=(
+                    pltpu.VMEM((2, 6, rows, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ),
+            ),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_BUDGET + 24 * 1024 * 1024),
+        )(p["scal"], *ins)
+        i = 0
+        g = {"pos": outs[0].reshape(3, n), "vel": outs[1].reshape(3, n),
+             "acc": outs[2].reshape(3, n), "k": outs[3].reshape(nfam, n),
+             "rest": outs[4].reshape(nfam, n)}
+        i = 5
+        if shape.has_damping:
+            g["damping"] = outs[i].reshape(nfam, n)
+            i += 1
+        g["cf"] = outs[i].reshape(3, n)
+        g["minv"] = outs[i + 1].reshape(n)
+        i += 2
+        if shape.has_drag:
+            g["drag"] = outs[i].reshape(n)
+        g["pair_ok"] = p["pair_ok"]
+        return g
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp segment + public rollout
+# ---------------------------------------------------------------------------
+
+def _adjoint_segment(shape: SceneShape, seg: int):
+    from .pallas_step import build_pallas_chunk
+    fwd_chunk = build_pallas_chunk(shape)
+    trace_run = build_trace_run(shape, seg)
+    bwd_run = build_bwd_run(shape, seg)
+
+    @jax.custom_vjp
+    def seg_fn(state):
+        return fwd_chunk(state, jnp.int32(seg))
+
+    def seg_fwd(state):
+        return seg_fn(state), state
+
+    def seg_bwd(s0, ct):
+        trace = trace_run(s0)
+        g = bwd_run(s0, trace, ct.masses.pos, ct.masses.vel, ct.masses.acc)
+        m0 = s0.masses
+        minv2 = 1.0 / (m0.m * m0.m)
+        gm = (ct.masses.m + jnp.sum(s0.g[:, None] * g["cf"], axis=0)
+              - minv2 * g["minv"])
+        gmasses = dataclasses.replace(
+            ct.masses, pos=g["pos"], vel=g["vel"], acc=g["acc"],
+            extern_force=ct.masses.extern_force + g["cf"], m=gm)
+        if shape.has_drag:
+            gmasses = dataclasses.replace(
+                gmasses, drag=ct.masses.drag + g["drag"])
+        gstencil = dataclasses.replace(
+            ct.stencil,
+            k=ct.stencil.k + jnp.where(g["pair_ok"], g["k"], 0.0),
+            rest=ct.stencil.rest + g["rest"])
+        if shape.has_damping:
+            gstencil = dataclasses.replace(
+                gstencil, damping=ct.stencil.damping
+                + jnp.where(g["pair_ok"], g["damping"], 0.0))
+        gg = ct.g + jnp.sum(m0.m[None, :] * g["cf"], axis=1)
+        return (dataclasses.replace(ct, masses=gmasses, stencil=gstencil,
+                                    g=gg),)
+
+    seg_fn.defvjp(seg_fwd, seg_bwd)
+    return seg_fn
+
+
+def adjoint_rollout(shape: SceneShape, state: SimState, n_steps: int,
+                    segment: Optional[int] = None) -> SimState:
+    """Differentiable rollout where BOTH passes run fused VMEM kernels.
+
+    Forward: the existing fused chunk.  Backward, per ``segment``-step
+    block: a trace-writing forward replay plus a reverse-sweep adjoint
+    kernel (module docstring).  Residual memory is one state per segment
+    plus one (pos, vel) trace buffer of ``segment`` steps (re-used across
+    segments by XLA; ~segment * 6N * 4 bytes).
+
+    Gradients are the exact VJP of the kernel's own forward physics (the
+    same f32 op ordering), for the differentiable-input set in the module
+    docstring; dt and plane/ball geometry are NOT differentiated on this
+    path (their cotangents pass through as if the step ignored them) --
+    use diff.rollout for those.
+
+    Scenes outside ``adjoint_supported`` should use diff.fast_rollout
+    (fused primal, XLA-recompute backward)."""
+    r = adjoint_reject_reason(shape)
+    if r is not None:
+        raise ValueError(f"scene outside the adjoint kernel envelope: {r}")
+    seg = segment or min(n_steps, 128)
+    assert n_steps % seg == 0
+    seg_fn = _adjoint_segment(shape, seg)
+    if n_steps == seg:
+        return seg_fn(state)
+    out, _ = jax.lax.scan(lambda s, _: (seg_fn(s), None), state, None,
+                          length=n_steps // seg)
+    return out
