@@ -491,12 +491,20 @@ def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
     }
 
 
+def _trows(shape: SceneShape) -> int:
+    """Trace-row count: rows padded up to sublane (8) alignment -- Mosaic
+    manual DMAs fault on unaligned row counts (hard-won, see
+    ops/pallas_tiled.py's 1024-mass window alignment)."""
+    rows = shape.n_masses // 128
+    return (rows + 7) // 8 * 8
+
+
 def _build_trace_kernel(shape: SceneShape, seg: int):
     """Forward replay writing (pos_t, vel_t) per step to an HBM trace.
-    The DMA of step t's inputs overlaps that step's compute: it reads the
-    output refs BEFORE they are overwritten, and is waited just before
-    the overwrite."""
+    Step t's inputs are staged into a VMEM scratch slot and DMA'd out as
+    one aligned [6, TR, 128] block while the step computes."""
     rows = shape.n_masses // 128
+    trows = _trows(shape)
     has_damping, has_drag = shape.has_damping, shape.has_drag
 
     def kernel(*refs):
@@ -512,7 +520,7 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
             drag_ref = refs[i]
             i += 1
         opos_ref, ovel_ref, oacc_ref, trace_ref = refs[i:i + 4]
-        sem = refs[i + 4]
+        stage, sem = refs[i + 4], refs[i + 5]
 
         rg, rs = _pltpu_rolls(rows)
         P = _make_P(shape, k_ref, rest_ref, damp_ref, minv_ref[:],
@@ -522,24 +530,35 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
         opos_ref[:] = pos_ref[:]
         ovel_ref[:] = vel_ref[:]
         oacc_ref[:] = acc_ref[:]
+        if trows != rows:
+            stage[:] = jnp.zeros(stage.shape, stage.dtype)
 
         def body(t, _):
-            cp = pltpu.make_async_copy(opos_ref, trace_ref.at[t, 0:3],
-                                       sem.at[0])
-            cv = pltpu.make_async_copy(ovel_ref, trace_ref.at[t, 3:6],
-                                       sem.at[1])
-            cp.start()
-            cv.start()
+            slot = jax.lax.rem(t, 2)
+            # the DMA issued two steps ago re-reads this slot: wait first
+            @pl.when(t >= 2)
+            def _():
+                pltpu.make_async_copy(stage.at[slot], trace_ref.at[t - 2],
+                                      sem.at[slot]).wait()
+            stage[slot, 0:3, 0:rows] = opos_ref[:]
+            stage[slot, 3:6, 0:rows] = ovel_ref[:]
+            pltpu.make_async_copy(stage.at[slot], trace_ref.at[t],
+                                  sem.at[slot]).start()
             pos2, vel2, acc2 = forward_step(opos_ref[:], ovel_ref[:],
                                             oacc_ref[:], P, rg, rs)
-            cp.wait()
-            cv.wait()
             opos_ref[:] = pos2
             ovel_ref[:] = vel2
             oacc_ref[:] = acc2
             return 0
 
         jax.lax.fori_loop(0, seg, body, 0)
+        pltpu.make_async_copy(stage.at[(seg - 1) % 2],
+                              trace_ref.at[seg - 1],
+                              sem.at[(seg - 1) % 2]).wait()
+        if seg >= 2:
+            pltpu.make_async_copy(stage.at[(seg - 2) % 2],
+                                  trace_ref.at[seg - 2],
+                                  sem.at[(seg - 2) % 2]).wait()
 
     return kernel
 
@@ -549,6 +568,7 @@ def _build_bwd_kernel(shape: SceneShape, seg: int):
     accumulators VMEM-resident, one (pos_t, vel_t) DMA per step
     (double-buffered: slot for t-1 issued while t computes)."""
     rows = shape.n_masses // 128
+    trows = _trows(shape)
     has_damping, has_drag = shape.has_damping, shape.has_drag
     nfam = len(shape.stencil_deltas)
 
@@ -616,7 +636,7 @@ def _build_bwd_kernel(shape: SceneShape, seg: int):
                 issue(t - 1, 1 - slot)
 
             tv = tslot[slot]
-            pos, vel = tv[0:3], tv[3:6]
+            pos, vel = tv[0:3, 0:rows], tv[3:6, 0:rows]
             gpos, gvel, gacc_prev, bars = backward_step(
                 pos, vel, gpos_ref[:], gvel_ref[:], gacc_ref[:], P, rg, rs)
             gpos_ref[:] = gpos
@@ -699,7 +719,7 @@ def build_trace_run(shape: SceneShape, seg: int):
             jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((seg, 6, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((seg, 6, _trows(shape), 128), jnp.float32),
         ]
         outs = pl.pallas_call(
             kernel,
@@ -710,7 +730,10 @@ def build_trace_run(shape: SceneShape, seg: int):
                          * (len(ins) - 2),
                 out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
                           + [pl.BlockSpec(memory_space=pl.ANY)],
-                scratch_shapes=(pltpu.SemaphoreType.DMA((2,)),),
+                scratch_shapes=(
+                    pltpu.VMEM((2, 6, _trows(shape), 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ),
             ),
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
@@ -760,7 +783,7 @@ def build_bwd_run(shape: SceneShape, seg: int):
                 out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
                           * len(out_shape),
                 scratch_shapes=(
-                    pltpu.VMEM((2, 6, rows, 128), jnp.float32),
+                    pltpu.VMEM((2, 6, _trows(shape), 128), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                 ),
             ),
