@@ -31,13 +31,22 @@ from titan_tpu.ops import adjoint
 from titan_tpu.state import xla_only_shape
 
 
-def build(nx, clamp=True):
-    sim = Simulation(SimConfig(velocity_clamp=clamp,
-                               host_store_dtype="float32"))
+def build(nx, clamp=True, breathing=False, integrator=None):
+    cfg = dict(velocity_clamp=clamp, host_store_dtype="float32")
+    if integrator:
+        from titan_tpu import Integrator
+        cfg["integrator"] = Integrator(integrator)
+    sim = Simulation(SimConfig(**cfg))
     sim.createLattice(Vec(0, 0, 5), Vec(4, 4, 4), nx, nx, nx)
     sim.setAllSpringConstantValues(1000.0)
     st = sim._store
     st.damping[: st.n_springs] = 0.3
+    st.rest[: st.n_springs] *= 1.03     # pre-stress: real spring grads
+    if breathing:
+        from titan_tpu import ACTIVE_CONTRACT_THEN_EXPAND
+        half = st.n_springs // 2
+        st.s_type[:half] = ACTIVE_CONTRACT_THEN_EXPAND
+        st.omega[:half] = 7.0
     sim.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
     sim.setTimeStep(1e-4)
     sim.setGlobalAcceleration(Vec(0, 0, -9.8))
@@ -59,35 +68,39 @@ def loss_fn(shape, state, rollout, wpos, wvel):
     return f
 
 
-# --- correctness at 20^3 ---
-sim = build(20)
-shape, state = sim._shape, sim._state
-rng = np.random.RandomState(0)
-npad = state.masses.pos.shape[1]
-n = sim._store.n_masses
-wpos = jnp.asarray(rng.normal(0, 1, (3, npad)), jnp.float32
-                   ).at[:, n:].set(0.0)
-wvel = jnp.asarray(rng.normal(0, 1, (3, npad)), jnp.float32
-                   ).at[:, n:].set(0.0)
+# --- correctness at 20^3: euler / breathing / verlet ---
+for tag, kw in (("euler", {}), ("breathing", dict(breathing=True)),
+                ("verlet", dict(integrator="verlet"))):
+    sim = build(20, **kw)
+    shape, state = sim._shape, sim._state
+    rng = np.random.RandomState(0)
+    npad = state.masses.pos.shape[1]
+    n = sim._store.n_masses
+    wpos = jnp.asarray(rng.normal(0, 1, (3, npad)), jnp.float32
+                       ).at[:, n:].set(0.0)
+    wvel = jnp.asarray(rng.normal(0, 1, (3, npad)), jnp.float32
+                       ).at[:, n:].set(0.0)
 
-f_adj = loss_fn(shape, state,
-                lambda s: adjoint.adjoint_rollout(shape, s, 40, segment=20),
-                wpos, wvel)
-f_xla = loss_fn(shape, state,
-                lambda s: diff.rollout(xla_only_shape(shape), s, 40),
-                wpos, wvel)
-ga = jax.jit(jax.grad(f_adj, argnums=(0, 1)))(state.masses.pos,
-                                              state.masses.vel)
-gx = jax.jit(jax.grad(f_xla, argnums=(0, 1)))(state.masses.pos,
-                                              state.masses.vel)
-for name, a, x in zip(("pos", "vel"), ga, gx):
-    a = np.asarray(a)[:, :n]
-    x = np.asarray(x)[:, :n]
-    scale = max(np.abs(x).max(), 1e-8)
-    err = float(np.max(np.abs(a - x)) / scale)
-    print(json.dumps({"check": f"adjoint_vs_xla_grad_20^3[{name}]",
-                      "rel_maxabs_err": err}), flush=True)
-    assert err < 1e-3, err
+    f_adj = loss_fn(shape, state,
+                    lambda s: adjoint.adjoint_rollout(shape, s, 40,
+                                                      segment=20),
+                    wpos, wvel)
+    f_xla = loss_fn(shape, state,
+                    lambda s: diff.rollout(xla_only_shape(shape), s, 40),
+                    wpos, wvel)
+    ga = jax.jit(jax.grad(f_adj, argnums=(0, 1)))(state.masses.pos,
+                                                  state.masses.vel)
+    gx = jax.jit(jax.grad(f_xla, argnums=(0, 1)))(state.masses.pos,
+                                                  state.masses.vel)
+    for name, a, x in zip(("pos", "vel"), ga, gx):
+        a = np.asarray(a)[:, :n]
+        x = np.asarray(x)[:, :n]
+        scale = max(np.abs(x).max(), 1e-8)
+        err = float(np.max(np.abs(a - x)) / scale)
+        print(json.dumps({"check": f"adjoint_vs_xla_grad_20^3"
+                                   f"[{tag}:{name}]",
+                          "rel_maxabs_err": err}), flush=True)
+        assert err < 1e-3, err
 
 # --- perf A/B at 43^3 (the 1M-spring bench scene) ---
 big = build(43)

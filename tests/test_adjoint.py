@@ -28,11 +28,18 @@ DELTAS = (1, 127, 128, 200)
 
 
 def _mkP(rng, fmath_shared, damping, clamp, drag, planes, fric, ball,
-         fixed):
+         fixed, breathing=False, verlet=False):
     F = len(DELTAS)
     sh = (ROWS, 128)
     P = {
         "deltas": DELTAS,
+        "verlet": verlet,
+        "has_breathing": breathing,
+        "bsign": (jnp.asarray(
+            rng.choice([-0.2, 0.0, 0.2], (F,) + sh), jnp.float32)
+            if breathing else None),
+        "bomega": (jnp.asarray(rng.uniform(1.0, 9.0, (F,) + sh),
+                               jnp.float32) if breathing else None),
         "k": jnp.asarray(rng.uniform(50.0, 200.0, (F,) + sh), jnp.float32),
         "rest": jnp.asarray(rng.uniform(0.5, 1.5, (F,) + sh), jnp.float32),
         "damping": (jnp.asarray(rng.uniform(0.0, 0.6, (F,) + sh),
@@ -74,8 +81,17 @@ VARIANTS = {
     "two_planes_fric": dict(planes=2, fric=True),
     "ball": dict(ball=True),
     "fixed": dict(fixed=True),
+    "breathing": dict(breathing=True),
+    "verlet": dict(verlet=True),
+    "verlet_damping": dict(verlet=True, damping=True),
     "everything": dict(damping=True, clamp=True, drag=True, planes=2,
                        fric=True, ball=True, fixed=True),
+    "everything_breathing": dict(damping=True, clamp=True, drag=True,
+                                 planes=2, fric=True, ball=True,
+                                 fixed=True, breathing=True),
+    "everything_verlet": dict(damping=True, drag=True, planes=2,
+                              fric=True, ball=True, fixed=True,
+                              breathing=True, verlet=True),
 }
 
 
@@ -85,10 +101,11 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
     """backward_step == jax.vjp(forward_step) for state AND params."""
     rng = np.random.RandomState(7)
     kw = dict(damping=False, clamp=False, drag=False, planes=0, fric=False,
-              ball=False, fixed=False)
+              ball=False, fixed=False, breathing=False, verlet=False)
     kw.update(VARIANTS[variant])
     P = _mkP(rng, fmath == "shared", **kw)
     rg, rs = jnp_rolls(ROWS)
+    t_now = jnp.float32(0.37)
 
     pos = jnp.asarray(rng.normal(0, 1, (3, ROWS, 128)), jnp.float32)
     vel = jnp.asarray(rng.normal(0, 0.8, (3, ROWS, 128)), jnp.float32)
@@ -102,18 +119,20 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
         diffable.append("damping")
     if kw["drag"]:
         diffable.append("drag")
+    if kw["breathing"]:
+        diffable.append("bomega")
 
     def fwd(pos, vel, acc, params):
         Q = dict(P)
         Q.update(params)
-        return forward_step(pos, vel, acc, Q, rg, rs)
+        return forward_step(pos, vel, acc, Q, rg, rs, t_now)
 
     params = {k: P[k] for k in diffable}
     out, vjp = jax.vjp(fwd, pos, vel, acc, params)
     gpos_j, gvel_j, gacc_j, gpar_j = vjp((gp2, gv2, ga2))
 
     gpos, gvel, gacc_prev, bars = backward_step(pos, vel, gp2, gv2, ga2,
-                                                P, rg, rs)
+                                                P, rg, rs, t_now)
     tol = dict(rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gpos), np.asarray(gpos_j), **tol)
     np.testing.assert_allclose(np.asarray(gvel), np.asarray(gvel_j), **tol)
@@ -133,6 +152,9 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
     if kw["drag"]:
         np.testing.assert_allclose(np.asarray(bars["drag"]),
                                    np.asarray(gpar_j["drag"]), **tol)
+    if kw["breathing"]:
+        np.testing.assert_allclose(np.asarray(jnp.stack(bars["omega"])),
+                                   np.asarray(gpar_j["bomega"]), **tol)
 
 
 # ---------------------------------------------------------------------------
@@ -140,8 +162,12 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
 # ---------------------------------------------------------------------------
 
 def _scene(clamp=False, friction=False, ball=False, fixed_face=False,
-           damping=0.0, drag=0.0, deleted=False, extern=False):
+           damping=0.0, drag=0.0, deleted=False, extern=False,
+           breathing=False, integrator=None):
     cfg = dict(velocity_clamp=clamp)
+    if integrator:
+        from titan_tpu import Integrator
+        cfg["integrator"] = Integrator(integrator)
     sim = Simulation(SimConfig(**cfg))
     if fixed_face:
         sim.createBeam(Vec(0, 0, 2), Vec(1, 1, 1), 4, 4, 4)
@@ -149,6 +175,11 @@ def _scene(clamp=False, friction=False, ball=False, fixed_face=False,
         sim.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 4, 4, 4)
     sim.setAllSpringConstantValues(800.0)
     st = sim._store
+    # pre-stress: a free-falling lattice at natural rest has ZERO spring
+    # deformation, so k/rest/damping gradients are f32-noise-scale
+    # (~1e-9) and normalized comparisons fail on noise; 3% rest extension
+    # gives them real magnitude from step 0
+    st.rest[: st.n_springs] *= 1.03
     if damping:
         st.damping[: st.n_springs] = damping
     if drag:
@@ -158,6 +189,11 @@ def _scene(clamp=False, friction=False, ball=False, fixed_face=False,
         st.valid[17] = False
     if extern:
         st.extern_force[2, :8] = 0.5
+    if breathing:
+        from titan_tpu import ACTIVE_CONTRACT_THEN_EXPAND
+        half = st.n_springs // 2
+        st.s_type[:half] = ACTIVE_CONTRACT_THEN_EXPAND
+        st.omega[:half] = 7.0
     if friction:
         sim.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
     else:
@@ -177,6 +213,10 @@ SCENES = {
     "drag_ball": dict(drag=0.3, ball=True),
     "beam_fixed": dict(fixed_face=True, damping=0.4, friction=True),
     "deleted_extern": dict(deleted=True, extern=True, friction=True),
+    "breathing": dict(breathing=True, friction=True, damping=0.3),
+    "verlet": dict(integrator="verlet", friction=True, damping=0.3),
+    "verlet_breathing": dict(integrator="verlet", breathing=True,
+                             friction=True),
 }
 
 
@@ -211,12 +251,13 @@ def test_adjoint_rollout_grads_match_xla(scene_name, monkeypatch):
     wvel = jnp.asarray(rng.normal(0, 1, (3, state.masses.pos.shape[1])),
                        jnp.float32).at[:, n:].set(0.0)
 
-    def run(rollout_fn, pos0, vel0, k, rest, m, extern, g):
+    def run(rollout_fn, pos0, vel0, k, rest, m, extern, g, omega):
         st = dataclasses.replace(
             state,
             masses=dataclasses.replace(state.masses, pos=pos0, vel=vel0,
                                        m=m, extern_force=extern),
-            stencil=dataclasses.replace(state.stencil, k=k, rest=rest),
+            stencil=dataclasses.replace(state.stencil, k=k, rest=rest,
+                                        omega=omega),
             g=g)
         out = rollout_fn(st)
         return (jnp.sum(out.masses.pos * wpos)
@@ -224,16 +265,17 @@ def test_adjoint_rollout_grads_match_xla(scene_name, monkeypatch):
 
     args = (state.masses.pos, state.masses.vel, state.stencil.k,
             state.stencil.rest, state.masses.m, state.masses.extern_force,
-            state.g)
+            state.g, state.stencil.omega)
+    nargs = 8 if shape.has_breathing else 7
 
     g_adj = jax.grad(
         lambda *a: run(lambda s: adjoint_rollout(shape, s, 20, segment=10),
-                       *a), argnums=tuple(range(7)))(*args)
+                       *a), argnums=tuple(range(nargs)))(*args)
     g_xla = jax.grad(
         lambda *a: run(lambda s: diff.rollout(xla_only_shape(shape), s, 20),
-                       *a), argnums=tuple(range(7)))(*args)
+                       *a), argnums=tuple(range(nargs)))(*args)
 
-    names = ["pos", "vel", "k", "rest", "m", "extern", "g"]
+    names = ["pos", "vel", "k", "rest", "m", "extern", "g", "omega"][:nargs]
     mask_n = state.masses.valid
     for name, a, x in zip(names, g_adj, g_xla):
         a, x = np.asarray(a), np.asarray(x)
@@ -241,7 +283,7 @@ def test_adjoint_rollout_grads_match_xla(scene_name, monkeypatch):
             a, x = a[:, :n], x[:, :n]
         elif name in ("m",):
             a, x = a[:n], x[:n]
-        elif name in ("k", "rest"):
+        elif name in ("k", "rest", "omega"):
             msk = np.asarray(state.stencil.mask)
             a, x = a * msk, x * msk
         scale = max(np.abs(x).max(), 1e-8)
@@ -285,4 +327,10 @@ def test_reject_reasons():
     st.l_max[:4] = st.rest[:4] * 1.2
     st.rate[:4] = 0.5
     sim3._marshal()
-    assert "actuated" in adjoint_reject_reason(sim3._shape)
+    assert "ACTUATED" in adjoint_reject_reason(sim3._shape)
+
+    # breathing (ACTIVE_*) and Verlet are INSIDE the envelope
+    assert adjoint_reject_reason(
+        _scene(breathing=True, friction=True)._shape) is None
+    assert adjoint_reject_reason(
+        _scene(integrator="verlet", friction=True)._shape) is None

@@ -74,3 +74,12 @@ def test_magnetic_swarm(capsys):
     _run("magnetic_swarm.py", argv=["2000", "0.004"])
     out = capsys.readouterr().out
     assert "done:" in out and "mean z=" in out
+
+
+def test_gait_gradient_opt(capsys, monkeypatch):
+    # tiny config: interpret-mode kernels, 20 steps, 2 adam iterations
+    monkeypatch.setenv("GAIT_STEPS", "20")
+    monkeypatch.setenv("GAIT_ITERS", "2")
+    _run("gait_gradient_opt.py")
+    out = capsys.readouterr().out
+    assert "travel over 20 steps" in out and "optimized" in out

@@ -27,17 +27,18 @@ identically-shaped forward (tests/test_adjoint.py).
 
 Differentiable inputs (exact VJP of the kernel's forward physics):
   masses.pos, masses.vel, masses.acc, masses.extern_force, masses.m,
-  masses.drag, stencil.k, stencil.rest, stencil.damping, state.g.
+  masses.drag, stencil.k, stencil.rest, stencil.damping, stencil.omega
+  (breathing frequency -- gradient-based gait optimization), state.g.
 NOT differentiated (cotangents pass through untouched / stay zero):
   dt, global plane/ball geometry, t.  Scenes needing those gradients
   (or features outside the envelope below) use diff.rollout /
   diff.fast_rollout, which differentiate everything through the XLA step.
 
 Envelope (``adjoint_reject_reason``): the VMEM kernel's envelope minus
-breathing/actuated springs, magnets, remainder springs, and local
-constraints; Euler only (with or without the velocity clamp).  Supports
-damping, drag, fixed/deleted masses, global contact planes incl.
-static+kinetic friction, and balls.
+ACTUATED_* (rest-mutating) springs, magnets, remainder springs, and
+local constraints; Euler (with or without the velocity clamp) or Verlet.
+Supports ACTIVE_* breathing springs, damping, drag, fixed/deleted
+masses, global contact planes incl. static+kinetic friction, and balls.
 
 Reference: the physics being differentiated is computeSpringForces +
 massForcesAndUpdate (sim.cu:1157-1200, 1285-1367); the reference has no
@@ -67,11 +68,13 @@ def adjoint_reject_reason(shape: SceneShape):
     r = pallas_reject_reason(shape)
     if r is not None:
         return r
-    if shape.config.integrator is not Integrator.EULER:
+    if shape.config.integrator not in (Integrator.EULER, Integrator.VERLET):
         return (f"integrator {shape.config.integrator.name}: the adjoint "
-                "kernel covers Euler only")
-    if shape.has_breathing:
-        return "breathing/actuated springs not in the adjoint envelope yet"
+                "kernel covers Euler and Verlet only")
+    if shape.has_actuated:
+        return ("ACTUATED_* (rest-mutating) springs not in the adjoint "
+                "envelope (their rest would need per-step tracing); "
+                "ACTIVE_* breathing is supported")
     if shape.has_magnets:
         return "magnets not in the adjoint envelope"
     if shape.has_remainder:
@@ -123,7 +126,18 @@ def _inv_len(d2, P):
     return inv, ln
 
 
-def _force(pos, vel, P, rg, rs, keep_stages=False):
+def _rest_eff(P, fi, t_now):
+    """Per-family effective rest: breathing folds the 1 -/+ 0.2 sin(wt)
+    scale in as rest * (1 + bsign sin(bomega t)) (pallas_step.py:279-283,
+    reference sim.cu:1169-1172)."""
+    rest = P["rest"][fi]
+    if P["has_breathing"]:
+        rest = rest * (1.0 + P["bsign"][fi]
+                       * jnp.sin(P["bomega"][fi] * t_now))
+    return rest
+
+
+def _force(pos, vel, P, rg, rs, t_now=None, keep_stages=False):
     """Full force evaluation (springs + planes + balls + drag), mirroring
     the forward kernel's compute_forces for the adjoint envelope.  With
     keep_stages, returns the per-constraint input forces the transpose
@@ -134,7 +148,7 @@ def _force(pos, vel, P, rg, rs, keep_stages=False):
         diff = pr - pos
         d2 = _vdot3(diff, diff)
         inv, ln = _inv_len(d2, P)
-        rest = P["rest"][fi]
+        rest = _rest_eff(P, fi, t_now)
         if P["fmath_shared"]:
             c = P["k"][fi] * (rest * inv - 1.0)
             if P["has_damping"]:
@@ -212,25 +226,32 @@ def _ball_fwd(f, pos, bb, normal_coeff):
     return f + jnp.stack([d0, d1, d2_]) * push
 
 
-def forward_step(pos, vel, acc_prev, P, rg, rs):
-    """One Euler step, the adjoint envelope's slice of the forward
-    kernel's body (pallas_step.py:567-588).  Returns (pos2, vel2, acc)."""
-    f, _ = _force(pos, vel, P, rg, rs)
+def forward_step(pos, vel, acc_prev, P, rg, rs, t_now=None):
+    """One Euler or Verlet step, the adjoint envelope's slice of the
+    forward kernel's body (pallas_step.py:567-588).
+    Returns (pos2, vel2, acc)."""
+    f, _ = _force(pos, vel, P, rg, rs, t_now)
     nf = 1.0 - P["fixed"]
     fx = P["fixed"]
     dt = P["dt"]
     acc = f * P["minv"]
-    v2 = vel + acc * dt
-    if P["clamp"]:
-        vn = jnp.sqrt(_vdot3(v2, v2))
-        v2 = jnp.where(vn > 1.0, v2 / jnp.where(vn > 0, vn, 1.0), v2)
-    v2 = v2 * nf + vel * fx
-    pos2 = pos + v2 * dt * nf
+    if P["verlet"]:
+        # reference 'Verlet' (sim.cu:1350-1354)
+        v2 = vel + 0.5 * (acc_prev + acc) * dt
+        v2 = v2 * nf + vel * fx
+        pos2 = pos + (v2 * dt + 0.5 * acc * dt * dt) * nf
+    else:
+        v2 = vel + acc * dt
+        if P["clamp"]:
+            vn = jnp.sqrt(_vdot3(v2, v2))
+            v2 = jnp.where(vn > 1.0, v2 / jnp.where(vn > 0, vn, 1.0), v2)
+        v2 = v2 * nf + vel * fx
+        pos2 = pos + v2 * dt * nf
     acc_out = acc * nf + acc_prev * fx
     return pos2, v2, acc_out
 
 
-def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs):
+def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
     """Transpose of forward_step at primal (pos, vel): given cotangents of
     (pos2, vel2, acc_out), produce cotangents of (pos, vel, acc_prev) plus
     param-gradient increments.  Recomputes the forward force pipeline
@@ -242,28 +263,35 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs):
     nf = 1.0 - P["fixed"]
     fx = P["fixed"]
     dt = P["dt"]
-    f_final, st = _force(pos, vel, P, rg, rs, keep_stages=True)
+    f_final, st = _force(pos, vel, P, rg, rs, t_now, keep_stages=True)
     acc = f_final * P["minv"]
 
     # ---- integrate transpose ----
     gpos = gpos2 + 0.0
     gv2 = gvel2 + gpos2 * (dt * nf)
-    gacc_prev = gacc2 * fx
-    gacc = gacc2 * nf
-    gvel = gv2 * fx
-    gv2c = gv2 * nf
-    if P["clamp"]:
-        v1 = vel + acc * dt
-        vn2 = _vdot3(v1, v1)
-        vn = jnp.sqrt(jnp.where(vn2 > 0, vn2, 1.0))
-        over = (vn2 > 0) & (vn > 1.0)
-        invn = 1.0 / vn
-        dot_ = _vdot3(v1, gv2c)
-        gv1 = jnp.where(over, invn * gv2c - ((invn ** 3) * dot_) * v1, gv2c)
+    if P["verlet"]:
+        gvel = gv2 + 0.0
+        gacc_prev = gacc2 * fx + gv2 * (0.5 * dt * nf)
+        gacc = (gacc2 * nf + gv2 * (0.5 * dt * nf)
+                + gpos2 * (0.5 * dt * dt * nf))
     else:
-        gv1 = gv2c
-    gvel = gvel + gv1
-    gacc = gacc + gv1 * dt
+        gacc_prev = gacc2 * fx
+        gacc = gacc2 * nf
+        gvel = gv2 * fx
+        gv2c = gv2 * nf
+        if P["clamp"]:
+            v1 = vel + acc * dt
+            vn2 = _vdot3(v1, v1)
+            vn = jnp.sqrt(jnp.where(vn2 > 0, vn2, 1.0))
+            over = (vn2 > 0) & (vn > 1.0)
+            invn = 1.0 / vn
+            dot_ = _vdot3(v1, gv2c)
+            gv1 = jnp.where(over, invn * gv2c - ((invn ** 3) * dot_) * v1,
+                            gv2c)
+        else:
+            gv1 = gv2c
+        gvel = gvel + gv1
+        gacc = gacc + gv1 * dt
     gf = gacc * P["minv"]
     bars = {"minv": jnp.sum(gacc * f_final, axis=0, keepdims=True)}
 
@@ -354,12 +382,20 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs):
     gk = [None] * nfam
     grest = [None] * nfam
     gdamp = [None] * nfam if P["has_damping"] else None
+    gomega = [None] * nfam if P["has_breathing"] else None
     for fi, d in enumerate(P["deltas"]):
         pr = rg(pos, d)
         diff = pr - pos
         d2 = _vdot3(diff, diff)
         inv, ln = _inv_len(d2, P)
-        rest = P["rest"][fi]
+        if P["has_breathing"]:
+            # rest_eff = rest * scale, scale = 1 + bsign sin(bomega t)
+            sin_t = jnp.sin(P["bomega"][fi] * t_now)
+            scale = 1.0 + P["bsign"][fi] * sin_t
+            rest = P["rest"][fi] * scale
+        else:
+            scale = None
+            rest = P["rest"][fi]
         k = P["k"][fi]
         # f_acc += -f + rs(f, d)  =>  fbar = -g + rg(g, d)
         fbar = -gf + rg(gf, d)
@@ -375,7 +411,7 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs):
             cbar = _vdot3(fbar, diff)
             dbar = c * fbar
             gk[fi] = cbar * (rest * inv - 1.0)
-            grest[fi] = cbar * k * inv
+            resteffbar = cbar * k * inv
             invbar = cbar * k * rest
             if P["has_damping"]:
                 axbar = cbar * dmp * (inv * inv)
@@ -398,7 +434,7 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs):
             magbar = cbar * inv
             invbar = cbar * mag
             gk[fi] = magbar * (rest - ln)
-            grest[fi] = magbar * k
+            resteffbar = magbar * k
             lnbar = -magbar * k
             if P["has_damping"]:
                 axialbar = magbar * dmp
@@ -410,6 +446,13 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs):
             # inv = 1/ln (guarded); ln = sqrt(d2) (guarded)
             lnbar = lnbar - jnp.where(ln > 0, invbar * inv * inv, 0.0)
             d2bar = jnp.where(d2 > 0, 0.5 * lnbar * inv, 0.0)
+        if P["has_breathing"]:
+            grest[fi] = resteffbar * scale
+            scalebar = resteffbar * P["rest"][fi]
+            gomega[fi] = (scalebar * P["bsign"][fi]
+                          * jnp.cos(P["bomega"][fi] * t_now) * t_now)
+        else:
+            grest[fi] = resteffbar
         dbar = dbar + 2.0 * diff * d2bar
         gpos = gpos - dbar + rs(dbar, d)
     bars["cf"] = gf
@@ -417,6 +460,8 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs):
     bars["rest"] = grest
     if P["has_damping"]:
         bars["damping"] = gdamp
+    if P["has_breathing"]:
+        bars["omega"] = gomega
     return gpos, gvel, gacc_prev, bars
 
 
@@ -473,7 +518,7 @@ def _static_flags(shape: SceneShape):
 
 
 def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
-            drag, plane_ref, ball_ref, dt):
+            drag, plane_ref, ball_ref, dt, bsign=None, bomega=None):
     rsqrt_norms, fmath_shared = _static_flags(shape)
     planes = [tuple(plane_ref[p, c] for c in range(6))
               for p in range(shape.n_planes)]
@@ -485,7 +530,10 @@ def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
         "drag": drag, "planes": planes,
         "plane_friction": shape.plane_friction, "balls": balls, "dt": dt,
         "clamp": shape.config.velocity_clamp,
+        "verlet": shape.config.integrator is Integrator.VERLET,
         "has_damping": shape.has_damping, "has_drag": shape.has_drag,
+        "has_breathing": shape.has_breathing,
+        "bsign": bsign, "bomega": bomega,
         "normal_coeff": shape.config.normal_coeff,
         "rsqrt_norms": rsqrt_norms, "fmath_shared": fmath_shared,
     }
@@ -506,6 +554,7 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
     rows = shape.n_masses // 128
     trows = _trows(shape)
     has_damping, has_drag = shape.has_damping, shape.has_drag
+    has_breathing = shape.has_breathing
 
     def kernel(*refs):
         (scal_ref, plane_ref, ball_ref, pos_ref, vel_ref, acc_ref,
@@ -519,6 +568,10 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
         if has_drag:
             drag_ref = refs[i]
             i += 1
+        bsign_ref = bomega_ref = None
+        if has_breathing:
+            bsign_ref, bomega_ref = refs[i], refs[i + 1]
+            i += 2
         opos_ref, ovel_ref, oacc_ref, trace_ref = refs[i:i + 4]
         stage, sem = refs[i + 4], refs[i + 5]
 
@@ -526,7 +579,8 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
         P = _make_P(shape, k_ref, rest_ref, damp_ref, minv_ref[:],
                     fixed_ref[:], cf_ref[:],
                     drag_ref[:] if has_drag else None,
-                    plane_ref, ball_ref, scal_ref[0])
+                    plane_ref, ball_ref, scal_ref[0],
+                    bsign=bsign_ref, bomega=bomega_ref)
         opos_ref[:] = pos_ref[:]
         ovel_ref[:] = vel_ref[:]
         oacc_ref[:] = acc_ref[:]
@@ -544,8 +598,9 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
             stage[slot, 3:6, 0:rows] = ovel_ref[:]
             pltpu.make_async_copy(stage.at[slot], trace_ref.at[t],
                                   sem.at[slot]).start()
+            t_now = scal_ref[1] + t.astype(jnp.float32) * scal_ref[0]
             pos2, vel2, acc2 = forward_step(opos_ref[:], ovel_ref[:],
-                                            oacc_ref[:], P, rg, rs)
+                                            oacc_ref[:], P, rg, rs, t_now)
             opos_ref[:] = pos2
             ovel_ref[:] = vel2
             oacc_ref[:] = acc2
@@ -570,6 +625,7 @@ def _build_bwd_kernel(shape: SceneShape, seg: int):
     rows = shape.n_masses // 128
     trows = _trows(shape)
     has_damping, has_drag = shape.has_damping, shape.has_drag
+    has_breathing = shape.has_breathing
     nfam = len(shape.stencil_deltas)
 
     def kernel(*refs):
@@ -584,6 +640,10 @@ def _build_bwd_kernel(shape: SceneShape, seg: int):
         if has_drag:
             drag_ref = refs[i]
             i += 1
+        bsign_ref = bomega_ref = None
+        if has_breathing:
+            bsign_ref, bomega_ref = refs[i], refs[i + 1]
+            i += 2
         gposK_ref, gvelK_ref, gaccK_ref, trace_ref = refs[i:i + 4]
         i += 4
         gpos_ref, gvel_ref, gacc_ref = refs[i:i + 3]
@@ -592,6 +652,10 @@ def _build_bwd_kernel(shape: SceneShape, seg: int):
         gdamp_ref = None
         if has_damping:
             gdamp_ref = refs[i]
+            i += 1
+        gomega_ref = None
+        if has_breathing:
+            gomega_ref = refs[i]
             i += 1
         gcf_ref, gminv_ref = refs[i], refs[i + 1]
         i += 2
@@ -605,7 +669,8 @@ def _build_bwd_kernel(shape: SceneShape, seg: int):
         P = _make_P(shape, k_ref, rest_ref, damp_ref, minv_ref[:],
                     fixed_ref[:], cf_ref[:],
                     drag_ref[:] if has_drag else None,
-                    plane_ref, ball_ref, scal_ref[0])
+                    plane_ref, ball_ref, scal_ref[0],
+                    bsign=bsign_ref, bomega=bomega_ref)
         gpos_ref[:] = gposK_ref[:]
         gvel_ref[:] = gvelK_ref[:]
         gacc_ref[:] = gaccK_ref[:]
@@ -614,6 +679,8 @@ def _build_bwd_kernel(shape: SceneShape, seg: int):
         grest_ref[:] = zero(grest_ref)
         if has_damping:
             gdamp_ref[:] = zero(gdamp_ref)
+        if has_breathing:
+            gomega_ref[:] = zero(gomega_ref)
         gcf_ref[:] = zero(gcf_ref)
         gminv_ref[:] = zero(gminv_ref)
         if has_drag:
@@ -637,8 +704,10 @@ def _build_bwd_kernel(shape: SceneShape, seg: int):
 
             tv = tslot[slot]
             pos, vel = tv[0:3, 0:rows], tv[3:6, 0:rows]
+            t_now = scal_ref[1] + t.astype(jnp.float32) * scal_ref[0]
             gpos, gvel, gacc_prev, bars = backward_step(
-                pos, vel, gpos_ref[:], gvel_ref[:], gacc_ref[:], P, rg, rs)
+                pos, vel, gpos_ref[:], gvel_ref[:], gacc_ref[:], P, rg, rs,
+                t_now)
             gpos_ref[:] = gpos
             gvel_ref[:] = gvel
             gacc_ref[:] = gacc_prev
@@ -647,6 +716,8 @@ def _build_bwd_kernel(shape: SceneShape, seg: int):
                 grest_ref[fi] = grest_ref[fi] + bars["rest"][fi]
                 if has_damping:
                     gdamp_ref[fi] = gdamp_ref[fi] + bars["damping"][fi]
+                if has_breathing:
+                    gomega_ref[fi] = gomega_ref[fi] + bars["omega"][fi]
             gcf_ref[:] = gcf_ref[:] + bars["cf"]
             gminv_ref[:] = gminv_ref[:] + bars["minv"]
             if has_drag:
@@ -676,7 +747,8 @@ def _prep(shape: SceneShape, state: SimState):
     move = m.valid & ~m.fixed
     fixed = (~move).astype(m.pos.dtype)[None, :]
     cf = m.extern_force + m.m * state.g[:, None]
-    scal = jnp.stack([state.dt.astype(jnp.float32)])
+    scal = jnp.stack([state.dt.astype(jnp.float32),
+                      state.t.astype(jnp.float32)])
     n_planes, n_balls = max(shape.n_planes, 1), max(shape.n_balls, 1)
     planes = jnp.zeros((n_planes, 6), jnp.float32)
     if shape.n_planes:
@@ -698,6 +770,15 @@ def _prep(shape: SceneShape, state: SimState):
         out["damping"] = r3(damp_eff)
     if shape.has_drag:
         out["drag"] = r3(m.drag[None, :])
+    if shape.has_breathing:
+        from ..config import (ACTIVE_CONTRACT_THEN_EXPAND,
+                              ACTIVE_EXPAND_THEN_CONTRACT)
+        styp = state.stencil.type
+        bsign = jnp.where(styp == ACTIVE_CONTRACT_THEN_EXPAND, -0.2,
+                          jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
+                                    0.2, 0.0)).astype(m.pos.dtype)
+        out["bsign"] = r3(bsign)
+        out["bomega"] = r3(state.stencil.omega)
     return out
 
 
@@ -715,6 +796,8 @@ def build_trace_run(shape: SceneShape, seg: int):
             ins.append(p["damping"])
         if shape.has_drag:
             ins.append(p["drag"])
+        if shape.has_breathing:
+            ins += [p["bsign"], p["bomega"]]
         out_shape = [
             jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
@@ -762,12 +845,16 @@ def build_bwd_run(shape: SceneShape, seg: int):
             ins.append(p["damping"])
         if shape.has_drag:
             ins.append(p["drag"])
+        if shape.has_breathing:
+            ins += [p["bsign"], p["bomega"]]
         ins += [r3(gpos), r3(gvel), r3(gacc), trace]
         v3 = jax.ShapeDtypeStruct((3, rows, 128), jnp.float32)
         vf = jax.ShapeDtypeStruct((nfam, rows, 128), jnp.float32)
         v1 = jax.ShapeDtypeStruct((1, rows, 128), jnp.float32)
         out_shape = [v3, v3, v3, vf, vf]
         if shape.has_damping:
+            out_shape.append(vf)
+        if shape.has_breathing:
             out_shape.append(vf)
         out_shape += [v3, v1]
         if shape.has_drag:
@@ -798,6 +885,9 @@ def build_bwd_run(shape: SceneShape, seg: int):
         i = 5
         if shape.has_damping:
             g["damping"] = outs[i].reshape(nfam, n)
+            i += 1
+        if shape.has_breathing:
+            g["omega"] = outs[i].reshape(nfam, n)
             i += 1
         g["cf"] = outs[i].reshape(3, n)
         g["minv"] = outs[i + 1].reshape(n)
@@ -848,6 +938,10 @@ def _adjoint_segment(shape: SceneShape, seg: int):
             gstencil = dataclasses.replace(
                 gstencil, damping=ct.stencil.damping
                 + jnp.where(g["pair_ok"], g["damping"], 0.0))
+        if shape.has_breathing:
+            # omega only acts through c-bar * k (masked k zeroes padding)
+            gstencil = dataclasses.replace(
+                gstencil, omega=ct.stencil.omega + g["omega"])
         gg = ct.g + jnp.sum(m0.m[None, :] * g["cf"], axis=1)
         return (dataclasses.replace(ct, masses=gmasses, stencil=gstencil,
                                     g=gg),)
