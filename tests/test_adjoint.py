@@ -27,8 +27,12 @@ N = ROWS * 128
 DELTAS = (1, 127, 128, 200)
 
 
-def _mkP(rng, fmath_shared, damping, clamp, drag, planes, fric, ball,
+def _mkP(rng, fmath, damping, clamp, drag, planes, fric, ball,
          fixed, breathing=False, verlet=False):
+    # fmath: "legacy" = sqrt+div (the CPU gate), "legacy_rsqrt" = rsqrt
+    # norms with the legacy force form (TITAN_FMATH=legacy on TPU),
+    # "shared" = rsqrt + shared-c form (the TPU default)
+    fmath_shared = fmath == "shared"
     F = len(DELTAS)
     sh = (ROWS, 128)
     P = {
@@ -62,12 +66,9 @@ def _mkP(rng, fmath_shared, damping, clamp, drag, planes, fric, ball,
         "has_damping": damping,
         "has_drag": drag,
         "normal_coeff": 100.0,
-        "rsqrt_norms": False,          # CPU gate; flipped per-test below
+        "rsqrt_norms": fmath in ("shared", "legacy_rsqrt"),
         "fmath_shared": fmath_shared,
     }
-    if fmath_shared:
-        # the shared force form only exists under rsqrt norms
-        P["rsqrt_norms"] = True
     return P
 
 
@@ -95,7 +96,7 @@ VARIANTS = {
 }
 
 
-@pytest.mark.parametrize("fmath", ["legacy", "shared"])
+@pytest.mark.parametrize("fmath", ["legacy", "legacy_rsqrt", "shared"])
 @pytest.mark.parametrize("variant", sorted(VARIANTS))
 def test_backward_step_matches_jax_vjp(variant, fmath):
     """backward_step == jax.vjp(forward_step) for state AND params."""
@@ -103,7 +104,7 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
     kw = dict(damping=False, clamp=False, drag=False, planes=0, fric=False,
               ball=False, fixed=False, breathing=False, verlet=False)
     kw.update(VARIANTS[variant])
-    P = _mkP(rng, fmath == "shared", **kw)
+    P = _mkP(rng, fmath, **kw)
     rg, rs = jnp_rolls(ROWS)
     t_now = jnp.float32(0.37)
 

@@ -83,9 +83,11 @@ def adjoint_reject_reason(shape: SceneShape):
         return "local constraints not in the adjoint envelope"
     n, f = shape.n_masses, len(shape.stencil_deltas)
     # resident: k/rest(/damping) in + the same param-grad accumulators out,
+    # breathing adds bsign/bomega in + the gomega accumulator,
     # minv/fixed/cf(+drag) + their grads, adjoint carries in+out, two trace
     # slots, ~10 vec3 temporaries
-    fam = f * (3 if shape.has_damping else 2) * 2
+    fam = f * ((3 if shape.has_damping else 2) * 2
+               + (3 if shape.has_breathing else 0))
     bytes_ = 4 * n * (fam + 3 * 14 + 8 + 12)
     if bytes_ >= _VMEM_BUDGET:
         return (f"adjoint residency ~{bytes_ >> 20} MB exceeds "
@@ -164,22 +166,17 @@ def _force(pos, vel, P, rg, rs, t_now=None, keep_stages=False):
                 mag = mag + axial * P["damping"][fi]
             fs_ = (mag * inv) * diff
         f = f - fs_ + rs(fs_, d)
-    stages = {"f_springs": f} if keep_stages else None
-    plane_in = []
+    # the plane friction transpose is the ONLY one that needs staged
+    # inputs (its selects read the accumulated force); ball and drag
+    # transposes are pass-through in f
+    stages = {"plane_in": []} if keep_stages else None
     for p, pp in enumerate(P["planes"]):
         if keep_stages:
-            plane_in.append(f)
+            stages["plane_in"].append(f)
         f = _plane_fwd(f, pos, vel, pp, P["plane_friction"][p],
                        P["normal_coeff"])
-    ball_in = []
     for bb in P["balls"]:
-        if keep_stages:
-            ball_in.append(f)
         f = _ball_fwd(f, pos, bb, P["normal_coeff"])
-    if keep_stages:
-        stages["plane_in"] = plane_in
-        stages["ball_in"] = ball_in
-        stages["drag_in"] = f
     if P["has_drag"]:
         sq = _vdot3(vel, vel)
         vn = jnp.sqrt(sq)
@@ -307,7 +304,7 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
 
     # ---- balls transpose (reverse order) ----
     nc = P["normal_coeff"]
-    for bb, f_in in zip(reversed(P["balls"]), reversed(st["ball_in"])):
+    for bb in reversed(P["balls"]):
         cx, cy, cz, rad = bb
         dvec = jnp.stack([pos[0] - cx, pos[1] - cy, pos[2] - cz])
         dist = jnp.sqrt(_vdot3(dvec, dvec))
@@ -481,28 +478,11 @@ def jnp_rolls(rows: int):
 
 
 def _pltpu_rolls(rows: int):
-    """The kernel's 2-D roll decomposition (pallas_step.py:187-214)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
-
-    def rg(x, d):
-        q, r = divmod(d, 128)
-        if r == 0:
-            return pltpu.roll(x, (-q) % rows, 1)
-        a = pltpu.roll(x, (-q) % rows, 1)
-        b = pltpu.roll(x, (-(q + 1)) % rows, 1)
-        z = jnp.where(lane >= r, a, b)
-        return pltpu.roll(z, 128 - r, 2)
-
-    def rs(x, d):
-        q, r = divmod(d, 128)
-        if r == 0:
-            return pltpu.roll(x, q % rows, 1)
-        a = pltpu.roll(x, q % rows, 1)
-        b = pltpu.roll(x, (q + 1) % rows, 1)
-        z = jnp.where(lane < 128 - r, a, b)
-        return pltpu.roll(z, r, 2)
-
-    return rg, rs
+    """The forward kernel's 2-D roll decomposition, shared so the trace
+    replay stays bitwise-equal to the fused chunk (pallas_step.make_rolls;
+    the TITAN_ABLATE hook deliberately stays forward-kernel-only)."""
+    from .pallas_step import make_rolls
+    return make_rolls(rows)
 
 
 # ---------------------------------------------------------------------------
@@ -730,55 +710,30 @@ def _build_bwd_kernel(shape: SceneShape, seg: int):
 
 
 def _prep(shape: SceneShape, state: SimState):
-    """Loop-invariant kernel inputs, mirroring build_pallas_chunk's prep
-    (validity folded into k/damping/fixed)."""
+    """Loop-invariant kernel inputs: pallas_step.prep_invariants (the
+    SAME staging the fused forward chunk runs -- the backward
+    differentiates exactly that physics), reshaped to the kernel's
+    [.., R, 128] layout."""
+    from .pallas_step import prep_invariants
     m = state.masses
     n = shape.n_masses
     rows = n // 128
     r3 = lambda x: x.reshape(x.shape[:-1] + (rows, 128))
-    pair_ok = state.stencil.mask
-    if not shape.all_valid:
-        pair_ok = jnp.stack([
-            pair_ok[fi] & m.valid & jnp.roll(m.valid, -d)
-            for fi, d in enumerate(shape.stencil_deltas)])
-    k_eff = jnp.where(pair_ok, state.stencil.k, 0.0)
-    damp_eff = jnp.where(pair_ok, state.stencil.damping, 0.0)
-    minv = (1.0 / m.m)[None, :]
-    move = m.valid & ~m.fixed
-    fixed = (~move).astype(m.pos.dtype)[None, :]
-    cf = m.extern_force + m.m * state.g[:, None]
-    scal = jnp.stack([state.dt.astype(jnp.float32),
-                      state.t.astype(jnp.float32)])
-    n_planes, n_balls = max(shape.n_planes, 1), max(shape.n_balls, 1)
-    planes = jnp.zeros((n_planes, 6), jnp.float32)
-    if shape.n_planes:
-        planes = planes.at[: shape.n_planes].set(jnp.concatenate([
-            state.gcon.plane_normal, state.gcon.plane_offset[:, None],
-            state.gcon.plane_fk[:, None],
-            state.gcon.plane_fs[:, None]], axis=1).astype(jnp.float32))
-    balls = jnp.zeros((n_balls, 4), jnp.float32)
-    if shape.n_balls:
-        balls = balls.at[: shape.n_balls].set(jnp.concatenate([
-            state.gcon.ball_center,
-            state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
-    out = {"scal": scal, "planes": planes, "balls": balls,
+    inv_ = prep_invariants(shape, state)
+    out = {"scal": inv_["scal"], "planes": inv_["planes"],
+           "balls": inv_["balls"],
            "pos": r3(m.pos), "vel": r3(m.vel), "acc": r3(m.acc),
-           "cf": r3(cf), "minv": r3(minv), "fixed": r3(fixed),
-           "k": r3(k_eff), "rest": r3(state.stencil.rest),
-           "pair_ok": pair_ok, "r3": r3}
+           "cf": r3(inv_["const_f"]), "minv": r3(inv_["minv"]),
+           "fixed": r3(inv_["fixed"]),
+           "k": r3(inv_["k_eff"]), "rest": r3(state.stencil.rest),
+           "pair_ok": inv_["pair_ok"], "r3": r3}
     if shape.has_damping:
-        out["damping"] = r3(damp_eff)
+        out["damping"] = r3(inv_["damp_eff"])
     if shape.has_drag:
         out["drag"] = r3(m.drag[None, :])
     if shape.has_breathing:
-        from ..config import (ACTIVE_CONTRACT_THEN_EXPAND,
-                              ACTIVE_EXPAND_THEN_CONTRACT)
-        styp = state.stencil.type
-        bsign = jnp.where(styp == ACTIVE_CONTRACT_THEN_EXPAND, -0.2,
-                          jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
-                                    0.2, 0.0)).astype(m.pos.dtype)
-        out["bsign"] = r3(bsign)
-        out["bomega"] = r3(state.stencil.omega)
+        out["bsign"] = r3(inv_["bsign"])
+        out["bomega"] = r3(inv_["bomega"])
     return out
 
 
@@ -971,8 +926,16 @@ def adjoint_rollout(shape: SceneShape, state: SimState, n_steps: int,
     r = adjoint_reject_reason(shape)
     if r is not None:
         raise ValueError(f"scene outside the adjoint kernel envelope: {r}")
-    seg = segment or min(n_steps, 128)
-    assert n_steps % seg == 0
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    if segment is None:
+        # largest divisor of n_steps <= 128 (the trace buffer is
+        # segment * 6N floats of HBM; one state residual per segment)
+        segment = next(s for s in range(min(n_steps, 128), 0, -1)
+                       if n_steps % s == 0)
+    seg = segment
+    if n_steps % seg != 0:
+        raise ValueError(f"segment {seg} does not divide n_steps {n_steps}")
     seg_fn = _adjoint_segment(shape, seg)
     if n_steps == seg:
         return seg_fn(state)

@@ -118,6 +118,38 @@ def _lc_planes(shape: SceneShape) -> int:
             + shape.cap_dir * 5)
 
 
+def make_rolls(rows: int):
+    """(roll_gather, roll_scatter) for flat index n +/- d on [.., R, 128]
+    refs inside a Pallas kernel: whole-row rolls + ONE <128 lane rotation
+    (the select commutes inside the rotation, halving cross-lane work vs
+    rotating both row-rolled copies -- measured 2.1x over a flat lane
+    rotation in VMEM, then 1.22x again for the single rotation).  Shared
+    by this kernel and the adjoint kernels (ops/adjoint.py), whose
+    trace-vs-forward bitwise equality depends on both using the identical
+    decomposition.  `pltpu.roll` requires non-negative shifts (% n)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+
+    def roll_gather(x, d):
+        q, r = divmod(d, 128)
+        if r == 0:
+            return pltpu.roll(x, (-q) % rows, 1)
+        a = pltpu.roll(x, (-q) % rows, 1)
+        b = pltpu.roll(x, (-(q + 1)) % rows, 1)
+        z = jnp.where(lane >= r, a, b)
+        return pltpu.roll(z, 128 - r, 2)
+
+    def roll_scatter(x, d):
+        q, r = divmod(d, 128)
+        if r == 0:
+            return pltpu.roll(x, q % rows, 1)
+        a = pltpu.roll(x, q % rows, 1)
+        b = pltpu.roll(x, (q + 1) % rows, 1)
+        z = jnp.where(lane < 128 - r, a, b)
+        return pltpu.roll(z, r, 2)
+
+    return roll_gather, roll_scatter
+
+
 def _build_kernel(shape: SceneShape):
     deltas = shape.stencil_deltas
     n = shape.n_masses
@@ -169,10 +201,11 @@ def _build_kernel(shape: SceneShape):
             if has_remainder:
                 orest_rem_ref = refs[i + 4]   # [S, 1] carried remainder rest
         # All mass-payload refs are [.., R, 128]: flat-index rolls decompose
-        # into whole-row rolls + one <128 lane rotation, which Mosaic runs
-        # ~2.1x faster in VMEM than a full-width lane rotation (19.6k vs
-        # 9.3k steps/s at the 1M-spring config, springs-only A/B).
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+        # into whole-row rolls + one <128 lane rotation (make_rolls; shared
+        # with the adjoint kernels), which Mosaic runs ~2.1x faster in VMEM
+        # than a full-width lane rotation (19.6k vs 9.3k steps/s at the
+        # 1M-spring config, springs-only A/B).
+        _rg, _rs = make_rolls(rows)
 
         import os as _os
         _ablate = _os.environ.get("TITAN_ABLATE", "")
@@ -185,33 +218,17 @@ def _build_kernel(shape: SceneShape):
                 "correct results.", _ablate)
 
         def roll_gather(x, d):
-            # roll reading flat index n+d on [.., R, 128]: row rolls + ONE
-            # lane rotation -- the select commutes inside the rotation
-            # (select boundary shifts by r), halving cross-lane work vs
-            # rotating both row-rolled copies
             if _ablate == "noshift":
                 # timing ablation: physics WRONG; 1 mul replaces the shift
                 # (a plain identity would let the compiler fold diff to 0
                 # and delete the whole force body)
                 return x * (1.0 + 1e-6 * d)
-            q, r = divmod(d, 128)
-            if r == 0:
-                return pltpu.roll(x, (-q) % rows, 1)
-            a = pltpu.roll(x, (-q) % rows, 1)
-            b = pltpu.roll(x, (-(q + 1)) % rows, 1)
-            z = jnp.where(lane >= r, a, b)
-            return pltpu.roll(z, 128 - r, 2)
+            return _rg(x, d)
 
         def roll_scatter(x, d):
             if _ablate == "noshift":
                 return x * (1.0 + 1e-6 * d)   # timing ablation (see above)
-            q, r = divmod(d, 128)
-            if r == 0:
-                return pltpu.roll(x, q % rows, 1)
-            a = pltpu.roll(x, q % rows, 1)
-            b = pltpu.roll(x, (q + 1) % rows, 1)
-            z = jnp.where(lane < 128 - r, a, b)
-            return pltpu.roll(z, r, 2)
+            return _rs(x, d)
 
         dt = scal_ref[0]
         opos_ref[:] = pos_ref[:]
@@ -593,6 +610,55 @@ def _build_kernel(shape: SceneShape):
     return kernel
 
 
+def prep_invariants(shape: SceneShape, state: SimState) -> dict:
+    """Loop-invariant kernel inputs: validity-folded spring params,
+    breathing arrays, inverse-mass / frozen masks, the constant force,
+    and the SMEM scalar tables.
+
+    Shared by the forward chunk below and the adjoint kernels
+    (ops/adjoint.py), whose gradient correctness REQUIRES the trace
+    replay to consume exactly the values the fused chunk ran -- any
+    change to this staging applies to both automatically.
+    """
+    m = state.masses
+    pair_ok = state.stencil.mask
+    if not shape.all_valid:
+        pair_ok = jnp.stack([
+            pair_ok[fi] & m.valid & jnp.roll(m.valid, -d)
+            for fi, d in enumerate(shape.stencil_deltas)])
+    k_eff = jnp.where(pair_ok, state.stencil.k, 0.0)
+    damp_eff = jnp.where(pair_ok, state.stencil.damping, 0.0)
+    styp = state.stencil.type
+    bsign = jnp.where(styp == ACTIVE_CONTRACT_THEN_EXPAND, -0.2,
+                      jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
+                                0.2, 0.0)).astype(m.pos.dtype)
+    bomega = state.stencil.omega
+    minv = (1.0 / m.m)[None, :]
+    # invalid (deleted/padding) masses are frozen exactly like fixed ones
+    move = m.valid & ~m.fixed
+    fixed = (~move).astype(m.pos.dtype)[None, :]
+    const_f = m.extern_force + m.m * state.g[:, None]
+    scal = jnp.stack([state.dt.astype(jnp.float32),
+                      state.t.astype(jnp.float32)])
+    n_planes, n_balls = max(shape.n_planes, 1), max(shape.n_balls, 1)
+    planes = jnp.zeros((n_planes, 6), jnp.float32)
+    if shape.n_planes:
+        planes = planes.at[: shape.n_planes].set(jnp.concatenate([
+            state.gcon.plane_normal,
+            state.gcon.plane_offset[:, None],
+            state.gcon.plane_fk[:, None],
+            state.gcon.plane_fs[:, None]], axis=1).astype(jnp.float32))
+    balls = jnp.zeros((n_balls, 4), jnp.float32)
+    if shape.n_balls:
+        balls = balls.at[: shape.n_balls].set(jnp.concatenate([
+            state.gcon.ball_center,
+            state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
+    return dict(pair_ok=pair_ok, k_eff=k_eff, damp_eff=damp_eff,
+                styp=styp, bsign=bsign, bomega=bomega, minv=minv,
+                move=move, fixed=fixed, const_f=const_f, scal=scal,
+                planes=planes, balls=balls)
+
+
 def build_pallas_chunk(shape: SceneShape, donate: bool = False):
     """Jitted chunk(state, n_steps) -> state using the fused VMEM kernel.
 
@@ -605,40 +671,17 @@ def build_pallas_chunk(shape: SceneShape, donate: bool = False):
 
     def chunk(state: SimState, n_steps) -> SimState:
         m = state.masses
-        # loop invariants, precomputed outside the kernel:
-        # masked/invalid springs exert zero force -> fold mask (and endpoint
-        # validity, which only changes at re-marshal boundaries) into k
-        pair_ok = state.stencil.mask
-        if not shape.all_valid:
-            pair_ok = jnp.stack([
-                pair_ok[fi] & m.valid & jnp.roll(m.valid, -d)
-                for fi, d in enumerate(shape.stencil_deltas)])
-        k_eff = jnp.where(pair_ok, state.stencil.k, 0.0)
-        damp_eff = jnp.where(pair_ok, state.stencil.damping, 0.0)
-        styp = state.stencil.type
-        bsign = jnp.where(styp == ACTIVE_CONTRACT_THEN_EXPAND, -0.2,
-                          jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
-                                    0.2, 0.0)).astype(m.pos.dtype)
-        bomega = state.stencil.omega
-        minv = (1.0 / m.m)[None, :]
-        # invalid (deleted/padding) masses are frozen exactly like fixed ones
-        move = m.valid & ~m.fixed
-        fixed = (~move).astype(m.pos.dtype)[None, :]
-        const_f = m.extern_force + m.m * state.g[:, None]
-        scal = jnp.stack([state.dt.astype(jnp.float32),
-                          state.t.astype(jnp.float32)])
-        planes = jnp.zeros((n_planes, 6), jnp.float32)
-        if shape.n_planes:
-            planes = planes.at[: shape.n_planes].set(jnp.concatenate([
-                state.gcon.plane_normal,
-                state.gcon.plane_offset[:, None],
-                state.gcon.plane_fk[:, None],
-                state.gcon.plane_fs[:, None]], axis=1).astype(jnp.float32))
-        balls = jnp.zeros((n_balls, 4), jnp.float32)
-        if shape.n_balls:
-            balls = balls.at[: shape.n_balls].set(jnp.concatenate([
-                state.gcon.ball_center,
-                state.gcon.ball_radius[:, None]], axis=1).astype(jnp.float32))
+        # loop invariants, precomputed outside the kernel (shared with the
+        # adjoint kernels): masked/invalid springs exert zero force ->
+        # fold mask (and endpoint validity, which only changes at
+        # re-marshal boundaries) into k
+        inv_ = prep_invariants(shape, state)
+        pair_ok, k_eff, damp_eff = (inv_["pair_ok"], inv_["k_eff"],
+                                    inv_["damp_eff"])
+        styp, bsign, bomega = inv_["styp"], inv_["bsign"], inv_["bomega"]
+        minv, move, fixed = inv_["minv"], inv_["move"], inv_["fixed"]
+        const_f, scal = inv_["const_f"], inv_["scal"]
+        planes, balls = inv_["planes"], inv_["balls"]
 
         rows = n // 128
         nf = len(shape.stencil_deltas)
