@@ -115,6 +115,8 @@ SEG = int(os.environ.get("TITAN_AB_SEG", "100"))
 runs = {
     "adjoint_kernel": lambda s: adjoint.adjoint_rollout(
         shape, s, STEPS, segment=SEG),
+    "adjoint_kernel_nostash": lambda s: adjoint.adjoint_rollout(
+        shape, s, STEPS, segment=SEG, _famstash=False),
     "fast_rollout_xla_bwd": lambda s: diff.fast_rollout(
         shape, s, STEPS, segment=SEG),
 }

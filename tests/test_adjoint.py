@@ -157,6 +157,15 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
         np.testing.assert_allclose(np.asarray(jnp.stack(bars["omega"])),
                                    np.asarray(gpar_j["bomega"]), **tol)
 
+    # the TITAN_ADJ_STASH=off recompute path is BITWISE equal to the
+    # stashed one (same ops, same order -- only where they're computed)
+    gpos2_, gvel2_, _, bars2 = backward_step(
+        pos, vel, gp2, gv2, ga2, {**P, "famstash": False}, rg, rs, t_now)
+    np.testing.assert_array_equal(np.asarray(gpos), np.asarray(gpos2_))
+    np.testing.assert_array_equal(np.asarray(gvel), np.asarray(gvel2_))
+    np.testing.assert_array_equal(np.asarray(jnp.stack(bars["k"])),
+                                  np.asarray(jnp.stack(bars2["k"])))
+
 
 # ---------------------------------------------------------------------------
 # Integration: adjoint_rollout vs jax.grad through the XLA path

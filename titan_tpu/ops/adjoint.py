@@ -145,31 +145,42 @@ def _force(pos, vel, P, rg, rs, t_now=None, keep_stages=False):
     keep_stages, returns the per-constraint input forces the transpose
     needs (the plane friction select reads the accumulated force)."""
     f = P["cf"] + 0.0
+    fam = ({"inv": [], "cm": [], "ax": [], "ln": []}
+           if keep_stages and P.get("famstash", True) else None)
     for fi, d in enumerate(P["deltas"]):
         pr = rg(pos, d)
         diff = pr - pos
         d2 = _vdot3(diff, diff)
         inv, ln = _inv_len(d2, P)
         rest = _rest_eff(P, fi, t_now)
+        axdot = None
         if P["fmath_shared"]:
-            c = P["k"][fi] * (rest * inv - 1.0)
+            cm = P["k"][fi] * (rest * inv - 1.0)
             if P["has_damping"]:
                 vr = rg(vel, d)
                 axdot = _vdot3(vel - vr, diff)
-                c = c + (axdot * P["damping"][fi]) * (inv * inv)
-            fs_ = c * diff
+                cm = cm + (axdot * P["damping"][fi]) * (inv * inv)
+            fs_ = cm * diff
         else:
-            mag = P["k"][fi] * (rest - ln)
+            cm = P["k"][fi] * (rest - ln)
             if P["has_damping"]:
                 vr = rg(vel, d)
-                axial = _vdot3(vel - vr, diff) * inv
-                mag = mag + axial * P["damping"][fi]
-            fs_ = (mag * inv) * diff
+                axdot = _vdot3(vel - vr, diff)
+                cm = cm + (axdot * inv) * P["damping"][fi]
+            fs_ = (cm * inv) * diff
         f = f - fs_ + rs(fs_, d)
+        if fam is not None:
+            # per-family scalar intermediates, re-used by the transpose
+            # loop instead of recomputing reductions + rsqrt (the vector
+            # quantities diff / vel-vr are re-derived by rolls -- free)
+            fam["inv"].append(inv)
+            fam["cm"].append(cm)
+            fam["ax"].append(axdot)
+            fam["ln"].append(ln)
     # the plane friction transpose is the ONLY one that needs staged
     # inputs (its selects read the accumulated force); ball and drag
     # transposes are pass-through in f
-    stages = {"plane_in": []} if keep_stages else None
+    stages = {"plane_in": [], "fam": fam} if keep_stages else None
     for p, pp in enumerate(P["planes"]):
         if keep_stages:
             stages["plane_in"].append(f)
@@ -383,8 +394,6 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
     for fi, d in enumerate(P["deltas"]):
         pr = rg(pos, d)
         diff = pr - pos
-        d2 = _vdot3(diff, diff)
-        inv, ln = _inv_len(d2, P)
         if P["has_breathing"]:
             # rest_eff = rest * scale, scale = 1 + bsign sin(bomega t)
             sin_t = jnp.sin(P["bomega"][fi] * t_now)
@@ -394,46 +403,61 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
             scale = None
             rest = P["rest"][fi]
         k = P["k"][fi]
+        if st["fam"] is not None:
+            # scalar intermediates stashed by the pass-A recompute; the
+            # guards d2 > 0 / ln > 0 are equivalent to inv > 0 (guarded
+            # inv is zero exactly at d2 == 0)
+            inv = st["fam"]["inv"][fi]
+            ln = st["fam"]["ln"][fi]
+            cm = st["fam"]["cm"][fi]
+            ax = st["fam"]["ax"][fi]
+        else:
+            # TITAN_ADJ_STASH=off A/B hook: recompute them (the round-3
+            # pre-stash form)
+            d2 = _vdot3(diff, diff)
+            inv, ln = _inv_len(d2, P)
+            ax = None
+            if P["fmath_shared"]:
+                cm = k * (rest * inv - 1.0)
+                if P["has_damping"]:
+                    ax = _vdot3(vel - rg(vel, d), diff)
+                    cm = cm + (ax * P["damping"][fi]) * (inv * inv)
+            else:
+                cm = k * (rest - ln)
+                if P["has_damping"]:
+                    ax = _vdot3(vel - rg(vel, d), diff)
+                    cm = cm + (ax * inv) * P["damping"][fi]
         # f_acc += -f + rs(f, d)  =>  fbar = -g + rg(g, d)
         fbar = -gf + rg(gf, d)
         if P["fmath_shared"]:
-            c0 = k * (rest * inv - 1.0)
-            if P["has_damping"]:
-                vr = rg(vel, d)
-                axdot = _vdot3(vel - vr, diff)
-                dmp = P["damping"][fi]
-                c = c0 + (axdot * dmp) * (inv * inv)
-            else:
-                c = c0
             cbar = _vdot3(fbar, diff)
-            dbar = c * fbar
+            dbar = cm * fbar
             gk[fi] = cbar * (rest * inv - 1.0)
             resteffbar = cbar * k * inv
             invbar = cbar * k * rest
             if P["has_damping"]:
+                axdot = ax
+                vr = rg(vel, d)
+                dmp = P["damping"][fi]
                 axbar = cbar * dmp * (inv * inv)
                 invbar = invbar + cbar * axdot * dmp * 2.0 * inv
                 gdamp[fi] = cbar * axdot * (inv * inv)
                 dbar = dbar + axbar * (vel - vr)
                 gvel = gvel + axbar * diff + rs(-(axbar * diff), d)
-            d2bar = jnp.where(d2 > 0, -0.5 * invbar * inv * inv * inv, 0.0)
+            d2bar = jnp.where(inv > 0, -0.5 * invbar * inv * inv * inv,
+                              0.0)
         else:
-            mag0 = k * (rest - ln)
-            if P["has_damping"]:
-                vr = rg(vel, d)
-                ax_a = _vdot3(vel - vr, diff)
-                dmp = P["damping"][fi]
-                mag = mag0 + (ax_a * inv) * dmp
-            else:
-                mag = mag0
             cbar = _vdot3(fbar, diff)
-            dbar = (mag * inv) * fbar
+            dbar = (cm * inv) * fbar
             magbar = cbar * inv
-            invbar = cbar * mag
+            invbar = cbar * cm
             gk[fi] = magbar * (rest - ln)
             resteffbar = magbar * k
             lnbar = -magbar * k
             if P["has_damping"]:
+                ax_a = ax
+                vr = rg(vel, d)
+                dmp = P["damping"][fi]
                 axialbar = magbar * dmp
                 abar = axialbar * inv
                 invbar = invbar + axialbar * ax_a
@@ -442,7 +466,7 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
                 gvel = gvel + abar * diff + rs(-(abar * diff), d)
             # inv = 1/ln (guarded); ln = sqrt(d2) (guarded)
             lnbar = lnbar - jnp.where(ln > 0, invbar * inv * inv, 0.0)
-            d2bar = jnp.where(d2 > 0, 0.5 * lnbar * inv, 0.0)
+            d2bar = jnp.where(inv > 0, 0.5 * lnbar * inv, 0.0)
         if P["has_breathing"]:
             grest[fi] = resteffbar * scale
             scalebar = resteffbar * P["rest"][fi]
@@ -498,7 +522,8 @@ def _static_flags(shape: SceneShape):
 
 
 def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
-            drag, plane_ref, ball_ref, dt, bsign=None, bomega=None):
+            drag, plane_ref, ball_ref, dt, bsign=None, bomega=None,
+            famstash=True):
     rsqrt_norms, fmath_shared = _static_flags(shape)
     planes = [tuple(plane_ref[p, c] for c in range(6))
               for p in range(shape.n_planes)]
@@ -516,6 +541,7 @@ def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
         "bsign": bsign, "bomega": bomega,
         "normal_coeff": shape.config.normal_coeff,
         "rsqrt_norms": rsqrt_norms, "fmath_shared": fmath_shared,
+        "famstash": famstash,
     }
 
 
@@ -598,7 +624,8 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
     return kernel
 
 
-def _build_bwd_kernel(shape: SceneShape, seg: int):
+def _build_bwd_kernel(shape: SceneShape, seg: int,
+                      famstash: bool = True):
     """Reverse sweep over the trace: adjoint state and param-grad
     accumulators VMEM-resident, one (pos_t, vel_t) DMA per step
     (double-buffered: slot for t-1 issued while t computes)."""
@@ -650,7 +677,8 @@ def _build_bwd_kernel(shape: SceneShape, seg: int):
                     fixed_ref[:], cf_ref[:],
                     drag_ref[:] if has_drag else None,
                     plane_ref, ball_ref, scal_ref[0],
-                    bsign=bsign_ref, bomega=bomega_ref)
+                    bsign=bsign_ref, bomega=bomega_ref,
+                    famstash=famstash)
         gpos_ref[:] = gposK_ref[:]
         gvel_ref[:] = gvelK_ref[:]
         gacc_ref[:] = gaccK_ref[:]
@@ -782,11 +810,12 @@ def build_trace_run(shape: SceneShape, seg: int):
     return run
 
 
-def build_bwd_run(shape: SceneShape, seg: int):
+def build_bwd_run(shape: SceneShape, seg: int,
+                  famstash: bool = True):
     """(state0, trace, gpos, gvel, gacc) -> dict of gradients
     (pos, vel, acc [3, N]; k, rest(, damping) [F, N]; cf [3, N];
     minv(, drag) [N])."""
-    kernel = _build_bwd_kernel(shape, seg)
+    kernel = _build_bwd_kernel(shape, seg, famstash)
     n = shape.n_masses
     rows = n // 128
     nfam = len(shape.stencil_deltas)
@@ -859,11 +888,12 @@ def build_bwd_run(shape: SceneShape, seg: int):
 # custom_vjp segment + public rollout
 # ---------------------------------------------------------------------------
 
-def _adjoint_segment(shape: SceneShape, seg: int):
+def _adjoint_segment(shape: SceneShape, seg: int,
+                     famstash: bool = True):
     from .pallas_step import build_pallas_chunk
     fwd_chunk = build_pallas_chunk(shape)
     trace_run = build_trace_run(shape, seg)
-    bwd_run = build_bwd_run(shape, seg)
+    bwd_run = build_bwd_run(shape, seg, famstash)
 
     @jax.custom_vjp
     def seg_fn(state):
@@ -906,7 +936,8 @@ def _adjoint_segment(shape: SceneShape, seg: int):
 
 
 def adjoint_rollout(shape: SceneShape, state: SimState, n_steps: int,
-                    segment: Optional[int] = None) -> SimState:
+                    segment: Optional[int] = None,
+                    _famstash: bool = True) -> SimState:
     """Differentiable rollout where BOTH passes run fused VMEM kernels.
 
     Forward: the existing fused chunk.  Backward, per ``segment``-step
@@ -936,7 +967,7 @@ def adjoint_rollout(shape: SceneShape, state: SimState, n_steps: int,
     seg = segment
     if n_steps % seg != 0:
         raise ValueError(f"segment {seg} does not divide n_steps {n_steps}")
-    seg_fn = _adjoint_segment(shape, seg)
+    seg_fn = _adjoint_segment(shape, seg, _famstash)
     if n_steps == seg:
         return seg_fn(state)
     out, _ = jax.lax.scan(lambda s, _: (seg_fn(s), None), state, None,
