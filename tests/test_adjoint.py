@@ -344,3 +344,52 @@ def test_reject_reasons():
         _scene(breathing=True, friction=True)._shape) is None
     assert adjoint_reject_reason(
         _scene(integrator="verlet", friction=True)._shape) is None
+
+
+def test_adjoint_on_flat_batched_envs(monkeypatch):
+    """The flat-packed batch (parallel.replicate_scene) is one big stencil
+    scene, so adjoint_rollout differentiates VECTORIZED environments
+    directly: per-env gradients of per-env objectives, matching the XLA
+    path.  (Per-env plane offsets use local-constraint slots and are
+    outside the adjoint envelope; a shared global plane is in.)"""
+    from titan_tpu import diff
+    from titan_tpu.models import walker
+    from titan_tpu.parallel import replicate_scene
+    from titan_tpu.state import xla_only_shape
+
+    src = Simulation(SimConfig())
+    walker(src, size=1.0, n=3, k=1500.0, omega=6.0)
+    big, envs = replicate_scene(src, n_envs=4, spacing=Vec(3, 0, 0))
+    big.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
+    # dt large enough that breathing deforms within the 20-step horizon,
+    # so omega gradients have real magnitude (not f32 noise)
+    big.setTimeStep(1e-3)
+    big.setGlobalAcceleration(Vec(0, 0, -9.8))
+    shape, state = diff.scene(big)
+    assert adjoint_supported(shape), adjoint_reject_reason(shape)
+    assert shape.has_breathing
+    _interp(monkeypatch)
+
+    n_per = src._store.n_masses
+    # per-env loss: env e's mean x displacement, summed with distinct
+    # weights so d loss / d omega separates per env
+    w = jnp.asarray([1.0, -2.0, 3.0, 0.5])
+
+    def loss(omega, rollout):
+        st = dataclasses.replace(
+            state, stencil=dataclasses.replace(state.stencil, omega=omega))
+        out = rollout(st)
+        xs = out.masses.pos[0, : 4 * n_per].reshape(4, n_per)
+        return jnp.sum(w * jnp.mean(xs, axis=1))
+
+    g_adj = jax.grad(lambda o: loss(
+        o, lambda s: adjoint_rollout(shape, s, 20, segment=10)))(
+            state.stencil.omega)
+    g_xla = jax.grad(lambda o: loss(
+        o, lambda s: diff.rollout(xla_only_shape(shape), s, 20)))(
+            state.stencil.omega)
+    a, x = np.asarray(g_adj), np.asarray(g_xla)
+    msk = np.asarray(state.stencil.mask)
+    scale = max(np.abs(x * msk).max(), 1e-12)
+    np.testing.assert_allclose(a * msk / scale, x * msk / scale, atol=5e-4)
+    assert scale > 1e-9, "omega gradients should be real-magnitude"
