@@ -70,7 +70,8 @@ def loss_fn(shape, state, rollout, wpos, wvel):
 
 # --- correctness at 20^3: euler / breathing / verlet ---
 for tag, kw in (("euler", {}), ("breathing", dict(breathing=True)),
-                ("verlet", dict(integrator="verlet"))):
+                ("verlet", dict(integrator="verlet")),
+                ("rk2", dict(integrator="rk2"))):
     sim = build(20, **kw)
     shape, state = sim._shape, sim._state
     rng = np.random.RandomState(0)

@@ -28,7 +28,7 @@ DELTAS = (1, 127, 128, 200)
 
 
 def _mkP(rng, fmath, damping, clamp, drag, planes, fric, ball,
-         fixed, breathing=False, verlet=False):
+         fixed, breathing=False, verlet=False, rk2=False):
     # fmath: "legacy" = sqrt+div (the CPU gate), "legacy_rsqrt" = rsqrt
     # norms with the legacy force form (TITAN_FMATH=legacy on TPU),
     # "shared" = rsqrt + shared-c form (the TPU default)
@@ -38,6 +38,7 @@ def _mkP(rng, fmath, damping, clamp, drag, planes, fric, ball,
     P = {
         "deltas": DELTAS,
         "verlet": verlet,
+        "rk2": rk2,
         "has_breathing": breathing,
         "bsign": (jnp.asarray(
             rng.choice([-0.2, 0.0, 0.2], (F,) + sh), jnp.float32)
@@ -85,6 +86,11 @@ VARIANTS = {
     "breathing": dict(breathing=True),
     "verlet": dict(verlet=True),
     "verlet_damping": dict(verlet=True, damping=True),
+    "rk2": dict(rk2=True),
+    "rk2_damping": dict(rk2=True, damping=True),
+    "rk2_everything": dict(rk2=True, damping=True, drag=True, planes=2,
+                           fric=True, ball=True, fixed=True,
+                           breathing=True),
     "everything": dict(damping=True, clamp=True, drag=True, planes=2,
                        fric=True, ball=True, fixed=True),
     "everything_breathing": dict(damping=True, clamp=True, drag=True,
@@ -102,7 +108,8 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
     """backward_step == jax.vjp(forward_step) for state AND params."""
     rng = np.random.RandomState(7)
     kw = dict(damping=False, clamp=False, drag=False, planes=0, fric=False,
-              ball=False, fixed=False, breathing=False, verlet=False)
+              ball=False, fixed=False, breathing=False, verlet=False,
+              rk2=False)
     kw.update(VARIANTS[variant])
     P = _mkP(rng, fmath, **kw)
     rg, rs = jnp_rolls(ROWS)
@@ -227,6 +234,8 @@ SCENES = {
     "verlet": dict(integrator="verlet", friction=True, damping=0.3),
     "verlet_breathing": dict(integrator="verlet", breathing=True,
                              friction=True),
+    "rk2": dict(integrator="rk2", friction=True, damping=0.3),
+    "rk2_breathing": dict(integrator="rk2", breathing=True, friction=True),
 }
 
 
@@ -323,12 +332,14 @@ def test_reject_reasons():
     sim = _scene(friction=True)
     assert adjoint_reject_reason(sim._shape) is None
 
+    # all three integrators are inside the envelope
     sim2 = Simulation(SimConfig(integrator=Integrator("rk2")))
     sim2.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 4, 4, 4)
+    sim2.createPlane(Vec(0, 0, 1), 0)
     sim2.setTimeStep(1e-4)
     sim2._T = 0.0
     sim2._marshal()
-    assert "Euler" in adjoint_reject_reason(sim2._shape)
+    assert adjoint_reject_reason(sim2._shape) is None
 
     sim3 = _scene()
     st = sim3._store

@@ -36,7 +36,8 @@ NOT differentiated (cotangents pass through untouched / stay zero):
 
 Envelope (``adjoint_reject_reason``): the VMEM kernel's envelope minus
 ACTUATED_* (rest-mutating) springs, magnets, remainder springs, and
-local constraints; Euler (with or without the velocity clamp) or Verlet.
+local constraints; Euler (with or without the velocity clamp), Verlet,
+or RK2 (two force passes, each with its own transpose).
 Supports ACTIVE_* breathing springs, damping, drag, fixed/deleted
 masses, global contact planes incl. static+kinetic friction, and balls.
 
@@ -68,9 +69,6 @@ def adjoint_reject_reason(shape: SceneShape):
     r = pallas_reject_reason(shape)
     if r is not None:
         return r
-    if shape.config.integrator not in (Integrator.EULER, Integrator.VERLET):
-        return (f"integrator {shape.config.integrator.name}: the adjoint "
-                "kernel covers Euler and Verlet only")
     if shape.has_actuated:
         return ("ACTUATED_* (rest-mutating) springs not in the adjoint "
                 "envelope (their rest would need per-step tracing); "
@@ -238,10 +236,25 @@ def forward_step(pos, vel, acc_prev, P, rg, rs, t_now=None):
     """One Euler or Verlet step, the adjoint envelope's slice of the
     forward kernel's body (pallas_step.py:567-588).
     Returns (pos2, vel2, acc)."""
-    f, _ = _force(pos, vel, P, rg, rs, t_now)
     nf = 1.0 - P["fixed"]
     fx = P["fixed"]
     dt = P["dt"]
+    if P["rk2"]:
+        # reference RK2 (pallas_step.py:550-566, sim.cu:1778-1799):
+        # midpoint predictor + corrector, two force passes per dt (with
+        # no local constraints, vel1 == vel and vel2 == vel_h)
+        f1, _ = _force(pos, vel, P, rg, rs, t_now)
+        acc1 = f1 * P["minv"]
+        pos_h = (pos + 0.5 * vel * dt) * nf + pos * fx
+        vel_h = (vel + 0.5 * acc1 * dt) * nf + vel * fx
+        t_h = None if t_now is None else t_now + 0.5 * dt
+        f2, _ = _force(pos_h, vel_h, P, rg, rs, t_h)
+        acc = f2 * P["minv"]
+        v2 = (vel + acc * dt) * nf + vel * fx
+        pos2 = pos + vel_h * dt * nf
+        acc_out = acc * nf + acc_prev * fx
+        return pos2, v2, acc_out
+    f, _ = _force(pos, vel, P, rg, rs, t_now)
     acc = f * P["minv"]
     if P["verlet"]:
         # reference 'Verlet' (sim.cu:1350-1354)
@@ -259,6 +272,18 @@ def forward_step(pos, vel, acc_prev, P, rg, rs, t_now=None):
     return pos2, v2, acc_out
 
 
+def _bars_accumulate(dst, src):
+    """dst += src for the per-force-pass gradient bars (RK2 runs two
+    force transposes per step)."""
+    for key, v in src.items():
+        if key not in dst:
+            dst[key] = v
+        elif isinstance(v, list):
+            dst[key] = [a + b for a, b in zip(dst[key], v)]
+        else:
+            dst[key] = dst[key] + v
+
+
 def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
     """Transpose of forward_step at primal (pos, vel): given cotangents of
     (pos2, vel2, acc_out), produce cotangents of (pos, vel, acc_prev) plus
@@ -271,6 +296,41 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
     nf = 1.0 - P["fixed"]
     fx = P["fixed"]
     dt = P["dt"]
+    if P["rk2"]:
+        # reference RK2 (sim.cu:1778-1799): two force passes per dt; the
+        # midpoint primal is recomputed from the traced (pos, vel), and
+        # each pass gets its own force transpose
+        f1, st1 = _force(pos, vel, P, rg, rs, t_now, keep_stages=True)
+        acc1 = f1 * P["minv"]
+        pos_h = (pos + 0.5 * vel * dt) * nf + pos * fx
+        vel_h = (vel + 0.5 * acc1 * dt) * nf + vel * fx
+        t_h = None if t_now is None else t_now + 0.5 * dt
+        f2, st2 = _force(pos_h, vel_h, P, rg, rs, t_h, keep_stages=True)
+        # integrate transpose: v2 = (vel + acc dt) nf + vel fx;
+        # pos2 = pos + vel_h dt nf; acc_out = acc nf + accp fx
+        gpos = gpos2 + 0.0
+        gvel = gvel2 + 0.0
+        gacc_prev = gacc2 * fx
+        gvel_h = gpos2 * (dt * nf)
+        gacc = gacc2 * nf + gvel2 * (dt * nf)
+        gf2 = gacc * P["minv"]
+        minv_bar = jnp.sum(gacc * f2, axis=0, keepdims=True)
+        gpos_h, gv_h, bars = _force_transpose(pos_h, vel_h, gf2, P, rg,
+                                              rs, t_h, st2)
+        gvel_h = gvel_h + gv_h
+        # vel_h = (vel + 0.5 acc1 dt) nf + vel fx; pos_h likewise in pos
+        gvel = gvel + gvel_h
+        gacc1 = gvel_h * (0.5 * dt * nf)
+        gpos = gpos + gpos_h
+        gvel = gvel + gpos_h * (0.5 * dt * nf)
+        gf1 = gacc1 * P["minv"]
+        minv_bar = minv_bar + jnp.sum(gacc1 * f1, axis=0, keepdims=True)
+        gp_c, gv_c, bars1 = _force_transpose(pos, vel, gf1, P, rg, rs,
+                                             t_now, st1)
+        _bars_accumulate(bars, bars1)
+        bars["minv"] = minv_bar
+        return gpos + gp_c, gvel + gv_c, gacc_prev, bars
+
     f_final, st = _force(pos, vel, P, rg, rs, t_now, keep_stages=True)
     acc = f_final * P["minv"]
 
@@ -301,7 +361,18 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
         gvel = gvel + gv1
         gacc = gacc + gv1 * dt
     gf = gacc * P["minv"]
-    bars = {"minv": jnp.sum(gacc * f_final, axis=0, keepdims=True)}
+    gp_c, gv_c, bars = _force_transpose(pos, vel, gf, P, rg, rs, t_now, st)
+    bars["minv"] = jnp.sum(gacc * f_final, axis=0, keepdims=True)
+    return gpos + gp_c, gvel + gv_c, gacc_prev, bars
+
+
+def _force_transpose(pos, vel, gf, P, rg, rs, t_now, st):
+    """Transpose of _force at primal (pos, vel) for output cotangent
+    ``gf``: returns (gpos contribution, gvel contribution, param bars).
+    ``st`` is the matching _force(..., keep_stages=True) stages."""
+    gpos = jnp.zeros_like(pos)
+    gvel = jnp.zeros_like(vel)
+    bars = {}
 
     # ---- drag transpose ----
     if P["has_drag"]:
@@ -483,7 +554,7 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
         bars["damping"] = gdamp
     if P["has_breathing"]:
         bars["omega"] = gomega
-    return gpos, gvel, gacc_prev, bars
+    return gpos, gvel, bars
 
 
 def jnp_rolls(rows: int):
@@ -536,6 +607,7 @@ def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
         "plane_friction": shape.plane_friction, "balls": balls, "dt": dt,
         "clamp": shape.config.velocity_clamp,
         "verlet": shape.config.integrator is Integrator.VERLET,
+        "rk2": shape.config.integrator is Integrator.RK2,
         "has_damping": shape.has_damping, "has_drag": shape.has_drag,
         "has_breathing": shape.has_breathing,
         "bsign": bsign, "bomega": bomega,
