@@ -83,3 +83,14 @@ def test_gait_gradient_opt(capsys, monkeypatch):
     _run("gait_gradient_opt.py")
     out = capsys.readouterr().out
     assert "travel over 20 steps" in out and "optimized" in out
+
+
+def test_train_backprop_policy(capsys, monkeypatch):
+    # tiny config: 2 envs, 2 segments x 10 steps, 1 adam iteration
+    monkeypatch.setenv("SHAC_ENVS", "2")
+    monkeypatch.setenv("SHAC_SEGMENTS", "2")
+    monkeypatch.setenv("SHAC_SEG_STEPS", "10")
+    monkeypatch.setenv("SHAC_ITERS", "1")
+    _run("train_backprop_policy.py")
+    out = capsys.readouterr().out
+    assert "backprop-through-physics policy" in out
