@@ -28,7 +28,7 @@ DELTAS = (1, 127, 128, 200)
 
 
 def _mkP(rng, fmath, damping, clamp, drag, planes, fric, ball,
-         fixed, breathing=False, verlet=False, rk2=False):
+         fixed, breathing=False, verlet=False, rk2=False, actuated=False):
     # fmath: "legacy" = sqrt+div (the CPU gate), "legacy_rsqrt" = rsqrt
     # norms with the legacy force form (TITAN_FMATH=legacy on TPU),
     # "shared" = rsqrt + shared-c form (the TPU default)
@@ -69,6 +69,16 @@ def _mkP(rng, fmath, damping, clamp, drag, planes, fric, ball,
         "normal_coeff": 100.0,
         "rsqrt_norms": fmath in ("shared", "legacy_rsqrt"),
         "fmath_shared": fmath_shared,
+        "has_actuated": actuated,
+        # closed-form ACTUATED inputs: per-call signed rest advance
+        # (zero on ~half the springs, like a mixed scene) and the
+        # integer-valued f32 stop count
+        "aratedt": (jnp.asarray(
+            rng.uniform(-5e-3, 5e-3, (F,) + sh)
+            * (rng.uniform(0, 1, (F,) + sh) < 0.5), jnp.float32)
+            if actuated else None),
+        "sstop": (jnp.asarray(rng.randint(0, 9, (F,) + sh), jnp.float32)
+                  if actuated else None),
     }
     return P
 
@@ -99,6 +109,15 @@ VARIANTS = {
     "everything_verlet": dict(damping=True, drag=True, planes=2,
                               fric=True, ball=True, fixed=True,
                               breathing=True, verlet=True),
+    "actuated": dict(actuated=True),
+    "actuated_breathing": dict(actuated=True, breathing=True,
+                               damping=True),
+    "verlet_actuated": dict(verlet=True, actuated=True, damping=True),
+    "rk2_actuated": dict(rk2=True, actuated=True, damping=True),
+    "everything_actuated": dict(damping=True, clamp=True, drag=True,
+                                planes=2, fric=True, ball=True,
+                                fixed=True, breathing=True,
+                                actuated=True),
 }
 
 
@@ -109,11 +128,12 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
     rng = np.random.RandomState(7)
     kw = dict(damping=False, clamp=False, drag=False, planes=0, fric=False,
               ball=False, fixed=False, breathing=False, verlet=False,
-              rk2=False)
+              rk2=False, actuated=False)
     kw.update(VARIANTS[variant])
     P = _mkP(rng, fmath, **kw)
     rg, rs = jnp_rolls(ROWS)
     t_now = jnp.float32(0.37)
+    s_idx = jnp.float32(3.0)
 
     pos = jnp.asarray(rng.normal(0, 1, (3, ROWS, 128)), jnp.float32)
     vel = jnp.asarray(rng.normal(0, 0.8, (3, ROWS, 128)), jnp.float32)
@@ -129,18 +149,21 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
         diffable.append("drag")
     if kw["breathing"]:
         diffable.append("bomega")
+    if kw["actuated"]:
+        diffable.append("aratedt")
 
     def fwd(pos, vel, acc, params):
         Q = dict(P)
         Q.update(params)
-        return forward_step(pos, vel, acc, Q, rg, rs, t_now)
+        return forward_step(pos, vel, acc, Q, rg, rs, t_now, s_idx=s_idx)
 
     params = {k: P[k] for k in diffable}
     out, vjp = jax.vjp(fwd, pos, vel, acc, params)
     gpos_j, gvel_j, gacc_j, gpar_j = vjp((gp2, gv2, ga2))
 
     gpos, gvel, gacc_prev, bars = backward_step(pos, vel, gp2, gv2, ga2,
-                                                P, rg, rs, t_now)
+                                                P, rg, rs, t_now,
+                                                s_idx=s_idx)
     tol = dict(rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gpos), np.asarray(gpos_j), **tol)
     np.testing.assert_allclose(np.asarray(gvel), np.asarray(gvel_j), **tol)
@@ -163,11 +186,15 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
     if kw["breathing"]:
         np.testing.assert_allclose(np.asarray(jnp.stack(bars["omega"])),
                                    np.asarray(gpar_j["bomega"]), **tol)
+    if kw["actuated"]:
+        np.testing.assert_allclose(np.asarray(jnp.stack(bars["aratedt"])),
+                                   np.asarray(gpar_j["aratedt"]), **tol)
 
     # the TITAN_ADJ_STASH=off recompute path is BITWISE equal to the
     # stashed one (same ops, same order -- only where they're computed)
     gpos2_, gvel2_, _, bars2 = backward_step(
-        pos, vel, gp2, gv2, ga2, {**P, "famstash": False}, rg, rs, t_now)
+        pos, vel, gp2, gv2, ga2, {**P, "famstash": False}, rg, rs, t_now,
+        s_idx=s_idx)
     np.testing.assert_array_equal(np.asarray(gpos), np.asarray(gpos2_))
     np.testing.assert_array_equal(np.asarray(gvel), np.asarray(gvel2_))
     np.testing.assert_array_equal(np.asarray(jnp.stack(bars["k"])),
@@ -180,7 +207,7 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
 
 def _scene(clamp=False, friction=False, ball=False, fixed_face=False,
            damping=0.0, drag=0.0, deleted=False, extern=False,
-           breathing=False, integrator=None):
+           breathing=False, actuated=False, integrator=None):
     cfg = dict(velocity_clamp=clamp)
     if integrator:
         from titan_tpu import Integrator
@@ -211,6 +238,17 @@ def _scene(clamp=False, friction=False, ball=False, fixed_face=False,
         half = st.n_springs // 2
         st.s_type[:half] = ACTIVE_CONTRACT_THEN_EXPAND
         st.omega[:half] = 7.0
+    if actuated:
+        from titan_tpu import ACTUATED_CONTRACT, ACTUATED_EXPAND
+        q = st.n_springs // 4
+        # expanders with a reachable bound (the closed-form stop count
+        # bites mid-horizon) and contractors that never reach theirs
+        st.s_type[:q] = ACTUATED_EXPAND
+        st.l_max[:q] = st.rest[:q] * 1.001
+        st.rate[:q] = 0.6
+        st.s_type[q: 2 * q] = ACTUATED_CONTRACT
+        st.l_min[q: 2 * q] = st.rest[q: 2 * q] * 0.5
+        st.rate[q: 2 * q] = 0.8
     if friction:
         sim.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
     else:
@@ -236,6 +274,12 @@ SCENES = {
                              friction=True),
     "rk2": dict(integrator="rk2", friction=True, damping=0.3),
     "rk2_breathing": dict(integrator="rk2", breathing=True, friction=True),
+    "actuated": dict(actuated=True, friction=True, damping=0.3),
+    "actuated_breathing": dict(actuated=True, breathing=True,
+                               friction=True),
+    "verlet_actuated": dict(integrator="verlet", actuated=True,
+                            friction=True, damping=0.2),
+    "rk2_actuated": dict(integrator="rk2", actuated=True, friction=True),
 }
 
 
@@ -270,22 +314,30 @@ def test_adjoint_rollout_grads_match_xla(scene_name, monkeypatch):
     wvel = jnp.asarray(rng.normal(0, 1, (3, state.masses.pos.shape[1])),
                        jnp.float32).at[:, n:].set(0.0)
 
-    def run(rollout_fn, pos0, vel0, k, rest, m, extern, g, omega):
+    def run(rollout_fn, pos0, vel0, k, rest, m, extern, g, omega, rate):
         st = dataclasses.replace(
             state,
             masses=dataclasses.replace(state.masses, pos=pos0, vel=vel0,
                                        m=m, extern_force=extern),
             stencil=dataclasses.replace(state.stencil, k=k, rest=rest,
-                                        omega=omega),
+                                        omega=omega, rate=rate),
             g=g)
         out = rollout_fn(st)
-        return (jnp.sum(out.masses.pos * wpos)
+        loss = (jnp.sum(out.masses.pos * wpos)
                 + jnp.sum(out.masses.vel * wvel))
+        if shape.has_actuated:
+            # the mutated-rest OUTPUT carries its own rate/rest cotangent
+            # chain -- weight it so that path is exercised too
+            loss = loss + jnp.sum(out.stencil.rest * wrest)
+        return loss
 
     args = (state.masses.pos, state.masses.vel, state.stencil.k,
             state.stencil.rest, state.masses.m, state.masses.extern_force,
-            state.g, state.stencil.omega)
-    nargs = 8 if shape.has_breathing else 7
+            state.g, state.stencil.omega, state.stencil.rate)
+    wrest = jnp.asarray(
+        rng.normal(0, 1, state.stencil.rest.shape),
+        jnp.float32) * state.stencil.mask
+    nargs = 9
 
     g_adj = jax.grad(
         lambda *a: run(lambda s: adjoint_rollout(shape, s, 20, segment=10),
@@ -294,7 +346,8 @@ def test_adjoint_rollout_grads_match_xla(scene_name, monkeypatch):
         lambda *a: run(lambda s: diff.rollout(xla_only_shape(shape), s, 20),
                        *a), argnums=tuple(range(nargs)))(*args)
 
-    names = ["pos", "vel", "k", "rest", "m", "extern", "g", "omega"][:nargs]
+    names = ["pos", "vel", "k", "rest", "m", "extern", "g", "omega",
+             "rate"]
     mask_n = state.masses.valid
     for name, a, x in zip(names, g_adj, g_xla):
         a, x = np.asarray(a), np.asarray(x)
@@ -302,7 +355,7 @@ def test_adjoint_rollout_grads_match_xla(scene_name, monkeypatch):
             a, x = a[:, :n], x[:, :n]
         elif name in ("m",):
             a, x = a[:n], x[:n]
-        elif name in ("k", "rest", "omega"):
+        elif name in ("k", "rest", "omega", "rate"):
             msk = np.asarray(state.stencil.mask)
             a, x = a * msk, x * msk
         scale = max(np.abs(x).max(), 1e-8)
@@ -341,6 +394,7 @@ def test_reject_reasons():
     sim2._marshal()
     assert adjoint_reject_reason(sim2._shape) is None
 
+    # ACTUATED_* joined the envelope (closed-form rest, module docstring)
     sim3 = _scene()
     st = sim3._store
     from titan_tpu import ACTUATED_EXPAND
@@ -348,7 +402,14 @@ def test_reject_reasons():
     st.l_max[:4] = st.rest[:4] * 1.2
     st.rate[:4] = 0.5
     sim3._marshal()
-    assert "ACTUATED" in adjoint_reject_reason(sim3._shape)
+    assert adjoint_reject_reason(sim3._shape) is None
+
+    # magnets stay outside
+    sim4 = _scene()
+    sim4._store.mag_stiffness[:2] = 1.0
+    sim4._store.mag_rad[:2] = 0.5
+    sim4._marshal()
+    assert "magnet" in adjoint_reject_reason(sim4._shape)
 
     # breathing (ACTIVE_*) and Verlet are INSIDE the envelope
     assert adjoint_reject_reason(

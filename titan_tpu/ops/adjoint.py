@@ -28,18 +28,35 @@ identically-shaped forward (tests/test_adjoint.py).
 Differentiable inputs (exact VJP of the kernel's forward physics):
   masses.pos, masses.vel, masses.acc, masses.extern_force, masses.m,
   masses.drag, stencil.k, stencil.rest, stencil.damping, stencil.omega
-  (breathing frequency -- gradient-based gait optimization), state.g.
+  (breathing frequency), stencil.rate (ACTUATED_* actuation speed --
+  both enable gradient-based gait optimization), state.g.
 NOT differentiated (cotangents pass through untouched / stay zero):
-  dt, global plane/ball geometry, t.  Scenes needing those gradients
-  (or features outside the envelope below) use diff.rollout /
-  diff.fast_rollout, which differentiate everything through the XLA step.
+  dt, global plane/ball geometry, t, actuation bounds l_min/l_max (they
+  act through the piecewise-constant stop count, zero gradient a.e.).
+  Scenes needing those gradients (or features outside the envelope
+  below) use diff.rollout / diff.fast_rollout, which differentiate
+  everything through the XLA step.
+
+ACTUATED_* rest needs no per-step tracing: like the tiled kernel
+(ops/pallas_tiled.py module docstring), the adjoint evaluates the
+reference's state-independent rest mutation (sim.cu:1173-1181) in
+CLOSED FORM -- after c force calls, rest_c = rest0 + min(c, s_stop) *
+arate * dt with s_stop = ceil((bound - rest0) / (arate * dt)).  The
+fused forward chunk stays iterative; the replay/backward closed form
+matches it to f32 fusion error (~1e-7 rel, absorbed by the gradient
+tolerances).  The call count c advances on EVERY force evaluation, so
+RK2 actuates twice per dt exactly like the forward kernel.  The rate
+gradient is d rest_c / d (arate dt) = min(c, s_stop), accumulated per
+step in VMEM; the chunk's rest OUTPUT also carries a rate cotangent
+(min(c_total, s_stop) * ct_rest), added XLA-side in the segment VJP.
 
 Envelope (``adjoint_reject_reason``): the VMEM kernel's envelope minus
-ACTUATED_* (rest-mutating) springs, magnets, remainder springs, and
-local constraints; Euler (with or without the velocity clamp), Verlet,
-or RK2 (two force passes, each with its own transpose).
-Supports ACTIVE_* breathing springs, damping, drag, fixed/deleted
-masses, global contact planes incl. static+kinetic friction, and balls.
+magnets, remainder springs, and local constraints; Euler (with or
+without the velocity clamp), Verlet, or RK2 (two force passes, each
+with its own transpose).  Supports ACTIVE_* breathing springs,
+ACTUATED_* springs (closed-form rest, see above), damping, drag,
+fixed/deleted masses, global contact planes incl. static+kinetic
+friction, and balls.
 
 Reference: the physics being differentiated is computeSpringForces +
 massForcesAndUpdate (sim.cu:1157-1200, 1285-1367); the reference has no
@@ -57,7 +74,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import Integrator
+from ..config import ACTUATED_CONTRACT, ACTUATED_EXPAND, Integrator
 from ..state import SceneShape, SimState
 
 _VMEM_BUDGET = 100 * 1024 * 1024
@@ -69,10 +86,6 @@ def adjoint_reject_reason(shape: SceneShape):
     r = pallas_reject_reason(shape)
     if r is not None:
         return r
-    if shape.has_actuated:
-        return ("ACTUATED_* (rest-mutating) springs not in the adjoint "
-                "envelope (their rest would need per-step tracing); "
-                "ACTIVE_* breathing is supported")
     if shape.has_magnets:
         return "magnets not in the adjoint envelope"
     if shape.has_remainder:
@@ -81,11 +94,13 @@ def adjoint_reject_reason(shape: SceneShape):
         return "local constraints not in the adjoint envelope"
     n, f = shape.n_masses, len(shape.stencil_deltas)
     # resident: k/rest(/damping) in + the same param-grad accumulators out,
-    # breathing adds bsign/bomega in + the gomega accumulator,
+    # breathing adds bsign/bomega in + the gomega accumulator, actuation
+    # adds aratedt/sstop in + the garate accumulator,
     # minv/fixed/cf(+drag) + their grads, adjoint carries in+out, two trace
     # slots, ~10 vec3 temporaries
     fam = f * ((3 if shape.has_damping else 2) * 2
-               + (3 if shape.has_breathing else 0))
+               + (3 if shape.has_breathing else 0)
+               + (3 if shape.has_actuated else 0))
     bytes_ = 4 * n * (fam + 3 * 14 + 8 + 12)
     if bytes_ >= _VMEM_BUDGET:
         return (f"adjoint residency ~{bytes_ >> 20} MB exceeds "
@@ -126,18 +141,26 @@ def _inv_len(d2, P):
     return inv, ln
 
 
-def _rest_eff(P, fi, t_now):
-    """Per-family effective rest: breathing folds the 1 -/+ 0.2 sin(wt)
-    scale in as rest * (1 + bsign sin(bomega t)) (pallas_step.py:279-283,
-    reference sim.cu:1169-1172)."""
+def _rest_eff(P, fi, t_now, cidx=None):
+    """Per-family effective rest.  ACTUATED_* springs evaluate the
+    closed-form mutated rest after ``cidx`` force calls (module
+    docstring; pallas_step.py:282-293 is the iterative forward);
+    breathing then folds the 1 -/+ 0.2 sin(wt) scale in as
+    rest * (1 + bsign sin(bomega t)) (pallas_step.py:295-299, reference
+    sim.cu:1169-1172).  A spring has at most one mechanism (aratedt = 0
+    on breathing springs, bsign = 0 on actuated ones), so the
+    composition is exact elementwise."""
     rest = P["rest"][fi]
+    if P.get("has_actuated"):
+        rest = rest + (jnp.minimum(cidx, P["sstop"][fi])
+                       * P["aratedt"][fi])
     if P["has_breathing"]:
         rest = rest * (1.0 + P["bsign"][fi]
                        * jnp.sin(P["bomega"][fi] * t_now))
     return rest
 
 
-def _force(pos, vel, P, rg, rs, t_now=None, keep_stages=False):
+def _force(pos, vel, P, rg, rs, t_now=None, keep_stages=False, cidx=None):
     """Full force evaluation (springs + planes + balls + drag), mirroring
     the forward kernel's compute_forces for the adjoint envelope.  With
     keep_stages, returns the per-constraint input forces the transpose
@@ -150,7 +173,7 @@ def _force(pos, vel, P, rg, rs, t_now=None, keep_stages=False):
         diff = pr - pos
         d2 = _vdot3(diff, diff)
         inv, ln = _inv_len(d2, P)
-        rest = _rest_eff(P, fi, t_now)
+        rest = _rest_eff(P, fi, t_now, cidx)
         axdot = None
         if P["fmath_shared"]:
             cm = P["k"][fi] * (rest * inv - 1.0)
@@ -232,10 +255,21 @@ def _ball_fwd(f, pos, bb, normal_coeff):
     return f + jnp.stack([d0, d1, d2_]) * push
 
 
-def forward_step(pos, vel, acc_prev, P, rg, rs, t_now=None):
+def _cidx(P, s_idx, call):
+    """Force-call count for the closed-form ACTUATED rest: calls are
+    1-based, and RK2 runs two per step (rest advances on EVERY force
+    evaluation, matching the forward kernel's double-pass quirk)."""
+    if not P.get("has_actuated"):
+        return None
+    base = 2.0 * s_idx if P["rk2"] else s_idx
+    return base + call
+
+
+def forward_step(pos, vel, acc_prev, P, rg, rs, t_now=None, s_idx=0.0):
     """One Euler or Verlet step, the adjoint envelope's slice of the
-    forward kernel's body (pallas_step.py:567-588).
-    Returns (pos2, vel2, acc)."""
+    forward kernel's body (pallas_step.py:567-588).  ``s_idx`` is the
+    f32 step index within the segment (only consumed by the ACTUATED
+    closed-form rest).  Returns (pos2, vel2, acc)."""
     nf = 1.0 - P["fixed"]
     fx = P["fixed"]
     dt = P["dt"]
@@ -243,18 +277,20 @@ def forward_step(pos, vel, acc_prev, P, rg, rs, t_now=None):
         # reference RK2 (pallas_step.py:550-566, sim.cu:1778-1799):
         # midpoint predictor + corrector, two force passes per dt (with
         # no local constraints, vel1 == vel and vel2 == vel_h)
-        f1, _ = _force(pos, vel, P, rg, rs, t_now)
+        f1, _ = _force(pos, vel, P, rg, rs, t_now,
+                       cidx=_cidx(P, s_idx, 1.0))
         acc1 = f1 * P["minv"]
         pos_h = (pos + 0.5 * vel * dt) * nf + pos * fx
         vel_h = (vel + 0.5 * acc1 * dt) * nf + vel * fx
         t_h = None if t_now is None else t_now + 0.5 * dt
-        f2, _ = _force(pos_h, vel_h, P, rg, rs, t_h)
+        f2, _ = _force(pos_h, vel_h, P, rg, rs, t_h,
+                       cidx=_cidx(P, s_idx, 2.0))
         acc = f2 * P["minv"]
         v2 = (vel + acc * dt) * nf + vel * fx
         pos2 = pos + vel_h * dt * nf
         acc_out = acc * nf + acc_prev * fx
         return pos2, v2, acc_out
-    f, _ = _force(pos, vel, P, rg, rs, t_now)
+    f, _ = _force(pos, vel, P, rg, rs, t_now, cidx=_cidx(P, s_idx, 1.0))
     acc = f * P["minv"]
     if P["verlet"]:
         # reference 'Verlet' (sim.cu:1350-1354)
@@ -284,7 +320,8 @@ def _bars_accumulate(dst, src):
             dst[key] = dst[key] + v
 
 
-def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
+def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None,
+                  s_idx=0.0):
     """Transpose of forward_step at primal (pos, vel): given cotangents of
     (pos2, vel2, acc_out), produce cotangents of (pos, vel, acc_prev) plus
     param-gradient increments.  Recomputes the forward force pipeline
@@ -300,12 +337,15 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
         # reference RK2 (sim.cu:1778-1799): two force passes per dt; the
         # midpoint primal is recomputed from the traced (pos, vel), and
         # each pass gets its own force transpose
-        f1, st1 = _force(pos, vel, P, rg, rs, t_now, keep_stages=True)
+        c1, c2 = _cidx(P, s_idx, 1.0), _cidx(P, s_idx, 2.0)
+        f1, st1 = _force(pos, vel, P, rg, rs, t_now, keep_stages=True,
+                         cidx=c1)
         acc1 = f1 * P["minv"]
         pos_h = (pos + 0.5 * vel * dt) * nf + pos * fx
         vel_h = (vel + 0.5 * acc1 * dt) * nf + vel * fx
         t_h = None if t_now is None else t_now + 0.5 * dt
-        f2, st2 = _force(pos_h, vel_h, P, rg, rs, t_h, keep_stages=True)
+        f2, st2 = _force(pos_h, vel_h, P, rg, rs, t_h, keep_stages=True,
+                         cidx=c2)
         # integrate transpose: v2 = (vel + acc dt) nf + vel fx;
         # pos2 = pos + vel_h dt nf; acc_out = acc nf + accp fx
         gpos = gpos2 + 0.0
@@ -316,7 +356,7 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
         gf2 = gacc * P["minv"]
         minv_bar = jnp.sum(gacc * f2, axis=0, keepdims=True)
         gpos_h, gv_h, bars = _force_transpose(pos_h, vel_h, gf2, P, rg,
-                                              rs, t_h, st2)
+                                              rs, t_h, st2, cidx=c2)
         gvel_h = gvel_h + gv_h
         # vel_h = (vel + 0.5 acc1 dt) nf + vel fx; pos_h likewise in pos
         gvel = gvel + gvel_h
@@ -326,12 +366,14 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
         gf1 = gacc1 * P["minv"]
         minv_bar = minv_bar + jnp.sum(gacc1 * f1, axis=0, keepdims=True)
         gp_c, gv_c, bars1 = _force_transpose(pos, vel, gf1, P, rg, rs,
-                                             t_now, st1)
+                                             t_now, st1, cidx=c1)
         _bars_accumulate(bars, bars1)
         bars["minv"] = minv_bar
         return gpos + gp_c, gvel + gv_c, gacc_prev, bars
 
-    f_final, st = _force(pos, vel, P, rg, rs, t_now, keep_stages=True)
+    c1 = _cidx(P, s_idx, 1.0)
+    f_final, st = _force(pos, vel, P, rg, rs, t_now, keep_stages=True,
+                         cidx=c1)
     acc = f_final * P["minv"]
 
     # ---- integrate transpose ----
@@ -361,12 +403,13 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None):
         gvel = gvel + gv1
         gacc = gacc + gv1 * dt
     gf = gacc * P["minv"]
-    gp_c, gv_c, bars = _force_transpose(pos, vel, gf, P, rg, rs, t_now, st)
+    gp_c, gv_c, bars = _force_transpose(pos, vel, gf, P, rg, rs, t_now, st,
+                                        cidx=c1)
     bars["minv"] = jnp.sum(gacc * f_final, axis=0, keepdims=True)
     return gpos + gp_c, gvel + gv_c, gacc_prev, bars
 
 
-def _force_transpose(pos, vel, gf, P, rg, rs, t_now, st):
+def _force_transpose(pos, vel, gf, P, rg, rs, t_now, st, cidx=None):
     """Transpose of _force at primal (pos, vel) for output cotangent
     ``gf``: returns (gpos contribution, gvel contribution, param bars).
     ``st`` is the matching _force(..., keep_stages=True) stages."""
@@ -462,17 +505,25 @@ def _force_transpose(pos, vel, gf, P, rg, rs, t_now, st):
     grest = [None] * nfam
     gdamp = [None] * nfam if P["has_damping"] else None
     gomega = [None] * nfam if P["has_breathing"] else None
+    garate = [None] * nfam if P.get("has_actuated") else None
     for fi, d in enumerate(P["deltas"]):
         pr = rg(pos, d)
         diff = pr - pos
+        rest_b = P["rest"][fi]
+        advc = None
+        if P.get("has_actuated"):
+            # closed-form ACTUATED rest after cidx force calls (module
+            # docstring); aratedt = 0 on non-actuated springs
+            advc = jnp.minimum(cidx, P["sstop"][fi])
+            rest_b = rest_b + advc * P["aratedt"][fi]
         if P["has_breathing"]:
-            # rest_eff = rest * scale, scale = 1 + bsign sin(bomega t)
+            # rest_eff = rest_b * scale, scale = 1 + bsign sin(bomega t)
             sin_t = jnp.sin(P["bomega"][fi] * t_now)
             scale = 1.0 + P["bsign"][fi] * sin_t
-            rest = P["rest"][fi] * scale
+            rest = rest_b * scale
         else:
             scale = None
-            rest = P["rest"][fi]
+            rest = rest_b
         k = P["k"][fi]
         if st["fam"] is not None:
             # scalar intermediates stashed by the pass-A recompute; the
@@ -539,12 +590,16 @@ def _force_transpose(pos, vel, gf, P, rg, rs, t_now, st):
             lnbar = lnbar - jnp.where(ln > 0, invbar * inv * inv, 0.0)
             d2bar = jnp.where(inv > 0, 0.5 * lnbar * inv, 0.0)
         if P["has_breathing"]:
-            grest[fi] = resteffbar * scale
-            scalebar = resteffbar * P["rest"][fi]
+            restbbar = resteffbar * scale
+            scalebar = resteffbar * rest_b
             gomega[fi] = (scalebar * P["bsign"][fi]
                           * jnp.cos(P["bomega"][fi] * t_now) * t_now)
         else:
-            grest[fi] = resteffbar
+            restbbar = resteffbar
+        grest[fi] = restbbar
+        if P.get("has_actuated"):
+            # rest_b = rest0 + advc * aratedt  (advc piecewise-constant)
+            garate[fi] = restbbar * advc
         dbar = dbar + 2.0 * diff * d2bar
         gpos = gpos - dbar + rs(dbar, d)
     bars["cf"] = gf
@@ -554,6 +609,8 @@ def _force_transpose(pos, vel, gf, P, rg, rs, t_now, st):
         bars["damping"] = gdamp
     if P["has_breathing"]:
         bars["omega"] = gomega
+    if P.get("has_actuated"):
+        bars["aratedt"] = garate
     return gpos, gvel, bars
 
 
@@ -594,7 +651,7 @@ def _static_flags(shape: SceneShape):
 
 def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
             drag, plane_ref, ball_ref, dt, bsign=None, bomega=None,
-            famstash=True):
+            aratedt=None, sstop=None, famstash=True):
     rsqrt_norms, fmath_shared = _static_flags(shape)
     planes = [tuple(plane_ref[p, c] for c in range(6))
               for p in range(shape.n_planes)]
@@ -611,6 +668,8 @@ def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
         "has_damping": shape.has_damping, "has_drag": shape.has_drag,
         "has_breathing": shape.has_breathing,
         "bsign": bsign, "bomega": bomega,
+        "has_actuated": shape.has_actuated,
+        "aratedt": aratedt, "sstop": sstop,
         "normal_coeff": shape.config.normal_coeff,
         "rsqrt_norms": rsqrt_norms, "fmath_shared": fmath_shared,
         "famstash": famstash,
@@ -633,6 +692,7 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
     trows = _trows(shape)
     has_damping, has_drag = shape.has_damping, shape.has_drag
     has_breathing = shape.has_breathing
+    has_actuated = shape.has_actuated
 
     def kernel(*refs):
         (scal_ref, plane_ref, ball_ref, pos_ref, vel_ref, acc_ref,
@@ -650,6 +710,10 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
         if has_breathing:
             bsign_ref, bomega_ref = refs[i], refs[i + 1]
             i += 2
+        aratedt_ref = sstop_ref = None
+        if has_actuated:
+            aratedt_ref, sstop_ref = refs[i], refs[i + 1]
+            i += 2
         opos_ref, ovel_ref, oacc_ref, trace_ref = refs[i:i + 4]
         stage, sem = refs[i + 4], refs[i + 5]
 
@@ -658,7 +722,8 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
                     fixed_ref[:], cf_ref[:],
                     drag_ref[:] if has_drag else None,
                     plane_ref, ball_ref, scal_ref[0],
-                    bsign=bsign_ref, bomega=bomega_ref)
+                    bsign=bsign_ref, bomega=bomega_ref,
+                    aratedt=aratedt_ref, sstop=sstop_ref)
         opos_ref[:] = pos_ref[:]
         ovel_ref[:] = vel_ref[:]
         oacc_ref[:] = acc_ref[:]
@@ -678,7 +743,8 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
                                   sem.at[slot]).start()
             t_now = scal_ref[1] + t.astype(jnp.float32) * scal_ref[0]
             pos2, vel2, acc2 = forward_step(opos_ref[:], ovel_ref[:],
-                                            oacc_ref[:], P, rg, rs, t_now)
+                                            oacc_ref[:], P, rg, rs, t_now,
+                                            s_idx=t.astype(jnp.float32))
             opos_ref[:] = pos2
             ovel_ref[:] = vel2
             oacc_ref[:] = acc2
@@ -705,6 +771,7 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
     trows = _trows(shape)
     has_damping, has_drag = shape.has_damping, shape.has_drag
     has_breathing = shape.has_breathing
+    has_actuated = shape.has_actuated
     nfam = len(shape.stencil_deltas)
 
     def kernel(*refs):
@@ -723,6 +790,10 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
         if has_breathing:
             bsign_ref, bomega_ref = refs[i], refs[i + 1]
             i += 2
+        aratedt_ref = sstop_ref = None
+        if has_actuated:
+            aratedt_ref, sstop_ref = refs[i], refs[i + 1]
+            i += 2
         gposK_ref, gvelK_ref, gaccK_ref, trace_ref = refs[i:i + 4]
         i += 4
         gpos_ref, gvel_ref, gacc_ref = refs[i:i + 3]
@@ -735,6 +806,10 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
         gomega_ref = None
         if has_breathing:
             gomega_ref = refs[i]
+            i += 1
+        garate_ref = None
+        if has_actuated:
+            garate_ref = refs[i]
             i += 1
         gcf_ref, gminv_ref = refs[i], refs[i + 1]
         i += 2
@@ -750,6 +825,7 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
                     drag_ref[:] if has_drag else None,
                     plane_ref, ball_ref, scal_ref[0],
                     bsign=bsign_ref, bomega=bomega_ref,
+                    aratedt=aratedt_ref, sstop=sstop_ref,
                     famstash=famstash)
         gpos_ref[:] = gposK_ref[:]
         gvel_ref[:] = gvelK_ref[:]
@@ -761,6 +837,8 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
             gdamp_ref[:] = zero(gdamp_ref)
         if has_breathing:
             gomega_ref[:] = zero(gomega_ref)
+        if has_actuated:
+            garate_ref[:] = zero(garate_ref)
         gcf_ref[:] = zero(gcf_ref)
         gminv_ref[:] = zero(gminv_ref)
         if has_drag:
@@ -787,7 +865,7 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
             t_now = scal_ref[1] + t.astype(jnp.float32) * scal_ref[0]
             gpos, gvel, gacc_prev, bars = backward_step(
                 pos, vel, gpos_ref[:], gvel_ref[:], gacc_ref[:], P, rg, rs,
-                t_now)
+                t_now, s_idx=t.astype(jnp.float32))
             gpos_ref[:] = gpos
             gvel_ref[:] = gvel
             gacc_ref[:] = gacc_prev
@@ -798,6 +876,8 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
                     gdamp_ref[fi] = gdamp_ref[fi] + bars["damping"][fi]
                 if has_breathing:
                     gomega_ref[fi] = gomega_ref[fi] + bars["omega"][fi]
+                if has_actuated:
+                    garate_ref[fi] = garate_ref[fi] + bars["aratedt"][fi]
             gcf_ref[:] = gcf_ref[:] + bars["cf"]
             gminv_ref[:] = gminv_ref[:] + bars["minv"]
             if has_drag:
@@ -834,7 +914,35 @@ def _prep(shape: SceneShape, state: SimState):
     if shape.has_breathing:
         out["bsign"] = r3(inv_["bsign"])
         out["bomega"] = r3(inv_["bomega"])
+    if shape.has_actuated:
+        aratedt, sstop = _actuation_inputs(state, inv_["pair_ok"])
+        out["aratedt"] = r3(aratedt)
+        out["sstop"] = r3(sstop)
     return out
+
+
+def _actuation_inputs(state: SimState, pair_ok):
+    """Closed-form actuation inputs (module docstring; same derivation
+    as the tiled kernel's, ops/pallas_tiled.py stage_chunk): the signed
+    per-call rest advance ``aratedt`` and the call count ``sstop`` at
+    which the one-sided bound is crossed (invalid pairs never actuate,
+    sim.cu:1163).  [F, N] f32 arrays."""
+    stc = state.stencil
+    styp = stc.type
+    arate = jnp.where(styp == ACTUATED_EXPAND, stc.rate,
+                      jnp.where(styp == ACTUATED_CONTRACT,
+                                -stc.rate, 0.0))
+    arate = jnp.where(pair_ok, arate, 0.0).astype(jnp.float32)
+    aratedt = arate * state.dt.astype(jnp.float32)
+    abound = jnp.where(
+        styp == ACTUATED_EXPAND, stc.l_max,
+        jnp.where(styp == ACTUATED_CONTRACT, stc.l_min,
+                  0.0)).astype(jnp.float32)
+    nz = aratedt != 0
+    sstop = jnp.where(
+        nz, jnp.ceil((abound - stc.rest.astype(jnp.float32))
+                     / jnp.where(nz, aratedt, 1.0)), 0.0)
+    return aratedt, jnp.maximum(sstop, 0.0)
 
 
 def build_trace_run(shape: SceneShape, seg: int):
@@ -853,6 +961,8 @@ def build_trace_run(shape: SceneShape, seg: int):
             ins.append(p["drag"])
         if shape.has_breathing:
             ins += [p["bsign"], p["bomega"]]
+        if shape.has_actuated:
+            ins += [p["aratedt"], p["sstop"]]
         out_shape = [
             jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
@@ -903,6 +1013,8 @@ def build_bwd_run(shape: SceneShape, seg: int,
             ins.append(p["drag"])
         if shape.has_breathing:
             ins += [p["bsign"], p["bomega"]]
+        if shape.has_actuated:
+            ins += [p["aratedt"], p["sstop"]]
         ins += [r3(gpos), r3(gvel), r3(gacc), trace]
         v3 = jax.ShapeDtypeStruct((3, rows, 128), jnp.float32)
         vf = jax.ShapeDtypeStruct((nfam, rows, 128), jnp.float32)
@@ -911,6 +1023,8 @@ def build_bwd_run(shape: SceneShape, seg: int,
         if shape.has_damping:
             out_shape.append(vf)
         if shape.has_breathing:
+            out_shape.append(vf)
+        if shape.has_actuated:
             out_shape.append(vf)
         out_shape += [v3, v1]
         if shape.has_drag:
@@ -944,6 +1058,9 @@ def build_bwd_run(shape: SceneShape, seg: int,
             i += 1
         if shape.has_breathing:
             g["omega"] = outs[i].reshape(nfam, n)
+            i += 1
+        if shape.has_actuated:
+            g["aratedt"] = outs[i].reshape(nfam, n)
             i += 1
         g["cf"] = outs[i].reshape(3, n)
         g["minv"] = outs[i + 1].reshape(n)
@@ -999,6 +1116,27 @@ def _adjoint_segment(shape: SceneShape, seg: int,
             # omega only acts through c-bar * k (masked k zeroes padding)
             gstencil = dataclasses.replace(
                 gstencil, omega=ct.stencil.omega + g["omega"])
+        if shape.has_actuated:
+            # rate acts through aratedt = sign(type) * rate * dt: the
+            # kernel accumulated d loss / d aratedt over the per-call
+            # force transposes; the chunk's mutated rest OUTPUT adds its
+            # own closed-form chain ct_rest * min(c_total, s_stop), with
+            # c_total the segment's force-call count (RK2 actuates twice
+            # per dt).  rest0's contribution to rest_out is identity --
+            # already covered by the ct.stencil.rest passthrough above.
+            aratedt, sstop = _actuation_inputs(s0, g["pair_ok"])
+            calls = (2.0 * seg if shape.config.integrator is Integrator.RK2
+                     else float(seg))
+            g_aratedt = (g["aratedt"]
+                         + jnp.minimum(calls, sstop) * ct.stencil.rest)
+            styp = s0.stencil.type
+            sign = jnp.where(styp == ACTUATED_EXPAND, 1.0,
+                             jnp.where(styp == ACTUATED_CONTRACT,
+                                       -1.0, 0.0))
+            grate = sign * s0.dt.astype(jnp.float32) * g_aratedt
+            gstencil = dataclasses.replace(
+                gstencil, rate=ct.stencil.rate
+                + jnp.where(g["pair_ok"], grate, 0.0))
         gg = ct.g + jnp.sum(m0.m[None, :] * g["cf"], axis=1)
         return (dataclasses.replace(ct, masses=gmasses, stencil=gstencil,
                                     g=gg),)
