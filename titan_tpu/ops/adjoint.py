@@ -51,12 +51,15 @@ step in VMEM; the chunk's rest OUTPUT also carries a rate cotangent
 (min(c_total, s_stop) * ct_rest), added XLA-side in the segment VJP.
 
 Envelope (``adjoint_reject_reason``): the VMEM kernel's envelope minus
-magnets, remainder springs, and local constraints; Euler (with or
-without the velocity clamp), Verlet, or RK2 (two force passes, each
-with its own transpose).  Supports ACTIVE_* breathing springs,
-ACTUATED_* springs (closed-form rest, see above), damping, drag,
-fixed/deleted masses, global contact planes incl. static+kinetic
-friction, and balls.
+magnets and remainder springs; Euler (with or without the velocity
+clamp), Verlet, or RK2 (two force passes, each with its own transpose).
+Supports ACTIVE_* breathing springs, ACTUATED_* springs (closed-form
+rest, see above), damping, drag, fixed/deleted masses, global contact
+planes incl. static+kinetic friction, balls, and per-mass local
+constraints (contact planes, balls, constraint planes, directions --
+slot geometry/friction are NOT differentiated, like global plane/ball
+geometry; the vel-mutating constraint-plane/direction slots thread the
+mutated velocity's cotangent back through the reversed slot sweep).
 
 Reference: the physics being differentiated is computeSpringForces +
 massForcesAndUpdate (sim.cu:1157-1200, 1285-1367); the reference has no
@@ -90,8 +93,6 @@ def adjoint_reject_reason(shape: SceneShape):
         return "magnets not in the adjoint envelope"
     if shape.has_remainder:
         return "remainder (irregular) springs not in the adjoint envelope"
-    if any((shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)):
-        return "local constraints not in the adjoint envelope"
     n, f = shape.n_masses, len(shape.stencil_deltas)
     # resident: k/rest(/damping) in + the same param-grad accumulators out,
     # breathing adds bsign/bomega in + the gomega accumulator, actuation
@@ -101,7 +102,15 @@ def adjoint_reject_reason(shape: SceneShape):
     fam = f * ((3 if shape.has_damping else 2) * 2
                + (3 if shape.has_breathing else 0)
                + (3 if shape.has_actuated else 0))
-    bytes_ = 4 * n * (fam + 3 * 14 + 8 + 12)
+    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+    # local constraints: the stacked slot input [L, N] plus the transpose's
+    # staged intermediates -- contact planes stash f, constraint planes and
+    # directions stash (f, v), per force pass (RK2 keeps two passes live)
+    lc_planes = 7 * caps[0] + 5 * (caps[1] + caps[2] + caps[3])
+    lc_stash = 3 * (caps[0] + 2 * caps[2] + 2 * caps[3])
+    if shape.config.integrator is Integrator.RK2:
+        lc_stash *= 2
+    bytes_ = 4 * n * (fam + lc_planes + lc_stash + 3 * 14 + 8 + 12)
     if bytes_ >= _VMEM_BUDGET:
         return (f"adjoint residency ~{bytes_ >> 20} MB exceeds "
                 f"{_VMEM_BUDGET >> 20} MB budget")
@@ -161,10 +170,14 @@ def _rest_eff(P, fi, t_now, cidx=None):
 
 
 def _force(pos, vel, P, rg, rs, t_now=None, keep_stages=False, cidx=None):
-    """Full force evaluation (springs + planes + balls + drag), mirroring
-    the forward kernel's compute_forces for the adjoint envelope.  With
-    keep_stages, returns the per-constraint input forces the transpose
-    needs (the plane friction select reads the accumulated force)."""
+    """Full force evaluation (springs + global planes/balls + local
+    constraints + drag), mirroring the forward kernel's compute_forces
+    for the adjoint envelope.  Returns (f, vel_out, stages): local
+    constraint planes and directions MUTATE the velocity the drag term
+    and the integrator consume (sim.cu:1311-1326).  With keep_stages,
+    stages holds the per-constraint input forces/velocities the
+    transpose needs (friction selects read the accumulated force; the
+    vel-mutating constraints read the running velocity)."""
     f = P["cf"] + 0.0
     fam = ({"inv": [], "cm": [], "ax": [], "ln": []}
            if keep_stages and P.get("famstash", True) else None)
@@ -198,10 +211,12 @@ def _force(pos, vel, P, rg, rs, t_now=None, keep_stages=False, cidx=None):
             fam["cm"].append(cm)
             fam["ax"].append(axdot)
             fam["ln"].append(ln)
-    # the plane friction transpose is the ONLY one that needs staged
-    # inputs (its selects read the accumulated force); ball and drag
-    # transposes are pass-through in f
-    stages = {"plane_in": [], "fam": fam} if keep_stages else None
+    # staged inputs: plane/local-contact-plane friction selects read the
+    # accumulated force; the vel-mutating local constraints read the
+    # running velocity.  Global ball / local ball / drag transposes are
+    # pass-through in f.
+    stages = ({"plane_in": [], "lcp_in": [], "lpl_in": [], "ldir_in": [],
+               "fam": fam} if keep_stages else None)
     for p, pp in enumerate(P["planes"]):
         if keep_stages:
             stages["plane_in"].append(f)
@@ -209,11 +224,94 @@ def _force(pos, vel, P, rg, rs, t_now=None, keep_stages=False, cidx=None):
                        P["normal_coeff"])
     for bb in P["balls"]:
         f = _ball_fwd(f, pos, bb, P["normal_coeff"])
+    v = vel
+    caps = P.get("caps") or (0, 0, 0, 0)
+    if any(caps):
+        # per-mass local constraint slots in the kernel's reference
+        # order (pallas_step.py compute_forces, sim.cu:1311-1326);
+        # slot geometry/friction params are NOT differentiated (like
+        # global plane/ball geometry)
+        lc = P["lc"]
+        nc = P["normal_coeff"]
+        o = 0
+        for _ in range(caps[0]):             # local contact planes
+            act = lc[o] > 0.5
+            nvec = lc[o + 1:o + 4]
+            off, fk, fs = lc[o + 4], lc[o + 5], lc[o + 6]
+            o += 7
+            if keep_stages:
+                stages["lcp_in"].append(f)
+            disp = jnp.sum(pos * nvec, axis=0) - off
+            inside = disp < 0
+            fn_mag = jnp.sum(f * nvec, axis=0)
+            f_n = fn_mag * nvec
+            has_fric = (fs > 0) | (fk > 0)
+            vdotn = jnp.sum(v * nvec, axis=0)
+            v_perp = v - vdotn * nvec
+            v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))
+            kinetic = v_norm > 1e-16
+            fn_abs = jnp.abs(fn_mag)
+            safe_vn = jnp.where(kinetic, v_norm, 1.0)
+            f_kin = f - v_perp * (fk * fn_abs / safe_vn)
+            f_perp = f - f_n
+            fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
+            f_sta = jnp.where(fs * fn_abs > fp_norm, f - f_perp, f)
+            f_fric = jnp.where(kinetic, f_kin, f_sta)
+            f_new = jnp.where(inside & has_fric, f_fric, f)
+            f_new = f_new + jnp.where(inside, -disp * nc, 0.0) * nvec
+            f = jnp.where(act, f_new, f)
+        for _ in range(caps[1]):             # local balls
+            act = lc[o] > 0.5
+            cvec = lc[o + 1:o + 4]
+            rad = lc[o + 4]
+            o += 5
+            dvec = pos - cvec
+            dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=0))
+            safe = jnp.where(dist > 0, dist, 1.0)
+            push = jnp.where((dist <= rad) & (dist > 0), nc / safe, 0.0)
+            f = jnp.where(act, f + dvec * push, f)
+        for _ in range(caps[2]):             # constraint planes
+            act = lc[o] > 0.5
+            nvec = lc[o + 1:o + 4]
+            fric = lc[o + 4]
+            o += 5
+            if keep_stages:
+                stages["lpl_in"].append((f, v))
+            # reference quirk (object.cu:118-127): |v| taken BEFORE the
+            # normal component is removed, friction applied to the
+            # UPDATED velocity over the OLD norm
+            nf_ = jnp.sum(f * nvec, axis=0)
+            f2 = f - nvec * nf_
+            v_norm = jnp.sqrt(jnp.sum(v * v, axis=0))
+            moving = v_norm >= 1e-16
+            v2c = v - nvec * jnp.sum(v * nvec, axis=0)
+            safe_vn = jnp.where(moving, v_norm, 1.0)
+            f3 = f2 - fric * nf_ * v2c / safe_vn
+            f = jnp.where(act, jnp.where(moving, f3, f2), f)
+            v = jnp.where(act & moving, v2c, v)
+        for _ in range(caps[3]):             # directions
+            act = lc[o] > 0.5
+            tvec = lc[o + 1:o + 4]
+            fric = lc[o + 4]
+            o += 5
+            if keep_stages:
+                stages["ldir_in"].append((f, v))
+            nf_ = f - tvec * jnp.sum(f * tvec, axis=0)
+            f2 = f - nf_
+            v_norm = jnp.sqrt(jnp.sum(v * v, axis=0))
+            moving = v_norm >= 1e-16
+            nf_norm = jnp.sqrt(jnp.sum(nf_ * nf_, axis=0))
+            f3 = f2 - nf_norm * fric * tvec
+            f = jnp.where(act, jnp.where(moving, f3, f2), f)
+            v = jnp.where(act & moving,
+                          tvec * jnp.sum(v * tvec, axis=0), v)
     if P["has_drag"]:
-        sq = _vdot3(vel, vel)
+        sq = _vdot3(v, v)
         vn = jnp.sqrt(sq)
-        f = f - P["drag"] * vn * vel
-    return f, stages
+        f = f - P["drag"] * vn * v
+    if keep_stages:
+        stages["v_final"] = v
+    return f, v, stages
 
 
 def _plane_fwd(f, pos, vel, pp, fric, normal_coeff):
@@ -275,30 +373,33 @@ def forward_step(pos, vel, acc_prev, P, rg, rs, t_now=None, s_idx=0.0):
     dt = P["dt"]
     if P["rk2"]:
         # reference RK2 (pallas_step.py:550-566, sim.cu:1778-1799):
-        # midpoint predictor + corrector, two force passes per dt (with
-        # no local constraints, vel1 == vel and vel2 == vel_h)
-        f1, _ = _force(pos, vel, P, rg, rs, t_now,
-                       cidx=_cidx(P, s_idx, 1.0))
+        # midpoint predictor + corrector, two force passes per dt; the
+        # constraint-mutated velocities vel1/vel2 feed the predictor and
+        # the position update (with no local constraints vel1 == vel and
+        # vel2 == vel_h)
+        f1, vel1, _ = _force(pos, vel, P, rg, rs, t_now,
+                             cidx=_cidx(P, s_idx, 1.0))
         acc1 = f1 * P["minv"]
-        pos_h = (pos + 0.5 * vel * dt) * nf + pos * fx
-        vel_h = (vel + 0.5 * acc1 * dt) * nf + vel * fx
+        pos_h = (pos + 0.5 * vel1 * dt) * nf + pos * fx
+        vel_h = (vel1 + 0.5 * acc1 * dt) * nf + vel1 * fx
         t_h = None if t_now is None else t_now + 0.5 * dt
-        f2, _ = _force(pos_h, vel_h, P, rg, rs, t_h,
-                       cidx=_cidx(P, s_idx, 2.0))
+        f2, vel2, _ = _force(pos_h, vel_h, P, rg, rs, t_h,
+                             cidx=_cidx(P, s_idx, 2.0))
         acc = f2 * P["minv"]
-        v2 = (vel + acc * dt) * nf + vel * fx
-        pos2 = pos + vel_h * dt * nf
+        v2 = (vel1 + acc * dt) * nf + vel * fx
+        pos2 = pos + vel2 * dt * nf
         acc_out = acc * nf + acc_prev * fx
         return pos2, v2, acc_out
-    f, _ = _force(pos, vel, P, rg, rs, t_now, cidx=_cidx(P, s_idx, 1.0))
+    f, vel_m, _ = _force(pos, vel, P, rg, rs, t_now,
+                         cidx=_cidx(P, s_idx, 1.0))
     acc = f * P["minv"]
     if P["verlet"]:
         # reference 'Verlet' (sim.cu:1350-1354)
-        v2 = vel + 0.5 * (acc_prev + acc) * dt
+        v2 = vel_m + 0.5 * (acc_prev + acc) * dt
         v2 = v2 * nf + vel * fx
         pos2 = pos + (v2 * dt + 0.5 * acc * dt * dt) * nf
     else:
-        v2 = vel + acc * dt
+        v2 = vel_m + acc * dt
         if P["clamp"]:
             vn = jnp.sqrt(_vdot3(v2, v2))
             v2 = jnp.where(vn > 1.0, v2 / jnp.where(vn > 0, vn, 1.0), v2)
@@ -336,61 +437,64 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None,
     if P["rk2"]:
         # reference RK2 (sim.cu:1778-1799): two force passes per dt; the
         # midpoint primal is recomputed from the traced (pos, vel), and
-        # each pass gets its own force transpose
+        # each pass gets its own force transpose.  The pass-1 mutated
+        # velocity vel1 feeds the predictor; the pass-2 mutated vel2
+        # feeds the position update -- each pass's vel cotangent threads
+        # through its own force transpose.
         c1, c2 = _cidx(P, s_idx, 1.0), _cidx(P, s_idx, 2.0)
-        f1, st1 = _force(pos, vel, P, rg, rs, t_now, keep_stages=True,
-                         cidx=c1)
+        f1, vel1, st1 = _force(pos, vel, P, rg, rs, t_now,
+                               keep_stages=True, cidx=c1)
         acc1 = f1 * P["minv"]
-        pos_h = (pos + 0.5 * vel * dt) * nf + pos * fx
-        vel_h = (vel + 0.5 * acc1 * dt) * nf + vel * fx
+        pos_h = (pos + 0.5 * vel1 * dt) * nf + pos * fx
+        vel_h = (vel1 + 0.5 * acc1 * dt) * nf + vel1 * fx
         t_h = None if t_now is None else t_now + 0.5 * dt
-        f2, st2 = _force(pos_h, vel_h, P, rg, rs, t_h, keep_stages=True,
-                         cidx=c2)
-        # integrate transpose: v2 = (vel + acc dt) nf + vel fx;
-        # pos2 = pos + vel_h dt nf; acc_out = acc nf + accp fx
+        f2, _vel2, st2 = _force(pos_h, vel_h, P, rg, rs, t_h,
+                                keep_stages=True, cidx=c2)
+        # integrate transpose: v2 = (vel1 + acc dt) nf + vel fx;
+        # pos2 = pos + vel2 dt nf; acc_out = acc nf + accp fx
         gpos = gpos2 + 0.0
-        gvel = gvel2 + 0.0
         gacc_prev = gacc2 * fx
-        gvel_h = gpos2 * (dt * nf)
+        gvel2ct = gpos2 * (dt * nf)       # cotangent on the mutated vel2
+        gvel1 = gvel2 * nf
+        gvel0 = gvel2 * fx
         gacc = gacc2 * nf + gvel2 * (dt * nf)
         gf2 = gacc * P["minv"]
         minv_bar = jnp.sum(gacc * f2, axis=0, keepdims=True)
-        gpos_h, gv_h, bars = _force_transpose(pos_h, vel_h, gf2, P, rg,
-                                              rs, t_h, st2, cidx=c2)
-        gvel_h = gvel_h + gv_h
-        # vel_h = (vel + 0.5 acc1 dt) nf + vel fx; pos_h likewise in pos
-        gvel = gvel + gvel_h
-        gacc1 = gvel_h * (0.5 * dt * nf)
+        gpos_h, gv_h, bars = _force_transpose(pos_h, vel_h, gf2, gvel2ct,
+                                              P, rg, rs, t_h, st2, cidx=c2)
+        # vel_h = (vel1 + 0.5 acc1 dt) nf + vel1 fx; pos_h likewise in pos
+        gvel1 = gvel1 + gv_h + gpos_h * (0.5 * dt * nf)
+        gacc1 = gv_h * (0.5 * dt * nf)
         gpos = gpos + gpos_h
-        gvel = gvel + gpos_h * (0.5 * dt * nf)
         gf1 = gacc1 * P["minv"]
         minv_bar = minv_bar + jnp.sum(gacc1 * f1, axis=0, keepdims=True)
-        gp_c, gv_c, bars1 = _force_transpose(pos, vel, gf1, P, rg, rs,
-                                             t_now, st1, cidx=c1)
+        gp_c, gv_c, bars1 = _force_transpose(pos, vel, gf1, gvel1, P, rg,
+                                             rs, t_now, st1, cidx=c1)
         _bars_accumulate(bars, bars1)
         bars["minv"] = minv_bar
-        return gpos + gp_c, gvel + gv_c, gacc_prev, bars
+        return gpos + gp_c, gvel0 + gv_c, gacc_prev, bars
 
     c1 = _cidx(P, s_idx, 1.0)
-    f_final, st = _force(pos, vel, P, rg, rs, t_now, keep_stages=True,
-                         cidx=c1)
+    f_final, vel_m, st = _force(pos, vel, P, rg, rs, t_now,
+                                keep_stages=True, cidx=c1)
     acc = f_final * P["minv"]
 
     # ---- integrate transpose ----
     gpos = gpos2 + 0.0
     gv2 = gvel2 + gpos2 * (dt * nf)
     if P["verlet"]:
-        gvel = gv2 + 0.0
+        gvel0 = gv2 * fx
+        gvel_mut = gv2 * nf
         gacc_prev = gacc2 * fx + gv2 * (0.5 * dt * nf)
         gacc = (gacc2 * nf + gv2 * (0.5 * dt * nf)
                 + gpos2 * (0.5 * dt * dt * nf))
     else:
         gacc_prev = gacc2 * fx
         gacc = gacc2 * nf
-        gvel = gv2 * fx
+        gvel0 = gv2 * fx
         gv2c = gv2 * nf
         if P["clamp"]:
-            v1 = vel + acc * dt
+            v1 = vel_m + acc * dt
             vn2 = _vdot3(v1, v1)
             vn = jnp.sqrt(jnp.where(vn2 > 0, vn2, 1.0))
             over = (vn2 > 0) & (vn > 1.0)
@@ -400,35 +504,188 @@ def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None,
                             gv2c)
         else:
             gv1 = gv2c
-        gvel = gvel + gv1
+        gvel_mut = gv1
         gacc = gacc + gv1 * dt
     gf = gacc * P["minv"]
-    gp_c, gv_c, bars = _force_transpose(pos, vel, gf, P, rg, rs, t_now, st,
-                                        cidx=c1)
+    gp_c, gv_c, bars = _force_transpose(pos, vel, gf, gvel_mut, P, rg, rs,
+                                        t_now, st, cidx=c1)
     bars["minv"] = jnp.sum(gacc * f_final, axis=0, keepdims=True)
-    return gpos + gp_c, gvel + gv_c, gacc_prev, bars
+    return gpos + gp_c, gvel0 + gv_c, gacc_prev, bars
 
 
-def _force_transpose(pos, vel, gf, P, rg, rs, t_now, st, cidx=None):
-    """Transpose of _force at primal (pos, vel) for output cotangent
-    ``gf``: returns (gpos contribution, gvel contribution, param bars).
-    ``st`` is the matching _force(..., keep_stages=True) stages."""
+def _force_transpose(pos, vel, gf, gvel_mut, P, rg, rs, t_now, st,
+                     cidx=None):
+    """Transpose of _force at primal (pos, vel) for output cotangents
+    ``gf`` (on the force) and ``gvel_mut`` (on the constraint-mutated
+    velocity the integrator consumed): returns (gpos contribution,
+    gvel contribution on the INPUT vel, param bars).  ``st`` is the
+    matching _force(..., keep_stages=True) stages."""
     gpos = jnp.zeros_like(pos)
-    gvel = jnp.zeros_like(vel)
     bars = {}
+    nc = P["normal_coeff"]
+    # running cotangent on the (possibly constraint-mutated) velocity;
+    # after the reversed local-constraint sweep it is the cotangent on
+    # the input vel
+    gv = gvel_mut + 0.0
 
-    # ---- drag transpose ----
+    # ---- drag transpose (consumes the final mutated velocity) ----
     if P["has_drag"]:
-        sq = _vdot3(vel, vel)
+        vF = st["v_final"]
+        sq = _vdot3(vF, vF)
         vn = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
         vnm = jnp.where(sq > 0, vn, 0.0)
-        dotv = _vdot3(vel, gf)
-        gvel = gvel - P["drag"] * (vnm * gf
-                                   + jnp.where(sq > 0, dotv / vn, 0.0) * vel)
+        dotv = _vdot3(vF, gf)
+        gv = gv - P["drag"] * (vnm * gf
+                               + jnp.where(sq > 0, dotv / vn, 0.0) * vF)
         bars["drag"] = -(vnm * dotv)[None]
 
+    # ---- local constraints transpose (reverse of the forward order:
+    # directions, constraint planes, balls, contact planes) ----
+    caps = P.get("caps") or (0, 0, 0, 0)
+    if any(caps):
+        lc = P["lc"]
+        ball_base = 7 * caps[0]
+        pl_base = ball_base + 5 * caps[1]
+        dir_base = pl_base + 5 * caps[2]
+        for idx in reversed(range(caps[3])):         # directions
+            o = dir_base + idx * 5
+            act = lc[o] > 0.5
+            tvec = lc[o + 1:o + 4]
+            fric = lc[o + 4]
+            f_in, v_in = st["ldir_in"][idx]
+            nfv = f_in - tvec * _vdot3(f_in, tvec)
+            v_norm = jnp.sqrt(_vdot3(v_in, v_in))
+            moving = v_norm >= 1e-16
+            nf_norm = jnp.sqrt(_vdot3(nfv, nfv))
+            # v_out = where(act & moving, tvec * dot(v_in, tvec), v_in)
+            selv = act & moving
+            gtd = jnp.where(selv, gv, 0.0)
+            gv = jnp.where(selv, 0.0, gv) + tvec * _vdot3(tvec, gtd)
+            # f_out = where(act, where(moving, f3, f2), f_in);
+            # f3 = f2 - nf_norm * fric * tvec;  f2 = f_in - nfv
+            gf3 = jnp.where(act & moving, gf, 0.0)
+            gf2 = gf3 + jnp.where(act & ~moving, gf, 0.0)
+            gf_keep = jnp.where(~act, gf, 0.0)
+            gnf_norm = -fric * _vdot3(tvec, gf3)
+            gnfv = (jnp.where(nf_norm > 0,
+                              gnf_norm
+                              / jnp.where(nf_norm > 0, nf_norm, 1.0),
+                              0.0) * nfv - gf2)
+            gf = (gf_keep + gf2
+                  + (gnfv - tvec * _vdot3(tvec, gnfv)))
+        for idx in reversed(range(caps[2])):         # constraint planes
+            o = pl_base + idx * 5
+            act = lc[o] > 0.5
+            nvec = lc[o + 1:o + 4]
+            fric = lc[o + 4]
+            f_in, v_in = st["lpl_in"][idx]
+            nf_ = _vdot3(f_in, nvec)
+            v_norm = jnp.sqrt(_vdot3(v_in, v_in))
+            moving = v_norm >= 1e-16
+            vdn = _vdot3(v_in, nvec)
+            v2c = v_in - nvec * vdn
+            safe = jnp.where(moving, v_norm, 1.0)
+            # v_out = where(act & moving, v2c, v_in)
+            selv = act & moving
+            gv2c = jnp.where(selv, gv, 0.0)
+            gv = jnp.where(selv, 0.0, gv)
+            # f_out = where(act, where(moving, f3, f2), f_in);
+            # f3 = f2 - fric * nf_ * v2c / safe;  f2 = f_in - nvec * nf_
+            gf3 = jnp.where(act & moving, gf, 0.0)
+            gf2 = gf3 + jnp.where(act & ~moving, gf, 0.0)
+            gf_keep = jnp.where(~act, gf, 0.0)
+            s = fric / safe
+            gnf = -s * _vdot3(v2c, gf3)
+            gv2c = gv2c - (s * nf_) * gf3
+            gsafe = fric * nf_ * _vdot3(v2c, gf3) / (safe * safe)
+            gv_norm = jnp.where(moving, gsafe, 0.0)
+            gv = gv + gv2c - nvec * _vdot3(nvec, gv2c)
+            gv = gv + (jnp.where(v_norm > 0,
+                                 gv_norm
+                                 / jnp.where(v_norm > 0, v_norm, 1.0),
+                                 0.0) * v_in)
+            gnf = gnf - _vdot3(nvec, gf2)
+            gf = gf_keep + gf2 + gnf * nvec
+        for idx in reversed(range(caps[1])):         # local balls
+            o = ball_base + idx * 5
+            act = lc[o] > 0.5
+            cvec = lc[o + 1:o + 4]
+            rad = lc[o + 4]
+            dvec = pos - cvec
+            dist = jnp.sqrt(_vdot3(dvec, dvec))
+            safe = jnp.where(dist > 0, dist, 1.0)
+            hit = (dist <= rad) & (dist > 0)
+            push = jnp.where(hit, nc / safe, 0.0)
+            # f_out = f_in + where(act, dvec * push, 0)
+            geff = jnp.where(act, gf, 0.0)
+            gpush = _vdot3(dvec, geff)
+            gdvec = push * geff
+            gdist = jnp.where(hit, -nc * gpush / (safe * safe), 0.0)
+            gdvec = gdvec + (gdist / safe) * dvec
+            gpos = gpos + gdvec
+        for idx in reversed(range(caps[0])):         # local contact planes
+            o = idx * 7
+            act = lc[o] > 0.5
+            nvec = lc[o + 1:o + 4]
+            off, fk, fs = lc[o + 4], lc[o + 5], lc[o + 6]
+            f_in = st["lcp_in"][idx]
+            # recompute the forward intermediates (contact planes precede
+            # every vel mutation, so the friction velocity is the input
+            # vel itself)
+            disp = _vdot3(pos, nvec) - off
+            inside = disp < 0
+            fn_mag = _vdot3(f_in, nvec)
+            has_fric = (fs > 0) | (fk > 0)
+            vdotn = _vdot3(vel, nvec)
+            v_perp = vel - vdotn * nvec
+            v_norm = jnp.sqrt(_vdot3(v_perp, v_perp))
+            kinetic = v_norm > 1e-16
+            fn_abs = jnp.abs(fn_mag)
+            safe_vn = jnp.where(kinetic, v_norm, 1.0)
+            f_perp = f_in - fn_mag * nvec
+            fp_norm = jnp.sqrt(_vdot3(f_perp, f_perp))
+            sta_hold = fs * fn_abs > fp_norm
+            # f_out = where(act, f_new, f_in)
+            gnew = jnp.where(act, gf, 0.0)
+            gf = jnp.where(~act, gf, 0.0)
+            # contact term: + where(inside, -disp*nc, 0) * nvec
+            gcontact = _vdot3(gnew, nvec)
+            gdisp = jnp.where(inside, -nc * gcontact, 0.0)
+            gpos = gpos + gdisp * nvec
+            # friction select: f_new(pre-contact) =
+            # where(inside & has_fric, f_fric, f_in)
+            sel = inside & has_fric
+            gf_fric = jnp.where(sel, gnew, 0.0)
+            gf = gf + jnp.where(sel, 0.0, gnew)
+            gf_kin = jnp.where(kinetic, gf_fric, 0.0)
+            gf_sta = jnp.where(kinetic, 0.0, gf_fric)
+            # f_sta = where(hold, f_in - f_perp, f_in)
+            gf = gf + gf_sta
+            gf_perp = jnp.where(sta_hold, -gf_sta, 0.0)
+            # f_perp = f_in - f_n
+            gf = gf + gf_perp
+            gf_n = -gf_perp
+            # f_kin = f_in - v_perp * s,  s = fk*fn_abs/safe_vn
+            gf = gf + gf_kin
+            s = fk * fn_abs / safe_vn
+            gs = -_vdot3(v_perp, gf_kin)
+            gv_perp = -s * gf_kin
+            gfn_abs = fk * gs / safe_vn
+            gsafe_vn = -fk * fn_abs * gs / (safe_vn * safe_vn)
+            gv_norm = jnp.where(kinetic, gsafe_vn, 0.0)
+            gv_perp = gv_perp + jnp.where(v_norm > 0,
+                                          gv_norm / safe_vn, 0.0) * v_perp
+            # v_perp = vel - vdotn*nvec
+            gv = gv + gv_perp
+            gvdotn = -_vdot3(nvec, gv_perp)
+            gv = gv + gvdotn * nvec
+            # f_n = fn_mag*nvec; fn_abs = |fn_mag|; fn_mag = dot(f_in, n)
+            gfn_mag = _vdot3(gf_n, nvec) + jnp.sign(fn_mag) * gfn_abs
+            gf = gf + gfn_mag * nvec
+    # past the local block the running cotangent IS the input-vel one
+    gvel = gv
+
     # ---- balls transpose (reverse order) ----
-    nc = P["normal_coeff"]
     for bb in reversed(P["balls"]):
         cx, cy, cz, rad = bb
         dvec = jnp.stack([pos[0] - cx, pos[1] - cy, pos[2] - cz])
@@ -651,7 +908,7 @@ def _static_flags(shape: SceneShape):
 
 def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
             drag, plane_ref, ball_ref, dt, bsign=None, bomega=None,
-            aratedt=None, sstop=None, famstash=True):
+            aratedt=None, sstop=None, lc=None, famstash=True):
     rsqrt_norms, fmath_shared = _static_flags(shape)
     planes = [tuple(plane_ref[p, c] for c in range(6))
               for p in range(shape.n_planes)]
@@ -670,6 +927,9 @@ def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
         "bsign": bsign, "bomega": bomega,
         "has_actuated": shape.has_actuated,
         "aratedt": aratedt, "sstop": sstop,
+        "caps": (shape.cap_cp, shape.cap_ball, shape.cap_pl,
+                 shape.cap_dir),
+        "lc": lc,
         "normal_coeff": shape.config.normal_coeff,
         "rsqrt_norms": rsqrt_norms, "fmath_shared": fmath_shared,
         "famstash": famstash,
@@ -693,6 +953,8 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
     has_damping, has_drag = shape.has_damping, shape.has_drag
     has_breathing = shape.has_breathing
     has_actuated = shape.has_actuated
+    has_local = any((shape.cap_cp, shape.cap_ball, shape.cap_pl,
+                     shape.cap_dir))
 
     def kernel(*refs):
         (scal_ref, plane_ref, ball_ref, pos_ref, vel_ref, acc_ref,
@@ -714,6 +976,10 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
         if has_actuated:
             aratedt_ref, sstop_ref = refs[i], refs[i + 1]
             i += 2
+        lc_ref = None
+        if has_local:
+            lc_ref = refs[i]
+            i += 1
         opos_ref, ovel_ref, oacc_ref, trace_ref = refs[i:i + 4]
         stage, sem = refs[i + 4], refs[i + 5]
 
@@ -723,7 +989,7 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
                     drag_ref[:] if has_drag else None,
                     plane_ref, ball_ref, scal_ref[0],
                     bsign=bsign_ref, bomega=bomega_ref,
-                    aratedt=aratedt_ref, sstop=sstop_ref)
+                    aratedt=aratedt_ref, sstop=sstop_ref, lc=lc_ref)
         opos_ref[:] = pos_ref[:]
         ovel_ref[:] = vel_ref[:]
         oacc_ref[:] = acc_ref[:]
@@ -772,6 +1038,8 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
     has_damping, has_drag = shape.has_damping, shape.has_drag
     has_breathing = shape.has_breathing
     has_actuated = shape.has_actuated
+    has_local = any((shape.cap_cp, shape.cap_ball, shape.cap_pl,
+                     shape.cap_dir))
     nfam = len(shape.stencil_deltas)
 
     def kernel(*refs):
@@ -794,6 +1062,10 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
         if has_actuated:
             aratedt_ref, sstop_ref = refs[i], refs[i + 1]
             i += 2
+        lc_ref = None
+        if has_local:
+            lc_ref = refs[i]
+            i += 1
         gposK_ref, gvelK_ref, gaccK_ref, trace_ref = refs[i:i + 4]
         i += 4
         gpos_ref, gvel_ref, gacc_ref = refs[i:i + 3]
@@ -825,7 +1097,7 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
                     drag_ref[:] if has_drag else None,
                     plane_ref, ball_ref, scal_ref[0],
                     bsign=bsign_ref, bomega=bomega_ref,
-                    aratedt=aratedt_ref, sstop=sstop_ref,
+                    aratedt=aratedt_ref, sstop=sstop_ref, lc=lc_ref,
                     famstash=famstash)
         gpos_ref[:] = gposK_ref[:]
         gvel_ref[:] = gvelK_ref[:]
@@ -918,6 +1190,9 @@ def _prep(shape: SceneShape, state: SimState):
         aratedt, sstop = _actuation_inputs(state, inv_["pair_ok"])
         out["aratedt"] = r3(aratedt)
         out["sstop"] = r3(sstop)
+    if any((shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)):
+        from .pallas_step import stage_local_constraints
+        out["lc"] = r3(stage_local_constraints(shape, state))
     return out
 
 
@@ -963,6 +1238,8 @@ def build_trace_run(shape: SceneShape, seg: int):
             ins += [p["bsign"], p["bomega"]]
         if shape.has_actuated:
             ins += [p["aratedt"], p["sstop"]]
+        if "lc" in p:
+            ins.append(p["lc"])
         out_shape = [
             jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
@@ -1015,6 +1292,8 @@ def build_bwd_run(shape: SceneShape, seg: int,
             ins += [p["bsign"], p["bomega"]]
         if shape.has_actuated:
             ins += [p["aratedt"], p["sstop"]]
+        if "lc" in p:
+            ins.append(p["lc"])
         ins += [r3(gpos), r3(gvel), r3(gacc), trace]
         v3 = jax.ShapeDtypeStruct((3, rows, 128), jnp.float32)
         vf = jax.ShapeDtypeStruct((nfam, rows, 128), jnp.float32)

@@ -659,6 +659,37 @@ def prep_invariants(shape: SceneShape, state: SimState) -> dict:
                 planes=planes, balls=balls)
 
 
+def stage_local_constraints(shape: SceneShape, state: SimState):
+    """Pack the per-mass local-constraint slot planes into one [L, N]
+    array in the kernel's reference order (contact planes 7 planes each,
+    balls 5, constraint planes 5, directions 5; slot j active iff
+    j < count).  Shared by the forward chunk and the adjoint kernels
+    (ops/adjoint.py) so the replayed physics consumes exactly the values
+    the fused chunk ran."""
+    m = state.masses
+    lcon = state.lcon
+    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+    parts = []
+    for j in range(caps[0]):
+        parts += [(j < lcon.cp_count).astype(m.pos.dtype)[None],
+                  lcon.cp_normal[:, j, :].T,
+                  lcon.cp_offset[:, j][None],
+                  lcon.cp_fk[:, j][None], lcon.cp_fs[:, j][None]]
+    for j in range(caps[1]):
+        parts += [(j < lcon.ball_count).astype(m.pos.dtype)[None],
+                  lcon.ball_center[:, j, :].T,
+                  lcon.ball_radius[:, j][None]]
+    for j in range(caps[2]):
+        parts += [(j < lcon.pl_count).astype(m.pos.dtype)[None],
+                  lcon.pl_normal[:, j, :].T,
+                  lcon.pl_friction[:, j][None]]
+    for j in range(caps[3]):
+        parts += [(j < lcon.dir_count).astype(m.pos.dtype)[None],
+                  lcon.dir_tangent[:, j, :].T,
+                  lcon.dir_friction[:, j][None]]
+    return jnp.concatenate(parts, axis=0).astype(m.pos.dtype)
+
+
 def build_pallas_chunk(shape: SceneShape, donate: bool = False):
     """Jitted chunk(state, n_steps) -> state using the fused VMEM kernel.
 
@@ -713,27 +744,7 @@ def build_pallas_chunk(shape: SceneShape, donate: bool = False):
             extra_in.append(r3(mag))
         caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
         if any(caps):
-            lcon = state.lcon
-            parts = []
-            for j in range(caps[0]):
-                parts += [(j < lcon.cp_count).astype(m.pos.dtype)[None],
-                          lcon.cp_normal[:, j, :].T,
-                          lcon.cp_offset[:, j][None],
-                          lcon.cp_fk[:, j][None], lcon.cp_fs[:, j][None]]
-            for j in range(caps[1]):
-                parts += [(j < lcon.ball_count).astype(m.pos.dtype)[None],
-                          lcon.ball_center[:, j, :].T,
-                          lcon.ball_radius[:, j][None]]
-            for j in range(caps[2]):
-                parts += [(j < lcon.pl_count).astype(m.pos.dtype)[None],
-                          lcon.pl_normal[:, j, :].T,
-                          lcon.pl_friction[:, j][None]]
-            for j in range(caps[3]):
-                parts += [(j < lcon.dir_count).astype(m.pos.dtype)[None],
-                          lcon.dir_tangent[:, j, :].T,
-                          lcon.dir_friction[:, j][None]]
-            extra_in.append(r3(jnp.concatenate(parts, axis=0)
-                               .astype(m.pos.dtype)))
+            extra_in.append(r3(stage_local_constraints(shape, state)))
         if shape.has_remainder:
             sp = state.springs
             rem_ok = sp.valid & m.valid[sp.left] & m.valid[sp.right]
