@@ -150,6 +150,38 @@ def make_rolls(rows: int):
     return roll_gather, roll_scatter
 
 
+def remainder_gather(rowsel, lanesel, x):
+    """Gather both endpoints of every remainder spring from a [3, R, 128]
+    array via the factorized one-hot selectors (rowsel [2S, R], lanesel
+    [2S, 128]) -> [2S, 3].  MXU row selection + VPU lane dot; HIGHEST
+    precision keeps the one-hot products exact in f32 (default bf16
+    rounds the gathered VALUES -- measured 1.2e-3 drift).  Shared by the
+    forward kernel and the adjoint kernels (ops/adjoint.py): the
+    transpose of this gather is exactly ``remainder_scatter`` and vice
+    versa, so the adjoint reuses the same two primitives."""
+    cols = []
+    for c in range(3):
+        a = jax.lax.dot_general(
+            rowsel, x[c], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # [2S, 128]
+        cols.append(jnp.sum(a * lanesel, axis=1))        # [2S]
+    return jnp.stack(cols, axis=1)                       # [2S, 3]
+
+
+def remainder_scatter(rowsel, lanesel, fboth):
+    """Scatter per-endpoint values fboth [2S, 3] back onto the mass
+    layout -> [3, R, 128] (transpose of ``remainder_gather``)."""
+    scat = []
+    for c in range(3):
+        b = fboth[:, c:c + 1] * lanesel                  # [2S, 128]
+        scat.append(jax.lax.dot_general(
+            rowsel, b, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32))         # [R, 128]
+    return jnp.stack(scat)
+
+
 def _build_kernel(shape: SceneShape):
     deltas = shape.stencil_deltas
     n = shape.n_masses
@@ -330,17 +362,7 @@ def _build_kernel(shape: SceneShape):
                 # sim.cu:1157-1200); invalid/padding springs carry k == 0.
                 rs = rowsel_ref[:]                           # [2S, R]
                 ls = lanesel_ref[:]                          # [2S, 128]
-
-                def gather_ends(x):                          # [3, R, 128]
-                    cols = []
-                    for c in range(3):
-                        a = jax.lax.dot_general(
-                            rs, x[c], (((1,), (0,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)  # [2S, 128]
-                        cols.append(jnp.sum(a * ls, axis=1))     # [2S]
-                    return jnp.stack(cols, axis=1)               # [2S, 3]
-
+                gather_ends = lambda x: remainder_gather(rs, ls, x)
                 g = gather_ends(pos)
                 diffe = g[n_rem:] - g[:n_rem]                # right - left
                 d2e = jnp.sum(diffe * diffe, axis=1,
@@ -379,14 +401,7 @@ def _build_kernel(shape: SceneShape):
                 # scatter: +f at right, -f at left (sim.cu:1189-1196) in
                 # one signed [2S] pass through the same factorization
                 fboth = jnp.concatenate([-fe, fe], axis=0)   # [2S, 3]
-                scat = []
-                for c in range(3):
-                    b = fboth[:, c:c + 1] * ls               # [2S, 128]
-                    scat.append(jax.lax.dot_general(
-                        rs, b, (((0,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32))  # [R, 128]
-                f_acc = f_acc + jnp.stack(scat)
+                f_acc = f_acc + remainder_scatter(rs, ls, fboth)
             if has_magnets:
                 # dense in-VMEM pairwise magnet sweep, one 128-lane source
                 # row at a time (reference computeExternalMagnetForce,
@@ -690,6 +705,55 @@ def stage_local_constraints(shape: SceneShape, state: SimState):
     return jnp.concatenate(parts, axis=0).astype(m.pos.dtype)
 
 
+def stage_remainder(shape: SceneShape, state: SimState):
+    """Stage the irregular-topology (remainder) spring inputs for the
+    fused kernel: factorized endpoint one-hot selectors plus the stacked
+    per-spring scalar params.  Shared by the forward chunk and the
+    adjoint kernels (ops/adjoint.py) so the replayed physics consumes
+    exactly the values the fused chunk ran.
+
+    Returns (rowsel [2S, R], lanesel [2S, 128], remp [Q, S, 1]) with
+    remp rows [k, rest, damping, bsign, bomega] (+ [arate, abound] when
+    the scene has ACTUATED_* springs).  Padding/invalid springs point at
+    index 0 and carry k == 0, so their force is exactly zero."""
+    m = state.masses
+    rows = shape.n_masses // 128
+    sp = state.springs
+    rem_ok = sp.valid & m.valid[sp.left] & m.valid[sp.right]
+    styr = sp.type
+    rows_p = [
+        jnp.where(rem_ok, sp.k, 0.0),
+        sp.rest,
+        jnp.where(rem_ok, sp.damping, 0.0),
+        jnp.where(styr == ACTIVE_CONTRACT_THEN_EXPAND, -0.2,
+                  jnp.where(styr == ACTIVE_EXPAND_THEN_CONTRACT,
+                            0.2, 0.0)),
+        sp.omega,
+    ]
+    if shape.has_actuated:
+        ratr = jnp.where(styr == ACTUATED_EXPAND, sp.rate,
+                         jnp.where(styr == ACTUATED_CONTRACT,
+                                   -sp.rate, 0.0))
+        rows_p += [
+            jnp.where(rem_ok, ratr, 0.0),
+            jnp.where(styr == ACTUATED_EXPAND, sp.l_max,
+                      jnp.where(styr == ACTUATED_CONTRACT,
+                                sp.l_min, 0.0)),
+        ]
+    remp = jnp.stack([jnp.asarray(r, m.pos.dtype) for r in rows_p]
+                     )[:, :, None]                    # [Q, S, 1]
+    lr = jnp.concatenate([sp.left, sp.right]).astype(jnp.int32)
+    # factorized endpoint selectors (see kernel): row one-hot [2S, R] +
+    # lane one-hot [2S, 128]
+    rowsel = ((lr[:, None] // 128)
+              == jnp.arange(rows, dtype=jnp.int32)[None, :]
+              ).astype(m.pos.dtype)                   # [2S, R]
+    lanesel = ((lr[:, None] % 128)
+               == jnp.arange(128, dtype=jnp.int32)[None, :]
+               ).astype(m.pos.dtype)                  # [2S, 128]
+    return rowsel, lanesel, remp
+
+
 def build_pallas_chunk(shape: SceneShape, donate: bool = False):
     """Jitted chunk(state, n_steps) -> state using the fused VMEM kernel.
 
@@ -746,41 +810,7 @@ def build_pallas_chunk(shape: SceneShape, donate: bool = False):
         if any(caps):
             extra_in.append(r3(stage_local_constraints(shape, state)))
         if shape.has_remainder:
-            sp = state.springs
-            rem_ok = sp.valid & m.valid[sp.left] & m.valid[sp.right]
-            styr = sp.type
-            rows_p = [
-                jnp.where(rem_ok, sp.k, 0.0),
-                sp.rest,
-                jnp.where(rem_ok, sp.damping, 0.0),
-                jnp.where(styr == ACTIVE_CONTRACT_THEN_EXPAND, -0.2,
-                          jnp.where(styr == ACTIVE_EXPAND_THEN_CONTRACT,
-                                    0.2, 0.0)),
-                sp.omega,
-            ]
-            if shape.has_actuated:
-                ratr = jnp.where(styr == ACTUATED_EXPAND, sp.rate,
-                                 jnp.where(styr == ACTUATED_CONTRACT,
-                                           -sp.rate, 0.0))
-                rows_p += [
-                    jnp.where(rem_ok, ratr, 0.0),
-                    jnp.where(styr == ACTUATED_EXPAND, sp.l_max,
-                              jnp.where(styr == ACTUATED_CONTRACT,
-                                        sp.l_min, 0.0)),
-                ]
-            remp = jnp.stack([jnp.asarray(r, m.pos.dtype) for r in rows_p]
-                             )[:, :, None]                    # [Q, S, 1]
-            lr = jnp.concatenate([sp.left, sp.right]).astype(jnp.int32)
-            # factorized endpoint selectors (see kernel): row one-hot
-            # [2S, R] + lane one-hot [2S, 128].  Padding springs point at
-            # index 0 and carry k == 0, so their force is exactly zero.
-            rowsel = ((lr[:, None] // 128)
-                      == jnp.arange(rows, dtype=jnp.int32)[None, :]
-                      ).astype(m.pos.dtype)                   # [2S, R]
-            lanesel = ((lr[:, None] % 128)
-                       == jnp.arange(128, dtype=jnp.int32)[None, :]
-                       ).astype(m.pos.dtype)                  # [2S, 128]
-            extra_in += [rowsel, lanesel, remp]
+            extra_in += list(stage_remainder(shape, state))
 
         n_in = 11 + len(extra_in)
         n_out = 4 if shape.has_actuated else 3
