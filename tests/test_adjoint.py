@@ -55,9 +55,47 @@ def _mk_lc(rng, caps, sh):
     return jnp.asarray(np.concatenate(parts, axis=0), jnp.float32)
 
 
+def _mk_remainder(rng, S, damping, breathing, actuated):
+    """Random remainder-spring inputs in the kernel's staged form
+    (pallas_step.stage_remainder): factorized endpoint selectors
+    rowsel [2S, R] / lanesel [2S, 128] + remp [5, S, 1] rows
+    [k, rest, damping, bsign, bomega] (+ independent aratedt_e /
+    sstop_e when actuated).  ~10% of springs carry k == 0 (padding-
+    like), and spring 0 is DEGENERATE (left == right -> zero length)
+    so the guarded-norm branches bite."""
+    lr = rng.randint(0, N, 2 * S).astype(np.int32)
+    lr[S] = lr[0]                      # spring 0: left == right
+    rowsel = (lr[:, None] // 128
+              == np.arange(ROWS)[None, :]).astype(np.float32)
+    lanesel = (lr[:, None] % 128
+               == np.arange(128)[None, :]).astype(np.float32)
+    z = np.zeros((S, 1))
+    remp = np.stack([
+        rng.uniform(50.0, 200.0, (S, 1))
+        * (rng.uniform(0, 1, (S, 1)) < 0.9),
+        rng.uniform(0.5, 1.5, (S, 1)),
+        rng.uniform(0.0, 0.6, (S, 1)) if damping else z,
+        rng.choice([-0.2, 0.0, 0.2], (S, 1)) if breathing else z,
+        rng.uniform(1.0, 9.0, (S, 1)) if breathing else z,
+    ])
+    out = {
+        "has_remainder": True, "n_rem": S,
+        "rowsel": jnp.asarray(rowsel, jnp.float32),
+        "lanesel": jnp.asarray(lanesel, jnp.float32),
+        "remp": jnp.asarray(remp, jnp.float32),
+        "aratedt_e": (jnp.asarray(
+            rng.uniform(-5e-3, 5e-3, (S, 1))
+            * (rng.uniform(0, 1, (S, 1)) < 0.5), jnp.float32)
+            if actuated else None),
+        "sstop_e": (jnp.asarray(rng.randint(0, 9, (S, 1)), jnp.float32)
+                    if actuated else None),
+    }
+    return out
+
+
 def _mkP(rng, fmath, damping, clamp, drag, planes, fric, ball,
          fixed, breathing=False, verlet=False, rk2=False, actuated=False,
-         lcp=0, lball=0, lpl=0, ldir=0):
+         lcp=0, lball=0, lpl=0, ldir=0, remainder=False):
     # fmath: "legacy" = sqrt+div (the CPU gate), "legacy_rsqrt" = rsqrt
     # norms with the legacy force form (TITAN_FMATH=legacy on TPU),
     # "shared" = rsqrt + shared-c form (the TPU default)
@@ -111,7 +149,11 @@ def _mkP(rng, fmath, damping, clamp, drag, planes, fric, ball,
         "caps": (lcp, lball, lpl, ldir),
         "lc": (_mk_lc(rng, (lcp, lball, lpl, ldir), sh)
                if (lcp or lball or lpl or ldir) else None),
+        "has_remainder": False, "n_rem": 0, "rowsel": None,
+        "lanesel": None, "remp": None,
     }
+    if remainder:
+        P.update(_mk_remainder(rng, 24, damping, breathing, actuated))
     return P
 
 
@@ -164,6 +206,17 @@ VARIANTS = {
                              planes=1, fric=True, ball=True, fixed=True,
                              breathing=True, actuated=True, lcp=1,
                              lball=1, lpl=1, ldir=1),
+    "remainder": dict(remainder=True),
+    "remainder_damping": dict(remainder=True, damping=True),
+    "remainder_breathing": dict(remainder=True, breathing=True),
+    "remainder_actuated": dict(remainder=True, actuated=True,
+                               damping=True),
+    "verlet_remainder": dict(verlet=True, remainder=True, damping=True),
+    "rk2_remainder": dict(rk2=True, remainder=True, damping=True),
+    "everything_remainder": dict(remainder=True, damping=True, clamp=True,
+                                 drag=True, planes=1, fric=True, ball=True,
+                                 fixed=True, breathing=True, actuated=True,
+                                 lcp=1, lpl=1),
 }
 
 
@@ -174,7 +227,8 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
     rng = np.random.RandomState(7)
     kw = dict(damping=False, clamp=False, drag=False, planes=0, fric=False,
               ball=False, fixed=False, breathing=False, verlet=False,
-              rk2=False, actuated=False, lcp=0, lball=0, lpl=0, ldir=0)
+              rk2=False, actuated=False, lcp=0, lball=0, lpl=0, ldir=0,
+              remainder=False)
     kw.update(VARIANTS[variant])
     P = _mkP(rng, fmath, **kw)
     rg, rs = jnp_rolls(ROWS)
@@ -197,6 +251,13 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
         diffable.append("bomega")
     if kw["actuated"]:
         diffable.append("aratedt")
+    if kw["remainder"]:
+        # remp rows 0/1/2/4 (k/rest/damping/bomega) are produced by the
+        # transpose; row 3 (bsign) is type-derived, not differentiable
+        # (like the stencil bsign)
+        diffable.append("remp")
+        if kw["actuated"]:
+            diffable.append("aratedt_e")
 
     def fwd(pos, vel, acc, params):
         Q = dict(P)
@@ -246,6 +307,15 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
         close(jnp.stack(bars["omega"]), gpar_j["bomega"])
     if kw["actuated"]:
         close(jnp.stack(bars["aratedt"]), gpar_j["aratedt"])
+    if kw["remainder"]:
+        close(bars["k_e"], gpar_j["remp"][0])
+        close(bars["rest_e"], gpar_j["remp"][1])
+        if kw["damping"]:
+            close(bars["damp_e"], gpar_j["remp"][2])
+        if kw["breathing"]:
+            close(bars["omega_e"], gpar_j["remp"][4])
+        if kw["actuated"]:
+            close(bars["aratedt_e"], gpar_j["aratedt_e"])
 
     # the TITAN_ADJ_STASH=off recompute path is BITWISE equal to the
     # stashed one (same ops, same order -- only where they're computed)
@@ -264,7 +334,8 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
 
 def _scene(clamp=False, friction=False, ball=False, fixed_face=False,
            damping=0.0, drag=0.0, deleted=False, extern=False,
-           breathing=False, actuated=False, local=False, integrator=None):
+           breathing=False, actuated=False, local=False, integrator=None,
+           cross=False, cross_breathing=False, cross_actuated=False):
     cfg = dict(velocity_clamp=clamp)
     if integrator:
         from titan_tpu import Integrator
@@ -274,6 +345,12 @@ def _scene(clamp=False, friction=False, ball=False, fixed_face=False,
         sim.createBeam(Vec(0, 0, 2), Vec(1, 1, 1), 4, 4, 4)
     else:
         sim.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 4, 4, 4)
+    if cross:
+        # irregular cross links (the reference's multi-agent mechanism,
+        # multiagent_unittest.cpp:29-35): long-span springs that bucket
+        # as remainder, incl. one pair sharing an endpoint
+        for a, b in [(0, 37), (5, 50), (12, 63), (12, 41), (17, 60)]:
+            sim.createSpring(sim.getMassByIndex(a), sim.getMassByIndex(b))
     sim.setAllSpringConstantValues(800.0)
     st = sim._store
     # pre-stress: a free-falling lattice at natural rest has ZERO spring
@@ -281,6 +358,20 @@ def _scene(clamp=False, friction=False, ball=False, fixed_face=False,
     # (~1e-9) and normalized comparisons fail on noise; 3% rest extension
     # gives them real magnitude from step 0
     st.rest[: st.n_springs] *= 1.03
+    if cross_breathing:
+        from titan_tpu import ACTIVE_EXPAND_THEN_CONTRACT
+        st.s_type[st.n_springs - 4: st.n_springs - 2] = \
+            ACTIVE_EXPAND_THEN_CONTRACT
+        st.omega[st.n_springs - 4: st.n_springs - 2] = 6.0
+    if cross_actuated:
+        from titan_tpu import ACTUATED_CONTRACT, ACTUATED_EXPAND
+        i0 = st.n_springs - 4
+        st.s_type[i0: i0 + 2] = ACTUATED_EXPAND
+        st.l_max[i0: i0 + 2] = st.rest[i0: i0 + 2] * 1.001
+        st.rate[i0: i0 + 2] = 0.6
+        st.s_type[i0 + 2: i0 + 3] = ACTUATED_CONTRACT
+        st.l_min[i0 + 2: i0 + 3] = st.rest[i0 + 2: i0 + 3] * 0.5
+        st.rate[i0 + 2: i0 + 3] = 0.8
     if damping:
         st.damping[: st.n_springs] = damping
     if drag:
@@ -450,6 +541,83 @@ def test_adjoint_rollout_grads_match_xla(scene_name, monkeypatch):
         np.testing.assert_allclose(a / scale, x / scale, atol=5e-4,
                                    err_msg=f"grad[{name}] mismatch")
     assert mask_n is not None
+
+
+REM_SCENES = {
+    "cross": dict(cross=True, friction=True, damping=0.3),
+    "cross_breathing": dict(cross=True, cross_breathing=True,
+                            friction=True),
+    "cross_actuated": dict(cross=True, cross_actuated=True, damping=0.2),
+    "cross_verlet": dict(cross=True, integrator="verlet", damping=0.2),
+    "cross_rk2": dict(cross=True, integrator="rk2", friction=True,
+                      damping=0.3),
+    "cross_deleted": dict(cross=True, deleted=True, friction=True),
+}
+
+
+@pytest.mark.parametrize("scene_name", sorted(REM_SCENES))
+def test_adjoint_rollout_remainder_grads_match_xla(scene_name, monkeypatch):
+    """Remainder (irregular) springs in the adjoint envelope: per-spring
+    k/rest/omega/rate gradients onto state.springs, plus pos/vel flow
+    through the factorized gather/scatter, all against jax.grad of the
+    independent XLA step path.  Mass 17 (an endpoint of the 5th cross
+    link) is deleted in the cross_deleted scene, so the rem_ok masking
+    is exercised too."""
+    from titan_tpu import diff
+    from titan_tpu.state import xla_only_shape
+
+    sim = _scene(**REM_SCENES[scene_name])
+    shape, state = sim._shape, sim._state
+    assert shape.has_remainder
+    assert adjoint_supported(shape), adjoint_reject_reason(shape)
+    _interp(monkeypatch)
+
+    n = sim._store.n_masses
+    rng = np.random.RandomState(5)
+    wpos = jnp.asarray(rng.normal(0, 1, (3, state.masses.pos.shape[1])),
+                       jnp.float32).at[:, n:].set(0.0)
+    wvel = jnp.asarray(rng.normal(0, 1, (3, state.masses.pos.shape[1])),
+                       jnp.float32).at[:, n:].set(0.0)
+    wrest_e = jnp.asarray(rng.normal(0, 1, state.springs.rest.shape),
+                          jnp.float32)
+
+    def run(rollout_fn, pos0, vel0, sk, srest, somega, srate):
+        st = dataclasses.replace(
+            state,
+            masses=dataclasses.replace(state.masses, pos=pos0, vel=vel0),
+            springs=dataclasses.replace(state.springs, k=sk, rest=srest,
+                                        omega=somega, rate=srate))
+        out = rollout_fn(st)
+        loss = (jnp.sum(out.masses.pos * wpos)
+                + jnp.sum(out.masses.vel * wvel))
+        if shape.has_actuated:
+            # the mutated remainder-rest OUTPUT carries its own
+            # rate/rest cotangent chain
+            loss = loss + jnp.sum(out.springs.rest * wrest_e)
+        return loss
+
+    args = (state.masses.pos, state.masses.vel, state.springs.k,
+            state.springs.rest, state.springs.omega, state.springs.rate)
+    g_adj = jax.grad(
+        lambda *a: run(lambda s: adjoint_rollout(shape, s, 20, segment=10),
+                       *a), argnums=tuple(range(6)))(*args)
+    g_xla = jax.grad(
+        lambda *a: run(lambda s: diff.rollout(xla_only_shape(shape), s, 20),
+                       *a), argnums=tuple(range(6)))(*args)
+
+    rem_ok = np.asarray(state.springs.valid
+                        & state.masses.valid[state.springs.left]
+                        & state.masses.valid[state.springs.right])
+    names = ["pos", "vel", "k", "rest", "omega", "rate"]
+    for name, a, x in zip(names, g_adj, g_xla):
+        a, x = np.asarray(a), np.asarray(x)
+        if name in ("pos", "vel"):
+            a, x = a[:, :n], x[:, :n]
+        elif name in ("k", "rate"):
+            a, x = a * rem_ok, x * rem_ok
+        scale = max(np.abs(x).max(), 1e-8)
+        np.testing.assert_allclose(a / scale, x / scale, atol=5e-4,
+                                   err_msg=f"grad[{name}] mismatch")
 
 
 def test_adjoint_forward_matches_chunk(monkeypatch):

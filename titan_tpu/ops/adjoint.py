@@ -51,15 +51,22 @@ step in VMEM; the chunk's rest OUTPUT also carries a rate cotangent
 (min(c_total, s_stop) * ct_rest), added XLA-side in the segment VJP.
 
 Envelope (``adjoint_reject_reason``): the VMEM kernel's envelope minus
-magnets and remainder springs; Euler (with or without the velocity
-clamp), Verlet, or RK2 (two force passes, each with its own transpose).
-Supports ACTIVE_* breathing springs, ACTUATED_* springs (closed-form
-rest, see above), damping, drag, fixed/deleted masses, global contact
-planes incl. static+kinetic friction, balls, and per-mass local
-constraints (contact planes, balls, constraint planes, directions --
-slot geometry/friction are NOT differentiated, like global plane/ball
-geometry; the vel-mutating constraint-plane/direction slots thread the
-mutated velocity's cotangent back through the reversed slot sweep).
+magnets; Euler (with or without the velocity clamp), Verlet, or RK2
+(two force passes, each with its own transpose).  Supports ACTIVE_*
+breathing springs, ACTUATED_* springs (closed-form rest, see above),
+damping, drag, fixed/deleted masses, global contact planes incl.
+static+kinetic friction, balls, per-mass local constraints (contact
+planes, balls, constraint planes, directions -- slot geometry/friction
+are NOT differentiated, like global plane/ball geometry; the
+vel-mutating constraint-plane/direction slots thread the mutated
+velocity's cotangent back through the reversed slot sweep), and
+remainder (irregular-topology) springs: their endpoint gather/scatter
+runs as the forward kernel's factorized one-hot MXU matmuls
+(pallas_step.remainder_gather/scatter), and since gather^T == scatter
+the transpose reuses the SAME two primitives -- cross-agent links
+(the reference's multi-agent mechanism) differentiate at kernel speed,
+with per-spring k/rest/damping/omega/rate gradients flowing back onto
+``state.springs``.
 
 Reference: the physics being differentiated is computeSpringForces +
 massForcesAndUpdate (sim.cu:1157-1200, 1285-1367); the reference has no
@@ -91,8 +98,6 @@ def adjoint_reject_reason(shape: SceneShape):
         return r
     if shape.has_magnets:
         return "magnets not in the adjoint envelope"
-    if shape.has_remainder:
-        return "remainder (irregular) springs not in the adjoint envelope"
     n, f = shape.n_masses, len(shape.stencil_deltas)
     # resident: k/rest(/damping) in + the same param-grad accumulators out,
     # breathing adds bsign/bomega in + the gomega accumulator, actuation
@@ -111,6 +116,12 @@ def adjoint_reject_reason(shape: SceneShape):
     if shape.config.integrator is Integrator.RK2:
         lc_stash *= 2
     bytes_ = 4 * n * (fam + lc_planes + lc_stash + 3 * 14 + 8 + 12)
+    if shape.has_remainder:
+        # factorized selectors (budget-capped upstream by
+        # pallas_reject_reason) + per-spring params/stages/grad
+        # accumulators + the transpose's extra [2S, 128] dot temporaries
+        s = shape.n_springs
+        bytes_ += 4 * 2 * s * (n // 128 + 5 * 128) + 4 * s * 24
     if bytes_ >= _VMEM_BUDGET:
         return (f"adjoint residency ~{bytes_ >> 20} MB exceeds "
                 f"{_VMEM_BUDGET >> 20} MB budget")
@@ -211,12 +222,59 @@ def _force(pos, vel, P, rg, rs, t_now=None, keep_stages=False, cidx=None):
             fam["cm"].append(cm)
             fam["ax"].append(axdot)
             fam["ln"].append(ln)
+    rem = None
+    if P.get("has_remainder"):
+        # remainder (irregular-topology) springs, the forward kernel's
+        # factorized one-hot MXU path verbatim (pallas_step.py
+        # compute_forces has_remainder block; reference computeSpringForces
+        # sim.cu:1157-1200).  NOTE the remainder always uses the legacy
+        # mag*inv force form (matching the kernel), independent of
+        # fmath_shared.
+        from .pallas_step import remainder_gather
+        S = P["n_rem"]
+        rsel = P["rowsel"][:]                        # [2S, R]
+        lsel = P["lanesel"][:]                       # [2S, 128]
+        remp = P["remp"]
+        g = remainder_gather(rsel, lsel, pos)        # [2S, 3]
+        diffe = g[S:] - g[:S]                        # right - left
+        d2e = jnp.sum(diffe * diffe, axis=1, keepdims=True)  # [S, 1]
+        if P["rsqrt_norms"]:
+            inve = jnp.where(
+                d2e > 0, jax.lax.rsqrt(jnp.where(d2e > 0, d2e, 1.0)), 0.0)
+            lne = d2e * inve
+        else:
+            lne = jnp.where(d2e > 0,
+                            jnp.sqrt(jnp.where(d2e > 0, d2e, 1.0)), 0.0)
+            inve = jnp.where(lne > 0, 1.0 / jnp.where(lne > 0, lne, 1.0),
+                             0.0)
+        reste = remp[1]
+        if P.get("has_actuated"):
+            # closed-form ACTUATED rest after cidx force calls (module
+            # docstring; the fused chunk's orest_rem carry is iterative)
+            reste = reste + (jnp.minimum(cidx, P["sstop_e"][:])
+                             * P["aratedt_e"][:])
+        if P["has_breathing"]:
+            reste = reste * (1.0 + remp[3] * jnp.sin(remp[4] * t_now))
+        mage = remp[0] * (reste - lne)               # [S, 1]
+        gv = axde = None
+        if P["has_damping"]:
+            gv = remainder_gather(rsel, lsel, vel)
+            axde = jnp.sum((gv[:S] - gv[S:]) * diffe, axis=1,
+                           keepdims=True)            # pre-inve axial dot
+            mage = mage + (axde * inve) * remp[2]
+        fe = (mage * inve) * diffe                   # [S, 3]
+        fboth = jnp.concatenate([-fe, fe], axis=0)   # [2S, 3]
+        from .pallas_step import remainder_scatter
+        f = f + remainder_scatter(rsel, lsel, fboth)
+        if keep_stages:
+            rem = {"g": g, "gv": gv, "inve": inve, "lne": lne,
+                   "mage": mage, "axde": axde, "reste": reste}
     # staged inputs: plane/local-contact-plane friction selects read the
     # accumulated force; the vel-mutating local constraints read the
     # running velocity.  Global ball / local ball / drag transposes are
     # pass-through in f.
     stages = ({"plane_in": [], "lcp_in": [], "lpl_in": [], "ldir_in": [],
-               "fam": fam} if keep_stages else None)
+               "fam": fam, "rem": rem} if keep_stages else None)
     for p, pp in enumerate(P["planes"]):
         if keep_stages:
             stages["plane_in"].append(f)
@@ -859,6 +917,76 @@ def _force_transpose(pos, vel, gf, gvel_mut, P, rg, rs, t_now, st,
             garate[fi] = restbbar * advc
         dbar = dbar + 2.0 * diff * d2bar
         gpos = gpos - dbar + rs(dbar, d)
+    if P.get("has_remainder"):
+        # remainder springs transpose: gather^T == scatter, so the
+        # cotangent flow reuses the forward's two MXU primitives
+        # (pallas_step.remainder_gather/scatter).  Mirrors the stencil
+        # legacy-force-form branch above, on [S, 1] / [2S, 3] shapes.
+        from .pallas_step import remainder_gather, remainder_scatter
+        S = P["n_rem"]
+        rsel = P["rowsel"][:]
+        lsel = P["lanesel"][:]
+        remp = P["remp"]
+        sr = st["rem"]
+        g, inve, lne, mage = sr["g"], sr["inve"], sr["lne"], sr["mage"]
+        diffe = g[S:] - g[:S]
+        reste = sr["reste"]
+        k_e = remp[0]
+        # f += scatter(fboth), fboth = [-fe; fe]  =>  gfe = gather(gf)
+        # differenced across the endpoint halves
+        gfb = remainder_gather(rsel, lsel, gf)       # [2S, 3]
+        gfe = gfb[S:] - gfb[:S]                      # cotangent on fe
+        # fe = (mage * inve) * diffe
+        cbar = jnp.sum(gfe * diffe, axis=1, keepdims=True)
+        dbar_e = (mage * inve) * gfe
+        magbar = cbar * inve
+        invbar = cbar * mage
+        gk_e = magbar * (reste - lne)
+        restebar = magbar * k_e
+        lnbar = -magbar * k_e
+        gdamp_e = gomega_e = garate_e = None
+        if P["has_damping"]:
+            gv, axde = sr["gv"], sr["axde"]
+            axiale = axde * inve
+            dmp_e = remp[2]
+            axialbar = magbar * dmp_e
+            gdamp_e = magbar * axiale
+            abar = axialbar * inve                   # cotangent on axde
+            invbar = invbar + axialbar * axde
+            dbar_e = dbar_e + abar * (gv[:S] - gv[S:])
+            ggv = jnp.concatenate([abar * diffe, -(abar * diffe)], axis=0)
+            gvel = gvel + remainder_scatter(rsel, lsel, ggv)
+        if P["has_breathing"]:
+            # reste = reste_b * scale; reste_b recomputed (cheap [S, 1])
+            sin_t = jnp.sin(remp[4] * t_now)
+            scale = 1.0 + remp[3] * sin_t
+            reste_b = remp[1]
+            if P.get("has_actuated"):
+                reste_b = reste_b + (jnp.minimum(cidx, P["sstop_e"][:])
+                                     * P["aratedt_e"][:])
+            restbbar = restebar * scale
+            gomega_e = (restebar * reste_b * remp[3]
+                        * jnp.cos(remp[4] * t_now) * t_now)
+        else:
+            restbbar = restebar
+        grest_e = restbbar
+        if P.get("has_actuated"):
+            garate_e = restbbar * jnp.minimum(cidx, P["sstop_e"][:])
+        # inv = 1/ln, ln = sqrt(d2) chains (guarded; valid for both
+        # norm forms -- see the stencil branch's rationale)
+        lnbar = lnbar - jnp.where(lne > 0, invbar * inve * inve, 0.0)
+        d2bar = jnp.where(inve > 0, 0.5 * lnbar * inve, 0.0)
+        dbar_e = dbar_e + 2.0 * diffe * d2bar
+        gg = jnp.concatenate([-dbar_e, dbar_e], axis=0)
+        gpos = gpos + remainder_scatter(rsel, lsel, gg)
+        bars["k_e"] = gk_e
+        bars["rest_e"] = grest_e
+        if P["has_damping"]:
+            bars["damp_e"] = gdamp_e
+        if P["has_breathing"]:
+            bars["omega_e"] = gomega_e
+        if P.get("has_actuated"):
+            bars["aratedt_e"] = garate_e
     bars["cf"] = gf
     bars["k"] = gk
     bars["rest"] = grest
@@ -908,7 +1036,9 @@ def _static_flags(shape: SceneShape):
 
 def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
             drag, plane_ref, ball_ref, dt, bsign=None, bomega=None,
-            aratedt=None, sstop=None, lc=None, famstash=True):
+            aratedt=None, sstop=None, lc=None, famstash=True,
+            rowsel=None, lanesel=None, remp=None, aratedt_e=None,
+            sstop_e=None):
     rsqrt_norms, fmath_shared = _static_flags(shape)
     planes = [tuple(plane_ref[p, c] for c in range(6))
               for p in range(shape.n_planes)]
@@ -933,6 +1063,9 @@ def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
         "normal_coeff": shape.config.normal_coeff,
         "rsqrt_norms": rsqrt_norms, "fmath_shared": fmath_shared,
         "famstash": famstash,
+        "has_remainder": shape.has_remainder, "n_rem": shape.n_springs,
+        "rowsel": rowsel, "lanesel": lanesel, "remp": remp,
+        "aratedt_e": aratedt_e, "sstop_e": sstop_e,
     }
 
 
@@ -955,6 +1088,7 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
     has_actuated = shape.has_actuated
     has_local = any((shape.cap_cp, shape.cap_ball, shape.cap_pl,
                      shape.cap_dir))
+    has_remainder = shape.has_remainder
 
     def kernel(*refs):
         (scal_ref, plane_ref, ball_ref, pos_ref, vel_ref, acc_ref,
@@ -980,6 +1114,14 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
         if has_local:
             lc_ref = refs[i]
             i += 1
+        rowsel_ref = lanesel_ref = remp_ref = None
+        aratedt_e_ref = sstop_e_ref = None
+        if has_remainder:
+            rowsel_ref, lanesel_ref, remp_ref = refs[i:i + 3]
+            i += 3
+            if has_actuated:
+                aratedt_e_ref, sstop_e_ref = refs[i], refs[i + 1]
+                i += 2
         opos_ref, ovel_ref, oacc_ref, trace_ref = refs[i:i + 4]
         stage, sem = refs[i + 4], refs[i + 5]
 
@@ -989,7 +1131,9 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
                     drag_ref[:] if has_drag else None,
                     plane_ref, ball_ref, scal_ref[0],
                     bsign=bsign_ref, bomega=bomega_ref,
-                    aratedt=aratedt_ref, sstop=sstop_ref, lc=lc_ref)
+                    aratedt=aratedt_ref, sstop=sstop_ref, lc=lc_ref,
+                    rowsel=rowsel_ref, lanesel=lanesel_ref, remp=remp_ref,
+                    aratedt_e=aratedt_e_ref, sstop_e=sstop_e_ref)
         opos_ref[:] = pos_ref[:]
         ovel_ref[:] = vel_ref[:]
         oacc_ref[:] = acc_ref[:]
@@ -1040,6 +1184,7 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
     has_actuated = shape.has_actuated
     has_local = any((shape.cap_cp, shape.cap_ball, shape.cap_pl,
                      shape.cap_dir))
+    has_remainder = shape.has_remainder
     nfam = len(shape.stencil_deltas)
 
     def kernel(*refs):
@@ -1066,6 +1211,14 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
         if has_local:
             lc_ref = refs[i]
             i += 1
+        rowsel_ref = lanesel_ref = remp_ref = None
+        aratedt_e_ref = sstop_e_ref = None
+        if has_remainder:
+            rowsel_ref, lanesel_ref, remp_ref = refs[i:i + 3]
+            i += 3
+            if has_actuated:
+                aratedt_e_ref, sstop_e_ref = refs[i], refs[i + 1]
+                i += 2
         gposK_ref, gvelK_ref, gaccK_ref, trace_ref = refs[i:i + 4]
         i += 4
         gpos_ref, gvel_ref, gacc_ref = refs[i:i + 3]
@@ -1089,6 +1242,20 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
         if has_drag:
             gdrag_ref = refs[i]
             i += 1
+        gk_e_ref = grest_e_ref = None
+        gdamp_e_ref = gomega_e_ref = garate_e_ref = None
+        if has_remainder:
+            gk_e_ref, grest_e_ref = refs[i], refs[i + 1]
+            i += 2
+            if has_damping:
+                gdamp_e_ref = refs[i]
+                i += 1
+            if has_breathing:
+                gomega_e_ref = refs[i]
+                i += 1
+            if has_actuated:
+                garate_e_ref = refs[i]
+                i += 1
         tslot, sem = refs[i], refs[i + 1]
 
         rg, rs = _pltpu_rolls(rows)
@@ -1098,7 +1265,9 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
                     plane_ref, ball_ref, scal_ref[0],
                     bsign=bsign_ref, bomega=bomega_ref,
                     aratedt=aratedt_ref, sstop=sstop_ref, lc=lc_ref,
-                    famstash=famstash)
+                    famstash=famstash,
+                    rowsel=rowsel_ref, lanesel=lanesel_ref, remp=remp_ref,
+                    aratedt_e=aratedt_e_ref, sstop_e=sstop_e_ref)
         gpos_ref[:] = gposK_ref[:]
         gvel_ref[:] = gvelK_ref[:]
         gacc_ref[:] = gaccK_ref[:]
@@ -1115,6 +1284,15 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
         gminv_ref[:] = zero(gminv_ref)
         if has_drag:
             gdrag_ref[:] = zero(gdrag_ref)
+        if has_remainder:
+            gk_e_ref[:] = zero(gk_e_ref)
+            grest_e_ref[:] = zero(grest_e_ref)
+            if has_damping:
+                gdamp_e_ref[:] = zero(gdamp_e_ref)
+            if has_breathing:
+                gomega_e_ref[:] = zero(gomega_e_ref)
+            if has_actuated:
+                garate_e_ref[:] = zero(garate_e_ref)
 
         def issue(t, slot):
             pltpu.make_async_copy(trace_ref.at[t], tslot.at[slot],
@@ -1154,6 +1332,15 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
             gminv_ref[:] = gminv_ref[:] + bars["minv"]
             if has_drag:
                 gdrag_ref[:] = gdrag_ref[:] + bars["drag"]
+            if has_remainder:
+                gk_e_ref[:] = gk_e_ref[:] + bars["k_e"]
+                grest_e_ref[:] = grest_e_ref[:] + bars["rest_e"]
+                if has_damping:
+                    gdamp_e_ref[:] = gdamp_e_ref[:] + bars["damp_e"]
+                if has_breathing:
+                    gomega_e_ref[:] = gomega_e_ref[:] + bars["omega_e"]
+                if has_actuated:
+                    garate_e_ref[:] = garate_e_ref[:] + bars["aratedt_e"]
             return 0
 
         jax.lax.fori_loop(0, seg, body, 0)
@@ -1193,6 +1380,23 @@ def _prep(shape: SceneShape, state: SimState):
     if any((shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)):
         from .pallas_step import stage_local_constraints
         out["lc"] = r3(stage_local_constraints(shape, state))
+    if shape.has_remainder:
+        from .pallas_step import stage_remainder
+        rowsel, lanesel, remp = stage_remainder(shape, state)
+        out["rowsel"], out["lanesel"], out["remp"] = rowsel, lanesel, remp
+        sp = state.springs
+        out["rem_ok"] = (sp.valid & m.valid[sp.left] & m.valid[sp.right])
+        if shape.has_actuated:
+            # closed-form remainder actuation inputs from remp rows 5/6
+            # (arate validity-masked by stage_remainder; same derivation
+            # as _actuation_inputs)
+            aratedt_e = remp[5] * state.dt.astype(jnp.float32)
+            nz = aratedt_e != 0
+            sstop_e = jnp.where(
+                nz, jnp.ceil((remp[6] - remp[1])
+                             / jnp.where(nz, aratedt_e, 1.0)), 0.0)
+            out["aratedt_e"] = aratedt_e
+            out["sstop_e"] = jnp.maximum(sstop_e, 0.0)
     return out
 
 
@@ -1240,6 +1444,10 @@ def build_trace_run(shape: SceneShape, seg: int):
             ins += [p["aratedt"], p["sstop"]]
         if "lc" in p:
             ins.append(p["lc"])
+        if shape.has_remainder:
+            ins += [p["rowsel"], p["lanesel"], p["remp"]]
+            if shape.has_actuated:
+                ins += [p["aratedt_e"], p["sstop_e"]]
         out_shape = [
             jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
@@ -1294,10 +1502,15 @@ def build_bwd_run(shape: SceneShape, seg: int,
             ins += [p["aratedt"], p["sstop"]]
         if "lc" in p:
             ins.append(p["lc"])
+        if shape.has_remainder:
+            ins += [p["rowsel"], p["lanesel"], p["remp"]]
+            if shape.has_actuated:
+                ins += [p["aratedt_e"], p["sstop_e"]]
         ins += [r3(gpos), r3(gvel), r3(gacc), trace]
         v3 = jax.ShapeDtypeStruct((3, rows, 128), jnp.float32)
         vf = jax.ShapeDtypeStruct((nfam, rows, 128), jnp.float32)
         v1 = jax.ShapeDtypeStruct((1, rows, 128), jnp.float32)
+        vs = jax.ShapeDtypeStruct((shape.n_springs, 1), jnp.float32)
         out_shape = [v3, v3, v3, vf, vf]
         if shape.has_damping:
             out_shape.append(vf)
@@ -1308,6 +1521,10 @@ def build_bwd_run(shape: SceneShape, seg: int,
         out_shape += [v3, v1]
         if shape.has_drag:
             out_shape.append(v1)
+        if shape.has_remainder:
+            n_rem_out = 2 + int(shape.has_damping) \
+                + int(shape.has_breathing) + int(shape.has_actuated)
+            out_shape += [vs] * n_rem_out
         outs = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1346,6 +1563,21 @@ def build_bwd_run(shape: SceneShape, seg: int,
         i += 2
         if shape.has_drag:
             g["drag"] = outs[i].reshape(n)
+            i += 1
+        if shape.has_remainder:
+            g["k_e"] = outs[i].reshape(-1)
+            g["rest_e"] = outs[i + 1].reshape(-1)
+            i += 2
+            if shape.has_damping:
+                g["damp_e"] = outs[i].reshape(-1)
+                i += 1
+            if shape.has_breathing:
+                g["omega_e"] = outs[i].reshape(-1)
+                i += 1
+            if shape.has_actuated:
+                g["aratedt_e"] = outs[i].reshape(-1)
+                i += 1
+            g["rem_ok"] = p["rem_ok"]
         g["pair_ok"] = p["pair_ok"]
         return g
 
@@ -1417,8 +1649,53 @@ def _adjoint_segment(shape: SceneShape, seg: int,
                 gstencil, rate=ct.stencil.rate
                 + jnp.where(g["pair_ok"], grate, 0.0))
         gg = ct.g + jnp.sum(m0.m[None, :] * g["cf"], axis=1)
-        return (dataclasses.replace(ct, masses=gmasses, stencil=gstencil,
-                                    g=gg),)
+        out_ct = dataclasses.replace(ct, masses=gmasses, stencil=gstencil,
+                                     g=gg)
+        if shape.has_remainder:
+            # remainder per-spring param grads back onto state.springs
+            # (rem_ok masks deleted/padding springs, whose k was folded
+            # to 0 -- the VJP of the kernel's own physics)
+            rem_ok = g["rem_ok"]
+            gsprings = dataclasses.replace(
+                ct.springs,
+                k=ct.springs.k + jnp.where(rem_ok, g["k_e"], 0.0),
+                rest=ct.springs.rest + g["rest_e"])
+            if shape.has_damping:
+                gsprings = dataclasses.replace(
+                    gsprings, damping=ct.springs.damping
+                    + jnp.where(rem_ok, g["damp_e"], 0.0))
+            if shape.has_breathing:
+                gsprings = dataclasses.replace(
+                    gsprings, omega=ct.springs.omega + g["omega_e"])
+            if shape.has_actuated:
+                # same two-part rate chain as the stencil block above:
+                # in-step accumulation + the mutated rest OUTPUT's
+                # closed-form cotangent (the chunk outputs springs.rest)
+                from .pallas_step import stage_remainder
+                _, _, remp = stage_remainder(shape, s0)
+                aratedt_e = (remp[5, :, 0]
+                             * s0.dt.astype(jnp.float32))
+                nz = aratedt_e != 0
+                sstop_e = jnp.maximum(jnp.where(
+                    nz, jnp.ceil((remp[6, :, 0] - remp[1, :, 0])
+                                 / jnp.where(nz, aratedt_e, 1.0)),
+                    0.0), 0.0)
+                calls = (2.0 * seg
+                         if shape.config.integrator is Integrator.RK2
+                         else float(seg))
+                g_aratedt_e = (g["aratedt_e"]
+                               + jnp.minimum(calls, sstop_e)
+                               * ct.springs.rest)
+                styr = s0.springs.type
+                sign_e = jnp.where(styr == ACTUATED_EXPAND, 1.0,
+                                   jnp.where(styr == ACTUATED_CONTRACT,
+                                             -1.0, 0.0))
+                grate_e = sign_e * s0.dt.astype(jnp.float32) * g_aratedt_e
+                gsprings = dataclasses.replace(
+                    gsprings, rate=ct.springs.rate
+                    + jnp.where(rem_ok, grate_e, 0.0))
+            out_ct = dataclasses.replace(out_ct, springs=gsprings)
+        return (out_ct,)
 
     seg_fn.defvjp(seg_fwd, seg_bwd)
     return seg_fn
