@@ -93,9 +93,23 @@ def _mk_remainder(rng, S, damping, breathing, actuated):
     return out
 
 
+def _mk_magnets(rng, sh):
+    """Random validity-folded magnet param planes [5, R, 128] in the
+    kernel's staged order (rad, stiffness, maxf, scale, valid); ~30% of
+    rads/maxfs zero so shell-only / attract-only cases both bite."""
+    valid = (rng.uniform(0, 1, (1,) + sh) < 0.9).astype(np.float32)
+    magp = np.stack([
+        rng.uniform(0.1, 0.6, sh) * (rng.uniform(0, 1, sh) < 0.7),
+        rng.uniform(0.0, 50.0, sh),
+        rng.uniform(0.0, 2.0, sh) * (rng.uniform(0, 1, sh) < 0.7),
+        rng.uniform(0.0, 1.5, sh),
+    ]) * valid
+    return jnp.asarray(np.concatenate([magp, valid], axis=0), jnp.float32)
+
+
 def _mkP(rng, fmath, damping, clamp, drag, planes, fric, ball,
          fixed, breathing=False, verlet=False, rk2=False, actuated=False,
-         lcp=0, lball=0, lpl=0, ldir=0, remainder=False):
+         lcp=0, lball=0, lpl=0, ldir=0, remainder=False, magnets=False):
     # fmath: "legacy" = sqrt+div (the CPU gate), "legacy_rsqrt" = rsqrt
     # norms with the legacy force form (TITAN_FMATH=legacy on TPU),
     # "shared" = rsqrt + shared-c form (the TPU default)
@@ -151,6 +165,8 @@ def _mkP(rng, fmath, damping, clamp, drag, planes, fric, ball,
                if (lcp or lball or lpl or ldir) else None),
         "has_remainder": False, "n_rem": 0, "rowsel": None,
         "lanesel": None, "remp": None,
+        "has_magnets": magnets, "magnet_cutoff": 1.5,
+        "mag": _mk_magnets(rng, sh) if magnets else None,
     }
     if remainder:
         P.update(_mk_remainder(rng, 24, damping, breathing, actuated))
@@ -217,6 +233,15 @@ VARIANTS = {
                                  drag=True, planes=1, fric=True, ball=True,
                                  fixed=True, breathing=True, actuated=True,
                                  lcp=1, lpl=1),
+    "magnets": dict(magnets=True),
+    "magnets_damping": dict(magnets=True, damping=True),
+    "magnets_fixed": dict(magnets=True, fixed=True),
+    "verlet_magnets": dict(verlet=True, magnets=True, damping=True),
+    "rk2_magnets": dict(rk2=True, magnets=True, damping=True),
+    "everything_magnets": dict(magnets=True, remainder=True, damping=True,
+                               clamp=True, drag=True, planes=1, fric=True,
+                               ball=True, fixed=True, breathing=True,
+                               lcp=1, ldir=1),
 }
 
 
@@ -228,7 +253,7 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
     kw = dict(damping=False, clamp=False, drag=False, planes=0, fric=False,
               ball=False, fixed=False, breathing=False, verlet=False,
               rk2=False, actuated=False, lcp=0, lball=0, lpl=0, ldir=0,
-              remainder=False)
+              remainder=False, magnets=False)
     kw.update(VARIANTS[variant])
     P = _mkP(rng, fmath, **kw)
     rg, rs = jnp_rolls(ROWS)
@@ -258,6 +283,10 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
         diffable.append("remp")
         if kw["actuated"]:
             diffable.append("aratedt_e")
+    if kw["magnets"]:
+        # mag rows 0-3 (rad/stiffness/maxf/scale); row 4 (validity) is
+        # not differentiable
+        diffable.append("mag")
 
     def fwd(pos, vel, acc, params):
         Q = dict(P)
@@ -316,6 +345,11 @@ def test_backward_step_matches_jax_vjp(variant, fmath):
             close(bars["omega_e"], gpar_j["remp"][4])
         if kw["actuated"]:
             close(bars["aratedt_e"], gpar_j["aratedt_e"])
+    if kw["magnets"]:
+        close(bars["mag_rad"], gpar_j["mag"][0])
+        close(bars["mag_stiffness"], gpar_j["mag"][1])
+        close(bars["mag_maxf"], gpar_j["mag"][2])
+        close(bars["mag_scale"], gpar_j["mag"][3])
 
     # the TITAN_ADJ_STASH=off recompute path is BITWISE equal to the
     # stashed one (same ops, same order -- only where they're computed)
@@ -620,6 +654,115 @@ def test_adjoint_rollout_remainder_grads_match_xla(scene_name, monkeypatch):
                                    err_msg=f"grad[{name}] mismatch")
 
 
+MAG_SCENES = {
+    "magnet": dict(),
+    "magnet_damping": dict(damping=0.3, friction=True),
+    "magnet_verlet": dict(integrator="verlet", damping=0.2),
+    "magnet_rk2": dict(integrator="rk2", friction=True),
+    "magnet_deleted": dict(deleted=True),
+}
+
+
+@pytest.mark.parametrize("scene_name", sorted(MAG_SCENES))
+def test_adjoint_rollout_magnet_grads_match_xla(scene_name, monkeypatch):
+    """Magnets in the adjoint envelope: pos/vel flow through the dense
+    pairwise sweep plus per-mass mag_rad/stiffness/maxf/scale gradients,
+    against jax.grad of the independent XLA (exact pairwise) path.  The
+    deleted scene checks validity masking (mass 3 carries magnet params
+    but is deleted)."""
+    from titan_tpu import diff
+    from titan_tpu.state import xla_only_shape
+
+    sim = _scene(**MAG_SCENES[scene_name])
+    st = sim._store
+    # a cluster of fat shell magnets + pull-only attractors, spaced so
+    # shell contact AND attraction both bite within the horizon
+    st.mag_rad[:6] = 0.35
+    st.mag_stiffness[:6] = 5.0
+    st.mag_maxf[:10] = 0.5
+    st.mag_scale[:10] = 1.0
+    if MAG_SCENES[scene_name].get("deleted"):
+        st.mag_maxf[3] = 2.0                 # deleted mass 3 with params
+    sim._marshal()
+    shape, state = sim._shape, sim._state
+    assert shape.has_magnets
+    assert adjoint_supported(shape), adjoint_reject_reason(shape)
+    _interp(monkeypatch)
+
+    n = st.n_masses
+    rng = np.random.RandomState(9)
+    wpos = jnp.asarray(rng.normal(0, 1, (3, state.masses.pos.shape[1])),
+                       jnp.float32).at[:, n:].set(0.0)
+    wvel = jnp.asarray(rng.normal(0, 1, (3, state.masses.pos.shape[1])),
+                       jnp.float32).at[:, n:].set(0.0)
+
+    def run(rollout_fn, pos0, vel0, mrad, mstiff, mmaxf, mscale):
+        st_ = dataclasses.replace(
+            state,
+            masses=dataclasses.replace(
+                state.masses, pos=pos0, vel=vel0, mag_rad=mrad,
+                mag_stiffness=mstiff, mag_maxf=mmaxf, mag_scale=mscale))
+        out = rollout_fn(st_)
+        return (jnp.sum(out.masses.pos * wpos)
+                + jnp.sum(out.masses.vel * wvel))
+
+    m = state.masses
+    args = (m.pos, m.vel, m.mag_rad, m.mag_stiffness, m.mag_maxf,
+            m.mag_scale)
+    g_adj = jax.grad(
+        lambda *a: run(lambda s: adjoint_rollout(shape, s, 20, segment=10),
+                       *a), argnums=tuple(range(6)))(*args)
+    g_xla = jax.grad(
+        lambda *a: run(lambda s: diff.rollout(xla_only_shape(shape), s, 20),
+                       *a), argnums=tuple(range(6)))(*args)
+
+    vmask = np.asarray(state.masses.valid)
+    names = ["pos", "vel", "mag_rad", "mag_stiffness", "mag_maxf",
+             "mag_scale"]
+    for name, a, x in zip(names, g_adj, g_xla):
+        a, x = np.asarray(a), np.asarray(x)
+        if name in ("pos", "vel"):
+            a, x = a[:, :n], x[:, :n]
+        else:
+            a, x = a * vmask, x * vmask
+        scale = max(np.abs(x).max(), 1e-8)
+        np.testing.assert_allclose(a / scale, x / scale, atol=5e-4,
+                                   err_msg=f"grad[{name}] mismatch")
+
+
+def test_grad_rollout_routes(monkeypatch, caplog):
+    """diff.grad_rollout picks the adjoint inside the envelope (no
+    warning) and falls back to fast_rollout with a loud warning naming
+    the failed condition outside it (f64 here)."""
+    import logging
+
+    from titan_tpu import diff
+
+    sim = _scene(friction=True, damping=0.3)
+    shape, state = sim._shape, sim._state
+    _interp(monkeypatch)
+    with caplog.at_level(logging.WARNING, logger="titan_tpu"):
+        out_g = diff.grad_rollout(shape, state, 10, segment=5)
+    assert not [r for r in caplog.records
+                if r.levelno >= logging.WARNING]
+    out_a = adjoint_rollout(shape, state, 10, segment=5)
+    np.testing.assert_array_equal(np.asarray(out_g.masses.pos),
+                                  np.asarray(out_a.masses.pos))
+
+    from titan_tpu import SimConfig as SC
+    sim64 = Simulation(SC(dtype="float64"))
+    sim64.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 3, 3, 3)
+    sim64.setTimeStep(1e-4)
+    sim64._T = 0.0
+    sim64._marshal()
+    with caplog.at_level(logging.WARNING, logger="titan_tpu"):
+        diff.grad_rollout(sim64._shape, sim64._state, 4, segment=2)
+    msgs = [r.message for r in caplog.records
+            if r.levelno >= logging.WARNING]
+    assert any("adjoint envelope" in m and "float64" in m for m in msgs), \
+        msgs
+
+
 def test_adjoint_forward_matches_chunk(monkeypatch):
     """adjoint_rollout's primal == the plain fused chunk (same kernel)."""
     from titan_tpu.ops.pallas_step import build_pallas_chunk
@@ -660,12 +803,23 @@ def test_reject_reasons():
     sim3._marshal()
     assert adjoint_reject_reason(sim3._shape) is None
 
-    # magnets stay outside
+    # magnet scenes within magnet_pallas_max are INSIDE the envelope
+    # (dense in-VMEM pairwise sweep + its transpose)
     sim4 = _scene()
     sim4._store.mag_stiffness[:2] = 1.0
     sim4._store.mag_rad[:2] = 0.5
     sim4._marshal()
-    assert "magnet" in adjoint_reject_reason(sim4._shape)
+    assert adjoint_reject_reason(sim4._shape) is None
+    # ... but beyond magnet_pallas_max the scene leaves the VMEM kernel
+    # envelope entirely (inherited from pallas_reject_reason)
+    sim5 = Simulation(SimConfig(magnet_pallas_max=32))
+    sim5.createLattice(Vec(0, 0, 2), Vec(1, 1, 1), 4, 4, 4)
+    sim5._store.mag_stiffness[:2] = 1.0
+    sim5._store.mag_rad[:2] = 0.5
+    sim5.setTimeStep(1e-4)
+    sim5._T = 0.0
+    sim5._marshal()
+    assert "magnet" in adjoint_reject_reason(sim5._shape)
 
     # breathing (ACTIVE_*) and Verlet are INSIDE the envelope
     assert adjoint_reject_reason(

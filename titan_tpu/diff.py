@@ -106,6 +106,25 @@ def fast_rollout(shape: SceneShape, state: SimState, n_steps: int,
     return out
 
 
+def grad_rollout(shape: SceneShape, state: SimState, n_steps: int,
+                 segment: Optional[int] = None) -> SimState:
+    """The best differentiable rollout for the scene: the fused adjoint
+    kernels when the scene is inside their envelope (ops/adjoint.py --
+    the full VMEM kernel envelope, measured 12.8-37.6x fast_rollout's
+    gradients), else ``fast_rollout`` with a one-line warning naming the
+    failed envelope condition (the loud-fallback convention of
+    ops/step.build_chunk_fn)."""
+    r = adjoint_reject_reason(shape)
+    if r is None:
+        return adjoint_rollout(shape, state, n_steps, segment=segment)
+    from .runtime.logging import get_logger
+    get_logger().warning(
+        "grad_rollout: scene outside the fused adjoint envelope (%s); "
+        "falling back to fast_rollout's XLA-recompute backward "
+        "(~10-40x slower gradients)", r)
+    return fast_rollout(shape, state, n_steps, segment=segment)
+
+
 def _fast_segment(shape: SceneShape, seg: int):
     """custom_vjp segment: fused-chunk primal, XLA-recompute backward
     (the shared engine of fast_rollout / fast_trajectory)."""

@@ -27,9 +27,11 @@ identically-shaped forward (tests/test_adjoint.py).
 
 Differentiable inputs (exact VJP of the kernel's forward physics):
   masses.pos, masses.vel, masses.acc, masses.extern_force, masses.m,
-  masses.drag, stencil.k, stencil.rest, stencil.damping, stencil.omega
+  masses.drag, masses.mag_rad/mag_stiffness/mag_maxf/mag_scale,
+  stencil.k, stencil.rest, stencil.damping, stencil.omega
   (breathing frequency), stencil.rate (ACTUATED_* actuation speed --
-  both enable gradient-based gait optimization), state.g.
+  both enable gradient-based gait optimization), springs.k/rest/
+  damping/omega/rate (remainder springs), state.g.
 NOT differentiated (cotangents pass through untouched / stay zero):
   dt, global plane/ball geometry, t, actuation bounds l_min/l_max (they
   act through the piecewise-constant stop count, zero gradient a.e.).
@@ -50,9 +52,10 @@ gradient is d rest_c / d (arate dt) = min(c, s_stop), accumulated per
 step in VMEM; the chunk's rest OUTPUT also carries a rate cotangent
 (min(c_total, s_stop) * ct_rest), added XLA-side in the segment VJP.
 
-Envelope (``adjoint_reject_reason``): the VMEM kernel's envelope minus
-magnets; Euler (with or without the velocity clamp), Verlet, or RK2
-(two force passes, each with its own transpose).  Supports ACTIVE_*
+Envelope (``adjoint_reject_reason``): the FULL VMEM kernel envelope
+(only f64 scenes stay out, upstream); Euler (with or without the
+velocity clamp), Verlet, or RK2 (two force passes, each with its own
+transpose).  Supports ACTIVE_*
 breathing springs, ACTUATED_* springs (closed-form rest, see above),
 damping, drag, fixed/deleted masses, global contact planes incl.
 static+kinetic friction, balls, per-mass local constraints (contact
@@ -66,7 +69,11 @@ runs as the forward kernel's factorized one-hot MXU matmuls
 the transpose reuses the SAME two primitives -- cross-agent links
 (the reference's multi-agent mechanism) differentiate at kernel speed,
 with per-spring k/rest/damping/omega/rate gradients flowing back onto
-``state.springs``.
+``state.springs``.  Magnet scenes up to magnet_pallas_max differentiate
+through the dense in-VMEM pairwise sweep (transpose recomputes each
+source-row block; per-mass mag_rad/stiffness/maxf/scale grads onto
+``state.masses``; shell |inter| and select boundaries use the standard
+subgradients).
 
 Reference: the physics being differentiated is computeSpringForces +
 massForcesAndUpdate (sim.cu:1157-1200, 1285-1367); the reference has no
@@ -96,8 +103,6 @@ def adjoint_reject_reason(shape: SceneShape):
     r = pallas_reject_reason(shape)
     if r is not None:
         return r
-    if shape.has_magnets:
-        return "magnets not in the adjoint envelope"
     n, f = shape.n_masses, len(shape.stencil_deltas)
     # resident: k/rest(/damping) in + the same param-grad accumulators out,
     # breathing adds bsign/bomega in + the gomega accumulator, actuation
@@ -122,6 +127,10 @@ def adjoint_reject_reason(shape: SceneShape):
         # accumulators + the transpose's extra [2S, 128] dot temporaries
         s = shape.n_springs
         bytes_ += 4 * 2 * s * (n // 128 + 5 * 128) + 4 * s * 24
+    if shape.has_magnets:
+        # the dense pairwise transpose holds ~2x the forward's [R, 128,
+        # 128] temporaries live (forward capped at 16 MB upstream)
+        bytes_ += 8 * (n // 128) * 128 * 128 * 4
     if bytes_ >= _VMEM_BUDGET:
         return (f"adjoint residency ~{bytes_ >> 20} MB exceeds "
                 f"{_VMEM_BUDGET >> 20} MB budget")
@@ -269,6 +278,47 @@ def _force(pos, vel, P, rg, rs, t_now=None, keep_stages=False, cidx=None):
         if keep_stages:
             rem = {"g": g, "gv": gv, "inve": inve, "lne": lne,
                    "mage": mage, "axde": axde, "reste": reste}
+    if P.get("has_magnets"):
+        # dense in-VMEM pairwise magnet sweep, the forward kernel's block
+        # verbatim (pallas_step.py compute_forces has_magnets; reference
+        # computeExternalMagnetForce, sim.cu:1223-1241): one 128-lane
+        # source row at a time.  Fixed masses get no magnet force but
+        # still act as sources (sim.cu:1292-1298).
+        mag = P["mag"]
+        rows_m = pos.shape[1]
+        rrad, rstiff, rmaxf, rvalid = mag[0], mag[1], mag[2], mag[4]
+        cutoff = P["magnet_cutoff"]
+        ridx = (jax.lax.broadcasted_iota(jnp.int32, (rows_m, 128), 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (rows_m, 128), 1))
+        fm0 = jnp.zeros_like(pos[0])
+        fm1 = jnp.zeros_like(pos[0])
+        fm2 = jnp.zeros_like(pos[0])
+        for sr in range(rows_m):
+            spx = pos[0, sr][None, None, :]
+            spy = pos[1, sr][None, None, :]
+            spz = pos[2, sr][None, None, :]
+            d0 = pos[0][:, :, None] - spx            # [R, 128, 128]
+            d1 = pos[1][:, :, None] - spy
+            d2m = pos[2][:, :, None] - spz
+            dist2 = d0 * d0 + d1 * d1 + d2m * d2m
+            pos_d = dist2 > 0
+            dist = jnp.where(
+                pos_d, jnp.sqrt(jnp.where(pos_d, dist2, 1.0)), 0.0)
+            safe = jnp.where(dist > 0, dist, 1.0)
+            sidx = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+                    + sr * 128)
+            ok = (dist < cutoff) & (ridx[:, :, None] != sidx)
+            okf = rvalid[:, :, None] * mag[4, sr][None, None, :]
+            inter = dist - (rrad[:, :, None] + mag[0, sr][None, None, :])
+            shell = jnp.where(inter < 0,
+                              jnp.abs(inter) * rstiff[:, :, None], 0.0)
+            attract = (mag[3, sr][None, None, :] * rmaxf[:, :, None]
+                       / jnp.maximum(dist2, 1e-12))
+            coeff = jnp.where(ok, (shell - attract) / safe, 0.0) * okf
+            fm0 = fm0 + jnp.sum(d0 * coeff, axis=2)
+            fm1 = fm1 + jnp.sum(d1 * coeff, axis=2)
+            fm2 = fm2 + jnp.sum(d2m * coeff, axis=2)
+        f = f + jnp.stack([fm0, fm1, fm2]) * (1.0 - P["fixed"])
     # staged inputs: plane/local-contact-plane friction selects read the
     # accumulated force; the vel-mutating local constraints read the
     # running velocity.  Global ball / local ball / drag transposes are
@@ -814,6 +864,89 @@ def _force_transpose(pos, vel, gf, gvel_mut, P, rg, rs, t_now, st,
             gfn_mag = _vdot3(gf_n, nvec) + jnp.sign(fn_mag) * gfn_abs
             gf = gf + gfn_mag * nvec
 
+    # ---- magnets transpose (recompute per source row, like the forward
+    # sweep; additive in f, so gf passes through unchanged) ----
+    if P.get("has_magnets"):
+        mag = P["mag"]
+        rows_m = pos.shape[1]
+        rrad, rstiff, rmaxf, rvalid = mag[0], mag[1], mag[2], mag[4]
+        cutoff = P["magnet_cutoff"]
+        ridx = (jax.lax.broadcasted_iota(jnp.int32, (rows_m, 128), 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (rows_m, 128), 1))
+        gfm = gf * (1.0 - P["fixed"])                # [3, R, 128]
+        g_rad = jnp.zeros_like(rrad)
+        g_stiff = jnp.zeros_like(rrad)
+        g_maxf = jnp.zeros_like(rrad)
+        src_rad, src_scale = [], []                  # per-source-row [128]
+        src_g = [[], [], []]
+        for sr in range(rows_m):
+            # recompute the forward row sweep's intermediates
+            d0 = pos[0][:, :, None] - pos[0, sr][None, None, :]
+            d1 = pos[1][:, :, None] - pos[1, sr][None, None, :]
+            d2m = pos[2][:, :, None] - pos[2, sr][None, None, :]
+            dist2 = d0 * d0 + d1 * d1 + d2m * d2m
+            pos_d = dist2 > 0
+            dist = jnp.where(
+                pos_d, jnp.sqrt(jnp.where(pos_d, dist2, 1.0)), 0.0)
+            safe = jnp.where(dist > 0, dist, 1.0)
+            sidx = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+                    + sr * 128)
+            ok = (dist < cutoff) & (ridx[:, :, None] != sidx)
+            okf = rvalid[:, :, None] * mag[4, sr][None, None, :]
+            inter = dist - (rrad[:, :, None] + mag[0, sr][None, None, :])
+            shell = jnp.where(inter < 0,
+                              jnp.abs(inter) * rstiff[:, :, None], 0.0)
+            md = jnp.maximum(dist2, 1e-12)
+            sscale = mag[3, sr][None, None, :]
+            attract = sscale * rmaxf[:, :, None] / md
+            coeff = jnp.where(ok, (shell - attract) / safe, 0.0) * okf
+            # fm_c += sum_s d_c * coeff
+            gcoeff = (d0 * gfm[0][:, :, None] + d1 * gfm[1][:, :, None]
+                      + d2m * gfm[2][:, :, None])
+            gd0 = coeff * gfm[0][:, :, None]
+            gd1 = coeff * gfm[1][:, :, None]
+            gd2 = coeff * gfm[2][:, :, None]
+            # coeff = where(ok, (shell - attract)/safe, 0) * okf
+            gsa = gcoeff * okf
+            gshell = jnp.where(ok, gsa / safe, 0.0)
+            gattr = -gshell
+            gsafe = jnp.where(ok, -(shell - attract) * gsa / (safe * safe),
+                              0.0)
+            # shell = where(inter < 0, -inter * rstiff, 0)
+            ginter = jnp.where(inter < 0, -rstiff[:, :, None] * gshell,
+                               0.0)
+            g_stiff = g_stiff + jnp.sum(
+                jnp.where(inter < 0, -inter * gshell, 0.0), axis=2)
+            g_rad = g_rad - jnp.sum(ginter, axis=2)
+            src_rad.append(-jnp.sum(ginter, axis=(0, 1)))
+            gdist = ginter
+            # attract = sscale * rmaxf / max(dist2, 1e-12)
+            g_maxf = g_maxf + jnp.sum(gattr * sscale / md, axis=2)
+            src_scale.append(jnp.sum(gattr * rmaxf[:, :, None] / md,
+                                     axis=(0, 1)))
+            gdist2 = jnp.where(dist2 > 1e-12,
+                               -gattr * sscale * rmaxf[:, :, None]
+                               / (md * md), 0.0)
+            # safe = where(dist > 0, dist, 1); dist = guarded sqrt(dist2)
+            gdist = gdist + jnp.where(dist > 0, gsafe, 0.0)
+            gdist2 = gdist2 + jnp.where(
+                dist > 0, 0.5 * gdist / jnp.where(pos_d, dist, 1.0), 0.0)
+            gd0 = gd0 + 2.0 * d0 * gdist2
+            gd1 = gd1 + 2.0 * d1 * gdist2
+            gd2 = gd2 + 2.0 * d2m * gdist2
+            # d_c = pos_recv[c] - pos_src[c, sr]
+            gpos = gpos + jnp.stack([jnp.sum(gd0, axis=2),
+                                     jnp.sum(gd1, axis=2),
+                                     jnp.sum(gd2, axis=2)])
+            src_g[0].append(-jnp.sum(gd0, axis=(0, 1)))
+            src_g[1].append(-jnp.sum(gd1, axis=(0, 1)))
+            src_g[2].append(-jnp.sum(gd2, axis=(0, 1)))
+        gpos = gpos + jnp.stack([jnp.stack(src_g[c]) for c in range(3)])
+        bars["mag_rad"] = g_rad + jnp.stack(src_rad)
+        bars["mag_stiffness"] = g_stiff
+        bars["mag_maxf"] = g_maxf
+        bars["mag_scale"] = jnp.stack(src_scale)
+
     # ---- spring families transpose (recompute per family) ----
     nfam = len(P["deltas"])
     gk = [None] * nfam
@@ -1038,7 +1171,7 @@ def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
             drag, plane_ref, ball_ref, dt, bsign=None, bomega=None,
             aratedt=None, sstop=None, lc=None, famstash=True,
             rowsel=None, lanesel=None, remp=None, aratedt_e=None,
-            sstop_e=None):
+            sstop_e=None, mag=None):
     rsqrt_norms, fmath_shared = _static_flags(shape)
     planes = [tuple(plane_ref[p, c] for c in range(6))
               for p in range(shape.n_planes)]
@@ -1066,6 +1199,8 @@ def _make_P(shape: SceneShape, k_ref, rest_ref, damp_ref, minv, fixed, cf,
         "has_remainder": shape.has_remainder, "n_rem": shape.n_springs,
         "rowsel": rowsel, "lanesel": lanesel, "remp": remp,
         "aratedt_e": aratedt_e, "sstop_e": sstop_e,
+        "has_magnets": shape.has_magnets, "mag": mag,
+        "magnet_cutoff": shape.config.magnet_cutoff,
     }
 
 
@@ -1089,6 +1224,7 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
     has_local = any((shape.cap_cp, shape.cap_ball, shape.cap_pl,
                      shape.cap_dir))
     has_remainder = shape.has_remainder
+    has_magnets = shape.has_magnets
 
     def kernel(*refs):
         (scal_ref, plane_ref, ball_ref, pos_ref, vel_ref, acc_ref,
@@ -1122,6 +1258,10 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
             if has_actuated:
                 aratedt_e_ref, sstop_e_ref = refs[i], refs[i + 1]
                 i += 2
+        mag_ref = None
+        if has_magnets:
+            mag_ref = refs[i]
+            i += 1
         opos_ref, ovel_ref, oacc_ref, trace_ref = refs[i:i + 4]
         stage, sem = refs[i + 4], refs[i + 5]
 
@@ -1133,7 +1273,8 @@ def _build_trace_kernel(shape: SceneShape, seg: int):
                     bsign=bsign_ref, bomega=bomega_ref,
                     aratedt=aratedt_ref, sstop=sstop_ref, lc=lc_ref,
                     rowsel=rowsel_ref, lanesel=lanesel_ref, remp=remp_ref,
-                    aratedt_e=aratedt_e_ref, sstop_e=sstop_e_ref)
+                    aratedt_e=aratedt_e_ref, sstop_e=sstop_e_ref,
+                    mag=mag_ref)
         opos_ref[:] = pos_ref[:]
         ovel_ref[:] = vel_ref[:]
         oacc_ref[:] = acc_ref[:]
@@ -1185,6 +1326,7 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
     has_local = any((shape.cap_cp, shape.cap_ball, shape.cap_pl,
                      shape.cap_dir))
     has_remainder = shape.has_remainder
+    has_magnets = shape.has_magnets
     nfam = len(shape.stencil_deltas)
 
     def kernel(*refs):
@@ -1219,6 +1361,10 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
             if has_actuated:
                 aratedt_e_ref, sstop_e_ref = refs[i], refs[i + 1]
                 i += 2
+        mag_ref = None
+        if has_magnets:
+            mag_ref = refs[i]
+            i += 1
         gposK_ref, gvelK_ref, gaccK_ref, trace_ref = refs[i:i + 4]
         i += 4
         gpos_ref, gvel_ref, gacc_ref = refs[i:i + 3]
@@ -1256,6 +1402,10 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
             if has_actuated:
                 garate_e_ref = refs[i]
                 i += 1
+        gmag_ref = None
+        if has_magnets:
+            gmag_ref = refs[i]                       # [4, R, 128]
+            i += 1
         tslot, sem = refs[i], refs[i + 1]
 
         rg, rs = _pltpu_rolls(rows)
@@ -1267,7 +1417,8 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
                     aratedt=aratedt_ref, sstop=sstop_ref, lc=lc_ref,
                     famstash=famstash,
                     rowsel=rowsel_ref, lanesel=lanesel_ref, remp=remp_ref,
-                    aratedt_e=aratedt_e_ref, sstop_e=sstop_e_ref)
+                    aratedt_e=aratedt_e_ref, sstop_e=sstop_e_ref,
+                    mag=mag_ref)
         gpos_ref[:] = gposK_ref[:]
         gvel_ref[:] = gvelK_ref[:]
         gacc_ref[:] = gaccK_ref[:]
@@ -1293,6 +1444,8 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
                 gomega_e_ref[:] = zero(gomega_e_ref)
             if has_actuated:
                 garate_e_ref[:] = zero(garate_e_ref)
+        if has_magnets:
+            gmag_ref[:] = zero(gmag_ref)
 
         def issue(t, slot):
             pltpu.make_async_copy(trace_ref.at[t], tslot.at[slot],
@@ -1341,6 +1494,10 @@ def _build_bwd_kernel(shape: SceneShape, seg: int,
                     gomega_e_ref[:] = gomega_e_ref[:] + bars["omega_e"]
                 if has_actuated:
                     garate_e_ref[:] = garate_e_ref[:] + bars["aratedt_e"]
+            if has_magnets:
+                gmag_ref[:] = gmag_ref[:] + jnp.stack(
+                    [bars["mag_rad"], bars["mag_stiffness"],
+                     bars["mag_maxf"], bars["mag_scale"]])
             return 0
 
         jax.lax.fori_loop(0, seg, body, 0)
@@ -1380,6 +1537,15 @@ def _prep(shape: SceneShape, state: SimState):
     if any((shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)):
         from .pallas_step import stage_local_constraints
         out["lc"] = r3(stage_local_constraints(shape, state))
+    if shape.has_magnets:
+        # validity-folded magnet params, the chunk's staging verbatim
+        validf = m.valid.astype(m.pos.dtype)
+        out["mag"] = r3(jnp.stack([
+            jnp.where(m.valid, m.mag_rad, 0.0),
+            jnp.where(m.valid, m.mag_stiffness, 0.0),
+            jnp.where(m.valid, m.mag_maxf, 0.0),
+            jnp.where(m.valid, m.mag_scale, 0.0),
+            validf]).astype(m.pos.dtype))
     if shape.has_remainder:
         from .pallas_step import stage_remainder
         rowsel, lanesel, remp = stage_remainder(shape, state)
@@ -1448,6 +1614,8 @@ def build_trace_run(shape: SceneShape, seg: int):
             ins += [p["rowsel"], p["lanesel"], p["remp"]]
             if shape.has_actuated:
                 ins += [p["aratedt_e"], p["sstop_e"]]
+        if shape.has_magnets:
+            ins.append(p["mag"])
         out_shape = [
             jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
@@ -1506,6 +1674,8 @@ def build_bwd_run(shape: SceneShape, seg: int,
             ins += [p["rowsel"], p["lanesel"], p["remp"]]
             if shape.has_actuated:
                 ins += [p["aratedt_e"], p["sstop_e"]]
+        if shape.has_magnets:
+            ins.append(p["mag"])
         ins += [r3(gpos), r3(gvel), r3(gacc), trace]
         v3 = jax.ShapeDtypeStruct((3, rows, 128), jnp.float32)
         vf = jax.ShapeDtypeStruct((nfam, rows, 128), jnp.float32)
@@ -1525,6 +1695,9 @@ def build_bwd_run(shape: SceneShape, seg: int,
             n_rem_out = 2 + int(shape.has_damping) \
                 + int(shape.has_breathing) + int(shape.has_actuated)
             out_shape += [vs] * n_rem_out
+        if shape.has_magnets:
+            out_shape.append(
+                jax.ShapeDtypeStruct((4, rows, 128), jnp.float32))
         outs = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1578,6 +1751,9 @@ def build_bwd_run(shape: SceneShape, seg: int,
                 g["aratedt_e"] = outs[i].reshape(-1)
                 i += 1
             g["rem_ok"] = p["rem_ok"]
+        if shape.has_magnets:
+            g["mag"] = outs[i].reshape(4, n)
+            i += 1
         g["pair_ok"] = p["pair_ok"]
         return g
 
@@ -1615,6 +1791,21 @@ def _adjoint_segment(shape: SceneShape, seg: int,
         if shape.has_drag:
             gmasses = dataclasses.replace(
                 gmasses, drag=ct.masses.drag + g["drag"])
+        if shape.has_magnets:
+            # magnet param grads (the staging folds validity, so invalid
+            # masses' params have zero effect -> masked)
+            vmask = m0.valid
+            gm4 = g["mag"]
+            gmasses = dataclasses.replace(
+                gmasses,
+                mag_rad=ct.masses.mag_rad
+                + jnp.where(vmask, gm4[0], 0.0),
+                mag_stiffness=ct.masses.mag_stiffness
+                + jnp.where(vmask, gm4[1], 0.0),
+                mag_maxf=ct.masses.mag_maxf
+                + jnp.where(vmask, gm4[2], 0.0),
+                mag_scale=ct.masses.mag_scale
+                + jnp.where(vmask, gm4[3], 0.0))
         gstencil = dataclasses.replace(
             ct.stencil,
             k=ct.stencil.k + jnp.where(g["pair_ok"], g["k"], 0.0),
