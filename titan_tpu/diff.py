@@ -38,6 +38,13 @@ from .state import SceneShape, SimState, xla_only_shape
 # outside it use fast_rollout below.
 from .ops.adjoint import (adjoint_reject_reason, adjoint_rollout,  # noqa: F401
                           adjoint_supported)
+# Tiled fused adjoint (ops/adjoint_tiled.py): the same hand-derived
+# transpose applied per halo'd window of the grid-tiled kernel, for
+# beyond-VMEM scenes (100^3 and up).  grad_rollout below routes
+# VMEM-adjoint -> tiled-adjoint -> fast_rollout automatically.
+from .ops.adjoint_tiled import (tiled_adjoint_reject_reason,  # noqa: F401
+                                tiled_adjoint_rollout,
+                                tiled_adjoint_supported)
 
 
 def scene(sim) -> Tuple[SceneShape, SimState]:
@@ -108,20 +115,27 @@ def fast_rollout(shape: SceneShape, state: SimState, n_steps: int,
 
 def grad_rollout(shape: SceneShape, state: SimState, n_steps: int,
                  segment: Optional[int] = None) -> SimState:
-    """The best differentiable rollout for the scene: the fused adjoint
-    kernels when the scene is inside their envelope (ops/adjoint.py --
-    the full VMEM kernel envelope, measured 12.8-37.6x fast_rollout's
-    gradients), else ``fast_rollout`` with a one-line warning naming the
-    failed envelope condition (the loud-fallback convention of
-    ops/step.build_chunk_fn)."""
+    """The best differentiable rollout for the scene: the fused VMEM
+    adjoint when the scene is inside its envelope (ops/adjoint.py --
+    measured 12.8-37.6x fast_rollout's gradients), else the grid-TILED
+    adjoint for beyond-VMEM scenes (ops/adjoint_tiled.py -- both passes
+    stay in tiled Pallas kernels), else ``fast_rollout`` with a one-line
+    warning naming the failed envelope condition (the loud-fallback
+    convention of ops/step.build_chunk_fn)."""
     r = adjoint_reject_reason(shape)
     if r is None:
         return adjoint_rollout(shape, state, n_steps, segment=segment)
+    from .ops.adjoint_tiled import (tiled_adjoint_reject_reason,
+                                    tiled_adjoint_rollout)
+    rt = tiled_adjoint_reject_reason(shape)
+    if rt is None:
+        return tiled_adjoint_rollout(shape, state, n_steps,
+                                     segment=segment)
     from .runtime.logging import get_logger
     get_logger().warning(
-        "grad_rollout: scene outside the fused adjoint envelope (%s); "
-        "falling back to fast_rollout's XLA-recompute backward "
-        "(~10-40x slower gradients)", r)
+        "grad_rollout: scene outside the fused adjoint envelopes "
+        "(VMEM: %s; tiled: %s); falling back to fast_rollout's "
+        "XLA-recompute backward (~10-40x slower gradients)", r, rt)
     return fast_rollout(shape, state, n_steps, segment=segment)
 
 

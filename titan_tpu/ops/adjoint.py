@@ -1764,6 +1764,119 @@ def build_bwd_run(shape: SceneShape, seg: int,
 # custom_vjp segment + public rollout
 # ---------------------------------------------------------------------------
 
+def assemble_ct(shape: SceneShape, seg: int, s0: SimState, ct, g):
+    """Map the backward kernels' gradient dict ``g`` onto the input
+    state's cotangent structure (shared by the VMEM segment below and the
+    tiled segment in ops/adjoint_tiled.py; the keys absent from a path's
+    envelope are simply never read)."""
+    m0 = s0.masses
+    minv2 = 1.0 / (m0.m * m0.m)
+    gm = (ct.masses.m + jnp.sum(s0.g[:, None] * g["cf"], axis=0)
+          - minv2 * g["minv"])
+    gmasses = dataclasses.replace(
+        ct.masses, pos=g["pos"], vel=g["vel"], acc=g["acc"],
+        extern_force=ct.masses.extern_force + g["cf"], m=gm)
+    if shape.has_drag:
+        gmasses = dataclasses.replace(
+            gmasses, drag=ct.masses.drag + g["drag"])
+    if shape.has_magnets:
+        # magnet param grads (the staging folds validity, so invalid
+        # masses' params have zero effect -> masked)
+        vmask = m0.valid
+        gm4 = g["mag"]
+        gmasses = dataclasses.replace(
+            gmasses,
+            mag_rad=ct.masses.mag_rad
+            + jnp.where(vmask, gm4[0], 0.0),
+            mag_stiffness=ct.masses.mag_stiffness
+            + jnp.where(vmask, gm4[1], 0.0),
+            mag_maxf=ct.masses.mag_maxf
+            + jnp.where(vmask, gm4[2], 0.0),
+            mag_scale=ct.masses.mag_scale
+            + jnp.where(vmask, gm4[3], 0.0))
+    gstencil = dataclasses.replace(
+        ct.stencil,
+        k=ct.stencil.k + jnp.where(g["pair_ok"], g["k"], 0.0),
+        rest=ct.stencil.rest + g["rest"])
+    if shape.has_damping:
+        gstencil = dataclasses.replace(
+            gstencil, damping=ct.stencil.damping
+            + jnp.where(g["pair_ok"], g["damping"], 0.0))
+    if shape.has_breathing:
+        # omega only acts through c-bar * k (masked k zeroes padding)
+        gstencil = dataclasses.replace(
+            gstencil, omega=ct.stencil.omega + g["omega"])
+    if shape.has_actuated:
+        # rate acts through aratedt = sign(type) * rate * dt: the
+        # kernel accumulated d loss / d aratedt over the per-call
+        # force transposes; the chunk's mutated rest OUTPUT adds its
+        # own closed-form chain ct_rest * min(c_total, s_stop), with
+        # c_total the segment's force-call count (RK2 actuates twice
+        # per dt).  rest0's contribution to rest_out is identity --
+        # already covered by the ct.stencil.rest passthrough above.
+        aratedt, sstop = _actuation_inputs(s0, g["pair_ok"])
+        calls = (2.0 * seg if shape.config.integrator is Integrator.RK2
+                 else float(seg))
+        g_aratedt = (g["aratedt"]
+                     + jnp.minimum(calls, sstop) * ct.stencil.rest)
+        styp = s0.stencil.type
+        sign = jnp.where(styp == ACTUATED_EXPAND, 1.0,
+                         jnp.where(styp == ACTUATED_CONTRACT,
+                                   -1.0, 0.0))
+        grate = sign * s0.dt.astype(jnp.float32) * g_aratedt
+        gstencil = dataclasses.replace(
+            gstencil, rate=ct.stencil.rate
+            + jnp.where(g["pair_ok"], grate, 0.0))
+    gg = ct.g + jnp.sum(m0.m[None, :] * g["cf"], axis=1)
+    out_ct = dataclasses.replace(ct, masses=gmasses, stencil=gstencil,
+                                 g=gg)
+    if shape.has_remainder:
+        # remainder per-spring param grads back onto state.springs
+        # (rem_ok masks deleted/padding springs, whose k was folded
+        # to 0 -- the VJP of the kernel's own physics)
+        rem_ok = g["rem_ok"]
+        gsprings = dataclasses.replace(
+            ct.springs,
+            k=ct.springs.k + jnp.where(rem_ok, g["k_e"], 0.0),
+            rest=ct.springs.rest + g["rest_e"])
+        if shape.has_damping:
+            gsprings = dataclasses.replace(
+                gsprings, damping=ct.springs.damping
+                + jnp.where(rem_ok, g["damp_e"], 0.0))
+        if shape.has_breathing:
+            gsprings = dataclasses.replace(
+                gsprings, omega=ct.springs.omega + g["omega_e"])
+        if shape.has_actuated:
+            # same two-part rate chain as the stencil block above:
+            # in-step accumulation + the mutated rest OUTPUT's
+            # closed-form cotangent (the chunk outputs springs.rest)
+            from .pallas_step import stage_remainder
+            _, _, remp = stage_remainder(shape, s0)
+            aratedt_e = (remp[5, :, 0]
+                         * s0.dt.astype(jnp.float32))
+            nz = aratedt_e != 0
+            sstop_e = jnp.maximum(jnp.where(
+                nz, jnp.ceil((remp[6, :, 0] - remp[1, :, 0])
+                             / jnp.where(nz, aratedt_e, 1.0)),
+                0.0), 0.0)
+            calls = (2.0 * seg
+                     if shape.config.integrator is Integrator.RK2
+                     else float(seg))
+            g_aratedt_e = (g["aratedt_e"]
+                           + jnp.minimum(calls, sstop_e)
+                           * ct.springs.rest)
+            styr = s0.springs.type
+            sign_e = jnp.where(styr == ACTUATED_EXPAND, 1.0,
+                               jnp.where(styr == ACTUATED_CONTRACT,
+                                         -1.0, 0.0))
+            grate_e = sign_e * s0.dt.astype(jnp.float32) * g_aratedt_e
+            gsprings = dataclasses.replace(
+                gsprings, rate=ct.springs.rate
+                + jnp.where(rem_ok, grate_e, 0.0))
+        out_ct = dataclasses.replace(out_ct, springs=gsprings)
+    return (out_ct,)
+
+
 def _adjoint_segment(shape: SceneShape, seg: int,
                      famstash: bool = True):
     from .pallas_step import build_pallas_chunk
@@ -1781,112 +1894,7 @@ def _adjoint_segment(shape: SceneShape, seg: int,
     def seg_bwd(s0, ct):
         trace = trace_run(s0)
         g = bwd_run(s0, trace, ct.masses.pos, ct.masses.vel, ct.masses.acc)
-        m0 = s0.masses
-        minv2 = 1.0 / (m0.m * m0.m)
-        gm = (ct.masses.m + jnp.sum(s0.g[:, None] * g["cf"], axis=0)
-              - minv2 * g["minv"])
-        gmasses = dataclasses.replace(
-            ct.masses, pos=g["pos"], vel=g["vel"], acc=g["acc"],
-            extern_force=ct.masses.extern_force + g["cf"], m=gm)
-        if shape.has_drag:
-            gmasses = dataclasses.replace(
-                gmasses, drag=ct.masses.drag + g["drag"])
-        if shape.has_magnets:
-            # magnet param grads (the staging folds validity, so invalid
-            # masses' params have zero effect -> masked)
-            vmask = m0.valid
-            gm4 = g["mag"]
-            gmasses = dataclasses.replace(
-                gmasses,
-                mag_rad=ct.masses.mag_rad
-                + jnp.where(vmask, gm4[0], 0.0),
-                mag_stiffness=ct.masses.mag_stiffness
-                + jnp.where(vmask, gm4[1], 0.0),
-                mag_maxf=ct.masses.mag_maxf
-                + jnp.where(vmask, gm4[2], 0.0),
-                mag_scale=ct.masses.mag_scale
-                + jnp.where(vmask, gm4[3], 0.0))
-        gstencil = dataclasses.replace(
-            ct.stencil,
-            k=ct.stencil.k + jnp.where(g["pair_ok"], g["k"], 0.0),
-            rest=ct.stencil.rest + g["rest"])
-        if shape.has_damping:
-            gstencil = dataclasses.replace(
-                gstencil, damping=ct.stencil.damping
-                + jnp.where(g["pair_ok"], g["damping"], 0.0))
-        if shape.has_breathing:
-            # omega only acts through c-bar * k (masked k zeroes padding)
-            gstencil = dataclasses.replace(
-                gstencil, omega=ct.stencil.omega + g["omega"])
-        if shape.has_actuated:
-            # rate acts through aratedt = sign(type) * rate * dt: the
-            # kernel accumulated d loss / d aratedt over the per-call
-            # force transposes; the chunk's mutated rest OUTPUT adds its
-            # own closed-form chain ct_rest * min(c_total, s_stop), with
-            # c_total the segment's force-call count (RK2 actuates twice
-            # per dt).  rest0's contribution to rest_out is identity --
-            # already covered by the ct.stencil.rest passthrough above.
-            aratedt, sstop = _actuation_inputs(s0, g["pair_ok"])
-            calls = (2.0 * seg if shape.config.integrator is Integrator.RK2
-                     else float(seg))
-            g_aratedt = (g["aratedt"]
-                         + jnp.minimum(calls, sstop) * ct.stencil.rest)
-            styp = s0.stencil.type
-            sign = jnp.where(styp == ACTUATED_EXPAND, 1.0,
-                             jnp.where(styp == ACTUATED_CONTRACT,
-                                       -1.0, 0.0))
-            grate = sign * s0.dt.astype(jnp.float32) * g_aratedt
-            gstencil = dataclasses.replace(
-                gstencil, rate=ct.stencil.rate
-                + jnp.where(g["pair_ok"], grate, 0.0))
-        gg = ct.g + jnp.sum(m0.m[None, :] * g["cf"], axis=1)
-        out_ct = dataclasses.replace(ct, masses=gmasses, stencil=gstencil,
-                                     g=gg)
-        if shape.has_remainder:
-            # remainder per-spring param grads back onto state.springs
-            # (rem_ok masks deleted/padding springs, whose k was folded
-            # to 0 -- the VJP of the kernel's own physics)
-            rem_ok = g["rem_ok"]
-            gsprings = dataclasses.replace(
-                ct.springs,
-                k=ct.springs.k + jnp.where(rem_ok, g["k_e"], 0.0),
-                rest=ct.springs.rest + g["rest_e"])
-            if shape.has_damping:
-                gsprings = dataclasses.replace(
-                    gsprings, damping=ct.springs.damping
-                    + jnp.where(rem_ok, g["damp_e"], 0.0))
-            if shape.has_breathing:
-                gsprings = dataclasses.replace(
-                    gsprings, omega=ct.springs.omega + g["omega_e"])
-            if shape.has_actuated:
-                # same two-part rate chain as the stencil block above:
-                # in-step accumulation + the mutated rest OUTPUT's
-                # closed-form cotangent (the chunk outputs springs.rest)
-                from .pallas_step import stage_remainder
-                _, _, remp = stage_remainder(shape, s0)
-                aratedt_e = (remp[5, :, 0]
-                             * s0.dt.astype(jnp.float32))
-                nz = aratedt_e != 0
-                sstop_e = jnp.maximum(jnp.where(
-                    nz, jnp.ceil((remp[6, :, 0] - remp[1, :, 0])
-                                 / jnp.where(nz, aratedt_e, 1.0)),
-                    0.0), 0.0)
-                calls = (2.0 * seg
-                         if shape.config.integrator is Integrator.RK2
-                         else float(seg))
-                g_aratedt_e = (g["aratedt_e"]
-                               + jnp.minimum(calls, sstop_e)
-                               * ct.springs.rest)
-                styr = s0.springs.type
-                sign_e = jnp.where(styr == ACTUATED_EXPAND, 1.0,
-                                   jnp.where(styr == ACTUATED_CONTRACT,
-                                             -1.0, 0.0))
-                grate_e = sign_e * s0.dt.astype(jnp.float32) * g_aratedt_e
-                gsprings = dataclasses.replace(
-                    gsprings, rate=ct.springs.rate
-                    + jnp.where(rem_ok, grate_e, 0.0))
-            out_ct = dataclasses.replace(out_ct, springs=gsprings)
-        return (out_ct,)
+        return assemble_ct(shape, seg, s0, ct, g)
 
     seg_fn.defvjp(seg_fwd, seg_bwd)
     return seg_fn

@@ -1,0 +1,621 @@
+"""Fused adjoint for BEYOND-VMEM (grid-tiled) scenes: gradients at
+tiled-kernel speed.
+
+ops/adjoint.py keeps the whole adjoint state VMEM-resident, so its
+envelope ends where the forward VMEM kernel's does (~a few hundred
+thousand masses).  Bigger scenes (the 100^3 config: 1M masses / 12.7M
+springs) previously differentiated only through diff.fast_rollout's
+XLA-recompute backward, ~20x under the tiled forward.  This module
+extends the hand-derived adjoint to the grid-tiled kernel
+(ops/pallas_tiled.py):
+
+  forward (primal)   : the existing tiled chunk, unchanged.
+  backward, per seg  : (1) a TRACE REPLAY re-runs the segment through
+                       the SAME per-step tiled kernel launches
+                       (make_tiled_call -- bitwise the primal's physics),
+                       writing each step's input (pos, vel) into an HBM
+                       trace laid out with the backward's halo padding;
+                       (2) a BACKWARD tile kernel sweeps the trace in
+                       reverse: per step, a Pallas grid walks column
+                       tiles, window-DMAs the traced state, the incoming
+                       cotangents, AND the per-mass/per-family invariants
+                       (double-buffered), runs ops/adjoint.backward_step
+                       on the halo'd window, and writes the tile's rows
+                       of the new cotangents and per-spring param
+                       gradients as blocked outputs.
+
+THE TRICK that avoids cross-tile scatter in the transpose: the adjoint
+of a stencil gather is a stencil scatter, which would send gradient
+contributions into neighbor tiles (an overlap-add).  Instead each tile
+recomputes the pointwise integrate/constraint transpose REDUNDANTLY on
+its halo rows (inputs are all windowed), so the force transpose can
+GATHER every contribution to its own rows -- the same
+redundant-halo-compute trade the distributed forward makes
+(parallel/halo_tiled.py), applied to the backward.  Outputs are
+disjoint blocked tiles; no read-modify-write, no atomics, no
+overlap-add glue.
+
+Halo depth: the backward needs the integrate/constraint transpose (and
+its recomputed primal forces) CORRECT on one spring-reach beyond the
+tile, which itself reads springs one reach further, so the window halo
+is 2 * h for Euler/Verlet.  RK2 recomputes the midpoint state (one
+force depth) and composes two force transposes, deepening the chain to
+4 * h (window values beyond the needed depth are wrap-around garbage
+from the circular window rolls and are sliced away, exactly like the
+forward kernel's discarded halo rows).
+
+Per-spring param gradients attach to the spring's own lane (its gather
+side), and gradient flow starts from the integrate-transpose cotangent
+field, which each tile zeroes outside its window -- every
+(spring, affected-row) contribution is produced by exactly one tile, so
+blocked bar outputs accumulate to the exact total across tiles; the
+XLA-side fori accumulates them across steps.
+
+Envelope (``tiled_adjoint_reject_reason``): the tiled forward envelope
+(ops/pallas_tiled.tiled_reject_reason) minus magnet and remainder
+scenes -- those features run as per-step XLA glue OUTSIDE the tiled
+kernel and have no tiled transpose here (diff.fast_rollout covers
+them).  Differentiable inputs and exclusions otherwise match
+ops/adjoint.py (the math IS ops/adjoint.backward_step, applied per
+window).
+
+Reference: the physics is computeSpringForces + massForcesAndUpdate
+(sim.cu:1157-1200, 1285-1367) at any scene size; the reference has no
+gradient capability at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Integrator
+from ..state import SceneShape, SimState
+from . import pallas_tiled
+from .adjoint import (_actuation_inputs, _make_P, assemble_ct,
+                      backward_step)
+from .pallas_tiled import (_round_up, make_tiled_call, prep_flat_inputs,
+                           tiled_reject_reason)
+
+_BWD_VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def _halo_mult(shape: SceneShape) -> int:
+    return 4 if shape.config.integrator is Integrator.RK2 else 2
+
+
+def _inv_plan(shape: SceneShape):
+    """Offsets into the stacked invariant window planes [NI, ., 128]."""
+    nf = len(shape.stencil_deltas)
+    offs, p = {}, 0
+
+    def add(name, count):
+        nonlocal p
+        offs[name] = p
+        p += count
+
+    add("k", nf)
+    add("rest", nf)
+    if shape.has_damping:
+        add("damping", nf)
+    if shape.has_breathing:
+        add("bsign", nf)
+        add("bomega", nf)
+    if shape.has_actuated:
+        add("aratedt", nf)
+        add("sstop", nf)
+    add("minv", 1)
+    add("fixed", 1)
+    add("cf", 3)
+    if shape.has_drag:
+        add("drag", 1)
+    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+    if any(caps):
+        from .pallas_step import _lc_planes
+        add("lc", _lc_planes(shape))
+    return offs, p
+
+
+def _bar_plan(shape: SceneShape):
+    """Offsets into the blocked bar-gradient output planes [NB, ., 128]."""
+    nf = len(shape.stencil_deltas)
+    offs, p = {}, 0
+
+    def add(name, count):
+        nonlocal p
+        offs[name] = p
+        p += count
+
+    add("cf", 3)
+    add("minv", 1)
+    add("k", nf)
+    add("rest", nf)
+    if shape.has_damping:
+        add("damping", nf)
+    if shape.has_breathing:
+        add("omega", nf)
+    if shape.has_actuated:
+        add("aratedt", nf)
+    if shape.has_drag:
+        add("drag", 1)
+    return offs, p
+
+
+def _geom(shape: SceneShape):
+    """(h, hw, t_fwd, t_bwd, n_tiles_fwd, n_t): the forward chunk's tile
+    geometry (the trace replay must reproduce it exactly) plus the
+    backward's window halo hw = mult * h and its own tile size t_bwd
+    (halved toward the VMEM budget; t_bwd divides t_fwd so both walk the
+    same padded-flat [., n_t] layout)."""
+    n = shape.n_masses
+    h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
+    # late-bound so tests that shrink pallas_tiled._tile_size reshape the
+    # primal chunk, the trace replay, and this backward consistently
+    t_fwd = pallas_tiled._tile_size(h, shape)
+    n_tiles = -(-n // t_fwd)
+    n_t = n_tiles * t_fwd
+    hw = _halo_mult(shape) * h
+    _, ni = _inv_plan(shape)
+    _, nb = _bar_plan(shape)
+
+    def est(t):
+        wr = (t + 2 * hw) // 128
+        win = 2 * 4 * wr * 128 * (6 + 9 + ni)     # double-buffered windows
+        blk = 2 * 4 * (t // 128) * 128 * (9 + nb)  # blocked outputs
+        tmp = 4 * wr * 128 * 48                    # transpose temporaries
+        return win + blk + tmp
+
+    t_bwd = t_fwd
+    while (t_bwd % 2048 == 0 and t_bwd > 2048
+           and est(t_bwd) >= _BWD_VMEM_BUDGET):
+        t_bwd //= 2
+    return h, hw, t_fwd, t_bwd, n_tiles, n_t
+
+
+def tiled_adjoint_reject_reason(shape: SceneShape):
+    """None if the tiled adjoint accepts this scene, else a one-line
+    reason naming the envelope condition that failed."""
+    r = tiled_reject_reason(shape)
+    if r is not None:
+        return r
+    if shape.has_magnets:
+        return ("magnet forces run as per-step XLA glue outside the tiled "
+                "kernel (no tiled transpose)")
+    if shape.has_remainder:
+        return ("remainder-spring forces run as per-step XLA glue outside "
+                "the tiled kernel (no tiled transpose)")
+    if not shape.config.persistent_extern_force:
+        return "strict per-step extern_force mode"
+    h, hw, t_fwd, t_bwd, n_tiles, n_t = _geom(shape)
+    _, ni = _inv_plan(shape)
+    wr = (t_bwd + 2 * hw) // 128
+    need = 2 * 4 * wr * 128 * (6 + 9 + ni)
+    if need >= _BWD_VMEM_BUDGET:
+        return (f"backward tile window needs ~{need >> 20} MB of VMEM > "
+                f"{_BWD_VMEM_BUDGET >> 20} MB budget even at the minimum "
+                "tile")
+    return None
+
+
+def tiled_adjoint_supported(shape: SceneShape) -> bool:
+    return tiled_adjoint_reject_reason(shape) is None
+
+
+# ---------------------------------------------------------------------------
+# Staging
+# ---------------------------------------------------------------------------
+
+def _stage(shape: SceneShape, state: SimState, hw: int, n_t: int):
+    """Chunk-invariant backward inputs: the stacked [NI, n_t + 2hw]
+    invariant planes (params + per-mass fields, all full planes -- no
+    SMEM-scalar shortcut; the backward needs per-spring values to emit
+    per-spring gradients), plus planes/balls tables and pair_ok.
+
+    The VALUES match what the tiled forward consumed
+    (pallas_tiled.prep_flat_inputs -- gradient correctness requires
+    transposing exactly that staging)."""
+    p = prep_flat_inputs(shape, state)
+    stc = state.stencil
+    m = state.masses
+    offs, ni = _inv_plan(shape)
+    nf = len(shape.stencil_deltas)
+    n = shape.n_masses
+
+    pair_ok = stc.mask
+    if not shape.all_valid:
+        pair_ok = jnp.stack([
+            pair_ok[fi] & m.valid & jnp.roll(m.valid, -d)
+            for fi, d in enumerate(shape.stencil_deltas)])
+    k_eff = jnp.where(pair_ok, stc.k, 0.0).astype(jnp.float32)
+
+    parts = [k_eff, stc.rest.astype(jnp.float32)]
+    if shape.has_damping:
+        parts.append(jnp.where(pair_ok, stc.damping, 0.0)
+                     .astype(jnp.float32))
+    if shape.has_breathing:
+        from ..config import (ACTIVE_CONTRACT_THEN_EXPAND,
+                              ACTIVE_EXPAND_THEN_CONTRACT)
+        styp = stc.type
+        bsign = jnp.where(
+            styp == ACTIVE_CONTRACT_THEN_EXPAND, -0.2,
+            jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT, 0.2,
+                      0.0)).astype(jnp.float32)
+        parts += [bsign, stc.omega.astype(jnp.float32)]
+    if shape.has_actuated:
+        aratedt, sstop = _actuation_inputs(state, pair_ok)
+        parts += [aratedt, sstop]
+    parts += [p["minv_flat"].astype(jnp.float32),
+              p["fixed_flat"].astype(jnp.float32),
+              p["const_flat"].astype(jnp.float32)]
+    if shape.has_drag:
+        parts.append(p["drag_flat"].astype(jnp.float32))
+    if p["lc_flat"] is not None:
+        parts.append(p["lc_flat"])
+    inv_flat = jnp.concatenate([x if x.ndim == 2 else x[None]
+                                for x in parts], axis=0)
+    assert inv_flat.shape[0] == ni, (inv_flat.shape, ni)
+    inv_hbm = jnp.pad(inv_flat, ((0, 0), (hw, n_t - n + hw))
+                      ).reshape(ni, (n_t + 2 * hw) // 128, 128)
+    return dict(inv_hbm=inv_hbm, planes=p["planes"], balls=p["balls"],
+                pair_ok=pair_ok, offs=offs, ni=ni, move=p["move"])
+
+
+# ---------------------------------------------------------------------------
+# Trace replay (forward, writing per-step inputs)
+# ---------------------------------------------------------------------------
+
+def build_tiled_trace(shape: SceneShape, seg: int):
+    """(state) -> trace [seg, 6, (n_t + 2hw)//128, 128]: each step's input
+    (pos, vel) in the padded-flat layout with the backward's halo pads
+    already in place (zeros).  Re-runs the SAME per-step kernel launches
+    as build_tiled_chunk's padded-carry mode (pallas_tiled.py) minus the
+    magnet/remainder glue (outside this envelope), so the replayed
+    trajectory is bitwise the primal's (test-pinned)."""
+    h, hw, t_fwd, _, n_tiles, n_t = _geom(shape)
+    n = shape.n_masses
+    pad_n = n_t - n
+    rk2 = shape.config.integrator is Integrator.RK2
+    verlet = shape.config.integrator is Integrator.VERLET
+    twr = (n_t + 2 * hw) // 128
+
+    if rk2:
+        call_a = make_tiled_call(shape, t_fwd, h, n_tiles, "rk2a")
+        call_b = make_tiled_call(shape, t_fwd, h, n_tiles, "rk2b")
+    else:
+        step_call = make_tiled_call(shape, t_fwd, h, n_tiles, "single")
+
+    def run(state: SimState):
+        m = state.masses
+        p = prep_flat_inputs(shape, state)
+        planes, balls, fparams = p["planes"], p["balls"], p["fparams"]
+
+        r3 = lambda x: x.reshape(x.shape[0], -1, 128)
+        param_hbm = (r3(jnp.pad(p["param_flat"], ((0, 0), (h, h + pad_n))))
+                     if p["param_flat"] is not None else None)
+        mask_hbm = (r3(jnp.pad(p["bits_flat"], ((0, 0), (h, h + pad_n))))
+                    if p["bits_flat"] is not None else None)
+        zpad = lambda x: r3(jnp.pad(x, ((0, 0), (0, pad_n))))
+        minv = zpad(p["minv_flat"])
+        fixed = zpad(p["fixed_flat"])
+        const_f = zpad(p["const_flat"])
+        drag = zpad(p["drag_flat"]) if p["drag_flat"] is not None else None
+        lc_in = zpad(p["lc_flat"]) if p["lc_flat"] is not None else None
+        dt32 = state.dt.astype(jnp.float32)
+        t032 = state.t.astype(jnp.float32)
+        win_in = lambda x: r3(jnp.pad(x, ((0, 0), (h, h))))
+        blk_in = r3
+        out_tx = lambda x: x.reshape(3, n_t)
+        padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
+
+        def call_args(scal, pos_c, vel_c, acc_c=None, extra3=None):
+            # mirror of build_tiled_chunk.call_args (pallas_tiled.py)
+            if shape.has_damping:
+                state_hbm = win_in(jnp.concatenate([pos_c, vel_c], axis=0))
+            else:
+                state_hbm = win_in(pos_c)
+            args = [scal, planes, balls, fparams, state_hbm]
+            if param_hbm is not None:
+                args.append(param_hbm)
+            if mask_hbm is not None:
+                args.append(mask_hbm)
+            if not shape.has_damping:
+                args.append(blk_in(vel_c))
+            if acc_c is not None:
+                args.append(blk_in(acc_c))
+            args += [const_f, minv, fixed]
+            if extra3 is not None:
+                args += [blk_in(x) for x in extra3]
+            if shape.has_drag:
+                args.append(drag)
+            if lc_in is not None:
+                args.append(lc_in)
+            return args
+
+        def body(i, carry):
+            pos, vel, acc, trace = carry
+            trace = jax.lax.dynamic_update_slice(
+                trace, jnp.concatenate([pos, vel], axis=0)[None],
+                (i, 0, hw))
+            i32 = i.astype(jnp.float32)
+            if rk2:
+                scal = jnp.stack([dt32, t032 + i32 * dt32, 2.0 * i32])
+                ph, vh, v1 = call_a(*call_args(scal, pos, vel))
+                ph, vh, v1 = out_tx(ph), out_tx(vh), out_tx(v1)
+                scal2 = jnp.stack([dt32, t032 + (i32 + 0.5) * dt32,
+                                   2.0 * i32 + 1.0])
+                p2, v2, a2 = call_b(*call_args(scal2, ph, vh,
+                                               extra3=(pos, v1, vel)))
+            else:
+                scal = jnp.stack([dt32, t032 + i32 * dt32, i32])
+                p2, v2, a2 = step_call(*call_args(
+                    scal, pos, vel, acc_c=acc if verlet else None))
+            return out_tx(p2), out_tx(v2), out_tx(a2), trace
+
+        trace0 = jnp.zeros((seg, 6, n_t + 2 * hw), jnp.float32)
+        _, _, _, trace = jax.lax.fori_loop(
+            0, seg, body, (padf(m.pos), padf(m.vel), padf(m.acc), trace0))
+        return trace.reshape(seg, 6, twr, 128)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Backward tile kernel
+# ---------------------------------------------------------------------------
+
+def _build_bwd_tile_kernel(shape: SceneShape, t_size: int, hw: int,
+                           offs, ni: int, boffs, nb: int):
+    wr = (t_size + 2 * hw) // 128
+    tr = t_size // 128
+    hwr = hw // 128
+    nf = len(shape.stencil_deltas)
+
+    def kernel(scal_ref, plane_ref, ball_ref, state_hbm, cot_hbm, inv_hbm,
+               gout_ref, bars_ref, swin, cwin, iwin, sem):
+        t = pl.program_id(0)
+        n_tiles = pl.num_programs(0)
+        slot = jax.lax.rem(t, 2)
+
+        def issue(tile_idx, into):
+            row0 = tile_idx * tr
+            pltpu.make_async_copy(
+                state_hbm.at[:, pl.ds(row0, wr), :], swin.at[into],
+                sem.at[into, 0]).start()
+            pltpu.make_async_copy(
+                cot_hbm.at[:, pl.ds(row0, wr), :], cwin.at[into],
+                sem.at[into, 1]).start()
+            pltpu.make_async_copy(
+                inv_hbm.at[:, pl.ds(row0, wr), :], iwin.at[into],
+                sem.at[into, 2]).start()
+
+        @pl.when(t == 0)
+        def _():
+            issue(0, 0)
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            issue(t + 1, 1 - slot)
+
+        row0 = t * tr
+        pltpu.make_async_copy(
+            state_hbm.at[:, pl.ds(row0, wr), :], swin.at[slot],
+            sem.at[slot, 0]).wait()
+        pltpu.make_async_copy(
+            cot_hbm.at[:, pl.ds(row0, wr), :], cwin.at[slot],
+            sem.at[slot, 1]).wait()
+        pltpu.make_async_copy(
+            inv_hbm.at[:, pl.ds(row0, wr), :], iwin.at[slot],
+            sem.at[slot, 2]).wait()
+
+        sw = swin[slot]
+        pos, vel = sw[0:3], sw[3:6]
+        cw = cwin[slot]
+        gp2, gv2, ga2 = cw[0:3], cw[3:6], cw[6:9]
+        iw = iwin[slot]
+
+        def inv(name, count):
+            o = offs[name]
+            return iw[o:o + count]
+
+        P = _make_P(
+            shape,
+            k_ref=inv("k", nf), rest_ref=inv("rest", nf),
+            damp_ref=(inv("damping", nf) if shape.has_damping else None),
+            minv=inv("minv", 1), fixed=inv("fixed", 1), cf=inv("cf", 3),
+            drag=(inv("drag", 1) if shape.has_drag else None),
+            plane_ref=plane_ref, ball_ref=ball_ref, dt=scal_ref[0],
+            bsign=(inv("bsign", nf) if shape.has_breathing else None),
+            bomega=(inv("bomega", nf) if shape.has_breathing else None),
+            aratedt=(inv("aratedt", nf) if shape.has_actuated else None),
+            sstop=(inv("sstop", nf) if shape.has_actuated else None),
+            lc=(iw[offs["lc"]:] if "lc" in offs else None))
+        # this path's envelope has no remainder/magnets (glue features)
+        P["has_remainder"] = False
+        P["has_magnets"] = False
+
+        from .pallas_step import make_rolls
+        rg, rs = make_rolls(wr)
+        gp, gv, ga, bars = backward_step(
+            pos, vel, gp2, gv2, ga2, P, rg, rs,
+            t_now=scal_ref[1], s_idx=scal_ref[2])
+
+        c = slice(hwr, hwr + tr)
+        gout_ref[0:3] = gp[:, c]
+        gout_ref[3:6] = gv[:, c]
+        gout_ref[6:9] = ga[:, c]
+        bars_ref[boffs["cf"]:boffs["cf"] + 3] = bars["cf"][:, c]
+        bars_ref[boffs["minv"]:boffs["minv"] + 1] = bars["minv"][:, c]
+        for fi in range(nf):
+            bars_ref[boffs["k"] + fi] = bars["k"][fi][c]
+            bars_ref[boffs["rest"] + fi] = bars["rest"][fi][c]
+            if shape.has_damping:
+                bars_ref[boffs["damping"] + fi] = bars["damping"][fi][c]
+            if shape.has_breathing:
+                bars_ref[boffs["omega"] + fi] = bars["omega"][fi][c]
+            if shape.has_actuated:
+                bars_ref[boffs["aratedt"] + fi] = bars["aratedt"][fi][c]
+        if shape.has_drag:
+            bars_ref[boffs["drag"]:boffs["drag"] + 1] = bars["drag"][:, c]
+
+    return kernel
+
+
+def _make_bwd_call(shape: SceneShape, t_size: int, hw: int, n_tiles: int,
+                   offs, ni: int, boffs, nb: int):
+    tr = t_size // 128
+    wr = (t_size + 2 * hw) // 128
+    n_t = n_tiles * t_size
+
+    blk9 = pl.BlockSpec((9, tr, 128), lambda i, s: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    blkb = pl.BlockSpec((nb, tr, 128), lambda i, s: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                 # scal = [dt, t_now, s_idx]
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # planes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # balls
+            pl.BlockSpec(memory_space=pl.ANY),       # traced (pos, vel)
+            pl.BlockSpec(memory_space=pl.ANY),       # cotangent windows
+            pl.BlockSpec(memory_space=pl.ANY),       # invariant windows
+        ],
+        out_specs=[blk9, blkb],
+        scratch_shapes=[
+            pltpu.VMEM((2, 6, wr, 128), jnp.float32),
+            pltpu.VMEM((2, 9, wr, 128), jnp.float32),
+            pltpu.VMEM((2, ni, wr, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        _build_bwd_tile_kernel(shape, t_size, hw, offs, ni, boffs, nb),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((9, n_t // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_t // 128, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+
+def build_tiled_bwd(shape: SceneShape, seg: int):
+    """(state0, trace, gpos, gvel, gacc [3, N]) -> gradient dict with the
+    keys assemble_ct consumes (pos/vel/acc/cf/minv [.., N]; k/rest
+    (/damping/omega/aratedt) [F, N]; drag [N]; pair_ok)."""
+    h, hw, t_fwd, t_bwd, n_tiles_f, n_t = _geom(shape)
+    n = shape.n_masses
+    pad_n = n_t - n
+    n_tiles_b = n_t // t_bwd
+    offs, ni = _inv_plan(shape)
+    boffs, nb = _bar_plan(shape)
+    nf = len(shape.stencil_deltas)
+    bwd_call = _make_bwd_call(shape, t_bwd, hw, n_tiles_b, offs, ni,
+                              boffs, nb)
+    twr = (n_t + 2 * hw) // 128
+
+    def run(state: SimState, trace, gpos, gvel, gacc):
+        st = _stage(shape, state, hw, n_t)
+        dt32 = state.dt.astype(jnp.float32)
+        t032 = state.t.astype(jnp.float32)
+        padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
+
+        def body(j, carry):
+            gp, gv, ga, bars = carry
+            s = (seg - 1 - j)
+            sf = s.astype(jnp.float32)
+            tr_s = jax.lax.dynamic_slice(
+                trace, (s, 0, 0, 0), (1, 6, twr, 128))[0]
+            cot = jnp.pad(jnp.concatenate([gp, gv, ga], axis=0),
+                          ((0, 0), (hw, hw))).reshape(9, twr, 128)
+            scal = jnp.stack([dt32, t032 + sf * dt32, sf])
+            gout, bars_s = bwd_call(scal, st["planes"], st["balls"],
+                                    tr_s, cot, st["inv_hbm"])
+            gout = gout.reshape(9, n_t)
+            return (gout[0:3], gout[3:6], gout[6:9],
+                    bars + bars_s.reshape(nb, n_t))
+
+        init = (padf(gpos), padf(gvel), padf(gacc),
+                jnp.zeros((nb, n_t), jnp.float32))
+        gp, gv, ga, bars = jax.lax.fori_loop(0, seg, body, init)
+
+        def bar(name, count):
+            o = boffs[name]
+            return bars[o:o + count, :n]
+
+        g = {"pos": gp[:, :n], "vel": gv[:, :n], "acc": ga[:, :n],
+             "cf": bar("cf", 3), "minv": bar("minv", 1)[0],
+             "k": bar("k", nf), "rest": bar("rest", nf),
+             "pair_ok": st["pair_ok"]}
+        if shape.has_damping:
+            g["damping"] = bar("damping", nf)
+        if shape.has_breathing:
+            g["omega"] = bar("omega", nf)
+        if shape.has_actuated:
+            g["aratedt"] = bar("aratedt", nf)
+        if shape.has_drag:
+            g["drag"] = bar("drag", 1)[0]
+        return g
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Rollout
+# ---------------------------------------------------------------------------
+
+def _tiled_adjoint_segment(shape: SceneShape, seg: int):
+    from .pallas_tiled import build_tiled_chunk
+    fwd_chunk = build_tiled_chunk(shape)
+    trace_run = build_tiled_trace(shape, seg)
+    bwd_run = build_tiled_bwd(shape, seg)
+
+    @jax.custom_vjp
+    def seg_fn(state):
+        return fwd_chunk(state, jnp.int32(seg))
+
+    def seg_fwd(state):
+        return seg_fn(state), state
+
+    def seg_bwd(s0, ct):
+        trace = trace_run(s0)
+        g = bwd_run(s0, trace, ct.masses.pos, ct.masses.vel, ct.masses.acc)
+        return assemble_ct(shape, seg, s0, ct, g)
+
+    seg_fn.defvjp(seg_fwd, seg_bwd)
+    return seg_fn
+
+
+def tiled_adjoint_rollout(shape: SceneShape, state: SimState, n_steps: int,
+                          segment: Optional[int] = None) -> SimState:
+    """Differentiable rollout for beyond-VMEM scenes where BOTH passes run
+    grid-tiled Pallas kernels (module docstring).  Residual memory is one
+    state per segment plus one (pos, vel) trace of ``segment`` steps
+    (~segment * 6 * N_padded * 4 bytes of HBM -- the default segment caps
+    the trace at ~1.5 GB)."""
+    r = tiled_adjoint_reject_reason(shape)
+    if r is not None:
+        raise ValueError(
+            f"scene outside the tiled adjoint envelope: {r}")
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    if segment is None:
+        _, hw, _, _, _, n_t = _geom(shape)
+        cap = max(1, int(1.5e9 // (24 * (n_t + 2 * hw))))
+        segment = next(s for s in range(min(n_steps, 64, cap), 0, -1)
+                       if n_steps % s == 0)
+    seg = segment
+    if n_steps % seg != 0:
+        raise ValueError(f"segment {seg} does not divide n_steps {n_steps}")
+    seg_fn = _tiled_adjoint_segment(shape, seg)
+    if n_steps == seg:
+        return seg_fn(state)
+    out, _ = jax.lax.scan(lambda s, _: (seg_fn(s), None), state, None,
+                          length=n_steps // seg)
+    return out
