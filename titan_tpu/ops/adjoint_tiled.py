@@ -146,6 +146,26 @@ def _bar_plan(shape: SceneShape):
     return offs, p
 
 
+def _bwd_vmem_est(shape: SceneShape, t: int, hw: int) -> int:
+    """Backward-kernel VMEM estimate at tile size t, window halo hw."""
+    _, ni = _inv_plan(shape)
+    _, nb = _bar_plan(shape)
+    wr = (t + 2 * hw) // 128
+    win = 2 * 4 * wr * 128 * (6 + 9 + ni)      # double-buffered windows
+    blk = 2 * 4 * (t // 128) * 128 * (9 + nb)  # blocked outputs
+    tmp = 4 * wr * 128 * 48                    # transpose temporaries
+    return win + blk + tmp
+
+
+def _shrink_bwd_tile(shape: SceneShape, t: int, hw: int) -> int:
+    """Halve the backward tile (1024-aligned, dividing the forward tile
+    hence the padded layout) until the VMEM estimate fits."""
+    while (t % 2048 == 0 and t > 2048
+           and _bwd_vmem_est(shape, t, hw) >= _BWD_VMEM_BUDGET):
+        t //= 2
+    return t
+
+
 def _geom(shape: SceneShape):
     """(h, hw, t_fwd, t_bwd, n_tiles_fwd, n_t): the forward chunk's tile
     geometry (the trace replay must reproduce it exactly) plus the
@@ -160,20 +180,7 @@ def _geom(shape: SceneShape):
     n_tiles = -(-n // t_fwd)
     n_t = n_tiles * t_fwd
     hw = _halo_mult(shape) * h
-    _, ni = _inv_plan(shape)
-    _, nb = _bar_plan(shape)
-
-    def est(t):
-        wr = (t + 2 * hw) // 128
-        win = 2 * 4 * wr * 128 * (6 + 9 + ni)     # double-buffered windows
-        blk = 2 * 4 * (t // 128) * 128 * (9 + nb)  # blocked outputs
-        tmp = 4 * wr * 128 * 48                    # transpose temporaries
-        return win + blk + tmp
-
-    t_bwd = t_fwd
-    while (t_bwd % 2048 == 0 and t_bwd > 2048
-           and est(t_bwd) >= _BWD_VMEM_BUDGET):
-        t_bwd //= 2
+    t_bwd = _shrink_bwd_tile(shape, t_fwd, hw)
     return h, hw, t_fwd, t_bwd, n_tiles, n_t
 
 
@@ -210,11 +217,13 @@ def tiled_adjoint_supported(shape: SceneShape) -> bool:
 # Staging
 # ---------------------------------------------------------------------------
 
-def _stage(shape: SceneShape, state: SimState, hw: int, n_t: int):
-    """Chunk-invariant backward inputs: the stacked [NI, n_t + 2hw]
-    invariant planes (params + per-mass fields, all full planes -- no
-    SMEM-scalar shortcut; the backward needs per-spring values to emit
-    per-spring gradients), plus planes/balls tables and pair_ok.
+def _stage_flat(shape: SceneShape, state: SimState):
+    """Chunk-invariant backward inputs in UNPADDED flat form: the stacked
+    [NI, n] invariant planes (params + per-mass fields, all full planes
+    -- no SMEM-scalar shortcut; the backward needs per-spring values to
+    emit per-spring gradients), plus planes/balls tables and pair_ok.
+    Shared by the single-device wrapper below and the distributed
+    adjoint (parallel/halo_adjoint.py), which pads/shards it itself.
 
     The VALUES match what the tiled forward consumed
     (pallas_tiled.prep_flat_inputs -- gradient correctness requires
@@ -259,10 +268,18 @@ def _stage(shape: SceneShape, state: SimState, hw: int, n_t: int):
     inv_flat = jnp.concatenate([x if x.ndim == 2 else x[None]
                                 for x in parts], axis=0)
     assert inv_flat.shape[0] == ni, (inv_flat.shape, ni)
-    inv_hbm = jnp.pad(inv_flat, ((0, 0), (hw, n_t - n + hw))
-                      ).reshape(ni, (n_t + 2 * hw) // 128, 128)
-    return dict(inv_hbm=inv_hbm, planes=p["planes"], balls=p["balls"],
+    return dict(inv_flat=inv_flat, planes=p["planes"], balls=p["balls"],
                 pair_ok=pair_ok, offs=offs, ni=ni, move=p["move"])
+
+
+def _stage(shape: SceneShape, state: SimState, hw: int, n_t: int):
+    """_stage_flat padded into the single-device windowed HBM layout."""
+    st = _stage_flat(shape, state)
+    n = shape.n_masses
+    ni = st["ni"]
+    st["inv_hbm"] = jnp.pad(st["inv_flat"], ((0, 0), (hw, n_t - n + hw))
+                            ).reshape(ni, (n_t + 2 * hw) // 128, 128)
+    return st
 
 
 # ---------------------------------------------------------------------------

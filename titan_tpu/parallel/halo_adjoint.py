@@ -1,0 +1,328 @@
+"""Distributed fused adjoint: gradients across a device mesh.
+
+Completes the adjoint story across all three execution tiers -- the
+VMEM-resident kernel (ops/adjoint.py), the single-device grid-tiled
+kernel (ops/adjoint_tiled.py), and this module: the SAME backward tile
+kernel run per device shard inside ``shard_map``, exactly as
+parallel/halo_tiled.py runs the forward tiled kernel per shard.
+
+Why the gather-style transpose composes with halos unchanged: the
+backward tile kernel (ops/adjoint_tiled.py) already computes every
+gradient contribution to its own rows by GATHERING from a halo'd window
+of the incoming cotangents and the traced state -- there is no
+cross-tile scatter to exchange.  Distributed, the window pads are filled
+with the neighbors' true rows instead of the global array's:
+
+  - per BACKWARD STEP: two ``ppermute``s move the [9, HW] cotangent
+    block edges (gpos, gvel, gacc) and the [6, HW] traced (pos, vel)
+    edges between ring neighbors, HW = the backward's halo depth
+    (2h Euler/Verlet, 4h RK2 -- ops/adjoint_tiled.py's analysis);
+  - per SEGMENT: the same exchange, once, for the invariant planes
+    (spring params are chunk-constant by the closed-form ACTUATED rest,
+    the same property the distributed forward relies on).
+
+The forward trace is a replay of the distributed forward itself
+(per-step tiled kernel launches with fresh h-row halo exchanges,
+bitwise the primal), storing each step's OWN block rows; the backward
+re-derives the halo rows by exchange instead of storing them.  Per-spring
+param gradients attach to the spring's own lane, owned by exactly one
+shard, so bar outputs accumulate shard-locally with no collective.
+Trace memory is sharded: segment * 6 * block * 4 bytes per device.
+
+Envelope (``halo_adjoint_reject_reason``): the distributed tiled
+forward's envelope (parallel/halo_tiled.py) minus magnet/remainder glue
+scenes, plus HW <= block (one-hop neighbor exchange; real scenes satisfy
+this by construction since block >= tile >= 4h).
+
+Reference: the physics is computeSpringForces + massForcesAndUpdate
+(sim.cu:1157-1200, 1285-1367); the reference is single-GPU and has no
+gradient capability at all.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import Integrator
+from ..ops.adjoint import assemble_ct
+from ..ops.adjoint_tiled import (_bar_plan, _bwd_vmem_est,
+                                 _BWD_VMEM_BUDGET, _halo_mult, _inv_plan,
+                                 _make_bwd_call, _shrink_bwd_tile,
+                                 _stage_flat)
+from ..ops.pallas_tiled import make_tiled_call, prep_flat_inputs
+from ..state import SceneShape, SimState
+from .halo_tiled import (_geometry, build_halo_tiled_chunk,
+                         halo_tiled_reject_reason)
+
+
+def _geom_dist(shape: SceneShape, n_devices: int):
+    """(h, hw, b, t_fwd, t_bwd): the distributed forward's geometry plus
+    the backward's halo depth and (possibly smaller, block-dividing)
+    tile."""
+    h, b, t_fwd = _geometry(shape, n_devices)
+    hw = _halo_mult(shape) * h
+    t_bwd = _shrink_bwd_tile(shape, t_fwd, hw)
+    return h, hw, b, t_fwd, t_bwd
+
+
+def halo_adjoint_reject_reason(shape: SceneShape, n_devices: int):
+    """None if the distributed adjoint accepts this scene on
+    ``n_devices``, else a one-line reason."""
+    r = halo_tiled_reject_reason(shape, n_devices)
+    if r is not None:
+        return r
+    if shape.has_magnets:
+        return ("magnet forces run as per-step glue outside the tiled "
+                "kernel (no distributed transpose)")
+    if shape.has_remainder:
+        return ("remainder-spring forces run as per-step glue outside "
+                "the tiled kernel (no distributed transpose)")
+    if not shape.config.persistent_extern_force:
+        return "strict per-step extern_force mode"
+    h, hw, b, t_fwd, t_bwd = _geom_dist(shape, n_devices)
+    if hw > b:
+        return (f"backward halo {hw} exceeds the per-device block {b} "
+                "(one-hop neighbor exchange)")
+    if _bwd_vmem_est(shape, t_bwd, hw) >= _BWD_VMEM_BUDGET:
+        return ("backward tile window exceeds the VMEM budget even at "
+                "the minimum tile")
+    return None
+
+
+def halo_adjoint_supported(shape: SceneShape, n_devices: int) -> bool:
+    return halo_adjoint_reject_reason(shape, n_devices) is None
+
+
+def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
+                          axis: str = "shard"):
+    fwd_chunk = build_halo_tiled_chunk(shape, mesh, axis)
+    n = shape.n_masses
+    n_dev = mesh.shape[axis]
+    h, hw, b, t_fwd, t_bwd = _geom_dist(shape, n_dev)
+    n_dist = n_dev * b
+    pad_n = n_dist - n
+    n_tiles_f = b // t_fwd
+    n_tiles_b = b // t_bwd
+    offs, ni = _inv_plan(shape)
+    boffs, nb = _bar_plan(shape)
+    nf = len(shape.stencil_deltas)
+    cfg = shape.config
+    rk2 = cfg.integrator is Integrator.RK2
+    verlet = cfg.integrator is Integrator.VERLET
+    has_damping = shape.has_damping
+
+    if rk2:
+        call_a = make_tiled_call(shape, t_fwd, h, n_tiles_f, "rk2a")
+        call_b = make_tiled_call(shape, t_fwd, h, n_tiles_f, "rk2b")
+    else:
+        step_call = make_tiled_call(shape, t_fwd, h, n_tiles_f, "single")
+    bwd_call = _make_bwd_call(shape, t_bwd, hw, n_tiles_b, offs, ni,
+                              boffs, nb)
+    to_prev = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    to_next = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def body_fn(inp):
+        r3 = lambda x: x.reshape(x.shape[0], -1, 128)
+
+        def ext(x, k):
+            """[., B] -> [., k + B + k] with both ring neighbors' edge
+            rows (the global array end is padded/masked, so the ring
+            wrap contributes nothing -- halo_tiled.py's argument)."""
+            head_from_next = jax.lax.ppermute(x[:, :k], axis, to_prev)
+            tail_from_prev = jax.lax.ppermute(x[:, -k:], axis, to_next)
+            return jnp.concatenate([tail_from_prev, x, head_from_next],
+                                   axis=1)
+
+        # forward-replay chunk constants (h halos, as the primal)
+        param_hbm = r3(ext(inp["param"], h)) if "param" in inp else None
+        mask_hbm = r3(ext(inp["bits"], h)) if "bits" in inp else None
+        minv_t, fixed_t = r3(inp["minv"]), r3(inp["fixed"])
+        cf_t = r3(inp["cf"])
+        drag_t = r3(inp["drag"]) if "drag" in inp else None
+        lc_t = r3(inp["lc"]) if "lc" in inp else None
+        fparams, planes, balls = inp["fparams"], inp["planes"], inp["balls"]
+        dt32, t032 = inp["scal0"][0], inp["scal0"][1]
+
+        def call_args(scal, pos_c, vel_c, acc_c=None, extra3=None):
+            if has_damping:
+                state_hbm = r3(jnp.concatenate([ext(pos_c, h),
+                                                ext(vel_c, h)], axis=0))
+            else:
+                state_hbm = r3(ext(pos_c, h))
+            args = [scal, planes, balls, fparams, state_hbm]
+            if param_hbm is not None:
+                args.append(param_hbm)
+            if mask_hbm is not None:
+                args.append(mask_hbm)
+            if not has_damping:
+                args.append(r3(vel_c))
+            if acc_c is not None:
+                args.append(r3(acc_c))
+            args += [cf_t, minv_t, fixed_t]
+            if extra3 is not None:
+                args += [r3(x) for x in extra3]
+            if drag_t is not None:
+                args.append(drag_t)
+            if lc_t is not None:
+                args.append(lc_t)
+            return args
+
+        fl3 = lambda x: x.reshape(3, b)
+
+        # ---- forward replay, writing this shard's (pos, vel) per step
+        # (bitwise the distributed primal: same kernel, same exchanges,
+        # same op order -- halo_tiled.py's bitwise argument) ----
+        def fbody(i, carry):
+            pos, vel, acc, trace = carry
+            trace = jax.lax.dynamic_update_slice(
+                trace, jnp.concatenate([pos, vel], axis=0)[None],
+                (i, 0, 0))
+            i32 = i.astype(jnp.float32)
+            t_i = t032 + i32 * dt32
+            if rk2:
+                scal = jnp.stack([dt32, t_i, 2.0 * i32])
+                ph, vh, v1 = call_a(*call_args(scal, pos, vel))
+                ph, vh, v1 = fl3(ph), fl3(vh), fl3(v1)
+                scal2 = jnp.stack([dt32, t_i + 0.5 * dt32,
+                                   2.0 * i32 + 1.0])
+                p2, v2, a2 = call_b(*call_args(scal2, ph, vh,
+                                               extra3=(pos, v1, vel)))
+            else:
+                scal = jnp.stack([dt32, t_i, i32])
+                p2, v2, a2 = step_call(*call_args(
+                    scal, pos, vel, acc_c=acc if verlet else None))
+            return fl3(p2), fl3(v2), fl3(a2), trace
+
+        trace0 = jnp.zeros((seg, 6, b), jnp.float32)
+        _, _, _, trace = jax.lax.fori_loop(
+            0, seg, fbody,
+            (inp["pos"], inp["vel"], inp["acc"], trace0))
+
+        # ---- reverse sweep: per step, exchange cotangent + trace halos
+        # and run the backward tile kernel on this shard's windows ----
+        inv_win = r3(ext(inp["inv"], hw))        # once per segment
+
+        def bbody(j, carry):
+            gp, gv, ga, bars = carry
+            s = seg - 1 - j
+            sf = s.astype(jnp.float32)
+            tr_s = jax.lax.dynamic_slice(trace, (s, 0, 0), (1, 6, b))[0]
+            st_win = r3(ext(tr_s, hw))
+            cot_win = r3(ext(jnp.concatenate([gp, gv, ga], axis=0), hw))
+            scal = jnp.stack([dt32, t032 + sf * dt32, sf])
+            gout, bars_s = bwd_call(scal, planes, balls, st_win, cot_win,
+                                    inv_win)
+            gout = gout.reshape(9, b)
+            return (gout[0:3], gout[3:6], gout[6:9],
+                    bars + bars_s.reshape(nb, b))
+
+        init = (inp["gpos"], inp["gvel"], inp["gacc"],
+                jnp.zeros((nb, b), jnp.float32))
+        gp, gv, ga, bars = jax.lax.fori_loop(0, seg, bbody, init)
+        return gp, gv, ga, bars
+
+    def bwd_run(state: SimState, gpos, gvel, gacc):
+        p = prep_flat_inputs(shape, state)
+        st = _stage_flat(shape, state)
+        padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
+        m = state.masses
+
+        sh = P(None, axis)
+        rep = P()
+        inp = {"pos": padf(m.pos.astype(jnp.float32)),
+               "vel": padf(m.vel.astype(jnp.float32)),
+               "acc": padf(m.acc.astype(jnp.float32)),
+               "gpos": padf(gpos), "gvel": padf(gvel), "gacc": padf(gacc),
+               "minv": padf(p["minv_flat"]),
+               "fixed": padf(p["fixed_flat"]),
+               "cf": padf(p["const_flat"]),
+               "inv": padf(st["inv_flat"]),
+               "fparams": p["fparams"], "planes": p["planes"],
+               "balls": p["balls"],
+               "scal0": jnp.stack([state.dt.astype(jnp.float32),
+                                   state.t.astype(jnp.float32)])}
+        specs = {k: sh for k in ("pos", "vel", "acc", "gpos", "gvel",
+                                 "gacc", "minv", "fixed", "cf", "inv")}
+        specs.update({"fparams": rep, "planes": rep, "balls": rep,
+                      "scal0": rep})
+        if p["param_flat"] is not None:
+            inp["param"] = padf(p["param_flat"])
+            specs["param"] = sh
+        if p["bits_flat"] is not None:
+            inp["bits"] = padf(p["bits_flat"])
+            specs["bits"] = sh
+        if p["drag_flat"] is not None:
+            inp["drag"] = padf(p["drag_flat"])
+            specs["drag"] = sh
+        if p["lc_flat"] is not None:
+            inp["lc"] = padf(p["lc_flat"])
+            specs["lc"] = sh
+
+        gp, gv, ga, bars = jax.shard_map(
+            body_fn, mesh=mesh, in_specs=(specs,),
+            out_specs=(sh, sh, sh, sh), check_vma=False)(inp)
+
+        def bar(name, count):
+            o = boffs[name]
+            return bars[o:o + count, :n]
+
+        g = {"pos": gp[:, :n], "vel": gv[:, :n], "acc": ga[:, :n],
+             "cf": bar("cf", 3), "minv": bar("minv", 1)[0],
+             "k": bar("k", nf), "rest": bar("rest", nf),
+             "pair_ok": st["pair_ok"]}
+        if shape.has_damping:
+            g["damping"] = bar("damping", nf)
+        if shape.has_breathing:
+            g["omega"] = bar("omega", nf)
+        if shape.has_actuated:
+            g["aratedt"] = bar("aratedt", nf)
+        if shape.has_drag:
+            g["drag"] = bar("drag", 1)[0]
+        return g
+
+    @jax.custom_vjp
+    def seg_fn(state):
+        return fwd_chunk(state, jnp.int32(seg))
+
+    def seg_fwd(state):
+        return seg_fn(state), state
+
+    def seg_bwd(s0, ct):
+        g = bwd_run(s0, ct.masses.pos, ct.masses.vel, ct.masses.acc)
+        return assemble_ct(shape, seg, s0, ct, g)
+
+    seg_fn.defvjp(seg_fwd, seg_bwd)
+    return seg_fn
+
+
+def halo_adjoint_rollout(shape: SceneShape, state: SimState, mesh: Mesh,
+                         n_steps: int, segment=None,
+                         axis: str = "shard") -> SimState:
+    """Differentiable distributed rollout: the forward is the
+    distributed tiled chunk (parallel/halo_tiled.py); the backward runs
+    the tiled backward kernel per shard with ppermuted halo windows
+    (module docstring).  Trace memory is segment * 6 * block * 4 bytes
+    PER DEVICE."""
+    n_dev = mesh.shape[axis]
+    r = halo_adjoint_reject_reason(shape, n_dev)
+    if r is not None:
+        raise ValueError(
+            f"scene outside the distributed adjoint envelope: {r}")
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    if segment is None:
+        _, _, b, _, _ = _geom_dist(shape, n_dev)
+        cap = max(1, int(1.5e9 // (24 * b)))
+        segment = next(s for s in range(min(n_steps, 64, cap), 0, -1)
+                       if n_steps % s == 0)
+    seg = segment
+    if n_steps % seg != 0:
+        raise ValueError(f"segment {seg} does not divide n_steps {n_steps}")
+    seg_fn = _halo_adjoint_segment(shape, mesh, seg, axis)
+    if n_steps == seg:
+        return seg_fn(state)
+    out, _ = jax.lax.scan(lambda s, _: (seg_fn(s), None), state, None,
+                          length=n_steps // seg)
+    return out
