@@ -47,7 +47,8 @@ def trace_check(sim, tag, seg=3):
     shape, state = sim._shape, sim._state
     n = shape.n_masses
     _, hw, _, _, _, n_t = AT._geom(shape)
-    trace = jax.jit(lambda s: AT.build_tiled_trace(shape, seg)(s))(state)
+    trace = jax.jit(
+        lambda s: AT.build_tiled_trace(shape, seg)(s)[0])(state)
     trace = np.asarray(jax.device_get(trace)).reshape(seg, 6, n_t + 2 * hw)
     chunk = pallas_tiled.build_tiled_chunk(shape)
     s = state

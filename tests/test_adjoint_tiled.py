@@ -44,7 +44,8 @@ def _interpret(monkeypatch, tile=1024):
 
 def _scene(damping=0.0, friction=False, drag=0.0, clamp=False,
            deleted=False, fixed=False, breathing=False, actuated=False,
-           integrator=None, local=None, nonuniform=False, nx=80):
+           integrator=None, local=None, nonuniform=False, nx=80,
+           cross=False, cross_actuated=False, magnets=False):
     from titan_tpu import (ACTIVE_CONTRACT_THEN_EXPAND, ACTUATED_CONTRACT,
                            ACTUATED_EXPAND, BALL, CONSTRAINT_PLANE,
                            CONTACT_PLANE, DIRECTION)
@@ -53,6 +54,13 @@ def _scene(damping=0.0, friction=False, drag=0.0, clamp=False,
         cfg["integrator"] = Integrator(integrator)
     sim = Simulation(SimConfig(**cfg))
     sim.createLattice(Vec(0, 0, 3), Vec(4, 1, 1), nx, 6, 6)
+    if cross:
+        # long-span irregular links that bucket as remainder springs and
+        # (tile 1024) CROSS tile boundaries, so the glue vjp's gradient
+        # flow spans tiles the kernel transpose can't reach
+        for a, b in [(0, 1500), (5, 2050), (12, 2600), (12, 977),
+                     (40, 1203)]:
+            sim.createSpring(sim.getMassByIndex(a), sim.getMassByIndex(b))
     sim.setAllSpringConstantValues(800.0)
     if friction:
         sim.createPlane(Vec(0, 0, 1), 0, 0.4, 0.6)
@@ -105,6 +113,25 @@ def _scene(damping=0.0, friction=False, drag=0.0, clamp=False,
         rng = np.random.RandomState(0)
         st.k[: st.n_springs] *= 1.0 + 0.1 * rng.rand(st.n_springs)
         st.rest[: st.n_springs] *= 1.0 + 0.01 * rng.rand(st.n_springs)
+    if cross_actuated:
+        i0 = st.n_springs - 4
+        st.s_type[i0: i0 + 2] = ACTUATED_EXPAND
+        st.l_max[i0: i0 + 2] = st.rest[i0: i0 + 2] * 1.001
+        st.rate[i0: i0 + 2] = 0.6
+        st.s_type[i0 + 2: i0 + 3] = ACTUATED_CONTRACT
+        st.l_min[i0 + 2: i0 + 3] = st.rest[i0 + 2: i0 + 3] * 0.5
+        st.rate[i0 + 2: i0 + 3] = 0.8
+    if magnets:
+        # fat shell magnets + pull-only attractors spread across tiles
+        # (test_adjoint.py's magnet conditioning, scaled to this lattice)
+        nm = st.n_masses
+        for i in (0, 3, nm // 4, nm // 2, 2 * nm // 3, nm - 40):
+            st.mag_rad[i] = 0.35
+            st.mag_stiffness[i] = 5.0
+        for i in (0, 3, 9, nm // 4, nm // 4 + 10, nm // 2,
+                  2 * nm // 3, 2 * nm // 3 + 13, nm - 40, nm - 30):
+            st.mag_maxf[i] = 0.5
+            st.mag_scale[i] = 1.0
     sim._T = 0.0
     sim._marshal()
     return sim
@@ -122,6 +149,16 @@ VARIANTS = {
     "local_cp": dict(local="cp", damping=12.0),
     "local_dir": dict(local="dir", drag=0.2),
     "nonuniform": dict(nonuniform=True, damping=12.0),
+    # glue scenes: magnet/remainder forces enter the kernel through its
+    # per-step constant-force input; the backward routes the traced cf
+    # cotangent through jax.vjp of the same glue
+    "remainder_glue": dict(cross=True, damping=12.0),
+    "magnet_glue": dict(magnets=True, damping=12.0),
+    "glue_verlet": dict(cross=True, magnets=True, integrator="verlet",
+                        damping=12.0),
+    "glue_everything": dict(cross=True, magnets=True, damping=12.0,
+                            friction=True, drag=0.2, fixed=True,
+                            deleted=True),
 }
 
 
@@ -216,7 +253,8 @@ def test_trace_replay_is_bitwise_primal(monkeypatch):
     sim = _scene(damping=12.0, friction=True)
     shape, state = sim._shape, sim._state
     seg = 3
-    trace = adjoint_tiled.build_tiled_trace(shape, seg)(state)
+    trace, rtrace = adjoint_tiled.build_tiled_trace(shape, seg)(state)
+    assert rtrace is None
     _, hw, _, _, _, n_t = adjoint_tiled._geom(shape)
     n = shape.n_masses
     chunk = pallas_tiled.build_tiled_chunk(shape)
@@ -231,16 +269,46 @@ def test_trace_replay_is_bitwise_primal(monkeypatch):
         s = chunk(s, 1)
 
 
+def test_trace_replay_glue_is_bitwise_primal(monkeypatch):
+    """Glue scenes: the trace replay's per-step total cf and remainder
+    rest must also be exactly the primal chunk's (the backward
+    re-linearizes the glue at the traced values)."""
+    _interpret(monkeypatch)
+    sim = _scene(cross=True, cross_actuated=True, magnets=True,
+                 damping=12.0)
+    shape, state = sim._shape, sim._state
+    seg = 3
+    trace, rtrace = adjoint_tiled.build_tiled_trace(shape, seg)(state)
+    _, hw, _, _, _, n_t = adjoint_tiled._geom(shape)
+    n = shape.n_masses
+    chunk = pallas_tiled.build_tiled_chunk(shape)
+    s = state
+    for i in range(seg):
+        flat = np.asarray(trace[i]).reshape(9, n_t + 2 * hw)
+        got = flat[:, hw:hw + n]
+        np.testing.assert_array_equal(got[0:3],
+                                      np.asarray(s.masses.pos)[:, :n])
+        np.testing.assert_array_equal(got[3:6],
+                                      np.asarray(s.masses.vel)[:, :n])
+        np.testing.assert_array_equal(np.asarray(rtrace[i]),
+                                      np.asarray(s.springs.rest))
+        s = chunk(s, 1)
+
+
 def test_reject_reasons():
     sim = _scene(nx=40)
     shape = sim._shape
     assert adjoint_tiled.tiled_adjoint_supported(shape)
+    # Euler/Verlet glue scenes are IN the envelope (traced-cf transpose)
     st = sim._store
     st.mag_rad[0] = 0.05
     st.mag_stiffness[0] = 100.0
     sim._marshal()
-    r = adjoint_tiled.tiled_adjoint_reject_reason(sim._shape)
-    assert r is not None and "magnet" in r
+    assert adjoint_tiled.tiled_adjoint_supported(sim._shape)
+    # RK2 re-evaluates the glue at the kernel-interior midpoint: rejected
+    sim_rk2 = _scene(nx=40, magnets=True, integrator="rk2")
+    r = adjoint_tiled.tiled_adjoint_reject_reason(sim_rk2._shape)
+    assert r is not None and "RK2" in r and "glue" in r
 
 
 def test_grad_rollout_routes_tiled(monkeypatch, caplog):
@@ -261,3 +329,107 @@ def test_grad_rollout_routes_tiled(monkeypatch, caplog):
     ref = adjoint_tiled.tiled_adjoint_rollout(shape, state, 2, segment=2)
     np.testing.assert_array_equal(np.asarray(out.masses.pos),
                                   np.asarray(ref.masses.pos))
+
+
+def test_tiled_remainder_glue_param_grads(monkeypatch):
+    """Glue remainder springs: per-spring k/rest/omega/rate gradients
+    onto state.springs via the traced-cf transpose (the per-step jax.vjp
+    of the glue), including the actuated rest's reverse chain seeded by
+    the chunk-output rest cotangent -- against jax.grad of the
+    independent XLA path."""
+    _interpret(monkeypatch)
+    sim = _scene(cross=True, cross_actuated=True, damping=12.0)
+    shape, state = sim._shape, sim._state
+    assert shape.has_remainder
+    assert adjoint_tiled.tiled_adjoint_supported(shape), \
+        adjoint_tiled.tiled_adjoint_reject_reason(shape)
+
+    n = sim._store.n_masses
+    rng = np.random.RandomState(5)
+    npad = state.masses.pos.shape[1]
+    wpos = jnp.asarray(rng.normal(0, 1, (3, npad)),
+                       jnp.float32).at[:, n:].set(0.0)
+    wrest_e = jnp.asarray(rng.normal(0, 1, state.springs.rest.shape),
+                          jnp.float32)
+
+    def run(rollout_fn, pos0, sk, srest, somega, srate):
+        st = dataclasses.replace(
+            state,
+            masses=dataclasses.replace(state.masses, pos=pos0),
+            springs=dataclasses.replace(state.springs, k=sk, rest=srest,
+                                        omega=somega, rate=srate))
+        out = rollout_fn(st)
+        # the mutated remainder-rest OUTPUT carries its own cotangent
+        return (jnp.sum(out.masses.pos * wpos)
+                + jnp.sum(out.springs.rest * wrest_e))
+
+    args = (state.masses.pos, state.springs.k, state.springs.rest,
+            state.springs.omega, state.springs.rate)
+    g_t = jax.grad(
+        lambda *a: run(lambda s: adjoint_tiled.tiled_adjoint_rollout(
+            shape, s, 4, segment=2), *a),
+        argnums=tuple(range(5)))(*args)
+    g_x = jax.grad(
+        lambda *a: run(lambda s: diff.rollout(xla_only_shape(shape), s, 4),
+                       *a), argnums=tuple(range(5)))(*args)
+
+    rem_ok = np.asarray(state.springs.valid
+                        & state.masses.valid[state.springs.left]
+                        & state.masses.valid[state.springs.right])
+    for name, a, x in zip(("pos", "k", "rest", "omega", "rate"), g_t, g_x):
+        a, x = np.asarray(a), np.asarray(x)
+        if name == "pos":
+            a, x = a[:, :n], x[:, :n]
+        elif name in ("k", "rate"):
+            a, x = a * rem_ok, x * rem_ok
+        scale = max(np.abs(x).max(), 1e-8)
+        err = float((np.abs(a - x) / scale).max())
+        assert err < 5e-4, (name, err)
+
+
+def test_tiled_magnet_glue_param_grads(monkeypatch):
+    """Glue magnets: per-mass mag_rad/stiffness/maxf/scale gradients via
+    the traced-cf transpose, against jax.grad of the XLA path."""
+    _interpret(monkeypatch)
+    sim = _scene(magnets=True, damping=12.0)
+    shape, state = sim._shape, sim._state
+    assert shape.has_magnets
+    assert adjoint_tiled.tiled_adjoint_supported(shape), \
+        adjoint_tiled.tiled_adjoint_reject_reason(shape)
+
+    n = sim._store.n_masses
+    rng = np.random.RandomState(9)
+    npad = state.masses.pos.shape[1]
+    wpos = jnp.asarray(rng.normal(0, 1, (3, npad)),
+                       jnp.float32).at[:, n:].set(0.0)
+
+    def run(rollout_fn, pos0, mrad, mstiff, mmaxf, mscale):
+        st = dataclasses.replace(
+            state,
+            masses=dataclasses.replace(
+                state.masses, pos=pos0, mag_rad=mrad,
+                mag_stiffness=mstiff, mag_maxf=mmaxf, mag_scale=mscale))
+        out = rollout_fn(st)
+        return jnp.sum(out.masses.pos * wpos)
+
+    m = state.masses
+    args = (m.pos, m.mag_rad, m.mag_stiffness, m.mag_maxf, m.mag_scale)
+    g_t = jax.grad(
+        lambda *a: run(lambda s: adjoint_tiled.tiled_adjoint_rollout(
+            shape, s, 4, segment=2), *a),
+        argnums=tuple(range(5)))(*args)
+    g_x = jax.grad(
+        lambda *a: run(lambda s: diff.rollout(xla_only_shape(shape), s, 4),
+                       *a), argnums=tuple(range(5)))(*args)
+
+    vmask = np.asarray(state.masses.valid)
+    names = ("pos", "mag_rad", "mag_stiffness", "mag_maxf", "mag_scale")
+    for name, a, x in zip(names, g_t, g_x):
+        a, x = np.asarray(a), np.asarray(x)
+        if name == "pos":
+            a, x = a[:, :n], x[:, :n]
+        else:
+            a, x = a * vmask, x * vmask
+        scale = max(np.abs(x).max(), 1e-8)
+        err = float((np.abs(a - x) / scale).max())
+        assert err < 5e-4, (name, err)

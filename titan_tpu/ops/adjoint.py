@@ -1830,7 +1830,25 @@ def assemble_ct(shape: SceneShape, seg: int, s0: SimState, ct, g):
     gg = ct.g + jnp.sum(m0.m[None, :] * g["cf"], axis=1)
     out_ct = dataclasses.replace(ct, masses=gmasses, stencil=gstencil,
                                  g=gg)
-    if shape.has_remainder:
+    if shape.has_remainder and "rest_chain" in g:
+        # tiled glue path (ops/adjoint_tiled.build_tiled_bwd): the
+        # per-step jax.vjp of the glue already chained everything --
+        # rest_chain carries the full reverse chain (the chunk-output
+        # rest cotangent seeded it, each step's actuation advance and
+        # force use transposed on the way back), and the per-spring
+        # param grads are final (invalid springs zero out through the
+        # vjp of the glue's own pair_valid masking; k/damping/omega/rate
+        # pass through the chunk as identity, so their output cotangents
+        # add)
+        gsprings = dataclasses.replace(
+            ct.springs,
+            k=ct.springs.k + g["k_e"],
+            rest=g["rest_chain"],
+            damping=ct.springs.damping + g["damp_e"],
+            omega=ct.springs.omega + g["omega_e"],
+            rate=ct.springs.rate + g["rate_e"])
+        out_ct = dataclasses.replace(out_ct, springs=gsprings)
+    elif shape.has_remainder:
         # remainder per-spring param grads back onto state.springs
         # (rem_ok masks deleted/padding springs, whose k was folded
         # to 0 -- the VJP of the kernel's own physics)

@@ -52,12 +52,18 @@ blocked bar outputs accumulate to the exact total across tiles; the
 XLA-side fori accumulates them across steps.
 
 Envelope (``tiled_adjoint_reject_reason``): the tiled forward envelope
-(ops/pallas_tiled.tiled_reject_reason) minus magnet and remainder
-scenes -- those features run as per-step XLA glue OUTSIDE the tiled
-kernel and have no tiled transpose here (diff.fast_rollout covers
-them).  Differentiable inputs and exclusions otherwise match
-ops/adjoint.py (the math IS ops/adjoint.backward_step, applied per
-window).
+(ops/pallas_tiled.tiled_reject_reason) minus RK2 glue scenes.
+Magnet / remainder forces run as per-step XLA glue through the kernel's
+constant-force input (pallas_tiled module docstring); under Euler/Verlet
+the adjoint traces each step's TOTAL cf, the backward tile kernel emits
+that step's cf cotangent, and an XLA-side jax.vjp of the SAME glue
+routes it onto pos/vel and the glue params (per-spring k/rest/damping/
+omega/rate on state.springs; per-mass mag_rad/stiffness/maxf/scale) --
+see build_tiled_bwd.  RK2 re-evaluates the glue at the kernel-interior
+midpoint state, which the backward kernel exposes no injection point
+for, so RK2 glue scenes stay on diff.fast_rollout.  Differentiable
+inputs and exclusions otherwise match ops/adjoint.py (the math IS
+ops/adjoint.backward_step, applied per window).
 
 Reference: the physics is computeSpringForces + massForcesAndUpdate
 (sim.cu:1157-1200, 1285-1367) at any scene size; the reference has no
@@ -89,6 +95,22 @@ def _halo_mult(shape: SceneShape) -> int:
     return 4 if shape.config.integrator is Integrator.RK2 else 2
 
 
+def _has_glue(shape: SceneShape) -> bool:
+    """Magnet / remainder-spring forces run as per-step XLA glue through
+    the tiled kernel's constant-force input (pallas_tiled module
+    docstring); the adjoint traces that total cf per step and routes its
+    cotangent through jax.vjp of the same glue."""
+    return shape.has_remainder or shape.has_magnets
+
+
+def _tr_planes(shape: SceneShape) -> int:
+    """Traced planes per step: (pos, vel) -- plus the step's total
+    constant-force input when the scene has glue (the backward recomputes
+    the primal's friction/contact selects from the TOTAL force, and the
+    per-step cf cotangent feeds the glue transpose)."""
+    return 9 if _has_glue(shape) else 6
+
+
 def _inv_plan(shape: SceneShape):
     """Offsets into the stacked invariant window planes [NI, ., 128]."""
     nf = len(shape.stencil_deltas)
@@ -111,7 +133,9 @@ def _inv_plan(shape: SceneShape):
         add("sstop", nf)
     add("minv", 1)
     add("fixed", 1)
-    add("cf", 3)
+    if not _has_glue(shape):
+        # glue scenes read the per-step TOTAL cf from the trace instead
+        add("cf", 3)
     if shape.has_drag:
         add("drag", 1)
     caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
@@ -151,7 +175,7 @@ def _bwd_vmem_est(shape: SceneShape, t: int, hw: int) -> int:
     _, ni = _inv_plan(shape)
     _, nb = _bar_plan(shape)
     wr = (t + 2 * hw) // 128
-    win = 2 * 4 * wr * 128 * (6 + 9 + ni)      # double-buffered windows
+    win = 2 * 4 * wr * 128 * (_tr_planes(shape) + 9 + ni)  # dbl-buf windows
     blk = 2 * 4 * (t // 128) * 128 * (9 + nb)  # blocked outputs
     tmp = 4 * wr * 128 * 48                    # transpose temporaries
     return win + blk + tmp
@@ -190,18 +214,20 @@ def tiled_adjoint_reject_reason(shape: SceneShape):
     r = tiled_reject_reason(shape)
     if r is not None:
         return r
-    if shape.has_magnets:
-        return ("magnet forces run as per-step XLA glue outside the tiled "
-                "kernel (no tiled transpose)")
-    if shape.has_remainder:
-        return ("remainder-spring forces run as per-step XLA glue outside "
-                "the tiled kernel (no tiled transpose)")
+    if _has_glue(shape) and shape.config.integrator is Integrator.RK2:
+        # RK2 evaluates the glue a second time at the midpoint state,
+        # which lives INSIDE the kernel's fused half-steps: routing its
+        # pos/vel cotangent back would need an extra mid-chain injection
+        # point the backward kernel doesn't expose.  Euler/Verlet glue
+        # scenes are supported (traced-cf transpose below).
+        return ("RK2 re-evaluates the magnet/remainder glue at the "
+                "kernel-interior midpoint state (no tiled transpose)")
     if not shape.config.persistent_extern_force:
         return "strict per-step extern_force mode"
     h, hw, t_fwd, t_bwd, n_tiles, n_t = _geom(shape)
     _, ni = _inv_plan(shape)
     wr = (t_bwd + 2 * hw) // 128
-    need = 2 * 4 * wr * 128 * (6 + 9 + ni)
+    need = 2 * 4 * wr * 128 * (_tr_planes(shape) + 9 + ni)
     if need >= _BWD_VMEM_BUDGET:
         return (f"backward tile window needs ~{need >> 20} MB of VMEM > "
                 f"{_BWD_VMEM_BUDGET >> 20} MB budget even at the minimum "
@@ -259,8 +285,9 @@ def _stage_flat(shape: SceneShape, state: SimState):
         aratedt, sstop = _actuation_inputs(state, pair_ok)
         parts += [aratedt, sstop]
     parts += [p["minv_flat"].astype(jnp.float32),
-              p["fixed_flat"].astype(jnp.float32),
-              p["const_flat"].astype(jnp.float32)]
+              p["fixed_flat"].astype(jnp.float32)]
+    if not _has_glue(shape):
+        parts.append(p["const_flat"].astype(jnp.float32))
     if shape.has_drag:
         parts.append(p["drag_flat"].astype(jnp.float32))
     if p["lc_flat"] is not None:
@@ -287,11 +314,15 @@ def _stage(shape: SceneShape, state: SimState, hw: int, n_t: int):
 # ---------------------------------------------------------------------------
 
 def build_tiled_trace(shape: SceneShape, seg: int):
-    """(state) -> trace [seg, 6, (n_t + 2hw)//128, 128]: each step's input
-    (pos, vel) in the padded-flat layout with the backward's halo pads
-    already in place (zeros).  Re-runs the SAME per-step kernel launches
-    as build_tiled_chunk's padded-carry mode (pallas_tiled.py) minus the
-    magnet/remainder glue (outside this envelope), so the replayed
+    """(state) -> (trace, rtrace): trace [seg, NP, (n_t + 2hw)//128, 128]
+    holds each step's input (pos, vel) -- plus, for glue scenes (NP = 9),
+    the step's TOTAL constant-force input (const + magnet/remainder
+    glue) -- in the padded-flat layout with the backward's halo pads
+    already in place (zeros); rtrace [seg, S] holds each step's
+    remainder-rest INPUT (None unless shape.has_remainder -- the glue
+    transpose re-linearizes at that rest).  Re-runs the SAME per-step
+    kernel launches as build_tiled_chunk's padded-carry mode
+    (pallas_tiled.py) INCLUDING the per-step glue, so the replayed
     trajectory is bitwise the primal's (test-pinned)."""
     h, hw, t_fwd, _, n_tiles, n_t = _geom(shape)
     n = shape.n_masses
@@ -299,6 +330,9 @@ def build_tiled_trace(shape: SceneShape, seg: int):
     rk2 = shape.config.integrator is Integrator.RK2
     verlet = shape.config.integrator is Integrator.VERLET
     twr = (n_t + 2 * hw) // 128
+    has_glue = _has_glue(shape)
+    np_tr = _tr_planes(shape)
+    assert not (has_glue and rk2)   # rejected upstream
 
     if rk2:
         call_a = make_tiled_call(shape, t_fwd, h, n_tiles, "rk2a")
@@ -329,7 +363,35 @@ def build_tiled_trace(shape: SceneShape, seg: int):
         out_tx = lambda x: x.reshape(3, n_t)
         padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
 
-        def call_args(scal, pos_c, vel_c, acc_c=None, extra3=None):
+        magnet_ridx = None
+        if shape.has_magnets and shape.magnet_receivers:
+            from .magnets import magnet_receiver_idx
+            magnet_ridx = magnet_receiver_idx(m, shape.magnet_receivers)
+
+        def glue_cf_flat(pos_c, vel_c, t_i, rem_rest):
+            # mirror of build_tiled_chunk.glue_cf (pallas_tiled.py) --
+            # the replay must run the primal's exact per-step glue --
+            # returning the UNBLOCKED [3, n_t] total cf for the trace
+            from . import forces as F
+            from .step import magnet_pass
+            mm = dataclasses.replace(m, pos=pos_c[:, :n], vel=vel_c[:, :n])
+            extra = jnp.zeros_like(p["const_flat"])
+            if shape.has_remainder:
+                sp = dataclasses.replace(state.springs, rest=rem_rest)
+                f_sp, rem_rest = F.spring_forces(
+                    mm, sp, t_i, state.dt, shape.has_breathing)
+                extra = extra + F.scatter_spring_forces(
+                    f_sp, state.topo, m.fixed, shape.n_masses,
+                    shape.config.scatter)
+            if shape.has_magnets:
+                extra = extra + jnp.where(m.fixed, 0.0,
+                                          magnet_pass(mm, shape,
+                                                      magnet_ridx))
+            return (jnp.pad(p["const_flat"] + extra, ((0, 0), (0, pad_n))),
+                    rem_rest)
+
+        def call_args(scal, pos_c, vel_c, acc_c=None, extra3=None,
+                      cf=None):
             # mirror of build_tiled_chunk.call_args (pallas_tiled.py)
             if shape.has_damping:
                 state_hbm = win_in(jnp.concatenate([pos_c, vel_c], axis=0))
@@ -344,7 +406,7 @@ def build_tiled_trace(shape: SceneShape, seg: int):
                 args.append(blk_in(vel_c))
             if acc_c is not None:
                 args.append(blk_in(acc_c))
-            args += [const_f, minv, fixed]
+            args += [const_f if cf is None else cf, minv, fixed]
             if extra3 is not None:
                 args += [blk_in(x) for x in extra3]
             if shape.has_drag:
@@ -354,11 +416,24 @@ def build_tiled_trace(shape: SceneShape, seg: int):
             return args
 
         def body(i, carry):
-            pos, vel, acc, trace = carry
-            trace = jax.lax.dynamic_update_slice(
-                trace, jnp.concatenate([pos, vel], axis=0)[None],
-                (i, 0, hw))
+            pos, vel, acc, rem_rest, trace, rtrace = carry
             i32 = i.astype(jnp.float32)
+            cf = None
+            if has_glue:
+                if shape.has_remainder:
+                    # record the step's rest INPUT (before the glue's
+                    # actuation advance) -- the backward transposes the
+                    # glue at exactly this linearization point
+                    rtrace = jax.lax.dynamic_update_slice(
+                        rtrace, rem_rest[None], (i, 0))
+                t_i = state.t + i.astype(state.t.dtype) * state.dt
+                cf_flat, rem_rest = glue_cf_flat(pos, vel, t_i, rem_rest)
+                cf = r3(cf_flat)
+                planes_i = jnp.concatenate([pos, vel, cf_flat], axis=0)
+            else:
+                planes_i = jnp.concatenate([pos, vel], axis=0)
+            trace = jax.lax.dynamic_update_slice(
+                trace, planes_i[None], (i, 0, hw))
             if rk2:
                 scal = jnp.stack([dt32, t032 + i32 * dt32, 2.0 * i32])
                 ph, vh, v1 = call_a(*call_args(scal, pos, vel))
@@ -370,13 +445,19 @@ def build_tiled_trace(shape: SceneShape, seg: int):
             else:
                 scal = jnp.stack([dt32, t032 + i32 * dt32, i32])
                 p2, v2, a2 = step_call(*call_args(
-                    scal, pos, vel, acc_c=acc if verlet else None))
-            return out_tx(p2), out_tx(v2), out_tx(a2), trace
+                    scal, pos, vel, acc_c=acc if verlet else None, cf=cf))
+            return out_tx(p2), out_tx(v2), out_tx(a2), rem_rest, trace, \
+                rtrace
 
-        trace0 = jnp.zeros((seg, 6, n_t + 2 * hw), jnp.float32)
-        _, _, _, trace = jax.lax.fori_loop(
-            0, seg, body, (padf(m.pos), padf(m.vel), padf(m.acc), trace0))
-        return trace.reshape(seg, 6, twr, 128)
+        trace0 = jnp.zeros((seg, np_tr, n_t + 2 * hw), jnp.float32)
+        rtrace0 = (jnp.zeros((seg,) + state.springs.rest.shape,
+                             state.springs.rest.dtype)
+                   if shape.has_remainder else jnp.zeros((seg, 0)))
+        _, _, _, _, trace, rtrace = jax.lax.fori_loop(
+            0, seg, body, (padf(m.pos), padf(m.vel), padf(m.acc),
+                           state.springs.rest, trace0, rtrace0))
+        return (trace.reshape(seg, np_tr, twr, 128),
+                rtrace if shape.has_remainder else None)
 
     return run
 
@@ -391,6 +472,7 @@ def _build_bwd_tile_kernel(shape: SceneShape, t_size: int, hw: int,
     tr = t_size // 128
     hwr = hw // 128
     nf = len(shape.stencil_deltas)
+    has_glue = _has_glue(shape)
 
     def kernel(scal_ref, plane_ref, ball_ref, state_hbm, cot_hbm, inv_hbm,
                gout_ref, bars_ref, swin, cwin, iwin, sem):
@@ -439,11 +521,15 @@ def _build_bwd_tile_kernel(shape: SceneShape, t_size: int, hw: int,
             o = offs[name]
             return iw[o:o + count]
 
+        # glue scenes: the per-step TOTAL cf (const + magnet/remainder
+        # glue) rides in the trace window; its cotangent (bars cf) is
+        # routed through jax.vjp of the glue XLA-side per step
+        cf_w = sw[6:9] if has_glue else inv("cf", 3)
         P = _make_P(
             shape,
             k_ref=inv("k", nf), rest_ref=inv("rest", nf),
             damp_ref=(inv("damping", nf) if shape.has_damping else None),
-            minv=inv("minv", 1), fixed=inv("fixed", 1), cf=inv("cf", 3),
+            minv=inv("minv", 1), fixed=inv("fixed", 1), cf=cf_w,
             drag=(inv("drag", 1) if shape.has_drag else None),
             plane_ref=plane_ref, ball_ref=ball_ref, dt=scal_ref[0],
             bsign=(inv("bsign", nf) if shape.has_breathing else None),
@@ -451,7 +537,10 @@ def _build_bwd_tile_kernel(shape: SceneShape, t_size: int, hw: int,
             aratedt=(inv("aratedt", nf) if shape.has_actuated else None),
             sstop=(inv("sstop", nf) if shape.has_actuated else None),
             lc=(iw[offs["lc"]:] if "lc" in offs else None))
-        # this path's envelope has no remainder/magnets (glue features)
+        # magnet/remainder forces entered the kernel THROUGH cf (per-step
+        # glue), so their transpose is the cf cotangent routed through
+        # jax.vjp of the glue XLA-side (build_tiled_bwd) -- the in-kernel
+        # remainder/magnet transposes must stay off
         P["has_remainder"] = False
         P["has_magnets"] = False
 
@@ -487,6 +576,7 @@ def _make_bwd_call(shape: SceneShape, t_size: int, hw: int, n_tiles: int,
     tr = t_size // 128
     wr = (t_size + 2 * hw) // 128
     n_t = n_tiles * t_size
+    np_tr = _tr_planes(shape)
 
     blk9 = pl.BlockSpec((9, tr, 128), lambda i, s: (0, i, 0),
                         memory_space=pltpu.VMEM)
@@ -504,7 +594,7 @@ def _make_bwd_call(shape: SceneShape, t_size: int, hw: int, n_tiles: int,
         ],
         out_specs=[blk9, blkb],
         scratch_shapes=[
-            pltpu.VMEM((2, 6, wr, 128), jnp.float32),
+            pltpu.VMEM((2, np_tr, wr, 128), jnp.float32),
             pltpu.VMEM((2, 9, wr, 128), jnp.float32),
             pltpu.VMEM((2, ni, wr, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
@@ -523,9 +613,25 @@ def _make_bwd_call(shape: SceneShape, t_size: int, hw: int, n_tiles: int,
 
 
 def build_tiled_bwd(shape: SceneShape, seg: int):
-    """(state0, trace, gpos, gvel, gacc [3, N]) -> gradient dict with the
-    keys assemble_ct consumes (pos/vel/acc/cf/minv [.., N]; k/rest
-    (/damping/omega/aratedt) [F, N]; drag [N]; pair_ok)."""
+    """(state0, trace, rtrace, gpos, gvel, gacc [3, N], grest) -> gradient
+    dict with the keys assemble_ct consumes (pos/vel/acc/cf/minv [.., N];
+    k/rest (/damping/omega/aratedt) [F, N]; drag [N]; pair_ok) -- plus,
+    for glue scenes, the per-step-vjp keys (rest_chain/k_e/damp_e/
+    omega_e/rate_e [S] and/or mag [4, N]).
+
+    GLUE TRANSPOSE: magnet/remainder forces entered each step through
+    the kernel's constant-force input (cf_s = const + glue(pos_s, vel_s,
+    rest_s)), so after the backward tile kernel emits that step's cf
+    cotangent, it is routed through jax.vjp of the SAME glue code
+    evaluated at the traced (pos_s, vel_s, rest_s): pos/vel contributions
+    join the cotangent carry, per-spring / per-mass param grads
+    accumulate, and the remainder-rest cotangent chains backwards through
+    the glue's own actuation advance (seeded by ``grest``, the
+    chunk-output rest cotangent).  One deliberate approximation: scenes
+    whose primal ran the dense-grid Pallas magnet kernel re-linearize
+    through the XLA binned/pairwise pass (xla_only_shape) -- the same
+    physics to ~1e-9 rel (ops/magnets_grid.py), and Pallas kernels define
+    no VJP."""
     h, hw, t_fwd, t_bwd, n_tiles_f, n_t = _geom(shape)
     n = shape.n_masses
     pad_n = n_t - n
@@ -533,34 +639,115 @@ def build_tiled_bwd(shape: SceneShape, seg: int):
     offs, ni = _inv_plan(shape)
     boffs, nb = _bar_plan(shape)
     nf = len(shape.stencil_deltas)
+    np_tr = _tr_planes(shape)
+    has_glue = _has_glue(shape)
     bwd_call = _make_bwd_call(shape, t_bwd, hw, n_tiles_b, offs, ni,
                               boffs, nb)
     twr = (n_t + 2 * hw) // 128
 
-    def run(state: SimState, trace, gpos, gvel, gacc):
+    def run(state: SimState, trace, rtrace, gpos, gvel, gacc, grest=None):
         st = _stage(shape, state, hw, n_t)
         dt32 = state.dt.astype(jnp.float32)
         t032 = state.t.astype(jnp.float32)
         padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
+        m0 = state.masses
+        sp0 = state.springs
+
+        if has_glue:
+            from ..state import xla_only_shape
+            from . import forces as F
+            from .step import magnet_pass
+            xshape = xla_only_shape(shape)
+            magnet_ridx = None
+            if shape.has_magnets and shape.magnet_receivers:
+                from .magnets import magnet_receiver_idx
+                magnet_ridx = magnet_receiver_idx(m0,
+                                                  shape.magnet_receivers)
+
+            def glue(t_i, pos_n, vel_n, *va):
+                # mirror of build_tiled_chunk.glue_cf minus the constant
+                # const_flat term (additive: its cotangent is the cf bar
+                # itself, already accumulated for assemble_ct), with the
+                # differentiated params as explicit arguments
+                a = list(va)
+                mm = dataclasses.replace(m0, pos=pos_n, vel=vel_n)
+                extra = jnp.zeros((3, n), jnp.float32)
+                new_rest = None
+                if shape.has_remainder:
+                    rest_e, k_e, damp_e, omega_e, rate_e = a[:5]
+                    a = a[5:]
+                    sp = dataclasses.replace(
+                        sp0, rest=rest_e, k=k_e, damping=damp_e,
+                        omega=omega_e, rate=rate_e)
+                    f_sp, new_rest = F.spring_forces(
+                        mm, sp, t_i, state.dt, shape.has_breathing)
+                    extra = extra + F.scatter_spring_forces(
+                        f_sp, state.topo, m0.fixed, shape.n_masses,
+                        shape.config.scatter)
+                if shape.has_magnets:
+                    (mag4,) = a
+                    mm2 = dataclasses.replace(
+                        mm, mag_rad=mag4[0], mag_stiffness=mag4[1],
+                        mag_maxf=mag4[2], mag_scale=mag4[3])
+                    extra = extra + jnp.where(
+                        m0.fixed, 0.0,
+                        magnet_pass(mm2, xshape, magnet_ridx))
+                if shape.has_remainder:
+                    return extra, new_rest
+                return extra
 
         def body(j, carry):
-            gp, gv, ga, bars = carry
+            gp, gv, ga, bars, gl = carry
             s = (seg - 1 - j)
             sf = s.astype(jnp.float32)
             tr_s = jax.lax.dynamic_slice(
-                trace, (s, 0, 0, 0), (1, 6, twr, 128))[0]
+                trace, (s, 0, 0, 0), (1, np_tr, twr, 128))[0]
             cot = jnp.pad(jnp.concatenate([gp, gv, ga], axis=0),
                           ((0, 0), (hw, hw))).reshape(9, twr, 128)
             scal = jnp.stack([dt32, t032 + sf * dt32, sf])
             gout, bars_s = bwd_call(scal, st["planes"], st["balls"],
                                     tr_s, cot, st["inv_hbm"])
             gout = gout.reshape(9, n_t)
-            return (gout[0:3], gout[3:6], gout[6:9],
-                    bars + bars_s.reshape(nb, n_t))
+            bars_s = bars_s.reshape(nb, n_t)
+            gp, gv, ga = gout[0:3], gout[3:6], gout[6:9]
+            if has_glue:
+                cfbar = bars_s[boffs["cf"]:boffs["cf"] + 3, :n]
+                tf = tr_s.reshape(np_tr, twr * 128)
+                pos_s = tf[0:3, hw:hw + n]
+                vel_s = tf[3:6, hw:hw + n]
+                args = [pos_s, vel_s]
+                if shape.has_remainder:
+                    rest_s = jax.lax.dynamic_slice(
+                        rtrace, (s, 0), (1,) + rtrace.shape[1:])[0]
+                    args += [rest_s, sp0.k, sp0.damping, sp0.omega,
+                             sp0.rate]
+                if shape.has_magnets:
+                    args.append(jnp.stack([m0.mag_rad, m0.mag_stiffness,
+                                           m0.mag_maxf, m0.mag_scale]))
+                t_i = state.t + s.astype(state.t.dtype) * state.dt
+                _, vjp_fn = jax.vjp(lambda *aa: glue(t_i, *aa), *args)
+                if shape.has_remainder:
+                    cts = vjp_fn((cfbar, gl["grem"]))
+                else:
+                    cts = vjp_fn(cfbar)
+                gp = gp + padf(cts[0])
+                gv = gv + padf(cts[1])
+                if shape.has_remainder:
+                    gl = dict(gl, grem=cts[2],
+                              remp=gl["remp"] + jnp.stack(cts[3:7]))
+                if shape.has_magnets:
+                    gl = dict(gl, mag=gl["mag"] + cts[-1])
+            return gp, gv, ga, bars + bars_s, gl
 
+        gl0 = {}
+        if shape.has_remainder:
+            gl0["grem"] = grest            # chunk-output rest cotangent
+            gl0["remp"] = jnp.zeros((4,) + sp0.rest.shape, jnp.float32)
+        if shape.has_magnets:
+            gl0["mag"] = jnp.zeros((4, n), jnp.float32)
         init = (padf(gpos), padf(gvel), padf(gacc),
-                jnp.zeros((nb, n_t), jnp.float32))
-        gp, gv, ga, bars = jax.lax.fori_loop(0, seg, body, init)
+                jnp.zeros((nb, n_t), jnp.float32), gl0)
+        gp, gv, ga, bars, gl = jax.lax.fori_loop(0, seg, body, init)
 
         def bar(name, count):
             o = boffs[name]
@@ -578,6 +765,11 @@ def build_tiled_bwd(shape: SceneShape, seg: int):
             g["aratedt"] = bar("aratedt", nf)
         if shape.has_drag:
             g["drag"] = bar("drag", 1)[0]
+        if shape.has_remainder:
+            g["rest_chain"] = gl["grem"]
+            g["k_e"], g["damp_e"], g["omega_e"], g["rate_e"] = gl["remp"]
+        if shape.has_magnets:
+            g["mag"] = gl["mag"]
         return g
 
     return run
@@ -601,8 +793,11 @@ def _tiled_adjoint_segment(shape: SceneShape, seg: int):
         return seg_fn(state), state
 
     def seg_bwd(s0, ct):
-        trace = trace_run(s0)
-        g = bwd_run(s0, trace, ct.masses.pos, ct.masses.vel, ct.masses.acc)
+        trace, rtrace = trace_run(s0)
+        g = bwd_run(s0, trace, rtrace,
+                    ct.masses.pos, ct.masses.vel, ct.masses.acc,
+                    grest=(ct.springs.rest if shape.has_remainder
+                           else None))
         return assemble_ct(shape, seg, s0, ct, g)
 
     seg_fn.defvjp(seg_fwd, seg_bwd)
