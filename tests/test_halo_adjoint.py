@@ -187,5 +187,170 @@ def test_reject_reasons(monkeypatch):
     st.mag_stiffness[0] = 100.0
     st.mag_maxf[0] = 1.0
     sim._marshal()
+    # 8640 masses >= magnet_binned_threshold: the binned glue serves the
+    # scene, and binned glue scenes are IN the adjoint envelope now
+    assert sim._shape.magnet_binned
+    assert halo_adjoint.halo_adjoint_supported(sim._shape, 2)
+    # below the threshold the forward runs exact-pairwise magnets, which
+    # have no distributed glue -- rejected by the forward's own envelope
+    sim_small = _scene(nx=200)
+    st = sim_small._store
+    st.mag_rad[0] = 0.05
+    st.mag_stiffness[0] = 100.0
+    st.mag_maxf[0] = 1.0
+    sim_small._marshal()
+    assert not sim_small._shape.magnet_binned
+    r = halo_adjoint.halo_adjoint_reject_reason(sim_small._shape, 2)
+    assert r is not None and "pairwise" in r
+
+
+# ---------------------------------------------------------------------------
+# Glue scenes: magnet / remainder forces as per-step glue, transposed
+# via jax.vjp of the same per-shard glue (halo_tiled.dist_glue_force)
+# ---------------------------------------------------------------------------
+
+def _glue_scene(cross=0, cross_actuated=False, magnets=False,
+                integrator=None):
+    """240x6x6 lattice (real rows span both shards at tile 4096) with
+    cross-half remainder links and/or binned attract-mode magnets
+    (receiver compaction -- the fast glue path; the receiver-dense CPU
+    cost trap is documented in halo_tiled's test suite)."""
+    from titan_tpu import ACTUATED_CONTRACT, ACTUATED_EXPAND
+    cfg = dict(velocity_clamp=False, host_store_dtype="float32")
+    if integrator:
+        cfg["integrator"] = Integrator(integrator)
+    if magnets:
+        cfg.update(magnet_cutoff=0.6, magnet_binned_threshold=2,
+                   magnet_cell_cap=64)
+    sim = Simulation(SimConfig(**cfg))
+    sim.createLattice(Vec(0, 0, 3), Vec(10, 1, 1), 240, 6, 6)
+    sim.setAllSpringConstantValues(800.0)
+    st = sim._store
+    nm = st.n_masses
+    if cross:
+        rng = np.random.RandomState(3)
+        for _ in range(cross):
+            a = int(rng.randint(0, nm // 2))
+            c = int(rng.randint(nm // 2, nm))
+            sim.createSpring(sim.getMassByIndex(a), sim.getMassByIndex(c))
+    sim.setTimeStep(1e-4)
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    st.rest[: st.n_springs] *= 1.03
+    st.damping[: st.n_springs] = 12.0
+    if cross_actuated:
+        i0 = st.n_springs - cross
+        half = cross // 2
+        st.s_type[i0: i0 + half] = ACTUATED_EXPAND
+        st.l_max[i0: i0 + half] = st.rest[i0: i0 + half] * 1.001
+        st.rate[i0: i0 + half] = 0.6
+        st.s_type[i0 + half: i0 + cross] = ACTUATED_CONTRACT
+        st.l_min[i0 + half: i0 + cross] = st.rest[i0 + half:
+                                                  i0 + cross] * 0.5
+        st.rate[i0 + half: i0 + cross] = 0.8
+    if magnets:
+        # attractors in BOTH shards (block = 8192 at tile 4096; rows
+        # 8500/8600 land on shard 1)
+        for i in (3, 500, 501, 4000, 4300, 4350, 8500, 8600):
+            st.mag_maxf[i] = 0.5
+            st.mag_scale[i] = 1.0
+    sim._T = 0.0
+    sim._marshal()
+    return sim
+
+
+GLUE_VARIANTS = {
+    "remainder": dict(cross=48, cross_actuated=True),
+    "magnets": dict(magnets=True),
+    "both_verlet": dict(cross=48, magnets=True, integrator="verlet"),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(GLUE_VARIANTS))
+def test_halo_adjoint_glue_matches_xla(variant, monkeypatch):
+    """Distributed glue adjoint vs jax.grad through the XLA step path:
+    pos plus every glue parameter -- per-spring k/rest/omega/rate on
+    state.springs (incl. the actuated rest's reverse chain) and per-mass
+    mag_* -- with the loss also reading the mutated remainder-rest
+    OUTPUT so the chain seed bites."""
+    from titan_tpu import diff
+    from titan_tpu.state import xla_only_shape
+    _interpret(monkeypatch)
+    sim = _glue_scene(**GLUE_VARIANTS[variant])
+    shape, state = sim._shape, sim._state
+    mesh = _mesh2()
+    r = halo_adjoint.halo_adjoint_reject_reason(shape, 2)
+    assert r is None, r
+    _, _, b, _, _ = halo_adjoint._geom_dist(shape, 2)
+    assert shape.n_masses > b          # real rows span both shards
+
+    rng = np.random.RandomState(0)
+    n = sim._store.n_masses
+    npad = state.masses.pos.shape[1]
+    w = jnp.asarray(rng.normal(0, 1, (3, npad)),
+                    jnp.float32).at[:, n:].set(0.0)
+    wrest = (jnp.asarray(rng.normal(0, 1, state.springs.rest.shape),
+                         jnp.float32) if shape.has_remainder else None)
+
+    names = ["pos"]
+    m0, sp0 = state.masses, state.springs
+    args = [m0.pos]
+    if shape.has_magnets:
+        names += ["mag_rad", "mag_stiffness", "mag_maxf", "mag_scale"]
+        args += [m0.mag_rad, m0.mag_stiffness, m0.mag_maxf, m0.mag_scale]
+    if shape.has_remainder:
+        names += ["k", "rest", "omega", "rate"]
+        args += [sp0.k, sp0.rest, sp0.omega, sp0.rate]
+
+    def mk(rollout):
+        def f(*a):
+            s = state
+            mm = dataclasses.replace(s.masses, pos=a[0])
+            i = 1
+            if shape.has_magnets:
+                mm = dataclasses.replace(
+                    mm, mag_rad=a[i], mag_stiffness=a[i + 1],
+                    mag_maxf=a[i + 2], mag_scale=a[i + 3])
+                i += 4
+            s = dataclasses.replace(s, masses=mm)
+            if shape.has_remainder:
+                s = dataclasses.replace(
+                    s, springs=dataclasses.replace(
+                        s.springs, k=a[i], rest=a[i + 1],
+                        omega=a[i + 2], rate=a[i + 3]))
+            out = rollout(s)
+            loss = jnp.sum(out.masses.pos * w)
+            if wrest is not None:
+                loss = loss + jnp.sum(out.springs.rest * wrest)
+            return loss
+        return f
+
+    steps, seg = 4, 2
+    idx = tuple(range(len(args)))
+    gt = jax.grad(mk(lambda s: halo_adjoint.halo_adjoint_rollout(
+        shape, s, mesh, steps, segment=seg)), argnums=idx)(*args)
+    gx = jax.grad(mk(lambda s: diff.rollout(
+        xla_only_shape(shape), s, steps)), argnums=idx)(*args)
+    rem_ok = (np.asarray(sp0.valid & m0.valid[sp0.left]
+                         & m0.valid[sp0.right])
+              if shape.has_remainder else None)
+    vmask = np.asarray(m0.valid)
+    for name, a, x in zip(names, gt, gx):
+        a, x = np.asarray(a), np.asarray(x)
+        if name == "pos":
+            a, x = a[:, :n], x[:, :n]
+        elif name.startswith("mag_"):
+            a, x = a * vmask, x * vmask
+        elif name in ("k", "rate"):
+            a, x = a * rem_ok, x * rem_ok
+        scale = max(np.abs(x).max(), 1e-8)
+        err = float((np.abs(a - x) / scale).max())
+        assert err < 2e-3, (variant, name, err)
+
+
+def test_glue_rk2_rejected(monkeypatch):
+    """RK2 re-evaluates the glue at the kernel-interior midpoint --
+    rejected, same as the single-device tiled adjoint."""
+    _interpret(monkeypatch)
+    sim = _glue_scene(magnets=True, integrator="rk2")
     r = halo_adjoint.halo_adjoint_reject_reason(sim._shape, 2)
-    assert r is not None
+    assert r is not None and "RK2" in r and "glue" in r

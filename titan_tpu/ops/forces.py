@@ -121,6 +121,67 @@ def spring_forces(
     return f, rest
 
 
+def compact_remainder_forces(sp, pos_all, vel_all, rem_rest, t_now, dt,
+                             my0, b, has_breathing, has_damping):
+    """O(S) remainder-spring evaluation: per-spring endpoint ``take`` +
+    a dropping scatter onto the rows in [my0, my0 + b).
+
+    Same physics as :func:`spring_forces` (computeSpringForces,
+    sim.cu:1157-1200), but the accumulation is O(S) scatter-adds instead
+    of :func:`scatter_spring_forces`'s O(N*D) incidence gather -- the
+    right trade when S << N (tiled-kernel glue: thousands of cross links
+    on a beyond-VMEM scene; measured 6.7x on the tiled glue adjoint at
+    60^3 + 2k links).  Endpoint validity must be pre-folded into
+    ``sp.valid`` (it gates the force AND the actuated-rest advance,
+    matching spring_forces' pair_valid, sim.cu:1163); fixed-mass
+    masking is the caller's (the reference masks the applied force,
+    sim.cu:1187-1193).  Also the D-way form: each device passes its
+    gathered pos/vel and keeps only its own block's rows
+    (parallel/halo.gathered_remainder_forces delegates here).  Returns
+    (f [3, b], new_rem_rest [S])."""
+    pl_ = jnp.take(pos_all, sp.left, axis=1)               # [3, S]
+    pr = jnp.take(pos_all, sp.right, axis=1)
+    diff = pr - pl_
+    # _safe_norm: forward values bitwise identical to a plain sqrt, but
+    # the sqrt VJP at zero-length (padded/invalid) spring rows would be
+    # inf -> 0 * inf = NaN; the adjoints jax.vjp this glue
+    length = _safe_norm(jnp.sum(diff * diff, axis=0))
+    inv = jnp.where(length > 0,
+                    1.0 / jnp.where(length > 0, length, 1.0), 0.0)
+    rest = rem_rest
+    scale = 1.0
+    new_rem_rest = rem_rest
+    if has_breathing:
+        styp = sp.type
+        sin_wt = jnp.sin(sp.omega * t_now)
+        scale = jnp.where(
+            styp == ACTIVE_CONTRACT_THEN_EXPAND, 1.0 - 0.2 * sin_wt,
+            jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
+                      1.0 + 0.2 * sin_wt, 1.0))
+        rest = jnp.where(
+            sp.valid & (styp == ACTUATED_EXPAND) & (rest < sp.l_max),
+            rest + sp.rate * dt,
+            jnp.where(
+                sp.valid & (styp == ACTUATED_CONTRACT)
+                & (rest > sp.l_min),
+                rest - sp.rate * dt, rest))
+        new_rem_rest = rest
+    mag = sp.k * (rest * scale - length)
+    if has_damping:
+        vl = jnp.take(vel_all, sp.left, axis=1)
+        vr = jnp.take(vel_all, sp.right, axis=1)
+        axial = jnp.sum((vl - vr) * (diff * inv), axis=0)
+        mag = mag + axial * sp.damping
+    f = jnp.where(sp.valid, mag, 0.0) * (diff * inv)       # [3, S]
+    li = sp.left - my0
+    ri = sp.right - my0
+    li_s = jnp.where((li >= 0) & (li < b), li, b)          # b = drop row
+    ri_s = jnp.where((ri >= 0) & (ri < b), ri, b)
+    buf = jnp.zeros((3, b + 1), pos_all.dtype)
+    buf = buf.at[:, li_s].add(-f).at[:, ri_s].add(f)
+    return buf[:, :b], new_rem_rest
+
+
 def _roll_gather(x: jax.Array, d: int) -> jax.Array:
     """Roll reading flat index n+d along the last axis.
 

@@ -110,46 +110,14 @@ def gathered_remainder_forces(sp, pos_all, vel_all, rem_rest, t_now, dt,
     The ACTUATED rest mutation reads only replicated arrays, so every
     device computes the identical new rest.  Shared by the halo-XLA path
     (spans wider than its window) and the distributed tiled path's
-    per-step glue (all spans).  Returns (f_local [3, b], new_rem_rest).
+    per-step glue (all spans); the evaluator itself lives in
+    ops/forces.compact_remainder_forces (also the single-device tiled
+    glue at my0=0, b=n).  Returns (f_local [3, b], new_rem_rest).
     """
-    pl_ = jnp.take(pos_all, sp.left, axis=1)               # [3, S]
-    pr = jnp.take(pos_all, sp.right, axis=1)
-    diff = pr - pl_
-    length = jnp.sqrt(jnp.sum(diff * diff, axis=0))
-    inv = jnp.where(length > 0,
-                    1.0 / jnp.where(length > 0, length, 1.0), 0.0)
-    rest = rem_rest
-    scale = 1.0
-    new_rem_rest = rem_rest
-    if has_breathing:
-        styp = sp.type
-        sin_wt = jnp.sin(sp.omega * t_now)
-        scale = jnp.where(
-            styp == ACTIVE_CONTRACT_THEN_EXPAND, 1.0 - 0.2 * sin_wt,
-            jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT,
-                      1.0 + 0.2 * sin_wt, 1.0))
-        rest = jnp.where(
-            sp.valid & (styp == ACTUATED_EXPAND) & (rest < sp.l_max),
-            rest + sp.rate * dt,
-            jnp.where(
-                sp.valid & (styp == ACTUATED_CONTRACT)
-                & (rest > sp.l_min),
-                rest - sp.rate * dt, rest))
-        new_rem_rest = rest
-    mag = sp.k * (rest * scale - length)
-    if has_damping:
-        vl = jnp.take(vel_all, sp.left, axis=1)
-        vr = jnp.take(vel_all, sp.right, axis=1)
-        axial = jnp.sum((vl - vr) * (diff * inv), axis=0)
-        mag = mag + axial * sp.damping
-    f = jnp.where(sp.valid, mag, 0.0) * (diff * inv)       # [3, S]
-    li = sp.left - my0
-    ri = sp.right - my0
-    li_s = jnp.where((li >= 0) & (li < b), li, b)          # b = drop row
-    ri_s = jnp.where((ri >= 0) & (ri < b), ri, b)
-    buf = jnp.zeros((3, b + 1), pos_all.dtype)
-    buf = buf.at[:, li_s].add(-f).at[:, ri_s].add(f)
-    return buf[:, :b], new_rem_rest
+    from ..ops.forces import compact_remainder_forces
+    return compact_remainder_forces(sp, pos_all, vel_all, rem_rest,
+                                    t_now, dt, my0, b, has_breathing,
+                                    has_damping)
 
 
 def binned_magnet_block_forces(shape, pos_all, mag_src, pos_loc, valid_loc,

@@ -27,11 +27,30 @@ bitwise the primal), storing each step's OWN block rows; the backward
 re-derives the halo rows by exchange instead of storing them.  Per-spring
 param gradients attach to the spring's own lane, owned by exactly one
 shard, so bar outputs accumulate shard-locally with no collective.
-Trace memory is sharded: segment * 6 * block * 4 bytes per device.
+Trace memory is sharded: segment * 6 * block * 4 bytes per device
+(9 planes for glue scenes, below).
+
+GLUE SCENES (magnet / remainder-spring forces, which the distributed
+forward evaluates as per-step XLA glue through the kernel's
+constant-force input -- halo_tiled.dist_glue_force): the same traced-cf
+transpose as the single-device tiled adjoint (ops/adjoint_tiled.py),
+D-way parallel.  The replay traces each step's TOTAL per-shard cf block
+(and the replicated remainder-rest input); per backward step the tile
+kernel emits that step's cf cotangent, which is routed through
+``jax.vjp`` of the SAME per-shard glue function evaluated at the traced
+values -- the glue's collectives transpose themselves (the pos/vel
+``all_gather``'s cotangent comes back as a psum_scatter, landing each
+shard's share of every other shard's force cotangent), per-mass magnet
+param cotangents land block-sharded the same way, and the replicated
+per-spring remainder params/rest-chain cotangents are ``psum``-reduced
+(the rest-chain seed is masked to shard 0 so the replicated advance's
+transpose is counted once).  RK2 glue scenes stay rejected for the same
+reason as single-device: the midpoint glue re-evaluation happens inside
+the fused half-steps with no injection point.
 
 Envelope (``halo_adjoint_reject_reason``): the distributed tiled
-forward's envelope (parallel/halo_tiled.py) minus magnet/remainder glue
-scenes, plus HW <= block (one-hop neighbor exchange; real scenes satisfy
+forward's envelope (parallel/halo_tiled.py) minus RK2 glue scenes,
+plus HW <= block (one-hop neighbor exchange; real scenes satisfy
 this by construction since block >= tile >= 4h).
 
 Reference: the physics is computeSpringForces + massForcesAndUpdate
@@ -41,6 +60,8 @@ gradient capability at all.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -48,13 +69,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import Integrator
 from ..ops.adjoint import assemble_ct
 from ..ops.adjoint_tiled import (_bar_plan, _bwd_vmem_est,
-                                 _BWD_VMEM_BUDGET, _halo_mult, _inv_plan,
-                                 _make_bwd_call, _shrink_bwd_tile,
-                                 _stage_flat)
+                                 _BWD_VMEM_BUDGET, _halo_mult, _has_glue,
+                                 _inv_plan, _make_bwd_call,
+                                 _shrink_bwd_tile, _stage_flat,
+                                 _tr_planes)
 from ..ops.pallas_tiled import make_tiled_call, prep_flat_inputs
 from ..state import SceneShape, SimState
 from .halo_tiled import (_geometry, build_halo_tiled_chunk,
-                         halo_tiled_reject_reason)
+                         dist_glue_force, halo_tiled_reject_reason,
+                         magnet_recv_plan)
 
 
 def _geom_dist(shape: SceneShape, n_devices: int):
@@ -73,12 +96,11 @@ def halo_adjoint_reject_reason(shape: SceneShape, n_devices: int):
     r = halo_tiled_reject_reason(shape, n_devices)
     if r is not None:
         return r
-    if shape.has_magnets:
-        return ("magnet forces run as per-step glue outside the tiled "
-                "kernel (no distributed transpose)")
-    if shape.has_remainder:
-        return ("remainder-spring forces run as per-step glue outside "
-                "the tiled kernel (no distributed transpose)")
+    if _has_glue(shape) and shape.config.integrator is Integrator.RK2:
+        # same reason as the single-device tiled adjoint
+        # (ops/adjoint_tiled.tiled_adjoint_reject_reason)
+        return ("RK2 re-evaluates the magnet/remainder glue at the "
+                "kernel-interior midpoint state (no tiled transpose)")
     if not shape.config.persistent_extern_force:
         return "strict per-step extern_force mode"
     h, hw, b, t_fwd, t_bwd = _geom_dist(shape, n_devices)
@@ -112,6 +134,9 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
     rk2 = cfg.integrator is Integrator.RK2
     verlet = cfg.integrator is Integrator.VERLET
     has_damping = shape.has_damping
+    has_glue = _has_glue(shape)
+    np_tr = _tr_planes(shape)
+    assert not (has_glue and rk2)      # rejected upstream
 
     if rk2:
         call_a = make_tiled_call(shape, t_fwd, h, n_tiles_f, "rk2a")
@@ -145,7 +170,23 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
         fparams, planes, balls = inp["fparams"], inp["planes"], inp["balls"]
         dt32, t032 = inp["scal0"][0], inp["scal0"][1]
 
-        def call_args(scal, pos_c, vel_c, acc_c=None, extra3=None):
+        # glue constants, hoisted exactly like the distributed forward
+        # (halo_tiled.build_halo_tiled_chunk -- the replay must be
+        # bitwise the primal)
+        my0 = jax.lax.axis_index(axis) * b
+        plan = valid_loc = mag4 = mag_src = None
+        if shape.has_magnets:
+            valid_loc = inp["valid"][0]
+            mag4 = jnp.stack([inp["mag_rad"][0], inp["mag_stiffness"][0],
+                              inp["mag_maxf"][0], inp["mag_scale"][0]])
+            mag_src = tuple(
+                jax.lax.all_gather(x, axis, axis=0, tiled=True)
+                for x in (mag4[0], mag4[3], valid_loc))
+            plan = magnet_recv_plan(shape, b, valid_loc, mag4[2])
+        sp_rep = inp.get("springs")
+
+        def call_args(scal, pos_c, vel_c, acc_c=None, extra3=None,
+                      cf_step=None):
             if has_damping:
                 state_hbm = r3(jnp.concatenate([ext(pos_c, h),
                                                 ext(vel_c, h)], axis=0))
@@ -160,7 +201,7 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
                 args.append(r3(vel_c))
             if acc_c is not None:
                 args.append(r3(acc_c))
-            args += [cf_t, minv_t, fixed_t]
+            args += [cf_t if cf_step is None else cf_step, minv_t, fixed_t]
             if extra3 is not None:
                 args += [r3(x) for x in extra3]
             if drag_t is not None:
@@ -172,15 +213,32 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
         fl3 = lambda x: x.reshape(3, b)
 
         # ---- forward replay, writing this shard's (pos, vel) per step
-        # (bitwise the distributed primal: same kernel, same exchanges,
-        # same op order -- halo_tiled.py's bitwise argument) ----
+        # -- plus, for glue scenes, the step's TOTAL cf block and the
+        # replicated remainder-rest input -- (bitwise the distributed
+        # primal: same kernel, same exchanges, same glue, same op order
+        # -- halo_tiled.py's bitwise argument) ----
         def fbody(i, carry):
-            pos, vel, acc, trace = carry
-            trace = jax.lax.dynamic_update_slice(
-                trace, jnp.concatenate([pos, vel], axis=0)[None],
-                (i, 0, 0))
+            pos, vel, acc, rem_rest, trace, rtrace = carry
             i32 = i.astype(jnp.float32)
             t_i = t032 + i32 * dt32
+            cf_step = None
+            if has_glue:
+                if shape.has_remainder:
+                    # the step's rest INPUT (before the glue's actuation
+                    # advance) -- the backward re-linearizes the glue
+                    # at exactly this point
+                    rtrace = jax.lax.dynamic_update_slice(
+                        rtrace, rem_rest[None], (i, 0))
+                extra, rem_rest = dist_glue_force(
+                    shape, axis, b, my0, plan, inp["fixed"], valid_loc,
+                    pos, vel, t_i, dt32, rem_rest, sp_rep, mag4, mag_src)
+                cf_flat = inp["cf"] + extra
+                cf_step = r3(cf_flat)
+                planes_i = jnp.concatenate([pos, vel, cf_flat], axis=0)
+            else:
+                planes_i = jnp.concatenate([pos, vel], axis=0)
+            trace = jax.lax.dynamic_update_slice(
+                trace, planes_i[None], (i, 0, 0))
             if rk2:
                 scal = jnp.stack([dt32, t_i, 2.0 * i32])
                 ph, vh, v1 = call_a(*call_args(scal, pos, vel))
@@ -192,38 +250,118 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
             else:
                 scal = jnp.stack([dt32, t_i, i32])
                 p2, v2, a2 = step_call(*call_args(
-                    scal, pos, vel, acc_c=acc if verlet else None))
-            return fl3(p2), fl3(v2), fl3(a2), trace
+                    scal, pos, vel, acc_c=acc if verlet else None,
+                    cf_step=cf_step))
+            return fl3(p2), fl3(v2), fl3(a2), rem_rest, trace, rtrace
 
-        trace0 = jnp.zeros((seg, 6, b), jnp.float32)
-        _, _, _, trace = jax.lax.fori_loop(
+        trace0 = jnp.zeros((seg, np_tr, b), jnp.float32)
+        if shape.has_remainder:
+            rem0 = inp["rem_rest"]
+            rtrace0 = jnp.zeros((seg,) + rem0.shape, rem0.dtype)
+        else:
+            rem0 = jnp.zeros((0,), jnp.float32)
+            rtrace0 = jnp.zeros((seg, 0), jnp.float32)
+        _, _, _, _, trace, rtrace = jax.lax.fori_loop(
             0, seg, fbody,
-            (inp["pos"], inp["vel"], inp["acc"], trace0))
+            (inp["pos"], inp["vel"], inp["acc"], rem0, trace0, rtrace0))
 
         # ---- reverse sweep: per step, exchange cotangent + trace halos
         # and run the backward tile kernel on this shard's windows ----
         inv_win = r3(ext(inp["inv"], hw))        # once per segment
 
         def bbody(j, carry):
-            gp, gv, ga, bars = carry
+            gp, gv, ga, bars, gl = carry
             s = seg - 1 - j
             sf = s.astype(jnp.float32)
-            tr_s = jax.lax.dynamic_slice(trace, (s, 0, 0), (1, 6, b))[0]
+            tr_s = jax.lax.dynamic_slice(trace, (s, 0, 0),
+                                         (1, np_tr, b))[0]
             st_win = r3(ext(tr_s, hw))
             cot_win = r3(ext(jnp.concatenate([gp, gv, ga], axis=0), hw))
             scal = jnp.stack([dt32, t032 + sf * dt32, sf])
             gout, bars_s = bwd_call(scal, planes, balls, st_win, cot_win,
                                     inv_win)
             gout = gout.reshape(9, b)
-            return (gout[0:3], gout[3:6], gout[6:9],
-                    bars + bars_s.reshape(nb, b))
+            bars_s = bars_s.reshape(nb, b)
+            gp, gv, ga = gout[0:3], gout[3:6], gout[6:9]
+            if has_glue:
+                # the step's cf cotangent, routed through jax.vjp of the
+                # SAME per-shard glue at the traced linearization point;
+                # the glue's collectives transpose themselves (module
+                # docstring)
+                cfbar = bars_s[boffs["cf"]:boffs["cf"] + 3]
+                pos_s, vel_s = tr_s[0:3], tr_s[3:6]
+                t_i = t032 + sf * dt32
+                args = [pos_s, vel_s]
+                if shape.has_remainder:
+                    rest_s = jax.lax.dynamic_slice(
+                        rtrace, (s, 0), (1,) + rtrace.shape[1:])[0]
+                    args += [rest_s, sp_rep.k, sp_rep.damping,
+                             sp_rep.omega, sp_rep.rate]
+                if shape.has_magnets:
+                    args.append(mag4)
 
+                def glue_d(pos_c, vel_c, *va):
+                    a = list(va)
+                    rest_e, sp = None, sp_rep
+                    if shape.has_remainder:
+                        rest_e, k_e, damp_e, omega_e, rate_e = a[:5]
+                        a = a[5:]
+                        sp = dataclasses.replace(
+                            sp_rep, k=k_e, damping=damp_e, omega=omega_e,
+                            rate=rate_e)
+                    mag4_e = a[0] if shape.has_magnets else None
+                    # mag_src=None: gather the sources from mag4_e HERE
+                    # so their cotangents ride the all_gather transpose
+                    extra, new_rest = dist_glue_force(
+                        shape, axis, b, my0, plan, inp["fixed"],
+                        valid_loc, pos_c, vel_c, t_i, dt32, rest_e, sp,
+                        mag4_e, mag_src=None)
+                    if shape.has_remainder:
+                        return extra, new_rest
+                    return extra
+
+                _, vjp_fn = jax.vjp(glue_d, *args)
+                if shape.has_remainder:
+                    # seed the replicated rest-chain cotangent on shard 0
+                    # only: its transpose (the advance + rate terms) is
+                    # identical on every shard and the per-spring grads
+                    # are psum-reduced -- masking counts it exactly once
+                    grem0 = jnp.where(jax.lax.axis_index(axis) == 0,
+                                      gl["grem"],
+                                      jnp.zeros_like(gl["grem"]))
+                    cts = vjp_fn((cfbar, grem0))
+                else:
+                    cts = vjp_fn(cfbar)
+                gp = gp + cts[0]
+                gv = gv + cts[1]
+                if shape.has_remainder:
+                    # the chain feeds the next (earlier) step's seed, so
+                    # reduce it every step; the param partials reduce
+                    # once at segment end
+                    gl = dict(gl, grem=jax.lax.psum(cts[2], axis),
+                              remp=gl["remp"] + jnp.stack(cts[3:7]))
+                if shape.has_magnets:
+                    gl = dict(gl, mag=gl["mag"] + cts[-1])
+            return gp, gv, ga, bars + bars_s, gl
+
+        gl0 = {}
+        if shape.has_remainder:
+            gl0["grem"] = inp["grest"]
+            gl0["remp"] = jnp.zeros((4,) + inp["grest"].shape,
+                                    jnp.float32)
+        if shape.has_magnets:
+            gl0["mag"] = jnp.zeros((4, b), jnp.float32)
         init = (inp["gpos"], inp["gvel"], inp["gacc"],
-                jnp.zeros((nb, b), jnp.float32))
-        gp, gv, ga, bars = jax.lax.fori_loop(0, seg, bbody, init)
-        return gp, gv, ga, bars
+                jnp.zeros((nb, b), jnp.float32), gl0)
+        gp, gv, ga, bars, gl = jax.lax.fori_loop(0, seg, bbody, init)
+        outs = [gp, gv, ga, bars]
+        if shape.has_remainder:
+            outs += [gl["grem"], jax.lax.psum(gl["remp"], axis)]
+        if shape.has_magnets:
+            outs.append(gl["mag"])
+        return tuple(outs)
 
-    def bwd_run(state: SimState, gpos, gvel, gacc):
+    def bwd_run(state: SimState, gpos, gvel, gacc, grest=None):
         p = prep_flat_inputs(shape, state)
         st = _stage_flat(shape, state)
         padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
@@ -259,10 +397,42 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
         if p["lc_flat"] is not None:
             inp["lc"] = padf(p["lc_flat"])
             specs["lc"] = sh
+        out_specs = [sh, sh, sh, sh]
+        if shape.has_remainder:
+            # fold endpoint validity while the arrays are still global,
+            # exactly as the distributed forward chunk did -- the replay
+            # and the vjp linearize the same glue
+            springs = state.springs
+            if not shape.all_valid:
+                v = m.valid
+                springs = dataclasses.replace(
+                    springs,
+                    valid=(springs.valid & v[springs.left]
+                           & v[springs.right]))
+            inp["springs"] = springs
+            specs["springs"] = jax.tree_util.tree_map(lambda _: rep,
+                                                      springs)
+            inp["rem_rest"] = springs.rest
+            specs["rem_rest"] = rep
+            inp["grest"] = grest.astype(springs.rest.dtype)
+            specs["grest"] = rep
+            out_specs += [rep, rep]            # rest chain, param grads
+        if shape.has_magnets:
+            pad1 = lambda x: jnp.pad(x[None, :], ((0, 0), (0, pad_n)))
+            for name, arr in (("valid", pad1(m.valid)),
+                              ("mag_rad", pad1(m.mag_rad)),
+                              ("mag_stiffness", pad1(m.mag_stiffness)),
+                              ("mag_maxf", pad1(m.mag_maxf)),
+                              ("mag_scale", pad1(m.mag_scale))):
+                inp[name] = arr
+                specs[name] = sh
+            out_specs.append(sh)               # per-mass magnet grads
 
-        gp, gv, ga, bars = jax.shard_map(
+        res = jax.shard_map(
             body_fn, mesh=mesh, in_specs=(specs,),
-            out_specs=(sh, sh, sh, sh), check_vma=False)(inp)
+            out_specs=tuple(out_specs), check_vma=False)(inp)
+        gp, gv, ga, bars = res[:4]
+        rest_res = res[4:]
 
         def bar(name, count):
             o = boffs[name]
@@ -280,6 +450,13 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
             g["aratedt"] = bar("aratedt", nf)
         if shape.has_drag:
             g["drag"] = bar("drag", 1)[0]
+        if shape.has_remainder:
+            g["rest_chain"] = rest_res[0]
+            remp = rest_res[1]
+            g["k_e"], g["damp_e"], g["omega_e"], g["rate_e"] = remp
+            rest_res = rest_res[2:]
+        if shape.has_magnets:
+            g["mag"] = rest_res[0][:, :n]
         return g
 
     @jax.custom_vjp
@@ -290,7 +467,9 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
         return seg_fn(state), state
 
     def seg_bwd(s0, ct):
-        g = bwd_run(s0, ct.masses.pos, ct.masses.vel, ct.masses.acc)
+        g = bwd_run(s0, ct.masses.pos, ct.masses.vel, ct.masses.acc,
+                    grest=(ct.springs.rest if shape.has_remainder
+                           else None))
         return assemble_ct(shape, seg, s0, ct, g)
 
     seg_fn.defvjp(seg_fwd, seg_bwd)
@@ -302,9 +481,10 @@ def halo_adjoint_rollout(shape: SceneShape, state: SimState, mesh: Mesh,
                          axis: str = "shard") -> SimState:
     """Differentiable distributed rollout: the forward is the
     distributed tiled chunk (parallel/halo_tiled.py); the backward runs
-    the tiled backward kernel per shard with ppermuted halo windows
-    (module docstring).  Trace memory is segment * 6 * block * 4 bytes
-    PER DEVICE."""
+    the tiled backward kernel per shard with ppermuted halo windows,
+    routing magnet/remainder glue cotangents through jax.vjp of the
+    per-shard glue (module docstring).  Trace memory is
+    segment * 6 * block * 4 bytes PER DEVICE (9 planes with glue)."""
     n_dev = mesh.shape[axis]
     r = halo_adjoint_reject_reason(shape, n_dev)
     if r is not None:
@@ -314,7 +494,7 @@ def halo_adjoint_rollout(shape: SceneShape, state: SimState, mesh: Mesh,
         raise ValueError(f"n_steps must be >= 1, got {n_steps}")
     if segment is None:
         _, _, b, _, _ = _geom_dist(shape, n_dev)
-        cap = max(1, int(1.5e9 // (24 * b)))
+        cap = max(1, int(1.5e9 // (4 * _tr_planes(shape) * b)))
         segment = next(s for s in range(min(n_steps, 64, cap), 0, -1)
                        if n_steps % s == 0)
     seg = segment

@@ -109,6 +109,75 @@ def halo_tiled_supported(shape: SceneShape, n_devices: int) -> bool:
     return halo_tiled_reject_reason(shape, n_devices) is None
 
 
+def magnet_recv_plan(shape: SceneShape, b: int, valid_loc, maxf_loc):
+    """Chunk-constant receiver selection for the magnet glue on one
+    shard: (ridx_loc, recv_mask).  Compacted attractors when
+    ``SceneShape.magnet_receivers`` is set (exact: rad == 0 scene-wide,
+    receivers are statically {valid & maxf != 0}; capacity = the global
+    flagged count, since a single block can hold at most all of them),
+    else the whole block.  Integer/bool only -- no gradient flows through
+    the selection, so the distributed adjoint (parallel/halo_adjoint.py)
+    reuses the same plan as a non-differentiable constant."""
+    compact = shape.magnet_receivers
+    if compact:
+        flag_loc = valid_loc & (maxf_loc != 0.0)
+        r_cap = min(compact, b)
+        _, ridx_loc = jax.lax.top_k(flag_loc.astype(jnp.int32), r_cap)
+        ridx_loc = ridx_loc.astype(jnp.int32)
+        return ridx_loc, flag_loc[ridx_loc]
+    return jnp.arange(b, dtype=jnp.int32), valid_loc
+
+
+def dist_glue_force(shape: SceneShape, axis: str, b: int, my0, plan,
+                    fixed1, valid_loc, pos_c, vel_c, t_i, dt32, rem_rest,
+                    springs, mag4, mag_src=None):
+    """The per-step magnet/remainder glue force for one shard, with every
+    force-relevant input an EXPLICIT argument: the forward chunk closes
+    over the chunk's fixed values, and the distributed adjoint
+    (parallel/halo_adjoint.py) takes ``jax.vjp`` of this exact function so
+    the collective transposes (all_gather -> psum_scatter) route
+    cross-shard cotangents onto pos/vel and the glue parameters.
+
+    ``plan`` = (ridx_loc, recv_mask) from :func:`magnet_recv_plan` (None
+    unless magnets); ``mag4`` = stacked local [4, b] planes (rad,
+    stiffness, maxf, scale); ``mag_src`` = the chunk-hoisted
+    (rad_all, scale_all, valid_all) gather, or None to gather from
+    ``mag4`` here (the adjoint needs the all_gather INSIDE so
+    source-parameter cotangents ride its transpose -- values identical
+    either way, the fields are chunk-constant).  Returns
+    (extra [3, b] unblocked, new_rem_rest)."""
+    from .halo import binned_magnet_block_forces, gathered_remainder_forces
+    extra = jnp.zeros((3, b), pos_c.dtype)
+    pos_all = jax.lax.all_gather(pos_c, axis, axis=1, tiled=True)
+    if shape.has_remainder:
+        vel_all = (jax.lax.all_gather(vel_c, axis, axis=1, tiled=True)
+                   if shape.has_damping else None)
+        f_rem, rem_rest = gathered_remainder_forces(
+            springs, pos_all, vel_all, rem_rest, t_i, dt32,
+            my0, b, shape.has_breathing, shape.has_damping)
+        # spring forces never land on fixed masses (the same mask
+        # the XLA step's scatter applies, sim.cu:1187-1193)
+        extra = extra + jnp.where(fixed1 > 0.5, 0.0, f_rem)
+    if shape.has_magnets:
+        ridx_loc, recv_mask = plan
+        if mag_src is None:
+            mag_src = tuple(
+                jax.lax.all_gather(x, axis, axis=0, tiled=True)
+                for x in (mag4[0], mag4[3], valid_loc))
+        rid = my0 + ridx_loc
+        f_mag = binned_magnet_block_forces(
+            shape, pos_all, mag_src, pos_c[:, ridx_loc],
+            valid_loc[ridx_loc], mag4[0][ridx_loc], mag4[1][ridx_loc],
+            mag4[2][ridx_loc], rid)
+        # fixed masses receive nothing (sim.cu:1292-1298); top_k
+        # padding picks unflagged rows -- masked like the
+        # single-device compact path
+        fixed_r = fixed1[0][ridx_loc] > 0.5
+        f_mag = jnp.where(recv_mask & ~fixed_r, f_mag, 0.0)
+        extra = extra.at[:, ridx_loc].add(f_mag)
+    return extra, rem_rest
+
+
 def build_halo_tiled_chunk(shape: SceneShape, mesh: Mesh,
                            axis: str = "shard"):
     """Jitted chunk(state, n_steps) stepping the scene with one tiled
@@ -132,7 +201,6 @@ def build_halo_tiled_chunk(shape: SceneShape, mesh: Mesh,
     to_next = [(i, (i + 1) % n_dev) for i in range(n_dev)]  # recv from prev
 
     has_glue = shape.has_remainder or shape.has_magnets
-    compact = shape.magnet_receivers
 
     def body_fn(inp):
         """Per-device: window the halo'd block and fori the kernel."""
@@ -162,59 +230,25 @@ def build_halo_tiled_chunk(shape: SceneShape, mesh: Mesh,
         # force input becomes per-pass), D-way parallel via the halo.py
         # helpers: gathered-replicated remainder eval with dropping
         # scatters, replicated bin build with local receivers for magnets
+        # (shared with the distributed adjoint: dist_glue_force above)
         my0 = jax.lax.axis_index(axis) * b
+        plan = valid_loc = mag4 = mag_src = None
         if shape.has_magnets:
             valid_loc = inp["valid"][0]                    # [b] bool
+            mag4 = jnp.stack([inp["mag_rad"][0], inp["mag_stiffness"][0],
+                              inp["mag_maxf"][0], inp["mag_scale"][0]])
+            # chunk-constant source gather + receiver plan, hoisted out
+            # of the step loop
             mag_src = tuple(
                 jax.lax.all_gather(x, axis, axis=0, tiled=True)
-                for x in (inp["mag_rad"][0], inp["mag_scale"][0],
-                          valid_loc))
-            if compact:
-                # per-device attractor compaction (exact: rad == 0
-                # scene-wide, SceneShape.magnet_receivers): receivers are
-                # this block's flagged masses, capacity = the global
-                # padded count (a single block can hold at most all of
-                # them); chunk-constant, hoisted out of the step loop
-                flag_loc = valid_loc & (inp["mag_maxf"][0] != 0.0)
-                r_cap = min(compact, b)
-                _, ridx_loc = jax.lax.top_k(flag_loc.astype(jnp.int32),
-                                            r_cap)
-                ridx_loc = ridx_loc.astype(jnp.int32)
-                recv_mask = flag_loc[ridx_loc]
-            else:
-                ridx_loc = jnp.arange(b, dtype=jnp.int32)
-                recv_mask = valid_loc
-            rid = my0 + ridx_loc
-            rad_r = inp["mag_rad"][0][ridx_loc]
-            stiff_r = inp["mag_stiffness"][0][ridx_loc]
-            maxf_r = inp["mag_maxf"][0][ridx_loc]
-            valid_r = valid_loc[ridx_loc]
-            fixed_r = inp["fixed"][0][ridx_loc] > 0.5
+                for x in (mag4[0], mag4[3], valid_loc))
+            plan = magnet_recv_plan(shape, b, valid_loc, mag4[2])
 
         def glue(pos_c, vel_c, t_i, rem_rest):
-            from .halo import (binned_magnet_block_forces,
-                               gathered_remainder_forces)
-            extra = jnp.zeros((3, b), pos_c.dtype)
-            pos_all = jax.lax.all_gather(pos_c, axis, axis=1, tiled=True)
-            if shape.has_remainder:
-                vel_all = (jax.lax.all_gather(vel_c, axis, axis=1,
-                                              tiled=True)
-                           if shape.has_damping else None)
-                f_rem, rem_rest = gathered_remainder_forces(
-                    inp["springs"], pos_all, vel_all, rem_rest, t_i, dt32,
-                    my0, b, shape.has_breathing, shape.has_damping)
-                # spring forces never land on fixed masses (the same mask
-                # the XLA step's scatter applies, sim.cu:1187-1193)
-                extra = extra + jnp.where(inp["fixed"] > 0.5, 0.0, f_rem)
-            if shape.has_magnets:
-                f_mag = binned_magnet_block_forces(
-                    shape, pos_all, mag_src, pos_c[:, ridx_loc], valid_r,
-                    rad_r, stiff_r, maxf_r, rid)
-                # fixed masses receive nothing (sim.cu:1292-1298); top_k
-                # padding picks unflagged rows -- masked like the
-                # single-device compact path
-                f_mag = jnp.where(recv_mask & ~fixed_r, f_mag, 0.0)
-                extra = extra.at[:, ridx_loc].add(f_mag)
+            extra, rem_rest = dist_glue_force(
+                shape, axis, b, my0, plan, inp["fixed"], valid_loc,
+                pos_c, vel_c, t_i, dt32, rem_rest, inp.get("springs"),
+                mag4, mag_src)
             return r3(extra), rem_rest
 
         def call_args(scal, pos_c, vel_c, acc_c=None, extra3=None,
