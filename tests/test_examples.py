@@ -85,6 +85,14 @@ def test_gait_gradient_opt(capsys, monkeypatch):
     assert "travel over 20 steps" in out and "optimized" in out
 
 
+def test_system_id(capsys):
+    # CPU smoke mode is baked into the example (tiny beam, interpret
+    # kernels, 3 adam iterations); the loss-drop assert is in-script
+    _run("system_id.py")
+    out = capsys.readouterr().out
+    assert "system id: loss" in out and "stiffness error" in out
+
+
 def test_train_backprop_policy(capsys, monkeypatch):
     # tiny config: 2 envs, 2 segments x 10 steps, 1 adam iteration
     monkeypatch.setenv("SHAC_ENVS", "2")
