@@ -367,6 +367,13 @@ def build_tiled_trace(shape: SceneShape, seg: int):
         if shape.has_magnets and shape.magnet_receivers:
             from .magnets import magnet_receiver_idx
             magnet_ridx = magnet_receiver_idx(m, shape.magnet_receivers)
+        sp_glue = None
+        if shape.has_remainder:
+            sp_glue = state.springs
+            if not shape.all_valid:
+                sp_glue = dataclasses.replace(
+                    sp_glue, valid=(sp_glue.valid & m.valid[sp_glue.left]
+                                    & m.valid[sp_glue.right]))
 
         def glue_cf_flat(pos_c, vel_c, t_i, rem_rest):
             # mirror of build_tiled_chunk.glue_cf (pallas_tiled.py) --
@@ -374,16 +381,17 @@ def build_tiled_trace(shape: SceneShape, seg: int):
             # returning the UNBLOCKED [3, n_t] total cf for the trace
             from . import forces as F
             from .step import magnet_pass
-            mm = dataclasses.replace(m, pos=pos_c[:, :n], vel=vel_c[:, :n])
             extra = jnp.zeros_like(p["const_flat"])
             if shape.has_remainder:
-                sp = dataclasses.replace(state.springs, rest=rem_rest)
-                f_sp, rem_rest = F.spring_forces(
-                    mm, sp, t_i, state.dt, shape.has_breathing)
-                extra = extra + F.scatter_spring_forces(
-                    f_sp, state.topo, m.fixed, shape.n_masses,
-                    shape.config.scatter)
+                f_rem, rem_rest = F.compact_remainder_forces(
+                    sp_glue, pos_c[:, :n],
+                    vel_c[:, :n] if shape.has_damping else None,
+                    rem_rest, t_i, state.dt, 0, n,
+                    shape.has_breathing, shape.has_damping)
+                extra = extra + jnp.where(m.fixed, 0.0, f_rem)
             if shape.has_magnets:
+                mm = dataclasses.replace(m, pos=pos_c[:, :n],
+                                         vel=vel_c[:, :n])
                 extra = extra + jnp.where(m.fixed, 0.0,
                                           magnet_pass(mm, shape,
                                                       magnet_ridx))
@@ -663,6 +671,11 @@ def build_tiled_bwd(shape: SceneShape, seg: int):
                 from .magnets import magnet_receiver_idx
                 magnet_ridx = magnet_receiver_idx(m0,
                                                   shape.magnet_receivers)
+            sp_glue = sp0
+            if shape.has_remainder and not shape.all_valid:
+                sp_glue = dataclasses.replace(
+                    sp_glue, valid=(sp_glue.valid & m0.valid[sp_glue.left]
+                                    & m0.valid[sp_glue.right]))
 
             def glue(t_i, pos_n, vel_n, *va):
                 # mirror of build_tiled_chunk.glue_cf minus the constant
@@ -670,25 +683,26 @@ def build_tiled_bwd(shape: SceneShape, seg: int):
                 # itself, already accumulated for assemble_ct), with the
                 # differentiated params as explicit arguments
                 a = list(va)
-                mm = dataclasses.replace(m0, pos=pos_n, vel=vel_n)
                 extra = jnp.zeros((3, n), jnp.float32)
                 new_rest = None
                 if shape.has_remainder:
                     rest_e, k_e, damp_e, omega_e, rate_e = a[:5]
                     a = a[5:]
                     sp = dataclasses.replace(
-                        sp0, rest=rest_e, k=k_e, damping=damp_e,
+                        sp_glue, k=k_e, damping=damp_e,
                         omega=omega_e, rate=rate_e)
-                    f_sp, new_rest = F.spring_forces(
-                        mm, sp, t_i, state.dt, shape.has_breathing)
-                    extra = extra + F.scatter_spring_forces(
-                        f_sp, state.topo, m0.fixed, shape.n_masses,
-                        shape.config.scatter)
+                    f_rem, new_rest = F.compact_remainder_forces(
+                        sp, pos_n,
+                        vel_n if shape.has_damping else None,
+                        rest_e, t_i, state.dt, 0, n,
+                        shape.has_breathing, shape.has_damping)
+                    extra = extra + jnp.where(m0.fixed, 0.0, f_rem)
                 if shape.has_magnets:
                     (mag4,) = a
                     mm2 = dataclasses.replace(
-                        mm, mag_rad=mag4[0], mag_stiffness=mag4[1],
-                        mag_maxf=mag4[2], mag_scale=mag4[3])
+                        m0, pos=pos_n, vel=vel_n, mag_rad=mag4[0],
+                        mag_stiffness=mag4[1], mag_maxf=mag4[2],
+                        mag_scale=mag4[3])
                     extra = extra + jnp.where(
                         m0.fixed, 0.0,
                         magnet_pass(mm2, xshape, magnet_ridx))
@@ -819,7 +833,8 @@ def tiled_adjoint_rollout(shape: SceneShape, state: SimState, n_steps: int,
         raise ValueError(f"n_steps must be >= 1, got {n_steps}")
     if segment is None:
         _, hw, _, _, _, n_t = _geom(shape)
-        cap = max(1, int(1.5e9 // (24 * (n_t + 2 * hw))))
+        cap = max(1, int(1.5e9 // (4 * _tr_planes(shape)
+                                   * (n_t + 2 * hw))))
         segment = next(s for s in range(min(n_steps, 64, cap), 0, -1)
                        if n_steps % s == 0)
     seg = segment

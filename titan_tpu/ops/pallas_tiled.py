@@ -851,26 +851,42 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
             # per-step glue
             from .magnets import magnet_receiver_idx
             magnet_ridx = magnet_receiver_idx(m, shape.magnet_receivers)
+        sp_glue = None
+        if shape.has_remainder:
+            # endpoint validity folded once per chunk (it only changes at
+            # re-marshal boundaries); it gates the force AND the actuated
+            # advance, matching spring_forces' pair_valid (sim.cu:1163)
+            sp_glue = state.springs
+            if not shape.all_valid:
+                sp_glue = dataclasses.replace(
+                    sp_glue, valid=(sp_glue.valid & m.valid[sp_glue.left]
+                                    & m.valid[sp_glue.right]))
 
         def glue_cf(pos_c, vel_c, t_i, rem_rest):
-            # per-step magnet/remainder glue (module docstring): the same
-            # XLA/Pallas code the step path runs, entering the kernel
-            # through its constant-force input.  RK2 evaluates it once per
-            # force pass -- at (pos, vel, t) then (pos_h, vel_h, t + dt/2)
-            # -- advancing the remainder rest each pass, exactly like
-            # ops/step.py's RK2 branch re-stamps rests between passes.
+            # per-step magnet/remainder glue (module docstring), entering
+            # the kernel through its constant-force input.  RK2 evaluates
+            # it once per force pass -- at (pos, vel, t) then (pos_h,
+            # vel_h, t + dt/2) -- advancing the remainder rest each pass,
+            # exactly like ops/step.py's RK2 branch re-stamps rests
+            # between passes.  Remainder springs use the O(S) compact
+            # evaluator rather than the step path's O(N*D) incidence
+            # scatter: glue scenes have S (cross links) << N (a measured
+            # 6.7x on the tiled glue adjoint, docs/PERFORMANCE.md)
             from . import forces as F
             from .step import magnet_pass
-            mm = dataclasses.replace(m, pos=pos_c[:, :n], vel=vel_c[:, :n])
             extra = jnp.zeros_like(const_flat)
             if shape.has_remainder:
-                sp = dataclasses.replace(state.springs, rest=rem_rest)
-                f_sp, rem_rest = F.spring_forces(
-                    mm, sp, t_i, state.dt, shape.has_breathing)
-                extra = extra + F.scatter_spring_forces(
-                    f_sp, state.topo, m.fixed, shape.n_masses,
-                    shape.config.scatter)
+                f_rem, rem_rest = F.compact_remainder_forces(
+                    sp_glue, pos_c[:, :n],
+                    vel_c[:, :n] if shape.has_damping else None,
+                    rem_rest, t_i, state.dt, 0, n,
+                    shape.has_breathing, shape.has_damping)
+                # spring forces never land on fixed masses
+                # (sim.cu:1187-1193)
+                extra = extra + jnp.where(m.fixed, 0.0, f_rem)
             if shape.has_magnets:
+                mm = dataclasses.replace(m, pos=pos_c[:, :n],
+                                         vel=vel_c[:, :n])
                 # fixed masses stay field sources but receive nothing
                 # (sim.cu:1292-1298), matching ops.step._mass_forces
                 extra = extra + jnp.where(m.fixed, 0.0,
