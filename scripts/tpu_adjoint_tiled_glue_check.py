@@ -200,6 +200,9 @@ def main():
     check("magnet", build(magnets=True))
     check("both_verlet", build(cross=64, magnets=True,
                                integrator="verlet"))
+    # RK2 glue: the SPLIT backward (pass-2 kernel -> midpoint glue vjp
+    # -> pass-1 kernel, ops/adjoint_tiled.py)
+    check("both_rk2", build(cross=64, magnets=True, integrator="rk2"))
     timing()
     print("TILED glue adjoint hardware check OK", flush=True)
 

@@ -159,6 +159,15 @@ VARIANTS = {
     "glue_everything": dict(cross=True, magnets=True, damping=12.0,
                             friction=True, drag=0.2, fixed=True,
                             deleted=True),
+    # RK2 glue: the SPLIT backward (pass-2 kernel -> midpoint glue vjp
+    # -> pass-1 kernel)
+    "rk2_remainder_glue": dict(cross=True, cross_actuated=True,
+                               integrator="rk2", damping=12.0),
+    "rk2_magnet_glue": dict(magnets=True, integrator="rk2",
+                            damping=12.0),
+    "rk2_glue_everything": dict(cross=True, magnets=True,
+                                integrator="rk2", damping=12.0,
+                                friction=True, drag=0.2),
 }
 
 
@@ -295,6 +304,35 @@ def test_trace_replay_glue_is_bitwise_primal(monkeypatch):
         s = chunk(s, 1)
 
 
+def test_trace_replay_rk2_glue_is_bitwise_primal(monkeypatch):
+    """RK2 glue: the 12-plane trace (pos, vel, cf_a, cf_b) and the
+    2-row rest trace (rest_in, rest_mid) replay the primal bitwise."""
+    _interpret(monkeypatch)
+    sim = _scene(cross=True, cross_actuated=True, magnets=True,
+                 integrator="rk2", damping=12.0)
+    shape, state = sim._shape, sim._state
+    seg = 2
+    trace, rtrace = adjoint_tiled.build_tiled_trace(shape, seg)(state)
+    _, hw, _, _, _, n_t = adjoint_tiled._geom(shape)
+    n = shape.n_masses
+    assert trace.shape[1] == 12 and rtrace.shape[1] == 2
+    chunk = pallas_tiled.build_tiled_chunk(shape)
+    s = state
+    for i in range(seg):
+        flat = np.asarray(trace[i]).reshape(12, n_t + 2 * hw)
+        got = flat[:, hw:hw + n]
+        np.testing.assert_array_equal(got[0:3],
+                                      np.asarray(s.masses.pos)[:, :n])
+        np.testing.assert_array_equal(got[3:6],
+                                      np.asarray(s.masses.vel)[:, :n])
+        # rest_in is the step's input rest; the per-pass cf planes and
+        # rest_mid are pinned transitively by the gradient suite (any
+        # drift fails the vs-XLA pins)
+        np.testing.assert_array_equal(np.asarray(rtrace[i, 0]),
+                                      np.asarray(s.springs.rest))
+        s = chunk(s, 1)
+
+
 def test_reject_reasons():
     sim = _scene(nx=40)
     shape = sim._shape
@@ -305,10 +343,15 @@ def test_reject_reasons():
     st.mag_stiffness[0] = 100.0
     sim._marshal()
     assert adjoint_tiled.tiled_adjoint_supported(sim._shape)
-    # RK2 re-evaluates the glue at the kernel-interior midpoint: rejected
+    # RK2 glue scenes run the SPLIT backward (pass-2 kernel -> midpoint
+    # glue vjp -> pass-1 kernel): in the envelope, with 2h windows
     sim_rk2 = _scene(nx=40, magnets=True, integrator="rk2")
-    r = adjoint_tiled.tiled_adjoint_reject_reason(sim_rk2._shape)
-    assert r is not None and "RK2" in r and "glue" in r
+    assert adjoint_tiled.tiled_adjoint_supported(sim_rk2._shape)
+    assert adjoint_tiled._halo_mult(sim_rk2._shape) == 2
+    assert adjoint_tiled._tr_planes(sim_rk2._shape) == 12
+    # fused (non-glue) RK2 keeps the 4h window
+    sim_rk2_plain = _scene(nx=40, integrator="rk2")
+    assert adjoint_tiled._halo_mult(sim_rk2_plain._shape) == 4
 
 
 def test_grad_rollout_routes_tiled(monkeypatch, caplog):

@@ -348,9 +348,12 @@ def test_halo_adjoint_glue_matches_xla(variant, monkeypatch):
 
 
 def test_glue_rk2_rejected(monkeypatch):
-    """RK2 re-evaluates the glue at the kernel-interior midpoint --
-    rejected, same as the single-device tiled adjoint."""
+    """RK2 glue scenes run the single-device tiled adjoint's SPLIT
+    backward (ops/adjoint_tiled.py); the distributed form is not built,
+    so the distributed envelope rejects them with a reason naming it."""
     _interpret(monkeypatch)
     sim = _glue_scene(magnets=True, integrator="rk2")
     r = halo_adjoint.halo_adjoint_reject_reason(sim._shape, 2)
     assert r is not None and "RK2" in r and "glue" in r
+    from titan_tpu.ops import adjoint_tiled
+    assert adjoint_tiled.tiled_adjoint_supported(sim._shape)

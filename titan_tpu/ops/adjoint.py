@@ -529,6 +529,71 @@ def _bars_accumulate(dst, src):
             dst[key] = dst[key] + v
 
 
+def backward_rk2_pass2(pos, vel, gpos2, gvel2, gacc2, P1, P2, rg, rs,
+                       t_now=None, s_idx=0.0):
+    """Pass-2 half of the RK2 transpose, split at the midpoint.
+
+    Identical math to backward_step's RK2 branch up to (and including)
+    the pass-2 force transpose, but it STOPS there and returns the raw
+    midpoint cotangents plus the recomputed midpoint primal -- the
+    caller may inject additional midpoint cotangent (the tiled glue
+    adjoint adds jax.vjp of the per-pass glue evaluated at (pos_h,
+    vel_h)) before finishing with backward_rk2_pass1.  ``P1``/``P2``
+    differ only in ``cf`` (per-pass glue constant force); composing the
+    two halves with P1 == P2 and no injection reproduces backward_step
+    exactly (test-pinned).
+
+    Returns (pos_h, vel_h, gpos_h, gv_h, bars2); bars2 carries pass-2's
+    cf bar (the glue-b cotangent) and minv part."""
+    nf = 1.0 - P1["fixed"]
+    fx = P1["fixed"]
+    dt = P1["dt"]
+    c1, c2 = _cidx(P1, s_idx, 1.0), _cidx(P1, s_idx, 2.0)
+    f1, vel1, _st1 = _force(pos, vel, P1, rg, rs, t_now,
+                            keep_stages=True, cidx=c1)
+    acc1 = f1 * P1["minv"]
+    pos_h = (pos + 0.5 * vel1 * dt) * nf + pos * fx
+    vel_h = (vel1 + 0.5 * acc1 * dt) * nf + vel1 * fx
+    t_h = None if t_now is None else t_now + 0.5 * dt
+    f2, _vel2, st2 = _force(pos_h, vel_h, P2, rg, rs, t_h,
+                            keep_stages=True, cidx=c2)
+    gvel2ct = gpos2 * (dt * nf)
+    gacc = gacc2 * nf + gvel2 * (dt * nf)
+    gf2 = gacc * P2["minv"]
+    minv_bar = jnp.sum(gacc * f2, axis=0, keepdims=True)
+    gpos_h, gv_h, bars = _force_transpose(pos_h, vel_h, gf2, gvel2ct,
+                                          P2, rg, rs, t_h, st2, cidx=c2)
+    bars["minv"] = minv_bar
+    return pos_h, vel_h, gpos_h, gv_h, bars
+
+
+def backward_rk2_pass1(pos, vel, gph, gvh, gvel2, P1, rg, rs,
+                       t_now=None, s_idx=0.0):
+    """Pass-1 half of the split RK2 transpose: ``gph``/``gvh`` are the
+    (possibly glue-augmented) midpoint cotangents from
+    backward_rk2_pass2, ``gvel2`` the step-output vel cotangent (its
+    nf part feeds the pass-1 mutated vel1).  Returns (gp_c, gv_c,
+    bars1) -- the caller finishes with
+
+        gpos  = gpos2 + gph + gp_c   (+ the glue-a pos cotangent)
+        gvel  = gvel2 * fx + gv_c    (+ the glue-a vel cotangent)
+        gacc  = gacc2 * fx
+    """
+    nf = 1.0 - P1["fixed"]
+    dt = P1["dt"]
+    c1 = _cidx(P1, s_idx, 1.0)
+    f1, _vel1, st1 = _force(pos, vel, P1, rg, rs, t_now,
+                            keep_stages=True, cidx=c1)
+    gvel1 = gvel2 * nf + gvh + gph * (0.5 * dt * nf)
+    gacc1 = gvh * (0.5 * dt * nf)
+    gf1 = gacc1 * P1["minv"]
+    minv_bar = jnp.sum(gacc1 * f1, axis=0, keepdims=True)
+    gp_c, gv_c, bars = _force_transpose(pos, vel, gf1, gvel1, P1, rg,
+                                        rs, t_now, st1, cidx=c1)
+    bars["minv"] = minv_bar
+    return gp_c, gv_c, bars
+
+
 def backward_step(pos, vel, gpos2, gvel2, gacc2, P, rg, rs, t_now=None,
                   s_idx=0.0):
     """Transpose of forward_step at primal (pos, vel): given cotangents of

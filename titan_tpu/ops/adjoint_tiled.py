@@ -51,18 +51,22 @@ field, which each tile zeroes outside its window -- every
 blocked bar outputs accumulate to the exact total across tiles; the
 XLA-side fori accumulates them across steps.
 
-Envelope (``tiled_adjoint_reject_reason``): the tiled forward envelope
-(ops/pallas_tiled.tiled_reject_reason) minus RK2 glue scenes.
+Envelope (``tiled_adjoint_reject_reason``): the FULL tiled forward
+envelope (ops/pallas_tiled.tiled_reject_reason).
 Magnet / remainder forces run as per-step XLA glue through the kernel's
-constant-force input (pallas_tiled module docstring); under Euler/Verlet
-the adjoint traces each step's TOTAL cf, the backward tile kernel emits
-that step's cf cotangent, and an XLA-side jax.vjp of the SAME glue
-routes it onto pos/vel and the glue params (per-spring k/rest/damping/
-omega/rate on state.springs; per-mass mag_rad/stiffness/maxf/scale) --
-see build_tiled_bwd.  RK2 re-evaluates the glue at the kernel-interior
-midpoint state, which the backward kernel exposes no injection point
-for, so RK2 glue scenes stay on diff.fast_rollout.  Differentiable
-inputs and exclusions otherwise match ops/adjoint.py (the math IS
+constant-force input (pallas_tiled module docstring); the adjoint
+traces each step's TOTAL cf, the backward tile kernel emits that step's
+cf cotangent, and an XLA-side jax.vjp of the SAME glue routes it onto
+pos/vel and the glue params (per-spring k/rest/damping/omega/rate on
+state.springs; per-mass mag_rad/stiffness/maxf/scale) -- see
+build_tiled_bwd.  RK2 re-evaluates the glue at the midpoint state,
+which lives inside the fused kernel's half-steps, so RK2 glue scenes
+run a SPLIT backward: per step, a pass-2 tile kernel transposes the
+second force pass and emits the recomputed midpoint primal plus its raw
+cotangents, the midpoint glue vjp runs XLA-side, and a pass-1 tile
+kernel finishes (backward_rk2_pass2/pass1 in ops/adjoint.py; each half
+needs only a 2h window, vs the fused RK2's 4h).  Differentiable inputs
+and exclusions otherwise match ops/adjoint.py (the math IS
 ops/adjoint.backward_step, applied per window).
 
 Reference: the physics is computeSpringForces + massForcesAndUpdate
@@ -91,10 +95,6 @@ from .pallas_tiled import (_round_up, make_tiled_call, prep_flat_inputs,
 _BWD_VMEM_BUDGET = 64 * 1024 * 1024
 
 
-def _halo_mult(shape: SceneShape) -> int:
-    return 4 if shape.config.integrator is Integrator.RK2 else 2
-
-
 def _has_glue(shape: SceneShape) -> bool:
     """Magnet / remainder-spring forces run as per-step XLA glue through
     the tiled kernel's constant-force input (pallas_tiled module
@@ -103,11 +103,30 @@ def _has_glue(shape: SceneShape) -> bool:
     return shape.has_remainder or shape.has_magnets
 
 
+def _rk2_glue(shape: SceneShape) -> bool:
+    return _has_glue(shape) and shape.config.integrator is Integrator.RK2
+
+
+def _halo_mult(shape: SceneShape) -> int:
+    """Backward window halo depth in units of h.  Fused RK2 composes
+    both force transposes around an in-kernel midpoint recompute: 4h.
+    RK2 GLUE scenes run the SPLIT backward (two kernels per step with
+    the midpoint glue vjp between them, see build_tiled_bwd), where each
+    half needs only its own transpose depth: 2h, like Euler/Verlet."""
+    if shape.config.integrator is Integrator.RK2 and not _has_glue(shape):
+        return 4
+    return 2
+
+
 def _tr_planes(shape: SceneShape) -> int:
     """Traced planes per step: (pos, vel) -- plus the step's total
     constant-force input when the scene has glue (the backward recomputes
     the primal's friction/contact selects from the TOTAL force, and the
-    per-step cf cotangent feeds the glue transpose)."""
+    per-step cf cotangent feeds the glue transpose); RK2 glue scenes
+    trace BOTH per-pass cf inputs (cf_a at the step state, cf_b at the
+    midpoint)."""
+    if _rk2_glue(shape):
+        return 12
     return 9 if _has_glue(shape) else 6
 
 
@@ -176,7 +195,8 @@ def _bwd_vmem_est(shape: SceneShape, t: int, hw: int) -> int:
     _, nb = _bar_plan(shape)
     wr = (t + 2 * hw) // 128
     win = 2 * 4 * wr * 128 * (_tr_planes(shape) + 9 + ni)  # dbl-buf windows
-    blk = 2 * 4 * (t // 128) * 128 * (9 + nb)  # blocked outputs
+    gout = 12 if _rk2_glue(shape) else 9       # rk2b emits midpoint too
+    blk = 2 * 4 * (t // 128) * 128 * (gout + nb)  # blocked outputs
     tmp = 4 * wr * 128 * 48                    # transpose temporaries
     return win + blk + tmp
 
@@ -214,14 +234,6 @@ def tiled_adjoint_reject_reason(shape: SceneShape):
     r = tiled_reject_reason(shape)
     if r is not None:
         return r
-    if _has_glue(shape) and shape.config.integrator is Integrator.RK2:
-        # RK2 evaluates the glue a second time at the midpoint state,
-        # which lives INSIDE the kernel's fused half-steps: routing its
-        # pos/vel cotangent back would need an extra mid-chain injection
-        # point the backward kernel doesn't expose.  Euler/Verlet glue
-        # scenes are supported (traced-cf transpose below).
-        return ("RK2 re-evaluates the magnet/remainder glue at the "
-                "kernel-interior midpoint state (no tiled transpose)")
     if not shape.config.persistent_extern_force:
         return "strict per-step extern_force mode"
     h, hw, t_fwd, t_bwd, n_tiles, n_t = _geom(shape)
@@ -296,7 +308,8 @@ def _stage_flat(shape: SceneShape, state: SimState):
                                 for x in parts], axis=0)
     assert inv_flat.shape[0] == ni, (inv_flat.shape, ni)
     return dict(inv_flat=inv_flat, planes=p["planes"], balls=p["balls"],
-                pair_ok=pair_ok, offs=offs, ni=ni, move=p["move"])
+                pair_ok=pair_ok, offs=offs, ni=ni, move=p["move"],
+                fixed_flat=p["fixed_flat"])
 
 
 def _stage(shape: SceneShape, state: SimState, hw: int, n_t: int):
@@ -332,7 +345,6 @@ def build_tiled_trace(shape: SceneShape, seg: int):
     twr = (n_t + 2 * hw) // 128
     has_glue = _has_glue(shape)
     np_tr = _tr_planes(shape)
-    assert not (has_glue and rk2)   # rejected upstream
 
     if rk2:
         call_a = make_tiled_call(shape, t_fwd, h, n_tiles, "rk2a")
@@ -427,40 +439,60 @@ def build_tiled_trace(shape: SceneShape, seg: int):
             pos, vel, acc, rem_rest, trace, rtrace = carry
             i32 = i.astype(jnp.float32)
             cf = None
+            rest_in = rem_rest
             if has_glue:
-                if shape.has_remainder:
-                    # record the step's rest INPUT (before the glue's
-                    # actuation advance) -- the backward transposes the
-                    # glue at exactly this linearization point
-                    rtrace = jax.lax.dynamic_update_slice(
-                        rtrace, rem_rest[None], (i, 0))
+                # the backward transposes each glue pass at its rest
+                # INPUT (before that pass's actuation advance)
                 t_i = state.t + i.astype(state.t.dtype) * state.dt
-                cf_flat, rem_rest = glue_cf_flat(pos, vel, t_i, rem_rest)
-                cf = r3(cf_flat)
-                planes_i = jnp.concatenate([pos, vel, cf_flat], axis=0)
-            else:
-                planes_i = jnp.concatenate([pos, vel], axis=0)
-            trace = jax.lax.dynamic_update_slice(
-                trace, planes_i[None], (i, 0, hw))
+                cf_a_flat, rem_rest = glue_cf_flat(pos, vel, t_i,
+                                                   rem_rest)
+                cf = r3(cf_a_flat)
             if rk2:
                 scal = jnp.stack([dt32, t032 + i32 * dt32, 2.0 * i32])
-                ph, vh, v1 = call_a(*call_args(scal, pos, vel))
+                ph, vh, v1 = call_a(*call_args(scal, pos, vel, cf=cf))
                 ph, vh, v1 = out_tx(ph), out_tx(vh), out_tx(v1)
+                cf2 = None
+                if has_glue:
+                    rest_mid = rem_rest
+                    cf_b_flat, rem_rest = glue_cf_flat(
+                        ph, vh, t_i + 0.5 * state.dt, rem_rest)
+                    cf2 = r3(cf_b_flat)
+                    planes_i = jnp.concatenate(
+                        [pos, vel, cf_a_flat, cf_b_flat], axis=0)
+                    if shape.has_remainder:
+                        rtrace = jax.lax.dynamic_update_slice(
+                            rtrace, jnp.stack([rest_in, rest_mid])[None],
+                            (i, 0, 0))
+                else:
+                    planes_i = jnp.concatenate([pos, vel], axis=0)
                 scal2 = jnp.stack([dt32, t032 + (i32 + 0.5) * dt32,
                                    2.0 * i32 + 1.0])
                 p2, v2, a2 = call_b(*call_args(scal2, ph, vh,
-                                               extra3=(pos, v1, vel)))
+                                               extra3=(pos, v1, vel),
+                                               cf=cf2))
             else:
+                if has_glue:
+                    planes_i = jnp.concatenate([pos, vel, cf_a_flat],
+                                               axis=0)
+                    if shape.has_remainder:
+                        rtrace = jax.lax.dynamic_update_slice(
+                            rtrace, rest_in[None], (i, 0))
+                else:
+                    planes_i = jnp.concatenate([pos, vel], axis=0)
                 scal = jnp.stack([dt32, t032 + i32 * dt32, i32])
                 p2, v2, a2 = step_call(*call_args(
                     scal, pos, vel, acc_c=acc if verlet else None, cf=cf))
+            trace = jax.lax.dynamic_update_slice(
+                trace, planes_i[None], (i, 0, hw))
             return out_tx(p2), out_tx(v2), out_tx(a2), rem_rest, trace, \
                 rtrace
 
         trace0 = jnp.zeros((seg, np_tr, n_t + 2 * hw), jnp.float32)
-        rtrace0 = (jnp.zeros((seg,) + state.springs.rest.shape,
-                             state.springs.rest.dtype)
-                   if shape.has_remainder else jnp.zeros((seg, 0)))
+        if shape.has_remainder:
+            rsh = ((seg, 2) if rk2 else (seg,)) + state.springs.rest.shape
+            rtrace0 = jnp.zeros(rsh, state.springs.rest.dtype)
+        else:
+            rtrace0 = jnp.zeros((seg, 0))
         _, _, _, _, trace, rtrace = jax.lax.fori_loop(
             0, seg, body, (padf(m.pos), padf(m.vel), padf(m.acc),
                            state.springs.rest, trace0, rtrace0))
@@ -474,8 +506,12 @@ def build_tiled_trace(shape: SceneShape, seg: int):
 # Backward tile kernel
 # ---------------------------------------------------------------------------
 
+_GOUT_PLANES = {"fused": 9, "rk2b": 12, "rk2a": 6}
+
+
 def _build_bwd_tile_kernel(shape: SceneShape, t_size: int, hw: int,
-                           offs, ni: int, boffs, nb: int):
+                           offs, ni: int, boffs, nb: int,
+                           mode: str = "fused"):
     wr = (t_size + 2 * hw) // 128
     tr = t_size // 128
     hwr = hw // 128
@@ -522,7 +558,6 @@ def _build_bwd_tile_kernel(shape: SceneShape, t_size: int, hw: int,
         sw = swin[slot]
         pos, vel = sw[0:3], sw[3:6]
         cw = cwin[slot]
-        gp2, gv2, ga2 = cw[0:3], cw[3:6], cw[6:9]
         iw = iwin[slot]
 
         def inv(name, count):
@@ -531,7 +566,8 @@ def _build_bwd_tile_kernel(shape: SceneShape, t_size: int, hw: int,
 
         # glue scenes: the per-step TOTAL cf (const + magnet/remainder
         # glue) rides in the trace window; its cotangent (bars cf) is
-        # routed through jax.vjp of the glue XLA-side per step
+        # routed through jax.vjp of the glue XLA-side per step.  RK2
+        # glue traces BOTH per-pass cfs (cf_a then cf_b)
         cf_w = sw[6:9] if has_glue else inv("cf", 3)
         P = _make_P(
             shape,
@@ -554,39 +590,71 @@ def _build_bwd_tile_kernel(shape: SceneShape, t_size: int, hw: int,
 
         from .pallas_step import make_rolls
         rg, rs = make_rolls(wr)
-        gp, gv, ga, bars = backward_step(
-            pos, vel, gp2, gv2, ga2, P, rg, rs,
-            t_now=scal_ref[1], s_idx=scal_ref[2])
-
         c = slice(hwr, hwr + tr)
-        gout_ref[0:3] = gp[:, c]
-        gout_ref[3:6] = gv[:, c]
-        gout_ref[6:9] = ga[:, c]
-        bars_ref[boffs["cf"]:boffs["cf"] + 3] = bars["cf"][:, c]
-        bars_ref[boffs["minv"]:boffs["minv"] + 1] = bars["minv"][:, c]
-        for fi in range(nf):
-            bars_ref[boffs["k"] + fi] = bars["k"][fi][c]
-            bars_ref[boffs["rest"] + fi] = bars["rest"][fi][c]
-            if shape.has_damping:
-                bars_ref[boffs["damping"] + fi] = bars["damping"][fi][c]
-            if shape.has_breathing:
-                bars_ref[boffs["omega"] + fi] = bars["omega"][fi][c]
-            if shape.has_actuated:
-                bars_ref[boffs["aratedt"] + fi] = bars["aratedt"][fi][c]
-        if shape.has_drag:
-            bars_ref[boffs["drag"]:boffs["drag"] + 1] = bars["drag"][:, c]
+
+        def write_bars(bars):
+            bars_ref[boffs["cf"]:boffs["cf"] + 3] = bars["cf"][:, c]
+            bars_ref[boffs["minv"]:boffs["minv"] + 1] = bars["minv"][:, c]
+            for fi in range(nf):
+                bars_ref[boffs["k"] + fi] = bars["k"][fi][c]
+                bars_ref[boffs["rest"] + fi] = bars["rest"][fi][c]
+                if shape.has_damping:
+                    bars_ref[boffs["damping"] + fi] = \
+                        bars["damping"][fi][c]
+                if shape.has_breathing:
+                    bars_ref[boffs["omega"] + fi] = bars["omega"][fi][c]
+                if shape.has_actuated:
+                    bars_ref[boffs["aratedt"] + fi] = \
+                        bars["aratedt"][fi][c]
+            if shape.has_drag:
+                bars_ref[boffs["drag"]:boffs["drag"] + 1] = \
+                    bars["drag"][:, c]
+
+        if mode == "fused":
+            gp2, gv2, ga2 = cw[0:3], cw[3:6], cw[6:9]
+            gp, gv, ga, bars = backward_step(
+                pos, vel, gp2, gv2, ga2, P, rg, rs,
+                t_now=scal_ref[1], s_idx=scal_ref[2])
+            gout_ref[0:3] = gp[:, c]
+            gout_ref[3:6] = gv[:, c]
+            gout_ref[6:9] = ga[:, c]
+        elif mode == "rk2b":
+            # pass-2 half of the split RK2 transpose: emits the
+            # recomputed midpoint primal + raw midpoint cotangents; the
+            # XLA side injects the midpoint glue vjp, then runs rk2a
+            from .adjoint import backward_rk2_pass2
+            gp2, gv2, ga2 = cw[0:3], cw[3:6], cw[6:9]
+            P2 = dict(P, cf=sw[9:12])
+            pos_h, vel_h, gph, gvh, bars = backward_rk2_pass2(
+                pos, vel, gp2, gv2, ga2, P, P2, rg, rs,
+                t_now=scal_ref[1], s_idx=scal_ref[2])
+            gout_ref[0:3] = pos_h[:, c]
+            gout_ref[3:6] = vel_h[:, c]
+            gout_ref[6:9] = gph[:, c]
+            gout_ref[9:12] = gvh[:, c]
+        else:
+            # pass-1 half: cot window = (glue-augmented gph, gvh, gvel2)
+            from .adjoint import backward_rk2_pass1
+            gph, gvh, gv2 = cw[0:3], cw[3:6], cw[6:9]
+            gp_c, gv_c, bars = backward_rk2_pass1(
+                pos, vel, gph, gvh, gv2, P, rg, rs,
+                t_now=scal_ref[1], s_idx=scal_ref[2])
+            gout_ref[0:3] = gp_c[:, c]
+            gout_ref[3:6] = gv_c[:, c]
+        write_bars(bars)
 
     return kernel
 
 
 def _make_bwd_call(shape: SceneShape, t_size: int, hw: int, n_tiles: int,
-                   offs, ni: int, boffs, nb: int):
+                   offs, ni: int, boffs, nb: int, mode: str = "fused"):
     tr = t_size // 128
     wr = (t_size + 2 * hw) // 128
     n_t = n_tiles * t_size
     np_tr = _tr_planes(shape)
+    ng = _GOUT_PLANES[mode]
 
-    blk9 = pl.BlockSpec((9, tr, 128), lambda i, s: (0, i, 0),
+    blkg = pl.BlockSpec((ng, tr, 128), lambda i, s: (0, i, 0),
                         memory_space=pltpu.VMEM)
     blkb = pl.BlockSpec((nb, tr, 128), lambda i, s: (0, i, 0),
                         memory_space=pltpu.VMEM)
@@ -600,7 +668,7 @@ def _make_bwd_call(shape: SceneShape, t_size: int, hw: int, n_tiles: int,
             pl.BlockSpec(memory_space=pl.ANY),       # cotangent windows
             pl.BlockSpec(memory_space=pl.ANY),       # invariant windows
         ],
-        out_specs=[blk9, blkb],
+        out_specs=[blkg, blkb],
         scratch_shapes=[
             pltpu.VMEM((2, np_tr, wr, 128), jnp.float32),
             pltpu.VMEM((2, 9, wr, 128), jnp.float32),
@@ -609,10 +677,11 @@ def _make_bwd_call(shape: SceneShape, t_size: int, hw: int, n_tiles: int,
         ],
     )
     return pl.pallas_call(
-        _build_bwd_tile_kernel(shape, t_size, hw, offs, ni, boffs, nb),
+        _build_bwd_tile_kernel(shape, t_size, hw, offs, ni, boffs, nb,
+                               mode),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((9, n_t // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ng, n_t // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb, n_t // 128, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -649,8 +718,15 @@ def build_tiled_bwd(shape: SceneShape, seg: int):
     nf = len(shape.stencil_deltas)
     np_tr = _tr_planes(shape)
     has_glue = _has_glue(shape)
-    bwd_call = _make_bwd_call(shape, t_bwd, hw, n_tiles_b, offs, ni,
-                              boffs, nb)
+    rk2_glue = _rk2_glue(shape)
+    if rk2_glue:
+        bwd_call_b = _make_bwd_call(shape, t_bwd, hw, n_tiles_b, offs,
+                                    ni, boffs, nb, mode="rk2b")
+        bwd_call_a = _make_bwd_call(shape, t_bwd, hw, n_tiles_b, offs,
+                                    ni, boffs, nb, mode="rk2a")
+    else:
+        bwd_call = _make_bwd_call(shape, t_bwd, hw, n_tiles_b, offs, ni,
+                                  boffs, nb)
     twr = (n_t + 2 * hw) // 128
 
     def run(state: SimState, trace, rtrace, gpos, gvel, gacc, grest=None):
@@ -710,6 +786,32 @@ def build_tiled_bwd(shape: SceneShape, seg: int):
                     return extra, new_rest
                 return extra
 
+        def glue_vjp(t_i, pos_s, vel_s, rest_s, cfbar, chain, gl):
+            """jax.vjp of one glue evaluation at its traced
+            linearization point; returns the pos/vel cotangent
+            contributions [3, n], the rest-INPUT cotangent (the chain
+            for the preceding pass/step), and the updated param
+            accumulators."""
+            args = [pos_s, vel_s]
+            if shape.has_remainder:
+                args += [rest_s, sp0.k, sp0.damping, sp0.omega,
+                         sp0.rate]
+            if shape.has_magnets:
+                args.append(jnp.stack([m0.mag_rad, m0.mag_stiffness,
+                                       m0.mag_maxf, m0.mag_scale]))
+            _, vjp_fn = jax.vjp(lambda *aa: glue(t_i, *aa), *args)
+            if shape.has_remainder:
+                cts = vjp_fn((cfbar, chain))
+            else:
+                cts = vjp_fn(cfbar)
+            new_chain = None
+            if shape.has_remainder:
+                new_chain = cts[2]
+                gl = dict(gl, remp=gl["remp"] + jnp.stack(cts[3:7]))
+            if shape.has_magnets:
+                gl = dict(gl, mag=gl["mag"] + cts[-1])
+            return cts[0], cts[1], new_chain, gl
+
         def body(j, carry):
             gp, gv, ga, bars, gl = carry
             s = (seg - 1 - j)
@@ -729,29 +831,72 @@ def build_tiled_bwd(shape: SceneShape, seg: int):
                 tf = tr_s.reshape(np_tr, twr * 128)
                 pos_s = tf[0:3, hw:hw + n]
                 vel_s = tf[3:6, hw:hw + n]
-                args = [pos_s, vel_s]
+                rest_s = None
                 if shape.has_remainder:
                     rest_s = jax.lax.dynamic_slice(
                         rtrace, (s, 0), (1,) + rtrace.shape[1:])[0]
-                    args += [rest_s, sp0.k, sp0.damping, sp0.omega,
-                             sp0.rate]
-                if shape.has_magnets:
-                    args.append(jnp.stack([m0.mag_rad, m0.mag_stiffness,
-                                           m0.mag_maxf, m0.mag_scale]))
                 t_i = state.t + s.astype(state.t.dtype) * state.dt
-                _, vjp_fn = jax.vjp(lambda *aa: glue(t_i, *aa), *args)
+                gp_a, gv_a, chain, gl = glue_vjp(
+                    t_i, pos_s, vel_s, rest_s, cfbar,
+                    gl["grem"] if shape.has_remainder else None, gl)
+                gp = gp + padf(gp_a)
+                gv = gv + padf(gv_a)
                 if shape.has_remainder:
-                    cts = vjp_fn((cfbar, gl["grem"]))
-                else:
-                    cts = vjp_fn(cfbar)
-                gp = gp + padf(cts[0])
-                gv = gv + padf(cts[1])
-                if shape.has_remainder:
-                    gl = dict(gl, grem=cts[2],
-                              remp=gl["remp"] + jnp.stack(cts[3:7]))
-                if shape.has_magnets:
-                    gl = dict(gl, mag=gl["mag"] + cts[-1])
+                    gl = dict(gl, grem=chain)
             return gp, gv, ga, bars + bars_s, gl
+
+        def body_rk2glue(j, carry):
+            """Split RK2 backward (module docstring): pass-2 kernel ->
+            midpoint glue vjp -> pass-1 kernel -> step-state glue vjp;
+            the integrate transpose's pointwise fixed-mask pieces run
+            XLA-side (gvel = gvel2*fx + ..., gacc = gacc2*fx)."""
+            gp, gv, ga, bars, gl = carry
+            s = (seg - 1 - j)
+            sf = s.astype(jnp.float32)
+            tr_s = jax.lax.dynamic_slice(
+                trace, (s, 0, 0, 0), (1, np_tr, twr, 128))[0]
+            scal = jnp.stack([dt32, t032 + sf * dt32, sf])
+            cot = jnp.pad(jnp.concatenate([gp, gv, ga], axis=0),
+                          ((0, 0), (hw, hw))).reshape(9, twr, 128)
+            outB, bars_b = bwd_call_b(scal, st["planes"], st["balls"],
+                                      tr_s, cot, st["inv_hbm"])
+            outB = outB.reshape(12, n_t)
+            bars_b = bars_b.reshape(nb, n_t)
+            pos_h, vel_h = outB[0:3], outB[3:6]
+            gph, gvh = outB[6:9], outB[9:12]
+            t_i = state.t + s.astype(state.t.dtype) * state.dt
+            rest2 = None
+            if shape.has_remainder:
+                rest2 = jax.lax.dynamic_slice(
+                    rtrace, (s, 0, 0), (1,) + rtrace.shape[1:])[0]
+            cfbar_b = bars_b[boffs["cf"]:boffs["cf"] + 3, :n]
+            gp_b, gv_b, chain, gl = glue_vjp(
+                t_i + 0.5 * state.dt, pos_h[:, :n], vel_h[:, :n],
+                rest2[1] if rest2 is not None else None, cfbar_b,
+                gl["grem"] if shape.has_remainder else None, gl)
+            gph = gph + padf(gp_b)
+            gvh = gvh + padf(gv_b)
+            cotA = jnp.pad(jnp.concatenate([gph, gvh, gv], axis=0),
+                           ((0, 0), (hw, hw))).reshape(9, twr, 128)
+            outA, bars_a = bwd_call_a(scal, st["planes"], st["balls"],
+                                      tr_s, cotA, st["inv_hbm"])
+            outA = outA.reshape(6, n_t)
+            bars_a = bars_a.reshape(nb, n_t)
+            gp_c, gv_c = outA[0:3], outA[3:6]
+            tf = tr_s.reshape(np_tr, twr * 128)
+            pos_s = tf[0:3, hw:hw + n]
+            vel_s = tf[3:6, hw:hw + n]
+            cfbar_a = bars_a[boffs["cf"]:boffs["cf"] + 3, :n]
+            gp_a, gv_a, chain, gl = glue_vjp(
+                t_i, pos_s, vel_s,
+                rest2[0] if rest2 is not None else None, cfbar_a,
+                chain, gl)
+            if shape.has_remainder:
+                gl = dict(gl, grem=chain)
+            gp_new = gp + gph + gp_c + padf(gp_a)
+            gv_new = gv * fxp + gv_c + padf(gv_a)
+            ga_new = ga * fxp
+            return gp_new, gv_new, ga_new, bars + bars_b + bars_a, gl
 
         gl0 = {}
         if shape.has_remainder:
@@ -761,7 +906,13 @@ def build_tiled_bwd(shape: SceneShape, seg: int):
             gl0["mag"] = jnp.zeros((4, n), jnp.float32)
         init = (padf(gpos), padf(gvel), padf(gacc),
                 jnp.zeros((nb, n_t), jnp.float32), gl0)
-        gp, gv, ga, bars, gl = jax.lax.fori_loop(0, seg, body, init)
+        if rk2_glue:
+            fxp = jnp.pad(st["fixed_flat"].astype(jnp.float32),
+                          ((0, 0), (0, pad_n)))
+            step_body = body_rk2glue
+        else:
+            step_body = body
+        gp, gv, ga, bars, gl = jax.lax.fori_loop(0, seg, step_body, init)
 
         def bar(name, count):
             o = boffs[name]

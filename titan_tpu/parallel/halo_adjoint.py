@@ -44,9 +44,12 @@ shard's share of every other shard's force cotangent), per-mass magnet
 param cotangents land block-sharded the same way, and the replicated
 per-spring remainder params/rest-chain cotangents are ``psum``-reduced
 (the rest-chain seed is masked to shard 0 so the replicated advance's
-transpose is counted once).  RK2 glue scenes stay rejected for the same
-reason as single-device: the midpoint glue re-evaluation happens inside
-the fused half-steps with no injection point.
+transpose is counted once).  RK2 glue scenes stay rejected HERE: the
+single-device tiled adjoint runs them via a split two-kernel backward
+with the midpoint glue vjp between the passes
+(ops/adjoint_tiled.py); distributing that split (two kernel launches +
+two glue vjps + an extra cotangent exchange per backward step) is
+future work.
 
 Envelope (``halo_adjoint_reject_reason``): the distributed tiled
 forward's envelope (parallel/halo_tiled.py) minus RK2 glue scenes,
@@ -99,8 +102,8 @@ def halo_adjoint_reject_reason(shape: SceneShape, n_devices: int):
     if _has_glue(shape) and shape.config.integrator is Integrator.RK2:
         # same reason as the single-device tiled adjoint
         # (ops/adjoint_tiled.tiled_adjoint_reject_reason)
-        return ("RK2 re-evaluates the magnet/remainder glue at the "
-                "kernel-interior midpoint state (no tiled transpose)")
+        return ("RK2 glue scenes run the single-device tiled adjoint's "
+                "split backward; the distributed form is not built")
     if not shape.config.persistent_extern_force:
         return "strict per-step extern_force mode"
     h, hw, b, t_fwd, t_bwd = _geom_dist(shape, n_devices)
