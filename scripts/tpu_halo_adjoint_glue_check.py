@@ -195,6 +195,13 @@ def main():
     check("magnet", build(magnets=True), mesh)
     check("both_verlet", build(cross=64, magnets=True,
                                integrator="verlet"), mesh)
+    # RK2 glue: the distributed SPLIT backward (pass-2 kernel ->
+    # midpoint glue vjp -> second cotangent exchange -> pass-1 kernel
+    # -> step glue vjp) on real Mosaic
+    check("rk2_remainder", build(cross=64, cross_actuated=True,
+                                 integrator="rk2"), mesh)
+    check("rk2_both", build(cross=64, magnets=True,
+                            integrator="rk2"), mesh)
     timing(mesh)
     print("HALO glue adjoint hardware check OK", flush=True)
 

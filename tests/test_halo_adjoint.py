@@ -262,6 +262,13 @@ GLUE_VARIANTS = {
     "remainder": dict(cross=48, cross_actuated=True),
     "magnets": dict(magnets=True),
     "both_verlet": dict(cross=48, magnets=True, integrator="verlet"),
+    # RK2 glue: the distributed SPLIT backward (pass-2 kernel ->
+    # midpoint glue vjp -> second cotangent exchange -> pass-1 kernel
+    # -> step glue vjp), incl. the per-pass rest chain through the
+    # actuated cross links (two advances per dt)
+    "rk2_remainder": dict(cross=48, cross_actuated=True,
+                          integrator="rk2"),
+    "rk2_both": dict(cross=48, magnets=True, integrator="rk2"),
 }
 
 
@@ -347,13 +354,64 @@ def test_halo_adjoint_glue_matches_xla(variant, monkeypatch):
         assert err < 2e-3, (variant, name, err)
 
 
-def test_glue_rk2_rejected(monkeypatch):
-    """RK2 glue scenes run the single-device tiled adjoint's SPLIT
-    backward (ops/adjoint_tiled.py); the distributed form is not built,
-    so the distributed envelope rejects them with a reason naming it."""
+def test_grad_rollout_mesh_routes(monkeypatch, caplog):
+    """diff.grad_rollout(mesh=...) picks the distributed adjoint inside
+    its envelope, and falls back to the single-device routing with a
+    warning naming the rejection outside it (exact-pairwise magnets
+    here, which have no distributed glue)."""
+    import logging
+
+    from titan_tpu import diff
+    from titan_tpu.parallel import halo_adjoint as ha
+
+    _interpret(monkeypatch)
+    sim = _scene()
+    mesh = _mesh2()
+    called = {}
+    orig = ha.halo_adjoint_rollout
+
+    def spy(*a, **k):
+        called["dist"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ha, "halo_adjoint_rollout", spy)
+    with caplog.at_level(logging.WARNING, logger="titan_tpu"):
+        out = diff.grad_rollout(sim._shape, sim._state, 2, segment=2,
+                                mesh=mesh)
+    assert called.get("dist")
+    assert not [r for r in caplog.records
+                if r.levelno >= logging.WARNING]
+    ref = orig(sim._shape, sim._state, mesh, 2, segment=2)
+    np.testing.assert_array_equal(np.asarray(out.masses.pos),
+                                  np.asarray(ref.masses.pos))
+
+    sim_small = _scene(nx=200)
+    st = sim_small._store
+    st.mag_rad[0] = 0.05
+    st.mag_stiffness[0] = 100.0
+    st.mag_maxf[0] = 1.0
+    sim_small._marshal()
+    assert not sim_small._shape.magnet_binned      # exact-pairwise
+    # stub the single-device tier: this test pins the ROUTING, the
+    # single-device adjoints have their own suites
+    monkeypatch.setattr(diff, "adjoint_reject_reason", lambda s: None)
+    monkeypatch.setattr(diff, "adjoint_rollout",
+                        lambda *a, **k: "SINGLE")
+    with caplog.at_level(logging.WARNING, logger="titan_tpu"):
+        out = diff.grad_rollout(sim_small._shape, sim_small._state, 2,
+                                segment=2, mesh=mesh)
+    assert out == "SINGLE"
+    msgs = [r.message for r in caplog.records
+            if r.levelno >= logging.WARNING]
+    assert any("distributed adjoint" in m for m in msgs), msgs
+
+
+def test_glue_rk2_accepted(monkeypatch):
+    """RK2 glue scenes are IN the distributed envelope (the distributed
+    split backward, module docstring) -- grads covered by the
+    rk2_remainder/rk2_both variants above."""
     _interpret(monkeypatch)
     sim = _glue_scene(magnets=True, integrator="rk2")
-    r = halo_adjoint.halo_adjoint_reject_reason(sim._shape, 2)
-    assert r is not None and "RK2" in r and "glue" in r
+    assert halo_adjoint.halo_adjoint_reject_reason(sim._shape, 2) is None
     from titan_tpu.ops import adjoint_tiled
     assert adjoint_tiled.tiled_adjoint_supported(sim._shape)

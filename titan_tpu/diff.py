@@ -114,14 +114,31 @@ def fast_rollout(shape: SceneShape, state: SimState, n_steps: int,
 
 
 def grad_rollout(shape: SceneShape, state: SimState, n_steps: int,
-                 segment: Optional[int] = None) -> SimState:
+                 segment: Optional[int] = None, mesh=None,
+                 axis: str = "shard") -> SimState:
     """The best differentiable rollout for the scene: the fused VMEM
     adjoint when the scene is inside its envelope (ops/adjoint.py --
     measured 12.8-37.6x fast_rollout's gradients), else the grid-TILED
     adjoint for beyond-VMEM scenes (ops/adjoint_tiled.py -- both passes
     stay in tiled Pallas kernels), else ``fast_rollout`` with a one-line
     warning naming the failed envelope condition (the loud-fallback
-    convention of ops/step.build_chunk_fn)."""
+    convention of ops/step.build_chunk_fn).
+
+    With ``mesh``, the DISTRIBUTED adjoint (parallel/halo_adjoint.py)
+    shards both passes across the mesh's ``axis`` devices; scenes its
+    envelope rejects fall through to the single-device routing above
+    with the same one-line warning convention."""
+    if mesh is not None:
+        from .parallel.halo_adjoint import (halo_adjoint_reject_reason,
+                                            halo_adjoint_rollout)
+        rd = halo_adjoint_reject_reason(shape, mesh.shape[axis])
+        if rd is None:
+            return halo_adjoint_rollout(shape, state, mesh, n_steps,
+                                        segment=segment, axis=axis)
+        from .runtime.logging import get_logger
+        get_logger().warning(
+            "grad_rollout: scene outside the distributed adjoint "
+            "envelope (%s); running the single-device adjoint", rd)
     r = adjoint_reject_reason(shape)
     if r is None:
         return adjoint_rollout(shape, state, n_steps, segment=segment)

@@ -44,17 +44,22 @@ shard's share of every other shard's force cotangent), per-mass magnet
 param cotangents land block-sharded the same way, and the replicated
 per-spring remainder params/rest-chain cotangents are ``psum``-reduced
 (the rest-chain seed is masked to shard 0 so the replicated advance's
-transpose is counted once).  RK2 glue scenes stay rejected HERE: the
-single-device tiled adjoint runs them via a split two-kernel backward
-with the midpoint glue vjp between the passes
-(ops/adjoint_tiled.py); distributing that split (two kernel launches +
-two glue vjps + an extra cotangent exchange per backward step) is
-future work.
+transpose is counted once).  RK2 GLUE scenes run the distributed form
+of the single-device SPLIT backward (ops/adjoint_tiled.py): per step a
+pass-2 tile kernel per shard transposes the second force pass and
+emits the recomputed midpoint primal plus its raw cotangents, the
+midpoint glue vjp runs through the per-shard glue, a SECOND cotangent
+halo exchange feeds the pass-1 kernel, and the step-state glue vjp
+finishes; the integrate transpose's pointwise fixed-mask pieces run
+XLA-side, exactly as the single-device split.  Each split half needs
+only a 2h window, so the exchange depth matches Euler/Verlet; the
+trace is 12 planes (pos, vel, cf_a, cf_b) + the [seg, 2, S] per-pass
+remainder-rest inputs.
 
 Envelope (``halo_adjoint_reject_reason``): the distributed tiled
-forward's envelope (parallel/halo_tiled.py) minus RK2 glue scenes,
-plus HW <= block (one-hop neighbor exchange; real scenes satisfy
-this by construction since block >= tile >= 4h).
+forward's envelope (parallel/halo_tiled.py) plus HW <= block (one-hop
+neighbor exchange; real scenes satisfy this by construction since
+block >= tile >= 4h).
 
 Reference: the physics is computeSpringForces + massForcesAndUpdate
 (sim.cu:1157-1200, 1285-1367); the reference is single-GPU and has no
@@ -99,11 +104,6 @@ def halo_adjoint_reject_reason(shape: SceneShape, n_devices: int):
     r = halo_tiled_reject_reason(shape, n_devices)
     if r is not None:
         return r
-    if _has_glue(shape) and shape.config.integrator is Integrator.RK2:
-        # same reason as the single-device tiled adjoint
-        # (ops/adjoint_tiled.tiled_adjoint_reject_reason)
-        return ("RK2 glue scenes run the single-device tiled adjoint's "
-                "split backward; the distributed form is not built")
     if not shape.config.persistent_extern_force:
         return "strict per-step extern_force mode"
     h, hw, b, t_fwd, t_bwd = _geom_dist(shape, n_devices)
@@ -138,16 +138,22 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
     verlet = cfg.integrator is Integrator.VERLET
     has_damping = shape.has_damping
     has_glue = _has_glue(shape)
+    rk2_glue = has_glue and rk2
     np_tr = _tr_planes(shape)
-    assert not (has_glue and rk2)      # rejected upstream
 
     if rk2:
         call_a = make_tiled_call(shape, t_fwd, h, n_tiles_f, "rk2a")
         call_b = make_tiled_call(shape, t_fwd, h, n_tiles_f, "rk2b")
     else:
         step_call = make_tiled_call(shape, t_fwd, h, n_tiles_f, "single")
-    bwd_call = _make_bwd_call(shape, t_bwd, hw, n_tiles_b, offs, ni,
-                              boffs, nb)
+    if rk2_glue:
+        bwd_call_b = _make_bwd_call(shape, t_bwd, hw, n_tiles_b, offs,
+                                    ni, boffs, nb, mode="rk2b")
+        bwd_call_a = _make_bwd_call(shape, t_bwd, hw, n_tiles_b, offs,
+                                    ni, boffs, nb, mode="rk2a")
+    else:
+        bwd_call = _make_bwd_call(shape, t_bwd, hw, n_tiles_b, offs, ni,
+                                  boffs, nb)
     to_prev = [(i, (i - 1) % n_dev) for i in range(n_dev)]
     to_next = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
@@ -224,43 +230,70 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
             pos, vel, acc, rem_rest, trace, rtrace = carry
             i32 = i.astype(jnp.float32)
             t_i = t032 + i32 * dt32
-            cf_step = None
+            cf_step = cf_flat = None
+            rest_in = rem_rest
             if has_glue:
-                if shape.has_remainder:
-                    # the step's rest INPUT (before the glue's actuation
-                    # advance) -- the backward re-linearizes the glue
-                    # at exactly this point
-                    rtrace = jax.lax.dynamic_update_slice(
-                        rtrace, rem_rest[None], (i, 0))
                 extra, rem_rest = dist_glue_force(
                     shape, axis, b, my0, plan, inp["fixed"], valid_loc,
                     pos, vel, t_i, dt32, rem_rest, sp_rep, mag4, mag_src)
                 cf_flat = inp["cf"] + extra
                 cf_step = r3(cf_flat)
-                planes_i = jnp.concatenate([pos, vel, cf_flat], axis=0)
-            else:
-                planes_i = jnp.concatenate([pos, vel], axis=0)
-            trace = jax.lax.dynamic_update_slice(
-                trace, planes_i[None], (i, 0, 0))
             if rk2:
                 scal = jnp.stack([dt32, t_i, 2.0 * i32])
-                ph, vh, v1 = call_a(*call_args(scal, pos, vel))
+                ph, vh, v1 = call_a(*call_args(scal, pos, vel,
+                                               cf_step=cf_step))
                 ph, vh, v1 = fl3(ph), fl3(vh), fl3(v1)
+                cf2 = None
+                if has_glue:
+                    # glue re-evaluated at the midpoint, advancing the
+                    # remainder rest per pass (the primal's order); the
+                    # backward re-linearizes each pass at its own rest
+                    # INPUT, so both are traced
+                    rest_mid = rem_rest
+                    extra2, rem_rest = dist_glue_force(
+                        shape, axis, b, my0, plan, inp["fixed"],
+                        valid_loc, ph, vh, t_i + 0.5 * dt32, dt32,
+                        rem_rest, sp_rep, mag4, mag_src)
+                    cf_b_flat = inp["cf"] + extra2
+                    cf2 = r3(cf_b_flat)
+                    planes_i = jnp.concatenate(
+                        [pos, vel, cf_flat, cf_b_flat], axis=0)
+                    if shape.has_remainder:
+                        rtrace = jax.lax.dynamic_update_slice(
+                            rtrace, jnp.stack([rest_in, rest_mid])[None],
+                            (i, 0, 0))
+                else:
+                    planes_i = jnp.concatenate([pos, vel], axis=0)
                 scal2 = jnp.stack([dt32, t_i + 0.5 * dt32,
                                    2.0 * i32 + 1.0])
                 p2, v2, a2 = call_b(*call_args(scal2, ph, vh,
-                                               extra3=(pos, v1, vel)))
+                                               extra3=(pos, v1, vel),
+                                               cf_step=cf2))
             else:
+                if has_glue:
+                    planes_i = jnp.concatenate([pos, vel, cf_flat],
+                                               axis=0)
+                    if shape.has_remainder:
+                        # the step's rest INPUT (before the glue's
+                        # actuation advance) -- the backward
+                        # re-linearizes the glue at exactly this point
+                        rtrace = jax.lax.dynamic_update_slice(
+                            rtrace, rest_in[None], (i, 0))
+                else:
+                    planes_i = jnp.concatenate([pos, vel], axis=0)
                 scal = jnp.stack([dt32, t_i, i32])
                 p2, v2, a2 = step_call(*call_args(
                     scal, pos, vel, acc_c=acc if verlet else None,
                     cf_step=cf_step))
+            trace = jax.lax.dynamic_update_slice(
+                trace, planes_i[None], (i, 0, 0))
             return fl3(p2), fl3(v2), fl3(a2), rem_rest, trace, rtrace
 
         trace0 = jnp.zeros((seg, np_tr, b), jnp.float32)
         if shape.has_remainder:
             rem0 = inp["rem_rest"]
-            rtrace0 = jnp.zeros((seg,) + rem0.shape, rem0.dtype)
+            rsh = ((seg, 2) if rk2 else (seg,)) + rem0.shape
+            rtrace0 = jnp.zeros(rsh, rem0.dtype)
         else:
             rem0 = jnp.zeros((0,), jnp.float32)
             rtrace0 = jnp.zeros((seg, 0), jnp.float32)
@@ -271,6 +304,64 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
         # ---- reverse sweep: per step, exchange cotangent + trace halos
         # and run the backward tile kernel on this shard's windows ----
         inv_win = r3(ext(inp["inv"], hw))        # once per segment
+        fx = inp["fixed"]                        # [1, b] move mask
+
+        def glue_vjp_d(t_i, pos_c0, vel_c0, rest_e0, cfbar, chain_seed,
+                       gl):
+            """jax.vjp of one per-shard glue evaluation at its traced
+            linearization point: the glue's collectives transpose
+            themselves (module docstring).  Returns the pos/vel
+            cotangent contributions [3, b], the psum-reduced rest-INPUT
+            chain for the preceding pass/step, and the updated param
+            accumulators."""
+            args = [pos_c0, vel_c0]
+            if shape.has_remainder:
+                args += [rest_e0, sp_rep.k, sp_rep.damping,
+                         sp_rep.omega, sp_rep.rate]
+            if shape.has_magnets:
+                args.append(mag4)
+
+            def glue_d(pos_c, vel_c, *va):
+                a = list(va)
+                rest_e, sp = None, sp_rep
+                if shape.has_remainder:
+                    rest_e, k_e, damp_e, omega_e, rate_e = a[:5]
+                    a = a[5:]
+                    sp = dataclasses.replace(
+                        sp_rep, k=k_e, damping=damp_e, omega=omega_e,
+                        rate=rate_e)
+                mag4_e = a[0] if shape.has_magnets else None
+                # mag_src=None: gather the sources from mag4_e HERE
+                # so their cotangents ride the all_gather transpose
+                extra, new_rest = dist_glue_force(
+                    shape, axis, b, my0, plan, inp["fixed"],
+                    valid_loc, pos_c, vel_c, t_i, dt32, rest_e, sp,
+                    mag4_e, mag_src=None)
+                if shape.has_remainder:
+                    return extra, new_rest
+                return extra
+
+            _, vjp_fn = jax.vjp(glue_d, *args)
+            if shape.has_remainder:
+                # seed the replicated rest-chain cotangent on shard 0
+                # only: its transpose (the advance + rate terms) is
+                # identical on every shard and the per-spring grads
+                # are psum-reduced -- masking counts it exactly once
+                seed = jnp.where(jax.lax.axis_index(axis) == 0,
+                                 chain_seed, jnp.zeros_like(chain_seed))
+                cts = vjp_fn((cfbar, seed))
+            else:
+                cts = vjp_fn(cfbar)
+            new_chain = None
+            if shape.has_remainder:
+                # the chain feeds the next (earlier) pass's seed, so
+                # reduce it every call; the param partials reduce once
+                # at segment end
+                new_chain = jax.lax.psum(cts[2], axis)
+                gl = dict(gl, remp=gl["remp"] + jnp.stack(cts[3:7]))
+            if shape.has_magnets:
+                gl = dict(gl, mag=gl["mag"] + cts[-1])
+            return cts[0], cts[1], new_chain, gl
 
         def bbody(j, carry):
             gp, gv, ga, bars, gl = carry
@@ -288,64 +379,72 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
             gp, gv, ga = gout[0:3], gout[3:6], gout[6:9]
             if has_glue:
                 # the step's cf cotangent, routed through jax.vjp of the
-                # SAME per-shard glue at the traced linearization point;
-                # the glue's collectives transpose themselves (module
-                # docstring)
+                # SAME per-shard glue at the traced linearization point
                 cfbar = bars_s[boffs["cf"]:boffs["cf"] + 3]
-                pos_s, vel_s = tr_s[0:3], tr_s[3:6]
-                t_i = t032 + sf * dt32
-                args = [pos_s, vel_s]
+                rest_s = None
                 if shape.has_remainder:
                     rest_s = jax.lax.dynamic_slice(
                         rtrace, (s, 0), (1,) + rtrace.shape[1:])[0]
-                    args += [rest_s, sp_rep.k, sp_rep.damping,
-                             sp_rep.omega, sp_rep.rate]
-                if shape.has_magnets:
-                    args.append(mag4)
-
-                def glue_d(pos_c, vel_c, *va):
-                    a = list(va)
-                    rest_e, sp = None, sp_rep
-                    if shape.has_remainder:
-                        rest_e, k_e, damp_e, omega_e, rate_e = a[:5]
-                        a = a[5:]
-                        sp = dataclasses.replace(
-                            sp_rep, k=k_e, damping=damp_e, omega=omega_e,
-                            rate=rate_e)
-                    mag4_e = a[0] if shape.has_magnets else None
-                    # mag_src=None: gather the sources from mag4_e HERE
-                    # so their cotangents ride the all_gather transpose
-                    extra, new_rest = dist_glue_force(
-                        shape, axis, b, my0, plan, inp["fixed"],
-                        valid_loc, pos_c, vel_c, t_i, dt32, rest_e, sp,
-                        mag4_e, mag_src=None)
-                    if shape.has_remainder:
-                        return extra, new_rest
-                    return extra
-
-                _, vjp_fn = jax.vjp(glue_d, *args)
+                gp_a, gv_a, chain, gl = glue_vjp_d(
+                    t032 + sf * dt32, tr_s[0:3], tr_s[3:6], rest_s,
+                    cfbar, gl["grem"] if shape.has_remainder else None,
+                    gl)
+                gp = gp + gp_a
+                gv = gv + gv_a
                 if shape.has_remainder:
-                    # seed the replicated rest-chain cotangent on shard 0
-                    # only: its transpose (the advance + rate terms) is
-                    # identical on every shard and the per-spring grads
-                    # are psum-reduced -- masking counts it exactly once
-                    grem0 = jnp.where(jax.lax.axis_index(axis) == 0,
-                                      gl["grem"],
-                                      jnp.zeros_like(gl["grem"]))
-                    cts = vjp_fn((cfbar, grem0))
-                else:
-                    cts = vjp_fn(cfbar)
-                gp = gp + cts[0]
-                gv = gv + cts[1]
-                if shape.has_remainder:
-                    # the chain feeds the next (earlier) step's seed, so
-                    # reduce it every step; the param partials reduce
-                    # once at segment end
-                    gl = dict(gl, grem=jax.lax.psum(cts[2], axis),
-                              remp=gl["remp"] + jnp.stack(cts[3:7]))
-                if shape.has_magnets:
-                    gl = dict(gl, mag=gl["mag"] + cts[-1])
+                    gl = dict(gl, grem=chain)
             return gp, gv, ga, bars + bars_s, gl
+
+        def bbody_rk2glue(j, carry):
+            """Split RK2 backward, distributed (module docstring):
+            pass-2 kernel -> midpoint glue vjp -> SECOND cotangent halo
+            exchange -> pass-1 kernel -> step-state glue vjp; the
+            integrate transpose's pointwise fixed-mask pieces run
+            XLA-side, exactly as the single-device split
+            (ops/adjoint_tiled.build_tiled_bwd.body_rk2glue)."""
+            gp, gv, ga, bars, gl = carry
+            s = seg - 1 - j
+            sf = s.astype(jnp.float32)
+            tr_s = jax.lax.dynamic_slice(trace, (s, 0, 0),
+                                         (1, np_tr, b))[0]
+            st_win = r3(ext(tr_s, hw))
+            scal = jnp.stack([dt32, t032 + sf * dt32, sf])
+            cot_win = r3(ext(jnp.concatenate([gp, gv, ga], axis=0), hw))
+            outB, bars_b = bwd_call_b(scal, planes, balls, st_win,
+                                      cot_win, inv_win)
+            outB = outB.reshape(12, b)
+            bars_b = bars_b.reshape(nb, b)
+            pos_h, vel_h = outB[0:3], outB[3:6]
+            gph, gvh = outB[6:9], outB[9:12]
+            t_i = t032 + sf * dt32
+            rest2 = None
+            if shape.has_remainder:
+                rest2 = jax.lax.dynamic_slice(
+                    rtrace, (s, 0, 0), (1,) + rtrace.shape[1:])[0]
+            cfbar_b = bars_b[boffs["cf"]:boffs["cf"] + 3]
+            gp_b, gv_b, chain, gl = glue_vjp_d(
+                t_i + 0.5 * dt32, pos_h, vel_h,
+                rest2[1] if rest2 is not None else None, cfbar_b,
+                gl["grem"] if shape.has_remainder else None, gl)
+            gph = gph + gp_b
+            gvh = gvh + gv_b
+            cotA = r3(ext(jnp.concatenate([gph, gvh, gv], axis=0), hw))
+            outA, bars_a = bwd_call_a(scal, planes, balls, st_win, cotA,
+                                      inv_win)
+            outA = outA.reshape(6, b)
+            bars_a = bars_a.reshape(nb, b)
+            gp_c, gv_c = outA[0:3], outA[3:6]
+            cfbar_a = bars_a[boffs["cf"]:boffs["cf"] + 3]
+            gp_a, gv_a, chain, gl = glue_vjp_d(
+                t_i, tr_s[0:3], tr_s[3:6],
+                rest2[0] if rest2 is not None else None, cfbar_a,
+                chain, gl)
+            if shape.has_remainder:
+                gl = dict(gl, grem=chain)
+            gp_new = gp + gph + gp_c + gp_a
+            gv_new = gv * fx + gv_c + gv_a
+            ga_new = ga * fx
+            return gp_new, gv_new, ga_new, bars + bars_b + bars_a, gl
 
         gl0 = {}
         if shape.has_remainder:
@@ -356,7 +455,8 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
             gl0["mag"] = jnp.zeros((4, b), jnp.float32)
         init = (inp["gpos"], inp["gvel"], inp["gacc"],
                 jnp.zeros((nb, b), jnp.float32), gl0)
-        gp, gv, ga, bars, gl = jax.lax.fori_loop(0, seg, bbody, init)
+        step_body = bbody_rk2glue if rk2_glue else bbody
+        gp, gv, ga, bars, gl = jax.lax.fori_loop(0, seg, step_body, init)
         outs = [gp, gv, ga, bars]
         if shape.has_remainder:
             outs += [gl["grem"], jax.lax.psum(gl["remp"], axis)]
