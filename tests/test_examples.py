@@ -85,6 +85,14 @@ def test_gait_gradient_opt(capsys, monkeypatch):
     assert "travel over 20 steps" in out and "optimized" in out
 
 
+def test_distributed_gait_opt(capsys):
+    # CPU smoke mode is baked into the example: 2-virtual-device mesh,
+    # interpret kernels, 4 steps, 2 adam iterations
+    _run("distributed_gait_opt.py")
+    out = capsys.readouterr().out
+    assert "2-device mesh" in out and "optimized travel" in out
+
+
 def test_system_id(capsys):
     # CPU smoke mode is baked into the example (tiny beam, interpret
     # kernels, 3 adam iterations); the loss-drop assert is in-script
