@@ -1,4 +1,4 @@
-"""Worker for the 2-process multi-host smoke test (test_multihost.py).
+"""Worker for the 2-process multi-host smoke tests (test_multihost.py).
 
 Each process owns 4 virtual CPU devices; together they form one 8-device
 global mesh.  Both build the SAME scene (replicated control plane), place
@@ -6,13 +6,95 @@ the state over the global mesh, run the halo-exchange chunk, and print a
 trajectory checksum.  The parent asserts both processes agree with each
 other and with a single-process 8-device run.
 
-Run:  python multihost_worker.py <coordinator> <n_procs> <proc_id>
+In "grad" mode the worker instead differentiates a rollout through the
+DISTRIBUTED adjoint (parallel/halo_adjoint.py) over the same
+process-spanning mesh -- gradients across HOSTS: the backward tile
+kernel's ppermuted cotangent halo exchanges cross the process boundary
+over what would be DCN on real hardware (docs/MULTIHOST.md).
+
+Run:  python multihost_worker.py <coordinator> <n_procs> <proc_id> [grad]
 """
 
 import sys
 
 
-def main(coordinator: str, n_procs: int, proc_id: int):
+def run_grad(proc_id, multihost):
+    """Distributed-adjoint leg: interpret-mode tiled kernels with a
+    2048-row tile so the 10,700-mass lattice's real rows span blocks
+    0-5 of the 8-device mesh -- the shard 3/4 block edge IS the process
+    boundary, so cotangent halo flow crosses hosts."""
+    import dataclasses
+
+    import jax
+    import jax.experimental.pallas as pl
+    import jax.numpy as jnp
+    import numpy as np
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    import titan_tpu.ops.adjoint_tiled as adt
+    import titan_tpu.ops.pallas_tiled as pt
+    import titan_tpu.parallel.halo_tiled as ht
+    pt.pl.pallas_call = interp
+    adt.pl.pallas_call = interp
+    tl = lambda h, shape=None: max(h, 2048)
+    pt._tile_size = tl
+    ht._tile_size = tl
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from titan_tpu import Simulation, SimConfig, Vec
+    from titan_tpu.parallel import halo_adjoint
+
+    sim = Simulation(SimConfig(velocity_clamp=False,
+                               host_store_dtype="float32"))
+    sim.createLattice(Vec(0, 0, 3), Vec(8, 1, 1), 107, 10, 10)
+    sim.setAllSpringConstantValues(500.0)
+    sim.createPlane(Vec(0, 0, 1), 0, 0.2, 0.3)
+    sim.setGlobalAcceleration(Vec(0, 0, -9.8))
+    sim.setTimeStep(1e-4)
+    st = sim._store
+    st.damping[: st.n_springs] = 10.0
+    sim._T = 0.0
+    sim._marshal()
+    shape, state = sim._shape, sim._state
+
+    mesh = multihost.make_global_mesh(("shard",))
+    n_dev = mesh.shape["shard"]
+    r = halo_adjoint.halo_adjoint_reject_reason(shape, n_dev)
+    assert r is None, r
+    _, _, b, _, _ = halo_adjoint._geom_dist(shape, n_dev)
+    n = sim._store.n_masses
+    assert n > 4 * b, (n, b)   # real rows cross the process boundary
+
+    npad = state.masses.pos.shape[1]
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.normal(0, 1, (3, npad)),
+                    jnp.float32).at[:, n:].set(0.0)
+
+    def loss(pos0):
+        s = dataclasses.replace(
+            state, masses=dataclasses.replace(state.masses, pos=pos0))
+        out = halo_adjoint.halo_adjoint_rollout(shape, s, mesh, 2,
+                                                segment=2)
+        return jnp.sum(out.masses.pos * w)
+
+    rep = NamedSharding(mesh, P())
+    pos_g = jax.device_put(state.masses.pos, rep)
+    g = jax.jit(jax.grad(loss), out_shardings=rep)(pos_g)
+    g_local = np.asarray(g.addressable_shards[0].data)
+    checksum = float(np.abs(np.asarray(g_local, np.float64)[:, :n]).sum())
+    multihost.assert_replicated_control_plane(checksum, "gradient sum")
+    print(f"GRADSUM {proc_id} {checksum:.6f}", flush=True)
+
+
+def main(coordinator: str, n_procs: int, proc_id: int,
+         mode: str = "fwd"):
     import jax
     jax.config.update("jax_platforms", "cpu")
     from titan_tpu.parallel import multihost
@@ -20,6 +102,9 @@ def main(coordinator: str, n_procs: int, proc_id: int):
                          num_processes=n_procs, process_id=proc_id)
     assert jax.process_count() == n_procs
     assert len(jax.devices()) == n_procs * 4
+    if mode == "grad":
+        run_grad(proc_id, multihost)
+        return
 
     import jax.numpy as jnp
     import numpy as np
@@ -50,4 +135,5 @@ def main(coordinator: str, n_procs: int, proc_id: int):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))
+    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
+         sys.argv[4] if len(sys.argv) > 4 else "fwd")
