@@ -17,8 +17,39 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def _map_count() -> int:
+    """Number of memory mappings of this process (Linux), else 0."""
+    try:
+        with open(f"/proc/{os.getpid()}/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _mmap_guard():
+    """Clear jax caches when the process nears the kernel mmap limit.
+
+    Every test builds fresh jitted closures; jax's global executable
+    cache keeps them (and their LLVM-JIT code mappings) alive for the
+    life of the process.  Measured: ~2,000 mappings per adjoint rollout
+    test, and at vm.max_map_count (65,530 default) a failed mmap inside
+    XLA:CPU's JIT is a SEGFAULT or a hang mid-compile -- the full suite
+    died exactly there (~65,100 maps) after ~160 heavy tests, always at
+    whichever compile crossed the line.  jax.clear_caches() reclaims
+    essentially everything (5,515 -> 555 measured) and costs nothing
+    here because each test compiles fresh programs anyway."""
+    yield
+    if _map_count() > 30_000:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
 
 
 def force_tiled_interpret(monkeypatch):

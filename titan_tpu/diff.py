@@ -22,6 +22,7 @@ Notes:
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Optional, Tuple
 
 import jax
@@ -158,7 +159,17 @@ def grad_rollout(shape: SceneShape, state: SimState, n_steps: int,
 
 def _fast_segment(shape: SceneShape, seg: int):
     """custom_vjp segment: fused-chunk primal, XLA-recompute backward
-    (the shared engine of fast_rollout / fast_trajectory)."""
+    (the shared engine of fast_rollout / fast_trajectory).  Cached per
+    (shape, seg) so repeated rollout calls on the same scene reuse one
+    traced/compiled program (same rationale as ops/adjoint.py's
+    _adjoint_segment; TITAN_FMATH keys the build-time kernel math)."""
+    import os as _os
+    return _fast_segment_cached(shape, seg,
+                                _os.environ.get("TITAN_FMATH", ""))
+
+
+@_functools.lru_cache(maxsize=32)
+def _fast_segment_cached(shape: SceneShape, seg: int, _fmath: str):
     from .ops.step import build_chunk_fn
     chunk = build_chunk_fn(shape)
     step = build_step_fn(xla_only_shape(shape))

@@ -83,6 +83,7 @@ gradient capability at all.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Optional
 
@@ -1962,6 +1963,25 @@ def assemble_ct(shape: SceneShape, seg: int, s0: SimState, ct, g):
 
 def _adjoint_segment(shape: SceneShape, seg: int,
                      famstash: bool = True):
+    """Build (and cache) the custom_vjp segment function for a scene.
+
+    Cached per (shape, seg, famstash): adjoint_rollout is typically
+    called once per optimizer iteration on the same scene, and an
+    uncached rebuild would hand jax a fresh function object every time,
+    forcing a full retrace + XLA recompile of the segment program per
+    call.  The cache keeps one traced/compiled program per scene shape
+    (SceneShape is the same frozen dataclass that keys every other jit
+    cache in the framework).  The kernel-math env hooks (TITAN_ABLATE /
+    TITAN_FMATH, read at build time inside pallas_step) join the key so
+    same-process A/B runs are not served a stale build."""
+    return _adjoint_segment_cached(shape, seg, famstash,
+                                   os.environ.get("TITAN_ABLATE", ""),
+                                   os.environ.get("TITAN_FMATH", ""))
+
+
+@functools.lru_cache(maxsize=32)
+def _adjoint_segment_cached(shape: SceneShape, seg: int,
+                            famstash: bool, _ablate: str, _fmath: str):
     from .pallas_step import build_pallas_chunk
     fwd_chunk = build_pallas_chunk(shape)
     trace_run = build_trace_run(shape, seg)

@@ -77,6 +77,8 @@ gradient capability at all.
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os as _os
 from typing import Optional
 
 import jax
@@ -945,6 +947,22 @@ def build_tiled_bwd(shape: SceneShape, seg: int):
 # ---------------------------------------------------------------------------
 
 def _tiled_adjoint_segment(shape: SceneShape, seg: int):
+    """Build (and cache) the tiled custom_vjp segment for a scene.
+
+    Cached per (shape, seg) -- same rationale as ops/adjoint.py's
+    _adjoint_segment: one traced/compiled program per scene instead of a
+    fresh function object (= full retrace + recompile) per rollout call.
+    Build-time hooks that change the generated kernels (TITAN_FMATH,
+    pallas_tiled.CARRY_MODE) join the key so same-process A/Bs stay
+    valid."""
+    from . import pallas_tiled as _pt
+    return _tiled_adjoint_segment_cached(
+        shape, seg, _os.environ.get("TITAN_FMATH", ""), _pt.CARRY_MODE)
+
+
+@functools.lru_cache(maxsize=16)
+def _tiled_adjoint_segment_cached(shape: SceneShape, seg: int,
+                                  _fmath: str, _carry: str):
     from .pallas_tiled import build_tiled_chunk
     fwd_chunk = build_tiled_chunk(shape)
     trace_run = build_tiled_trace(shape, seg)

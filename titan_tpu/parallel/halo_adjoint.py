@@ -69,6 +69,7 @@ gradient capability at all.
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 
 import jax
 import jax.numpy as jnp
@@ -122,6 +123,19 @@ def halo_adjoint_supported(shape: SceneShape, n_devices: int) -> bool:
 
 def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
                           axis: str = "shard"):
+    """Build (and cache) the distributed custom_vjp segment.  Cached per
+    (shape, mesh, seg, axis) -- jax Meshes hash by devices+axis names --
+    so per-iteration grad_rollout(mesh=...) calls reuse one traced
+    program (rationale in ops/adjoint.py's _adjoint_segment).
+    TITAN_FMATH keys the build-time kernel math."""
+    import os as _os
+    return _halo_adjoint_segment_cached(
+        shape, mesh, seg, axis, _os.environ.get("TITAN_FMATH", ""))
+
+
+@_functools.lru_cache(maxsize=16)
+def _halo_adjoint_segment_cached(shape: SceneShape, mesh: Mesh, seg: int,
+                                 axis: str, _fmath: str):
     fwd_chunk = build_halo_tiled_chunk(shape, mesh, axis)
     n = shape.n_masses
     n_dev = mesh.shape[axis]
