@@ -512,10 +512,40 @@ def _interp(monkeypatch):
 
 @pytest.mark.parametrize("scene_name", sorted(SCENES))
 def test_adjoint_rollout_grads_match_xla(scene_name, monkeypatch):
+    _main_grads_match_xla(_scene(**SCENES[scene_name]), monkeypatch)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_adjoint_grads_random_combo(seed, monkeypatch):
+    """Seeded random FEATURE COMBINATIONS through the same
+    gradient-vs-XLA harness: the named SCENES cover each feature and a
+    few pairs; this covers interactions (e.g. breathing + local
+    constraints + remainder cross links + Verlet in one scene), the
+    gradient-tier analog of test_pallas_step's random-combo fuzz."""
+    rng = np.random.RandomState(7000 + seed)
+    integ = [None, "verlet", "rk2"][rng.randint(3)]
+    kw = dict(
+        clamp=bool(rng.randint(2)),
+        friction=bool(rng.randint(2)),
+        ball=bool(rng.randint(2)),
+        fixed_face=bool(rng.randint(2)),
+        extern=bool(rng.randint(2)),
+        damping=float(rng.choice([0.0, 0.3])),
+        integrator=integ,
+        breathing=bool(rng.randint(2)),
+        actuated=bool(rng.randint(2)),
+        drag=float(rng.choice([0.0, 0.25])),
+        deleted=bool(rng.randint(2)),
+        local=bool(rng.randint(2)),
+        cross=bool(rng.randint(2)),
+    )
+    _main_grads_match_xla(_scene(**kw), monkeypatch)
+
+
+def _main_grads_match_xla(sim, monkeypatch):
     from titan_tpu import diff
     from titan_tpu.state import xla_only_shape
 
-    sim = _scene(**SCENES[scene_name])
     shape, state = sim._shape, sim._state
     assert adjoint_supported(shape), adjoint_reject_reason(shape)
     _interp(monkeypatch)
