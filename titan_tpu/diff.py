@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.step import build_step_fn
+from .runtime.logging import get_logger
 from .state import SceneShape, SimState, xla_only_shape
 
 # Fused-adjoint rollout (ops/adjoint.py): BOTH passes run VMEM Pallas
@@ -61,7 +62,9 @@ def rollout(shape: SceneShape, state: SimState, n_steps: int,
     step = build_step_fn(xla_only_shape(shape))
 
     if checkpoint_every:
-        assert n_steps % checkpoint_every == 0
+        if n_steps % checkpoint_every:
+            raise ValueError(f"n_steps={n_steps} not divisible by "
+                             f"checkpoint_every={checkpoint_every}")
         inner = jax.checkpoint(
             lambda s, _: (_scan_steps(step, s, checkpoint_every), None))
         state, _ = jax.lax.scan(inner, state,
@@ -105,7 +108,8 @@ def fast_rollout(shape: SceneShape, state: SimState, n_steps: int,
     rollout also serves non-differentiated consumers.
     """
     seg = segment or n_steps
-    assert n_steps % seg == 0
+    if n_steps % seg:
+        raise ValueError(f"n_steps={n_steps} not divisible by segment={seg}")
     seg_fn = _fast_segment(shape, seg)
     if n_steps == seg:
         return seg_fn(state)
@@ -136,20 +140,16 @@ def grad_rollout(shape: SceneShape, state: SimState, n_steps: int,
         if rd is None:
             return halo_adjoint_rollout(shape, state, mesh, n_steps,
                                         segment=segment, axis=axis)
-        from .runtime.logging import get_logger
         get_logger().warning(
             "grad_rollout: scene outside the distributed adjoint "
             "envelope (%s); running the single-device adjoint", rd)
     r = adjoint_reject_reason(shape)
     if r is None:
         return adjoint_rollout(shape, state, n_steps, segment=segment)
-    from .ops.adjoint_tiled import (tiled_adjoint_reject_reason,
-                                    tiled_adjoint_rollout)
     rt = tiled_adjoint_reject_reason(shape)
     if rt is None:
         return tiled_adjoint_rollout(shape, state, n_steps,
                                      segment=segment)
-    from .runtime.logging import get_logger
     get_logger().warning(
         "grad_rollout: scene outside the fused adjoint envelopes "
         "(VMEM: %s; tiled: %s); falling back to fast_rollout's "
@@ -162,14 +162,21 @@ def _fast_segment(shape: SceneShape, seg: int):
     (the shared engine of fast_rollout / fast_trajectory).  Cached per
     (shape, seg) so repeated rollout calls on the same scene reuse one
     traced/compiled program (same rationale as ops/adjoint.py's
-    _adjoint_segment; TITAN_FMATH keys the build-time kernel math)."""
+    _adjoint_segment).  Every build-time hook that changes the kernel the
+    primal chunk bakes in (TITAN_FMATH / TITAN_ABLATE for the VMEM
+    kernel, pallas_tiled.CARRY_MODE for the tiled one) joins the cache
+    key so same-process A/Bs are never served a stale chunk."""
     import os as _os
+    from .ops import pallas_tiled as _pt
     return _fast_segment_cached(shape, seg,
-                                _os.environ.get("TITAN_FMATH", ""))
+                                _os.environ.get("TITAN_FMATH", ""),
+                                _os.environ.get("TITAN_ABLATE", ""),
+                                _pt.CARRY_MODE)
 
 
 @_functools.lru_cache(maxsize=32)
-def _fast_segment_cached(shape: SceneShape, seg: int, _fmath: str):
+def _fast_segment_cached(shape: SceneShape, seg: int, _fmath: str,
+                         _ablate: str, _carry: str):
     from .ops.step import build_chunk_fn
     chunk = build_chunk_fn(shape)
     step = build_step_fn(xla_only_shape(shape))
@@ -195,7 +202,8 @@ def fast_trajectory(shape: SceneShape, state: SimState, n_steps: int,
     ``every`` steps, each inter-sample block a ``_fast_segment`` (fused
     chunk forward, XLA-recompute backward).  Same caveat as
     ``fast_rollout``; residual memory is one state per sample."""
-    assert n_steps % every == 0
+    if n_steps % every:
+        raise ValueError(f"n_steps={n_steps} not divisible by every={every}")
     seg_fn = _fast_segment(shape, every)
 
     def body(s, _):
@@ -217,6 +225,7 @@ def trajectory(shape: SceneShape, state: SimState, n_steps: int,
             s = step(s)
         return s, s.masses.pos
 
-    assert n_steps % every == 0
+    if n_steps % every:
+        raise ValueError(f"n_steps={n_steps} not divisible by every={every}")
     final, traj = jax.lax.scan(body, state, None, length=n_steps // every)
     return final, traj

@@ -550,8 +550,10 @@ def backward_rk2_pass2(pos, vel, gpos2, gvel2, gacc2, P1, P2, rg, rs,
     fx = P1["fixed"]
     dt = P1["dt"]
     c1, c2 = _cidx(P1, s_idx, 1.0), _cidx(P1, s_idx, 2.0)
-    f1, vel1, _st1 = _force(pos, vel, P1, rg, rs, t_now,
-                            keep_stages=True, cidx=c1)
+    # pass-1 force only feeds the midpoint recompute here; its stages are
+    # consumed by backward_rk2_pass1, not this half -- don't stash them.
+    f1, vel1, _ = _force(pos, vel, P1, rg, rs, t_now,
+                         keep_stages=False, cidx=c1)
     acc1 = f1 * P1["minv"]
     pos_h = (pos + 0.5 * vel1 * dt) * nf + pos * fx
     vel_h = (vel1 + 0.5 * acc1 * dt) * nf + vel1 * fx
