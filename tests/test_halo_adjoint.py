@@ -406,6 +406,33 @@ def test_grad_rollout_mesh_routes(monkeypatch, caplog):
     assert any("distributed adjoint" in m for m in msgs), msgs
 
 
+def test_grad_rollout_mesh_refuses_recompute_fallback(monkeypatch):
+    """A MESHED scene outside every fused adjoint envelope raises
+    instead of silently attempting fast_rollout's single-device
+    XLA-recompute backward (whose padded residuals can OOM the chip on
+    exactly the scenes users distribute)."""
+    from titan_tpu import diff
+
+    _interpret(monkeypatch)
+    sim = _scene()
+    mesh = _mesh2()
+    monkeypatch.setattr(diff, "adjoint_reject_reason",
+                        lambda s: "stub: outside VMEM envelope")
+    monkeypatch.setattr(diff, "tiled_adjoint_reject_reason",
+                        lambda s: "stub: outside tiled envelope")
+    monkeypatch.setattr(
+        "titan_tpu.parallel.halo_adjoint.halo_adjoint_reject_reason",
+        lambda s, n: "stub: outside distributed envelope")
+    with pytest.raises(RuntimeError, match="outside every fused"):
+        diff.grad_rollout(sim._shape, sim._state, 2, segment=2,
+                          mesh=mesh)
+    # without mesh the same scene still gets the warned fast_rollout
+    monkeypatch.setattr(diff, "fast_rollout",
+                        lambda *a, **k: "FAST")
+    assert diff.grad_rollout(sim._shape, sim._state, 2,
+                             segment=2) == "FAST"
+
+
 def test_glue_rk2_accepted(monkeypatch):
     """RK2 glue scenes are IN the distributed envelope (the distributed
     split backward, module docstring) -- grads covered by the

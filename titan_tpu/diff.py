@@ -131,8 +131,16 @@ def grad_rollout(shape: SceneShape, state: SimState, n_steps: int,
 
     With ``mesh``, the DISTRIBUTED adjoint (parallel/halo_adjoint.py)
     shards both passes across the mesh's ``axis`` devices; scenes its
-    envelope rejects fall through to the single-device routing above
-    with the same one-line warning convention."""
+    envelope rejects fall through to the single-device FUSED adjoints
+    with the same one-line warning convention (their memory behavior is
+    predictable -- a too-big scene dies with a clean RESOURCE_EXHAUSTED
+    at staging).  A meshed scene outside every fused envelope RAISES
+    instead of silently attempting fast_rollout on one device: the
+    XLA-recompute backward's padded residuals can OOM the chip long
+    after the warning scrolled by (measured 44.9 GB on a 60^3 glue
+    scene, docs/PERFORMANCE.md), and a scene the user explicitly asked
+    to distribute is exactly the kind that won't fit."""
+    rd = None
     if mesh is not None:
         from .parallel.halo_adjoint import (halo_adjoint_reject_reason,
                                             halo_adjoint_rollout)
@@ -150,6 +158,15 @@ def grad_rollout(shape: SceneShape, state: SimState, n_steps: int,
     if rt is None:
         return tiled_adjoint_rollout(shape, state, n_steps,
                                      segment=segment)
+    if mesh is not None:
+        raise RuntimeError(
+            "grad_rollout: scene requested a mesh but is outside every "
+            f"fused adjoint envelope (distributed: {rd}; VMEM: {r}; "
+            f"tiled: {rt}). Refusing the implicit single-device "
+            "XLA-recompute fallback -- its padded per-step residuals "
+            "can OOM the chip on scenes this large.  Run without mesh= "
+            "to opt into fast_rollout explicitly if the scene fits one "
+            "device.")
     get_logger().warning(
         "grad_rollout: scene outside the fused adjoint envelopes "
         "(VMEM: %s; tiled: %s); falling back to fast_rollout's "
@@ -164,19 +181,26 @@ def _fast_segment(shape: SceneShape, seg: int):
     traced/compiled program (same rationale as ops/adjoint.py's
     _adjoint_segment).  Every build-time hook that changes the kernel the
     primal chunk bakes in (TITAN_FMATH / TITAN_ABLATE for the VMEM
-    kernel, pallas_tiled.CARRY_MODE for the tiled one) joins the cache
-    key so same-process A/Bs are never served a stale chunk."""
+    kernel, pallas_tiled.CARRY_MODE for the tiled one, plus the
+    monkeypatchable pallas_tiled._tile_size and pl.pallas_call bindings
+    that tests/graft-dryrun patch) joins the cache key so same-process
+    A/Bs and patched tests are never served a stale chunk (functions
+    key by identity; every patch installs a fresh object)."""
     import os as _os
+
+    from jax.experimental import pallas as _pl
+
     from .ops import pallas_tiled as _pt
     return _fast_segment_cached(shape, seg,
                                 _os.environ.get("TITAN_FMATH", ""),
                                 _os.environ.get("TITAN_ABLATE", ""),
-                                _pt.CARRY_MODE)
+                                _pt.CARRY_MODE, _pt._tile_size,
+                                _pl.pallas_call)
 
 
 @_functools.lru_cache(maxsize=32)
 def _fast_segment_cached(shape: SceneShape, seg: int, _fmath: str,
-                         _ablate: str, _carry: str):
+                         _ablate: str, _carry: str, _tile, _pcall):
     from .ops.step import build_chunk_fn
     chunk = build_chunk_fn(shape)
     step = build_step_fn(xla_only_shape(shape))

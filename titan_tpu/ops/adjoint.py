@@ -1975,15 +1975,19 @@ def _adjoint_segment(shape: SceneShape, seg: int,
     (SceneShape is the same frozen dataclass that keys every other jit
     cache in the framework).  The kernel-math env hooks (TITAN_ABLATE /
     TITAN_FMATH, read at build time inside pallas_step) join the key so
-    same-process A/B runs are not served a stale build."""
+    same-process A/B runs are not served a stale build, as does the
+    monkeypatchable pl.pallas_call binding (interpret-mode tests install
+    a fresh wrapper, which keys by identity)."""
     return _adjoint_segment_cached(shape, seg, famstash,
                                    os.environ.get("TITAN_ABLATE", ""),
-                                   os.environ.get("TITAN_FMATH", ""))
+                                   os.environ.get("TITAN_FMATH", ""),
+                                   pl.pallas_call)
 
 
 @functools.lru_cache(maxsize=32)
 def _adjoint_segment_cached(shape: SceneShape, seg: int,
-                            famstash: bool, _ablate: str, _fmath: str):
+                            famstash: bool, _ablate: str, _fmath: str,
+                            _pcall):
     from .pallas_step import build_pallas_chunk
     fwd_chunk = build_pallas_chunk(shape)
     trace_run = build_trace_run(shape, seg)

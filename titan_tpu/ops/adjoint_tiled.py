@@ -91,7 +91,7 @@ from ..state import SceneShape, SimState
 from . import pallas_tiled
 from .adjoint import (_actuation_inputs, _make_P, assemble_ct,
                       backward_step)
-from .pallas_tiled import (_round_up, make_tiled_call, prep_flat_inputs,
+from .pallas_tiled import (_round_up, prep_flat_inputs,
                            tiled_reject_reason)
 
 _BWD_VMEM_BUDGET = 64 * 1024 * 1024
@@ -239,11 +239,14 @@ def tiled_adjoint_reject_reason(shape: SceneShape):
     if not shape.config.persistent_extern_force:
         return "strict per-step extern_force mode"
     h, hw, t_fwd, t_bwd, n_tiles, n_t = _geom(shape)
-    _, ni = _inv_plan(shape)
-    wr = (t_bwd + 2 * hw) // 128
-    need = 2 * 4 * wr * 128 * (_tr_planes(shape) + 9 + ni)
+    # the FULL backward estimate (windows + blocked outputs + transpose
+    # temporaries) at the already-shrunken t_bwd -- the same predicate
+    # halo_adjoint_reject_reason applies, so a scene the shrink loop
+    # could not fit is cleanly rejected on every tier instead of built
+    # into a kernel that overflows VMEM at runtime
+    need = _bwd_vmem_est(shape, t_bwd, hw)
     if need >= _BWD_VMEM_BUDGET:
-        return (f"backward tile window needs ~{need >> 20} MB of VMEM > "
+        return (f"backward tile needs ~{need >> 20} MB of VMEM > "
                 f"{_BWD_VMEM_BUDGET >> 20} MB budget even at the minimum "
                 "tile")
     return None
@@ -335,159 +338,49 @@ def build_tiled_trace(shape: SceneShape, seg: int):
     glue) -- in the padded-flat layout with the backward's halo pads
     already in place (zeros); rtrace [seg, S] holds each step's
     remainder-rest INPUT (None unless shape.has_remainder -- the glue
-    transpose re-linearizes at that rest).  Re-runs the SAME per-step
-    kernel launches as build_tiled_chunk's padded-carry mode
-    (pallas_tiled.py) INCLUDING the per-step glue, so the replayed
-    trajectory is bitwise the primal's (test-pinned)."""
+    transpose re-linearizes at that rest).  Runs the SAME per-step
+    machinery as build_tiled_chunk's padded-carry mode -- literally:
+    pallas_tiled.make_step_setup is ONE implementation shared by the
+    primal chunk and this replay, so the replayed trajectory is bitwise
+    the primal's BY CONSTRUCTION (and test-pinned); this function only
+    adds the trace/rtrace writes from the step's aux observables."""
     h, hw, t_fwd, _, n_tiles, n_t = _geom(shape)
-    n = shape.n_masses
-    pad_n = n_t - n
+    pad_n = n_t - shape.n_masses
     rk2 = shape.config.integrator is Integrator.RK2
-    verlet = shape.config.integrator is Integrator.VERLET
     twr = (n_t + 2 * hw) // 128
     has_glue = _has_glue(shape)
     np_tr = _tr_planes(shape)
-
-    if rk2:
-        call_a = make_tiled_call(shape, t_fwd, h, n_tiles, "rk2a")
-        call_b = make_tiled_call(shape, t_fwd, h, n_tiles, "rk2b")
-    else:
-        step_call = make_tiled_call(shape, t_fwd, h, n_tiles, "single")
+    setup = pallas_tiled.make_step_setup(shape, t_fwd, h, n_tiles,
+                                         carry_legacy=False)
 
     def run(state: SimState):
         m = state.masses
-        p = prep_flat_inputs(shape, state)
-        planes, balls, fparams = p["planes"], p["balls"], p["fparams"]
-
-        r3 = lambda x: x.reshape(x.shape[0], -1, 128)
-        param_hbm = (r3(jnp.pad(p["param_flat"], ((0, 0), (h, h + pad_n))))
-                     if p["param_flat"] is not None else None)
-        mask_hbm = (r3(jnp.pad(p["bits_flat"], ((0, 0), (h, h + pad_n))))
-                    if p["bits_flat"] is not None else None)
-        zpad = lambda x: r3(jnp.pad(x, ((0, 0), (0, pad_n))))
-        minv = zpad(p["minv_flat"])
-        fixed = zpad(p["fixed_flat"])
-        const_f = zpad(p["const_flat"])
-        drag = zpad(p["drag_flat"]) if p["drag_flat"] is not None else None
-        lc_in = zpad(p["lc_flat"]) if p["lc_flat"] is not None else None
-        dt32 = state.dt.astype(jnp.float32)
-        t032 = state.t.astype(jnp.float32)
-        win_in = lambda x: r3(jnp.pad(x, ((0, 0), (h, h))))
-        blk_in = r3
-        out_tx = lambda x: x.reshape(3, n_t)
+        step, _ = setup(state)
         padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
-
-        magnet_ridx = None
-        if shape.has_magnets and shape.magnet_receivers:
-            from .magnets import magnet_receiver_idx
-            magnet_ridx = magnet_receiver_idx(m, shape.magnet_receivers)
-        sp_glue = None
-        if shape.has_remainder:
-            sp_glue = state.springs
-            if not shape.all_valid:
-                sp_glue = dataclasses.replace(
-                    sp_glue, valid=(sp_glue.valid & m.valid[sp_glue.left]
-                                    & m.valid[sp_glue.right]))
-
-        def glue_cf_flat(pos_c, vel_c, t_i, rem_rest):
-            # mirror of build_tiled_chunk.glue_cf (pallas_tiled.py) --
-            # the replay must run the primal's exact per-step glue --
-            # returning the UNBLOCKED [3, n_t] total cf for the trace
-            from . import forces as F
-            from .step import magnet_pass
-            extra = jnp.zeros_like(p["const_flat"])
-            if shape.has_remainder:
-                f_rem, rem_rest = F.compact_remainder_forces(
-                    sp_glue, pos_c[:, :n],
-                    vel_c[:, :n] if shape.has_damping else None,
-                    rem_rest, t_i, state.dt, 0, n,
-                    shape.has_breathing, shape.has_damping)
-                extra = extra + jnp.where(m.fixed, 0.0, f_rem)
-            if shape.has_magnets:
-                mm = dataclasses.replace(m, pos=pos_c[:, :n],
-                                         vel=vel_c[:, :n])
-                extra = extra + jnp.where(m.fixed, 0.0,
-                                          magnet_pass(mm, shape,
-                                                      magnet_ridx))
-            return (jnp.pad(p["const_flat"] + extra, ((0, 0), (0, pad_n))),
-                    rem_rest)
-
-        def call_args(scal, pos_c, vel_c, acc_c=None, extra3=None,
-                      cf=None):
-            # mirror of build_tiled_chunk.call_args (pallas_tiled.py)
-            if shape.has_damping:
-                state_hbm = win_in(jnp.concatenate([pos_c, vel_c], axis=0))
-            else:
-                state_hbm = win_in(pos_c)
-            args = [scal, planes, balls, fparams, state_hbm]
-            if param_hbm is not None:
-                args.append(param_hbm)
-            if mask_hbm is not None:
-                args.append(mask_hbm)
-            if not shape.has_damping:
-                args.append(blk_in(vel_c))
-            if acc_c is not None:
-                args.append(blk_in(acc_c))
-            args += [const_f if cf is None else cf, minv, fixed]
-            if extra3 is not None:
-                args += [blk_in(x) for x in extra3]
-            if shape.has_drag:
-                args.append(drag)
-            if lc_in is not None:
-                args.append(lc_in)
-            return args
 
         def body(i, carry):
             pos, vel, acc, rem_rest, trace, rtrace = carry
-            i32 = i.astype(jnp.float32)
-            cf = None
-            rest_in = rem_rest
+            p2, v2, a2, rem_rest, aux = step(i, pos, vel, acc, rem_rest)
             if has_glue:
                 # the backward transposes each glue pass at its rest
                 # INPUT (before that pass's actuation advance)
-                t_i = state.t + i.astype(state.t.dtype) * state.dt
-                cf_a_flat, rem_rest = glue_cf_flat(pos, vel, t_i,
-                                                   rem_rest)
-                cf = r3(cf_a_flat)
-            if rk2:
-                scal = jnp.stack([dt32, t032 + i32 * dt32, 2.0 * i32])
-                ph, vh, v1 = call_a(*call_args(scal, pos, vel, cf=cf))
-                ph, vh, v1 = out_tx(ph), out_tx(vh), out_tx(v1)
-                cf2 = None
-                if has_glue:
-                    rest_mid = rem_rest
-                    cf_b_flat, rem_rest = glue_cf_flat(
-                        ph, vh, t_i + 0.5 * state.dt, rem_rest)
-                    cf2 = r3(cf_b_flat)
-                    planes_i = jnp.concatenate(
-                        [pos, vel, cf_a_flat, cf_b_flat], axis=0)
-                    if shape.has_remainder:
+                cfs = [aux["cf_a_flat"]] + ([aux["cf_b_flat"]] if rk2
+                                            else [])
+                planes_i = jnp.concatenate([pos, vel] + cfs, axis=0)
+                if shape.has_remainder:
+                    if rk2:
                         rtrace = jax.lax.dynamic_update_slice(
-                            rtrace, jnp.stack([rest_in, rest_mid])[None],
+                            rtrace, jnp.stack([aux["rest_in"],
+                                               aux["rest_mid"]])[None],
                             (i, 0, 0))
-                else:
-                    planes_i = jnp.concatenate([pos, vel], axis=0)
-                scal2 = jnp.stack([dt32, t032 + (i32 + 0.5) * dt32,
-                                   2.0 * i32 + 1.0])
-                p2, v2, a2 = call_b(*call_args(scal2, ph, vh,
-                                               extra3=(pos, v1, vel),
-                                               cf=cf2))
-            else:
-                if has_glue:
-                    planes_i = jnp.concatenate([pos, vel, cf_a_flat],
-                                               axis=0)
-                    if shape.has_remainder:
+                    else:
                         rtrace = jax.lax.dynamic_update_slice(
-                            rtrace, rest_in[None], (i, 0))
-                else:
-                    planes_i = jnp.concatenate([pos, vel], axis=0)
-                scal = jnp.stack([dt32, t032 + i32 * dt32, i32])
-                p2, v2, a2 = step_call(*call_args(
-                    scal, pos, vel, acc_c=acc if verlet else None, cf=cf))
+                            rtrace, aux["rest_in"][None], (i, 0))
+            else:
+                planes_i = jnp.concatenate([pos, vel], axis=0)
             trace = jax.lax.dynamic_update_slice(
                 trace, planes_i[None], (i, 0, hw))
-            return out_tx(p2), out_tx(v2), out_tx(a2), rem_rest, trace, \
-                rtrace
+            return p2, v2, a2, rem_rest, trace, rtrace
 
         trace0 = jnp.zeros((seg, np_tr, n_t + 2 * hw), jnp.float32)
         if shape.has_remainder:
@@ -952,17 +845,23 @@ def _tiled_adjoint_segment(shape: SceneShape, seg: int):
     Cached per (shape, seg) -- same rationale as ops/adjoint.py's
     _adjoint_segment: one traced/compiled program per scene instead of a
     fresh function object (= full retrace + recompile) per rollout call.
-    Build-time hooks that change the generated kernels (TITAN_FMATH,
-    pallas_tiled.CARRY_MODE) join the key so same-process A/Bs stay
-    valid."""
+    EVERY build-time hook that changes the generated kernels joins the
+    key -- TITAN_FMATH, pallas_tiled.CARRY_MODE, and the monkeypatchable
+    function bindings pallas_tiled._tile_size (tests/graft dryrun shrink
+    it) and pl.pallas_call (interpret-mode patches) -- so same-process
+    A/Bs and patched tests are never served a segment traced under a
+    different geometry or execution mode (functions key by identity;
+    each patch installs a fresh object)."""
     from . import pallas_tiled as _pt
     return _tiled_adjoint_segment_cached(
-        shape, seg, _os.environ.get("TITAN_FMATH", ""), _pt.CARRY_MODE)
+        shape, seg, _os.environ.get("TITAN_FMATH", ""), _pt.CARRY_MODE,
+        _pt._tile_size, pl.pallas_call)
 
 
 @functools.lru_cache(maxsize=16)
 def _tiled_adjoint_segment_cached(shape: SceneShape, seg: int,
-                                  _fmath: str, _carry: str):
+                                  _fmath: str, _carry: str,
+                                  _tile, _pcall):
     from .pallas_tiled import build_tiled_chunk
     fwd_chunk = build_tiled_chunk(shape)
     trace_run = build_tiled_trace(shape, seg)

@@ -151,7 +151,12 @@ def _tile_size(h: int, shape: SceneShape = None) -> int:
     vs this floor's 1.50x) measured NO faster (1,424 vs 1,450 steps/s,
     one-process A/B on v5e, scripts/tpu_tiled_ab.py) -- the halo tax does
     not convert to wall time at this geometry, so keep the small tile and
-    its cheaper VMEM footprint.
+    its cheaper VMEM footprint.  RE-MEASURED after the padded-flat carry
+    removed the tile-size-independent glue that explained that wash
+    (scripts/tpu_tiled_tile_ab2.py, one process, 6k-step windows): the
+    floor now WINS outright -- 2,500/2,504 steps/s vs 2,302 (2x tile)
+    and 2,289 (131072) at 100^3 -- so bigger tiles are a measured
+    regression, not merely a wash; don't retry.
 
     When ``shape`` is given, the tile SHRINKS (halving, toward one halo)
     until the window fits the VMEM budget: beyond ~180^3 the 4-halo
@@ -793,23 +798,32 @@ def prep_flat_inputs(shape: SceneShape, state: SimState):
                 move=move)
 
 
-def build_tiled_chunk(shape: SceneShape, donate: bool = False):
-    """Jitted chunk(state, n_steps): fori_loop of per-step tiled launches.
+def make_step_setup(shape: SceneShape, t_size: int, h: int, n_tiles: int,
+                    carry_legacy: bool = False):
+    """ONE implementation of the single-device tiled per-step machinery --
+    staging, the per-step magnet/remainder glue, kernel-call marshalling,
+    and the step sequencing (one launch per step; two under RK2) --
+    shared by build_tiled_chunk (the primal) and the adjoint trace
+    replay (ops/adjoint_tiled.build_tiled_trace).  Gradient correctness
+    requires the replay to be BITWISE the primal; sharing the code makes
+    that true by construction instead of by hand-kept mirrors.
 
-    donate=True donates the input state's buffers (exclusive-owner callers
-    like bench.py and the scale probes -- at the ~200^3 HBM ceiling the
-    un-donated pos/vel/acc copies are live growth); the control plane
-    keeps donate=False for its concurrent getAll() snapshot readers."""
+    Returns ``setup(state) -> (step, p)`` where
+    ``step(i, pos, vel, acc, rem_rest) -> (pos2, vel2, acc2, rem_rest2,
+    aux)`` advances one dt in the carry layout (padded-flat [3, n_t], or
+    [3, n] when ``carry_legacy``), ``p`` is the prep_flat_inputs dict
+    (for the chunk epilogue), and ``aux`` carries the trace replay's
+    per-step observables -- the UNBLOCKED [3, n_t] total constant-force
+    input(s) and the remainder-rest linearization point(s):
+    ``cf_a_flat``/``rest_in`` (glue scenes) plus ``cf_b_flat``/
+    ``rest_mid`` (RK2 glue).  Callers that ignore aux (the chunk) pay
+    nothing: XLA dead-code-eliminates the unused outputs."""
     n = shape.n_masses
-    deltas = shape.stencil_deltas
-    h = _round_up(max(abs(d) for d in deltas), 1024)
-    t_size = _tile_size(h, shape)
-    n_tiles = -(-n // t_size)            # ceil: last tile covers padding
     n_t = n_tiles * t_size
     pad_n = n_t - n
     rk2 = shape.config.integrator is Integrator.RK2
     verlet = shape.config.integrator is Integrator.VERLET
-    carry_legacy = CARRY_MODE == "legacy"   # bound at build time, not trace
+    has_glue = shape.has_remainder or shape.has_magnets
 
     if rk2:
         call_a = make_tiled_call(shape, t_size, h, n_tiles, "rk2a")
@@ -817,11 +831,9 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
     else:
         step_call = make_tiled_call(shape, t_size, h, n_tiles, "single")
 
-    def chunk(state: SimState, n_steps) -> SimState:
+    def setup(state: SimState):
         m = state.masses
-        stc = state.stencil
         p = prep_flat_inputs(shape, state)
-        move, aratedt, sstop = p["move"], p["aratedt"], p["sstop"]
         const_flat = p["const_flat"]
         planes, balls, fparams = p["planes"], p["balls"], p["fparams"]
 
@@ -844,7 +856,15 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
         dt32 = state.dt.astype(jnp.float32)
         t032 = state.t.astype(jnp.float32)
 
-        has_glue = shape.has_remainder or shape.has_magnets
+        if carry_legacy:
+            win_in = hpad                               # (h, h + pad_n) pad
+            blk_in = lambda x: r3(jnp.pad(x, ((0, 0), (0, pad_n))))
+            out_tx = lambda x: x.reshape(3, n_t)[:, :n]
+        else:
+            win_in = lambda x: r3(jnp.pad(x, ((0, 0), (h, h))))
+            blk_in = r3
+            out_tx = lambda x: x.reshape(3, n_t)
+
         magnet_ridx = None
         if shape.has_magnets and shape.magnet_receivers:
             # hoist the chunk-constant compacted-receiver top_k out of the
@@ -862,7 +882,7 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
                     sp_glue, valid=(sp_glue.valid & m.valid[sp_glue.left]
                                     & m.valid[sp_glue.right]))
 
-        def glue_cf(pos_c, vel_c, t_i, rem_rest):
+        def glue_cf_flat(pos_c, vel_c, t_i, rem_rest):
             # per-step magnet/remainder glue (module docstring), entering
             # the kernel through its constant-force input.  RK2 evaluates
             # it once per force pass -- at (pos, vel, t) then (pos_h,
@@ -871,7 +891,9 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
             # between passes.  Remainder springs use the O(S) compact
             # evaluator rather than the step path's O(N*D) incidence
             # scatter: glue scenes have S (cross links) << N (a measured
-            # 6.7x on the tiled glue adjoint, docs/PERFORMANCE.md)
+            # 6.7x on the tiled glue adjoint, docs/PERFORMANCE.md).
+            # Returns the UNBLOCKED padded-flat [3, n_t] total cf (the
+            # trace replay stores exactly this plane).
             from . import forces as F
             from .step import magnet_pass
             extra = jnp.zeros_like(const_flat)
@@ -892,10 +914,11 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
                 extra = extra + jnp.where(m.fixed, 0.0,
                                           magnet_pass(mm, shape,
                                                       magnet_ridx))
-            return (r3(jnp.pad(const_flat + extra, ((0, 0), (0, pad_n)))),
+            return (jnp.pad(const_flat + extra, ((0, 0), (0, pad_n))),
                     rem_rest)
 
-        def call_args(scal, pos_c, vel_c, cf, acc_c=None, extra3=None):
+        def call_args(scal, pos_c, vel_c, cf=None, acc_c=None,
+                      extra3=None):
             if shape.has_damping:
                 state_hbm = win_in(jnp.concatenate([pos_c, vel_c], axis=0))
             else:
@@ -909,7 +932,7 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
                 args.append(blk_in(vel_c))
             if acc_c is not None:
                 args.append(blk_in(acc_c))
-            args += [cf, minv, fixed]
+            args += [const_f if cf is None else cf, minv, fixed]
             if extra3 is not None:
                 args += [blk_in(x) for x in extra3]
             if shape.has_drag:
@@ -917,6 +940,72 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
             if lc_in is not None:
                 args.append(lc_in)
             return args
+
+        def step(i, pos, vel, acc, rem_rest):
+            i32 = i.astype(jnp.float32)
+            t_i = state.t + i.astype(state.t.dtype) * state.dt
+            aux = {}
+            cf = None
+            if has_glue:
+                aux["rest_in"] = rem_rest
+                cf_a_flat, rem_rest = glue_cf_flat(pos, vel, t_i, rem_rest)
+                aux["cf_a_flat"] = cf_a_flat
+                cf = r3(cf_a_flat)
+            if rk2:
+                # two launches per step (module docstring); scal[2] is the
+                # count of ACTUATED rest advances already applied, which
+                # runs at TWO per dt under RK2 (the reference's double-pass
+                # rest-mutation quirk, sim.cu:1778-1799)
+                scal = jnp.stack([dt32, t032 + i32 * dt32, 2.0 * i32])
+                ph, vh, v1 = call_a(*call_args(scal, pos, vel, cf=cf))
+                ph, vh, v1 = out_tx(ph), out_tx(vh), out_tx(v1)
+                cf2 = None
+                if has_glue:
+                    aux["rest_mid"] = rem_rest
+                    cf_b_flat, rem_rest = glue_cf_flat(
+                        ph, vh, t_i + 0.5 * state.dt, rem_rest)
+                    aux["cf_b_flat"] = cf_b_flat
+                    cf2 = r3(cf_b_flat)
+                scal2 = jnp.stack([dt32, t032 + (i32 + 0.5) * dt32,
+                                   2.0 * i32 + 1.0])
+                p2, v2, a2 = call_b(*call_args(
+                    scal2, ph, vh, cf=cf2, extra3=(pos, v1, vel)))
+            else:
+                scal = jnp.stack([dt32, t032 + i32 * dt32, i32])
+                p2, v2, a2 = step_call(*call_args(
+                    scal, pos, vel, cf=cf,
+                    acc_c=acc if verlet else None))
+            return out_tx(p2), out_tx(v2), out_tx(a2), rem_rest, aux
+
+        return step, p
+
+    return setup
+
+
+def build_tiled_chunk(shape: SceneShape, donate: bool = False):
+    """Jitted chunk(state, n_steps): fori_loop of per-step tiled launches
+    (the shared make_step_setup machinery).
+
+    donate=True donates the input state's buffers (exclusive-owner callers
+    like bench.py and the scale probes -- at the ~200^3 HBM ceiling the
+    un-donated pos/vel/acc copies are live growth); the control plane
+    keeps donate=False for its concurrent getAll() snapshot readers."""
+    n = shape.n_masses
+    deltas = shape.stencil_deltas
+    h = _round_up(max(abs(d) for d in deltas), 1024)
+    t_size = _tile_size(h, shape)
+    n_tiles = -(-n // t_size)            # ceil: last tile covers padding
+    n_t = n_tiles * t_size
+    pad_n = n_t - n
+    rk2 = shape.config.integrator is Integrator.RK2
+    carry_legacy = CARRY_MODE == "legacy"   # bound at build time, not trace
+    setup = make_step_setup(shape, t_size, h, n_tiles, carry_legacy)
+
+    def chunk(state: SimState, n_steps) -> SimState:
+        m = state.masses
+        stc = state.stencil
+        step, p = setup(state)
+        move, aratedt, sstop = p["move"], p["aratedt"], p["sstop"]
 
         def body(i, carry):
             # carries stay in the kernel's padded-flat [3, n_t] layout the
@@ -927,44 +1016,12 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
             # (why the round-3 bigger-tile A/B measured a wash).  Only the
             # (h, h) halo pad of the windowed planes remains per step.
             pos, vel, acc, rem_rest = carry
-            i32 = i.astype(jnp.float32)
-            t_i = state.t + i.astype(state.t.dtype) * state.dt
-            cf = const_f
-            if has_glue:
-                cf, rem_rest = glue_cf(pos, vel, t_i, rem_rest)
-            if rk2:
-                # two launches per step (module docstring); scal[2] is the
-                # count of ACTUATED rest advances already applied, which
-                # runs at TWO per dt under RK2 (the reference's double-pass
-                # rest-mutation quirk, sim.cu:1778-1799)
-                scal = jnp.stack([dt32, t032 + i32 * dt32, 2.0 * i32])
-                ph, vh, v1 = call_a(*call_args(scal, pos, vel, cf))
-                ph, vh, v1 = out_tx(ph), out_tx(vh), out_tx(v1)
-                cf2 = const_f
-                if has_glue:
-                    cf2, rem_rest = glue_cf(ph, vh, t_i + 0.5 * state.dt,
-                                            rem_rest)
-                scal2 = jnp.stack([dt32, t032 + (i32 + 0.5) * dt32,
-                                   2.0 * i32 + 1.0])
-                p2, v2, a2 = call_b(*call_args(
-                    scal2, ph, vh, cf2, extra3=(pos, v1, vel)))
-            else:
-                scal = jnp.stack([dt32, t032 + i32 * dt32, i32])
-                p2, v2, a2 = step_call(*call_args(
-                    scal, pos, vel, cf, acc_c=acc if verlet else None))
-            return out_tx(p2), out_tx(v2), out_tx(a2), rem_rest
+            p2, v2, a2, rem_rest, _aux = step(i, pos, vel, acc, rem_rest)
+            return p2, v2, a2, rem_rest
 
         padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
-        if carry_legacy:
-            win_in = hpad                               # (h, h + pad_n) pad
-            blk_in = lambda x: r3(padf(x))
-            out_tx = lambda x: x.reshape(3, n_t)[:, :n]
-            init = (m.pos, m.vel, m.acc)
-        else:
-            win_in = lambda x: r3(jnp.pad(x, ((0, 0), (h, h))))
-            blk_in = r3
-            out_tx = lambda x: x.reshape(3, n_t)
-            init = (padf(m.pos), padf(m.vel), padf(m.acc))
+        init = (m.pos, m.vel, m.acc) if carry_legacy else \
+            (padf(m.pos), padf(m.vel), padf(m.acc))
 
         pos, vel, acc, rem_rest = jax.lax.fori_loop(
             0, n_steps, body, init + (state.springs.rest,))

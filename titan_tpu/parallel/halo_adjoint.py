@@ -127,15 +127,26 @@ def _halo_adjoint_segment(shape: SceneShape, mesh: Mesh, seg: int,
     (shape, mesh, seg, axis) -- jax Meshes hash by devices+axis names --
     so per-iteration grad_rollout(mesh=...) calls reuse one traced
     program (rationale in ops/adjoint.py's _adjoint_segment).
-    TITAN_FMATH keys the build-time kernel math."""
+    TITAN_FMATH keys the build-time kernel math, and the monkeypatchable
+    bindings pallas_tiled._tile_size / halo_tiled._tile_size (tests and
+    the graft dryrun shrink them) and pl.pallas_call (interpret-mode
+    patches) join the key so a patched build is never served a segment
+    traced under the shipped geometry (functions key by identity)."""
     import os as _os
+
+    from jax.experimental import pallas as _pl
+
+    from ..ops import pallas_tiled as _pt
+    from . import halo_tiled as _ht
     return _halo_adjoint_segment_cached(
-        shape, mesh, seg, axis, _os.environ.get("TITAN_FMATH", ""))
+        shape, mesh, seg, axis, _os.environ.get("TITAN_FMATH", ""),
+        _pt._tile_size, _ht._tile_size, _pl.pallas_call)
 
 
 @_functools.lru_cache(maxsize=16)
 def _halo_adjoint_segment_cached(shape: SceneShape, mesh: Mesh, seg: int,
-                                 axis: str, _fmath: str):
+                                 axis: str, _fmath: str, _tile, _htile,
+                                 _pcall):
     fwd_chunk = build_halo_tiled_chunk(shape, mesh, axis)
     n = shape.n_masses
     n_dev = mesh.shape[axis]
