@@ -102,7 +102,12 @@ def main():
     # 2,000-step window at the true ~50k steps/s is only ~40 ms of compute
     # and UNDERSTATED throughput by ~40% (measured round 3: 30.3k steps/s
     # at 2k steps vs 49.8-51.3k at 20k steps, same process, same kernel).
-    steps = 20000 if nx <= 64 else 600
+    # nx>64 (tiled kernel): 600 steps at the true ~2.5k steps/s is only
+    # ~0.24 s of compute -- the same short-window understatement the 43^3
+    # leg had (measured 1,907 at 600 steps vs 2,500/2,504 at 6k steps in
+    # scripts/tpu_tiled_tile_ab2.py, same process).  6,000 steps = ~2.4 s
+    # per dispatch, far under the ~30 s tunnel dispatch kill.
+    steps = 20000 if nx <= 64 else 6000
     t0 = time.perf_counter()
     state = chunk(state, jnp.int32(steps))
     final_t = sync(state)
