@@ -94,7 +94,19 @@ def main():
     sync(state)
     compile_s = time.perf_counter() - t0
 
-    state = chunk(state, jnp.int32(2000))
+    # Short probe to estimate the step rate, so every later dispatch can be
+    # sized under the ~30 s tunnel dispatch kill (a single >30 s dispatch
+    # crashes the worker at the next readback; CLAUDE.md).  The probe rate
+    # is latency-biased LOW (its ~25 ms dispatch+readback tax is included),
+    # which only makes the sizing more conservative.
+    t0 = time.perf_counter()
+    state = chunk(state, jnp.int32(200))
+    sync(state)
+    probe_rate = 200 / (time.perf_counter() - t0)
+    steps = 20000 if nx <= 64 else 6000
+    per_dispatch = max(200, min(steps, int(probe_rate * 20.0)))
+
+    state = chunk(state, jnp.int32(per_dispatch))  # warm-up
     sync(state)
 
     # timed run.  The window must be long enough to amortize the tunneled
@@ -105,15 +117,18 @@ def main():
     # nx>64 (tiled kernel): 600 steps at the true ~2.5k steps/s is only
     # ~0.24 s of compute -- the same short-window understatement the 43^3
     # leg had (measured 1,907 at 600 steps vs 2,500/2,504 at 6k steps in
-    # scripts/tpu_tiled_tile_ab2.py, same process).  6,000 steps = ~2.4 s
-    # per dispatch, far under the ~30 s tunnel dispatch kill.
-    steps = 20000 if nx <= 64 else 6000
+    # scripts/tpu_tiled_tile_ab2.py, same process).  The total window is
+    # split into <=20 s dispatches queued WITHOUT intermediate syncs (one
+    # final readback), so slow scenes (e.g. 200^3 at ~159 steps/s) keep
+    # the long window without any single dispatch hitting the kill.
+    n_disp = max(1, -(-steps // per_dispatch))
     t0 = time.perf_counter()
-    state = chunk(state, jnp.int32(steps))
+    for _ in range(n_disp):
+        state = chunk(state, jnp.int32(per_dispatch))
     final_t = sync(state)
     elapsed = time.perf_counter() - t0
 
-    steps_per_sec = steps / elapsed
+    steps_per_sec = (n_disp * per_dispatch) / elapsed
     sps = n_springs * steps_per_sec
     print(json.dumps({
         "metric": "spring_updates_per_sec",

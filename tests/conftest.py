@@ -22,6 +22,47 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+# ---------------------------------------------------------------------------
+# Suite tiering: `pytest -m smoke` is the <10-min set (parity + one
+# representative per subsystem); the full suite (~2 h on this one-core box,
+# measured round 3: 1:55:43 for 546 tests) stays the pre-commit gate.
+# Smoke membership is by module, with per-test opt-out via @pytest.mark.slow
+# (a slow-marked test inside a smoke module is excluded from -m smoke).
+# ---------------------------------------------------------------------------
+_SMOKE_MODULES = {
+    "test_vec",            # C1 math primitives
+    "test_simple",         # end-to-end basic sim
+    "test_parity",         # independent f64 oracle (the north star)
+    "test_forces",         # force kernels
+    "test_integrators",    # Euler/Verlet/RK2
+    "test_constraints",    # planes/balls/local slots
+    "test_builders",       # lattice/beam/cube emission order
+    "test_control",        # control plane / breakpoints
+    "test_compaction",     # dynamic topology
+    "test_checkpoint",     # checkpoint/resume
+    "test_stl",            # STL import
+    "test_native",         # C++ fast paths
+    "test_viewer",         # renderer
+    "test_api_surface",    # sim.h parity surface
+    "test_rl",             # RL env API
+    "test_topology_edit",  # incremental structural edits
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "smoke: fast representative set (pytest -m smoke)")
+    config.addinivalue_line(
+        "markers", "slow: excluded from the smoke set even in smoke modules")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SMOKE_MODULES and item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.smoke)
+
+
 def _map_count() -> int:
     """Number of memory mappings of this process (Linux), else 0."""
     try:
