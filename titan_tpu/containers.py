@@ -57,6 +57,7 @@ class Container:
     def translate(self, displ) -> None:
         d = Vec(displ).numpy() if isinstance(displ, Vec) else np.asarray(displ)
         self._sim._store.pos[self._mass_idx] += d
+        self._sim._touch_mass(self._mass_idx, "pos")
 
     def rotate(self, axis, angle: float) -> None:
         """Rotate all masses about ``axis`` through the center of mass.
@@ -87,25 +88,31 @@ class Container:
         spatial = (planar_x[:, None] * x_hat + planar_y[:, None] * y_hat
                    + axial + com)
         st.pos[idx] = np.where(on_axis[:, None], pos, spatial)
+        self._sim._touch_mass(idx, "pos")
 
     def setMassValues(self, m: float) -> None:
         """NOTE: the reference *adds* (object.cu:146-150: ``mass->m += m``)."""
         self._sim._store.m[self._mass_idx] += m
+        self._sim._touch_mass(self._mass_idx, "m")
 
     def setSpringConstants(self, k: float) -> None:
         self._sim._store.k[self._spring_idx] = k
+        self._sim._touch_spring(self._spring_idx)
 
     def setRestLengths(self, length: float) -> None:
         self._sim._store.rest[self._spring_idx] = length
+        self._sim._touch_spring(self._spring_idx, rest=True)
 
     def defaultRestLengths(self) -> None:
         st = self._sim._store
         idx = self._spring_idx
         d = st.pos[st.right[idx]] - st.pos[st.left[idx]]
         st.rest[idx] = np.sqrt(np.sum(d * d, axis=1))
+        self._sim._touch_spring(idx, rest=True)
 
     def fix(self) -> None:
         self._sim._store.fixed[self._mass_idx] = True
+        self._sim._touch_mass(self._mass_idx)
 
     def addConstraint(self, ctype: int, v, d: float) -> None:
         """Reference Container::addConstraint (object.cu:32-36)."""

@@ -74,6 +74,7 @@ class Mass:
     @m.setter
     def m(self, v: float) -> None:
         self._sim._store.m[self._i] = v
+        self._sim._touch_mass(self._i, "m")
 
     @property
     def T(self) -> float:
@@ -82,6 +83,7 @@ class Mass:
     @T.setter
     def T(self, v: float) -> None:
         self._sim._store.T[self._i] = v
+        self._sim._touch_mass(self._i, "T")
 
     @property
     def pos(self) -> Vec:
@@ -90,6 +92,7 @@ class Mass:
     @pos.setter
     def pos(self, v) -> None:
         self._sim._store.pos[self._i] = Vec(v).numpy() if isinstance(v, Vec) else np.asarray(v)
+        self._sim._touch_mass(self._i, "pos")
 
     @property
     def vel(self) -> Vec:
@@ -98,6 +101,7 @@ class Mass:
     @vel.setter
     def vel(self, v) -> None:
         self._sim._store.vel[self._i] = Vec(v).numpy() if isinstance(v, Vec) else np.asarray(v)
+        self._sim._touch_mass(self._i, "vel")
 
     def acceleration(self) -> Vec:
         """Reference mass.h:34."""
@@ -107,6 +111,7 @@ class Mass:
         """Persistent user external force (reference mass.h:33; see
         SimConfig.persistent_extern_force for the semantics note)."""
         self._sim._store.extern_force[self._i] = Vec(v).numpy() if isinstance(v, Vec) else np.asarray(v)
+        self._sim._touch_mass(self._i, "extern_force")
 
     # -- magnet properties (reference mass.h:27-32) ----------------------------
     @property
@@ -116,6 +121,7 @@ class Mass:
     @rad.setter
     def rad(self, v: float) -> None:
         self._sim._store.mag_rad[self._i] = v
+        self._sim._touch_mass(self._i)
 
     @property
     def stiffness(self) -> float:
@@ -124,6 +130,7 @@ class Mass:
     @stiffness.setter
     def stiffness(self, v: float) -> None:
         self._sim._store.mag_stiffness[self._i] = v
+        self._sim._touch_mass(self._i)
 
     @property
     def max_mag_force(self) -> float:
@@ -132,6 +139,7 @@ class Mass:
     @max_mag_force.setter
     def max_mag_force(self, v: float) -> None:
         self._sim._store.mag_maxf[self._i] = v
+        self._sim._touch_mass(self._i)
 
     @property
     def mag_scale_factor(self) -> float:
@@ -140,6 +148,7 @@ class Mass:
     @mag_scale_factor.setter
     def mag_scale_factor(self, v: float) -> None:
         self._sim._store.mag_scale[self._i] = v
+        self._sim._touch_mass(self._i)
 
     def isMagnetic(self) -> bool:
         """Reference mass.h:32: (bool) round(max_mag_force).  Uses C round
@@ -150,9 +159,11 @@ class Mass:
     # -- constraints (reference mass.h:39-47, mass.cu:102-161) -----------------
     def fix(self) -> None:
         self._sim._store.fixed[self._i] = True
+        self._sim._touch_mass(self._i)
 
     def unfix(self) -> None:
         self._sim._store.fixed[self._i] = False
+        self._sim._touch_mass(self._i)
 
     @property
     def fixed(self) -> bool:
@@ -164,6 +175,7 @@ class Mass:
 
     def setDrag(self, C: float) -> None:
         self._sim._store.drag[self._i] = C
+        self._sim._touch_mass(self._i)
 
     def addConstraint(self, ctype: int, vec, num: float) -> None:
         """Reference Mass::addConstraint (mass.cu:104-122)."""
@@ -183,7 +195,7 @@ class Mass:
             rec.directions.append((t, float(num)))
         else:
             raise ValueError(f"unknown constraint type {ctype}")
-        self._sim._mark_structure_dirty()
+        self._sim._mark_structure_dirty(mass_index=self._i)
 
     def clearConstraints(self, ctype: Optional[int] = None) -> None:
         rec = self._sim._store.local.get(self._i)
@@ -199,7 +211,7 @@ class Mass:
             rec.balls.clear()
         elif ctype == DIRECTION:
             rec.directions.clear()
-        self._sim._mark_structure_dirty()
+        self._sim._mark_structure_dirty(mass_index=self._i)
 
     def __repr__(self):
         p = self._sim._store.pos[self._i]
@@ -212,6 +224,7 @@ def _spring_scalar(field):
 
     def set(self, v):
         getattr(self._sim._store, field)[self._i] = v
+        self._sim._touch_spring(self._i, rest=(field == "rest"))
 
     return property(get, set)
 
@@ -247,6 +260,7 @@ class Spring:
     @_type.setter
     def _type(self, v: int) -> None:
         self._sim._store.s_type[self._i] = v
+        self._sim._touch_spring(self._i)
 
     @property
     def _left(self) -> Optional[Mass]:
@@ -256,6 +270,7 @@ class Spring:
     @_left.setter
     def _left(self, m: Optional[Mass]) -> None:
         self._sim._store.left[self._i] = -1 if m is None else m._i
+        self._sim._touch_spring(self._i)
 
     @property
     def _right(self) -> Optional[Mass]:
@@ -265,6 +280,7 @@ class Spring:
     @_right.setter
     def _right(self, m: Optional[Mass]) -> None:
         self._sim._store.right[self._i] = -1 if m is None else m._i
+        self._sim._touch_spring(self._i)
 
     # -- reference methods (spring.h:40-49) ------------------------------------
     def setRestLength(self, rest_length: float) -> None:
@@ -278,6 +294,7 @@ class Spring:
             raise ValueError("spring has no masses attached")
         d = st.pos[ri] - st.pos[li]
         st.rest[self._i] = math.sqrt(float(np.dot(d, d)))
+        self._sim._touch_spring(self._i, rest=True)
 
     def changeType(self, s_type: int, omega: float) -> None:
         self._type = s_type

@@ -44,6 +44,7 @@ from ..state import (GlobalConstraints, LocalConstraints, MassState,
                      Topology, pad_to)
 from ..store import HostStore
 from ..vec import Vec
+from .incremental import EditJournal, apply_structural_edits
 from .logging import get_logger
 
 # step-function cache: one compiled chunk fn per static scene shape
@@ -87,6 +88,16 @@ class Simulation:
         self._state: Optional[SimState] = None
         self._diverged_at: Optional[float] = None
         self._shape: Optional[SceneShape] = None
+        # incremental topology-edit bookkeeping (runtime/incremental.py):
+        # paused-time edit journal + marshal-time placement mirrors
+        self._journal: Optional[EditJournal] = None
+        self._n_marshaled = 0      # device-resident real mass rows
+        self._s_marshaled = 0      # springs covered by _sp_family/_sp_slot
+        self._rem_count = 0        # live remainder spring count
+        self._rem_left = np.zeros(0, np.int64)   # remainder slot -> endpoint
+        self._rem_right = np.zeros(0, np.int64)
+        self._st_mask = np.zeros((0, 0), bool)   # host stencil-mask mirror
+        self._fam_scalars = {}     # uniform-field family scalars (or None)
         self._chunk = None
         self._rate: Optional[float] = None   # measured steps/s of _chunk
         self._timed_chunks = 0               # dispatches since _chunk built
@@ -145,6 +156,12 @@ class Simulation:
         if m1 is None or m2 is None:
             i = self._store.add_spring()
         else:
+            # rest = CURRENT endpoint distance: refresh just those two
+            # rows from the device (the store may be stale while paused)
+            if self._started:
+                self._refresh_mass_rows(
+                    np.array([m1._i, m2._i]),
+                    skip=self._journal.m_written if self._journal else None)
             d = self._store.pos[m2._i] - self._store.pos[m1._i]
             rest = math.sqrt(float(np.dot(d, d)))
             i = self._store.add_spring(m1._i, m2._i, k=10000.0, rest=rest)
@@ -160,6 +177,7 @@ class Simulation:
         self._check_can_edit()
         self._sync_store_before_structural_edit()
         self._store.valid[m._i] = False
+        self._touch_mass(m._i)
         if self._started:
             self._structure_dirty = True
 
@@ -167,6 +185,7 @@ class Simulation:
         self._check_can_edit()
         self._sync_store_before_structural_edit()
         self._store.s_valid[s._i] = False
+        self._touch_spring(s._i)
         if self._started:
             self._structure_dirty = True
 
@@ -176,6 +195,8 @@ class Simulation:
         self._sync_store_before_structural_edit()
         self._store.valid[c._mass_idx] = False
         self._store.s_valid[c._spring_idx] = False
+        self._touch_mass(c._mass_idx)
+        self._touch_spring(c._spring_idx)
         if c in self.containers:
             self.containers.remove(c)
         if self._started:
@@ -246,6 +267,8 @@ class Simulation:
         self._planes.append((n, float(d), float(friction_k), float(friction_s)))
         if self._started:
             self._structure_dirty = True
+            if self._journal is not None:
+                self._journal.gcon_dirty = True
 
     def createBall(self, center, r: float) -> None:
         """Reference sim.cu:2278-2288."""
@@ -253,6 +276,8 @@ class Simulation:
         self._balls.append((_np3(center), float(r)))
         if self._started:
             self._structure_dirty = True
+            if self._journal is not None:
+                self._journal.gcon_dirty = True
 
     def clearConstraints(self) -> None:
         """Clears global constraints only (reference sim.cu:2290-2293)."""
@@ -260,12 +285,15 @@ class Simulation:
         self._balls.clear()
         if self._started:
             self._structure_dirty = True
+            if self._journal is not None:
+                self._journal.gcon_dirty = True
 
     # ------------------------------------------------------------- bulk setters
     def setAllSpringConstantValues(self, k: float) -> None:
         """Host-side only until set/setAll, like the reference (sim.cu:769-777)."""
         self._check_not_ended()
         self._store.k[: self._store.n_springs] = k
+        self._journal_bulk()
 
     def defaultRestLengths(self) -> None:
         self._check_not_ended()
@@ -277,17 +305,20 @@ class Simulation:
             from .. import builders
             st.rest[:s] = builders.rest_lengths(
                 st.pos, st.left[:s], st.right[:s])
+            self._journal_bulk("rest")
             return
         li = np.where(attached, st.left[:s], 0)
         ri = np.where(attached, st.right[:s], 0)
         d = st.pos[ri] - st.pos[li]
         st.rest[:s] = np.where(
             attached, np.sqrt(np.sum(d * d, axis=1)), st.rest[:s])
+        self._journal_bulk("rest")
 
     def setAllMassValues(self, m: float) -> None:
         """NOTE: the reference *adds* m to every mass (sim.cu:789-796)."""
         self._check_not_ended()
         self._store.m[: self._store.n_masses] += m
+        self._journal_bulk("m")
 
     def setTimeStep(self, delta_t: float) -> None:
         """Live: the reference reads dt from a member each step (sim.cu:798-808)."""
@@ -361,78 +392,20 @@ class Simulation:
             self._sp_slot[sidx] = lpos
         self._sp_slot[rem_idx] = np.arange(s_rem)
 
-        # ---- static shape
+        # ---- static shape (feature flags shared with the incremental
+        # topology-edit path, runtime/incremental.py)
         caps = _local_caps(st)
-        has_breathing = bool(np.any(
-            (st.s_type[:s] != PASSIVE_SOFT) & (st.s_type[:s] != PASSIVE_STIFF)))
-        has_actuated = bool(np.any(
-            (st.s_type[:s] == ACTUATED_EXPAND)
-            | (st.s_type[:s] == ACTUATED_CONTRACT)))
-        has_magnets = bool(np.any(st.mag_maxf[:n] != 0.0)
-                           or np.any(st.mag_rad[:n] != 0.0))
-        n_magnetic = int(np.count_nonzero(
-            st.valid[:n] & ((st.mag_maxf[:n] != 0) | (st.mag_rad[:n] != 0)
-                            | (st.mag_scale[:n] != 0)
-                            | (st.mag_stiffness[:n] != 0))))
-        magnet_binned = ()
-        magnet_grid = False
-        magnet_receivers = 0
-        if has_magnets and n_magnetic >= cfg.magnet_binned_threshold:
-            # the bin table holds every VALID mass (all are shell-contact
-            # sources, matching the reference OG's insert-everything,
-            # sim.cu:842), so it is sized by the valid count, not the
-            # magnetic count
-            n_valid_cnt = int(np.count_nonzero(st.valid[:n]))
-            magnet_binned = (pad_to(max(n_valid_cnt, 1), 8),
-                             cfg.magnet_cell_cap)
-            # receiver compaction (state.py SceneShape.magnet_receivers):
-            # EXACT only when no mass has a shell radius -- shell contact
-            # on a zero-param receiver is then impossible and the receiver
-            # set is statically {valid & mag_maxf != 0}.  Engaged when
-            # those attractors are sparse (< 1/4 of the scene): the binned
-            # pass is receiver-gather bound, so this is the difference
-            # between ~1 s and ~ms per force pass at 1M masses.
-            n_recv = int(np.count_nonzero(st.valid[:n]
-                                          & (st.mag_maxf[:n] != 0.0)))
-            if (not np.any(st.mag_rad[:n] != 0.0)
-                    and n_recv < n_valid_cnt // 4):
-                magnet_receivers = pad_to(max(n_recv, 1), 8)
-            # use_pallas=False must keep the whole step Pallas-free (the
-            # flag's documented purpose is an XLA-only escape hatch);
-            # compacted-receiver scenes prefer binned+compaction (the grid
-            # kernel's per-slot compute scans every SOURCE slot, wasted
-            # when almost nothing receives)
-            magnet_grid = (cfg.use_pallas
-                           and magnet_receivers == 0
-                           and n_magnetic >= cfg.magnet_grid_threshold
-                           and cfg.dtype == "float32"
-                           and cfg.magnet_cell_cap % 8 == 0)
-        has_drag = bool(np.any(st.drag[:n] != 0.0))
-        has_damping = bool(np.any(st.damping[:s] != 0.0))
-        # all_valid = no soft-deleted REAL masses; padding slots are
-        # already excluded by the stencil mask / remainder valid flags
-        all_valid = bool(np.all(st.valid[:n]))
-        if s_rem:
-            ids = np.concatenate([st.right[rem_idx], st.left[rem_idx]])
-            max_deg = int(np.bincount(ids, minlength=n).max())
-            rem_span = int(np.max(np.abs(
-                st.right[rem_idx] - st.left[rem_idx])))
-        else:
-            max_deg = 1
-            rem_span = 0
+        flags = _feature_flags(st, cfg)
+        max_deg, rem_span = _remainder_degree_span(st, rem_idx, n)
         shape = SceneShape(
-            n_masses=N, n_springs=S, max_degree=max(max_deg, 1),
+            n_masses=N, n_springs=S, max_degree=max_deg,
             stencil_deltas=deltas, has_remainder=s_rem > 0,
             n_planes=len(self._planes), n_balls=len(self._balls),
             plane_friction=tuple(bool(p[2] or p[3]) for p in self._planes),
             cap_cp=caps[0], cap_ball=caps[1], cap_pl=caps[2], cap_dir=caps[3],
-            has_magnets=has_magnets, magnet_binned=magnet_binned,
-            magnet_grid=magnet_grid, magnet_receivers=magnet_receivers,
-            has_drag=has_drag,
-            has_breathing=has_breathing, has_actuated=has_actuated,
-            has_damping=has_damping,
-            all_valid=all_valid, config=cfg,
+            config=cfg,
             remainder_span=rem_span,
+            **flags,
         )
 
         def vec3(a):  # host [cap,3] f64 -> device [3,N] cfg-dtype
@@ -456,27 +429,11 @@ class Simulation:
             mag_maxf=sc(st.mag_maxf), mag_scale=sc(st.mag_scale),
         )
 
-        # ---- remainder springs (general gather/segment path)
-        def ssc(a, fill=0.0, dtype=None):
-            out = np.full(S, fill, dtype=dtype or dt)
-            out[:s_rem] = a[rem_idx]
-            return jnp.asarray(out)
-
-        left = np.zeros(S, dtype=np.int32)
-        right = np.zeros(S, dtype=np.int32)
-        left[:s_rem] = st.left[rem_idx]
-        right[:s_rem] = st.right[rem_idx]
-        s_valid = np.zeros(S, dtype=bool)
-        s_valid[:s_rem] = True  # rem_idx already filtered to valid+attached
-
-        springs = SpringState(
-            left=jnp.asarray(left), right=jnp.asarray(right),
-            valid=jnp.asarray(s_valid),
-            k=ssc(st.k), rest=ssc(st.rest), damping=ssc(st.damping),
-            type=ssc(st.s_type, dtype=np.int8),
-            omega=ssc(st.omega), l_max=ssc(st.l_max), l_min=ssc(st.l_min),
-            rate=ssc(st.rate),
-        )
+        # ---- remainder springs (general gather/segment path); the builder
+        # is shared with the incremental topology-edit path, which rebuilds
+        # ONLY this (small) subsystem when irregular springs change
+        springs, topo, rem_left, rem_right = _build_remainder_states(
+            st, rem_idx, N, S, shape.max_degree, dt, cfg)
 
         # ---- stencil families
         F = len(families)
@@ -507,6 +464,7 @@ class Simulation:
             mask_np[fi, lpos] = True
         mask_dev = jnp.asarray(mask_np)
         stencil_arrays = {"mask": mask_dev}
+        fam_scalar_mirror = {}
         for f, host in host_fields.items():
             fdt = field_dt.get(f, dt)
             if uniform[f]:
@@ -516,6 +474,7 @@ class Simulation:
                 scalars = np.array(
                     [host[sidx[0]] if len(sidx) else 0 for _, sidx, _
                      in families], dtype=fdt)
+                fam_scalar_mirror[f] = scalars
                 stencil_arrays[f] = jnp.where(
                     mask_dev, jnp.asarray(scalars)[:, None],
                     jnp.zeros((), fdt))
@@ -526,45 +485,7 @@ class Simulation:
                 stencil_arrays[f] = jnp.asarray(arr)
         stencil = StencilState(**stencil_arrays)
 
-        # ---- incidence topology for the remainder
-        if s_rem and cfg.scatter == ScatterMode.GATHER:
-            inc_idx, inc_sign = builders.build_incidence(
-                left[:s_rem], right[:s_rem], N, S)
-            D = shape.max_degree
-            if inc_idx.shape[1] < D:
-                padc = D - inc_idx.shape[1]
-                inc_idx = np.pad(inc_idx, ((0, 0), (0, padc)),
-                                 constant_values=S)
-                inc_sign = np.pad(inc_sign, ((0, 0), (0, padc)))
-            seg_perm = np.zeros(2, dtype=np.int32)
-            seg_ids = np.zeros(2, dtype=np.int32)
-        elif s_rem:
-            perm, ids = builders.build_segment_sort(left, right)
-            seg_perm, seg_ids = perm, ids
-            inc_idx = np.zeros((1, 1), dtype=np.int32)
-            inc_sign = np.zeros((1, 1))
-        else:
-            inc_idx = np.full((N, 1), S, dtype=np.int32)
-            inc_sign = np.zeros((N, 1))
-            seg_perm = np.zeros(2, dtype=np.int32)
-            seg_ids = np.zeros(2, dtype=np.int32)
-        topo = Topology(
-            inc_idx=jnp.asarray(inc_idx),
-            inc_sign=jnp.asarray(inc_sign.astype(dt)),
-            seg_perm=jnp.asarray(seg_perm), seg_ids=jnp.asarray(seg_ids),
-        )
-
-        P, B = len(self._planes), len(self._balls)
-        gcon = GlobalConstraints(
-            plane_normal=jnp.asarray(
-                np.array([p[0] for p in self._planes], dtype=dt).reshape(P, 3)),
-            plane_offset=jnp.asarray(np.array([p[1] for p in self._planes], dtype=dt)),
-            plane_fk=jnp.asarray(np.array([p[2] for p in self._planes], dtype=dt)),
-            plane_fs=jnp.asarray(np.array([p[3] for p in self._planes], dtype=dt)),
-            ball_center=jnp.asarray(
-                np.array([b[0] for b in self._balls], dtype=dt).reshape(B, 3)),
-            ball_radius=jnp.asarray(np.array([b[1] for b in self._balls], dtype=dt)),
-        )
+        gcon = _build_gcon(self._planes, self._balls, dt)
 
         lcon = _marshal_local(st, N, shape, dt)
 
@@ -585,6 +506,17 @@ class Simulation:
         # re-probed before long dispatches (worker loop, max_chunk_seconds)
         self._rate = None
         self._timed_chunks = 0
+        # mirrors + fresh journal for the incremental topology-edit path
+        # (runtime/incremental.py)
+        self._n_marshaled = n
+        self._s_marshaled = s
+        self._rem_count = s_rem
+        self._rem_left, self._rem_right = rem_left, rem_right
+        self._st_mask = mask_np
+        self._fam_scalars = {
+            f: fam_scalar_mirror.get(f) for f in
+            ("k", "rest", "damping", "type", "omega")}
+        self._journal = EditJournal()
         self._structure_dirty = False
         get_logger().debug("marshalled scene shape: %s", shape)
 
@@ -799,9 +731,13 @@ class Simulation:
                 "; cannot resume")
         if self._store.n_masses == 0:
             raise RuntimeError("No masses have been added.")
+        if self._structure_dirty:
+            # incremental row-level apply when possible; full re-marshal
+            # (pull-everything first) otherwise -- runtime/incremental.py
+            path = apply_structural_edits(self)
+            get_logger().debug("resume: structural edits applied via %s "
+                               "path", path)
         with self._cv:
-            if self._structure_dirty:
-                self._marshal()
             self._running = True
             self._cv.notify_all()
 
@@ -933,7 +869,10 @@ class Simulation:
             return
         state = self._snapshot()
         st = self._store
-        n, s = st.n_masses, st.n_springs
+        # rows created since the last (re)marshal have no device values
+        # yet (they are pushed at the next resume) -- pull only marshaled
+        # rows so fresh creates keep their host values
+        n = min(st.n_masses, self._n_marshaled)
         m_state, rem_rest, st_rest = jax.device_get(
             (state.masses, state.springs.rest, state.stencil.rest))
         st.pos[:n] = np.asarray(m_state.pos)[:, :n].T
@@ -950,7 +889,7 @@ class Simulation:
         """Reassemble host spring rest lengths from the stencil/remainder
         split using the marshal-time index maps."""
         st = self._store
-        s = st.n_springs
+        s = min(st.n_springs, self._s_marshaled)
         fam, slot = self._sp_family[:s], self._sp_slot[:s]
         in_st = fam >= 0
         if np.any(in_st):
@@ -966,6 +905,13 @@ class Simulation:
         if self._running:
             raise RuntimeError("The simulation is running. Stop the simulation to make changes.")
         with self._cv:
+            if self._structure_dirty:
+                # structural edits no longer pull the device state at edit
+                # time; replicate the old edit-time sync here, keeping
+                # every journaled row (round-3 behavior: the store was
+                # synced before the edits, so setAll pushed live values
+                # for untouched rows)
+                self._sync_full_preserving_edits()
             self._marshal()
 
     def get(self, obj) -> None:
@@ -985,18 +931,31 @@ class Simulation:
             raise TypeError(type(obj))
 
     def _pull_springs_rest(self, idx: np.ndarray) -> None:
+        """Pull CURRENT device rest lengths for the given spring rows.
+
+        Gathers on device and transfers only |idx| floats (the stencil
+        rest plane alone is ~55 MB at 100^3; a readback of it for a
+        one-spring edit would dominate the edit cost)."""
+        j = self._journal
+        if j is not None and j.store_fresh:
+            return
+        idx = np.asarray(idx, dtype=np.int64)
+        idx = idx[idx < self._s_marshaled]
+        if not len(idx):
+            return
         state = self._snapshot()
-        rem_rest, st_rest = jax.device_get(
-            (state.springs.rest, state.stencil.rest))
-        rem_rest, st_rest = np.asarray(rem_rest), np.asarray(st_rest)
         st = self._store
         fam, slot = self._sp_family[idx], self._sp_slot[idx]
         in_st = fam >= 0
         if np.any(in_st):
-            st.rest[idx[in_st]] = st_rest[fam[in_st], slot[in_st]]
+            vals = jax.device_get(state.stencil.rest[
+                jnp.asarray(fam[in_st]), jnp.asarray(slot[in_st])])
+            st.rest[idx[in_st]] = np.asarray(vals)
         in_rem = (fam < 0) & (slot >= 0)
         if np.any(in_rem):
-            st.rest[idx[in_rem]] = rem_rest[slot[in_rem]]
+            vals = jax.device_get(
+                state.springs.rest[jnp.asarray(slot[in_rem])])
+            st.rest[idx[in_rem]] = np.asarray(vals)
 
     def _pull_masses(self, idx: np.ndarray) -> None:
         state = self._snapshot()
@@ -1020,7 +979,18 @@ class Simulation:
         if self._running:
             raise RuntimeError("The simulation is running. Stop the simulation to make changes.")
         if self._structure_dirty:
-            return  # full re-marshal at resume supersedes partial pushes
+            # the apply at resume (incremental or full) pushes journaled
+            # rows from the store -- record them instead of pushing now
+            if isinstance(obj, Mass):
+                self._touch_mass(obj._i)
+            elif isinstance(obj, Spring):
+                self._touch_spring(obj._i)
+            elif isinstance(obj, Container):
+                self._touch_mass(obj._mass_idx)
+                self._touch_spring(obj._spring_idx)
+            else:
+                raise TypeError(type(obj))
+            return
         if isinstance(obj, Mass):
             self._push_masses(np.array([obj._i]))
         elif isinstance(obj, Spring):
@@ -1060,8 +1030,15 @@ class Simulation:
         if ((needs_magnets and not self._shape.has_magnets)
                 or (needs_drag and not self._shape.has_drag)
                 or recv_overflow):
-            self._remarshal_preserving_store_rows(mass_idx=idx, spring_idx=None)
-            return
+            if getattr(self, "_mesh", None) is not None:
+                # sharded state: re-placement goes through marshal
+                self._remarshal_preserving_store_rows(
+                    mass_idx=idx, spring_idx=None)
+                return
+            # every feature's backing arrays are already staged: flip the
+            # static flags + retrace, then push the rows (round 4; the
+            # round-3 path re-staged the whole scene here)
+            self._upgrade_shape()
         with self._cv:
             m = self._state.masses
             m = dataclasses.replace(
@@ -1082,28 +1059,39 @@ class Simulation:
             )
             self._state = dataclasses.replace(self._state, masses=m)
 
-    def _push_springs(self, idx: np.ndarray) -> None:
+    def _push_springs(self, idx: np.ndarray,
+                      _incremental: bool = False) -> None:
+        """Push the 8 per-spring param fields of the given rows.
+
+        ``_incremental=True`` (runtime/incremental.py) skips the feature
+        and uniformity checks: the caller has already recomputed the
+        shape from the full store."""
         if len(idx) == 0:
             return
         st, dt = self._store, self.config.np_dtype
-        # a pushed spring may enable features the current trace lacks
-        # (e.g. RobotLink.expand() flips a passive spring to ACTUATED on a
-        # scene traced with has_breathing=False, or addDamping() puts nonzero
-        # damping on a has_damping=False trace whose step skips damping math
-        # entirely) -> full re-marshal instead
-        needs_breathing = bool(np.any(
-            (st.s_type[idx] != PASSIVE_SOFT)
-            & (st.s_type[idx] != PASSIVE_STIFF)))
-        needs_actuated = bool(np.any(
-            (st.s_type[idx] == ACTUATED_EXPAND)
-            | (st.s_type[idx] == ACTUATED_CONTRACT)))
-        needs_damping = bool(np.any(st.damping[idx] != 0.0))
-        if ((needs_breathing and not self._shape.has_breathing)
-                or (needs_actuated and not self._shape.has_actuated)
-                or (needs_damping and not self._shape.has_damping)):
-            self._remarshal_preserving_store_rows(
-                mass_idx=None, spring_idx=idx)
-            return
+        if not _incremental:
+            # a pushed spring may enable features the current trace lacks
+            # (e.g. RobotLink.expand() flips a passive spring to ACTUATED
+            # on a scene traced with has_breathing=False, or addDamping()
+            # puts nonzero damping on a has_damping=False trace whose step
+            # skips damping math entirely) -> flip the flags + retrace
+            needs_breathing = bool(np.any(
+                (st.s_type[idx] != PASSIVE_SOFT)
+                & (st.s_type[idx] != PASSIVE_STIFF)))
+            needs_actuated = bool(np.any(
+                (st.s_type[idx] == ACTUATED_EXPAND)
+                | (st.s_type[idx] == ACTUATED_CONTRACT)))
+            needs_damping = bool(np.any(st.damping[idx] != 0.0))
+            if ((needs_breathing and not self._shape.has_breathing)
+                    or (needs_actuated and not self._shape.has_actuated)
+                    or (needs_damping and not self._shape.has_damping)):
+                if getattr(self, "_mesh", None) is not None:
+                    self._remarshal_preserving_store_rows(
+                        mass_idx=None, spring_idx=idx)
+                    return
+                self._upgrade_shape()
+            if self._check_uniform_break(idx):
+                return  # handled by a full re-marshal (mesh case)
         fam, slot = self._sp_family[idx], self._sp_slot[idx]
         in_st = fam >= 0
         in_rem = (fam < 0) & (slot >= 0)
@@ -1132,6 +1120,143 @@ class Simulation:
                     updates[dev_f] = arr.at[ri].set(host.astype(arr.dtype))
                 sp = dataclasses.replace(sp, **updates)
                 self._state = dataclasses.replace(self._state, springs=sp)
+
+    def _check_uniform_break(self, idx: np.ndarray) -> bool:
+        """A pushed stencil spring whose params differ from its family
+        scalar breaks the family-uniform specialization: the tiled kernel
+        reads ONE SMEM scalar per uniform family (taken from the family's
+        first masked lane, ops/pallas_tiled.py::prep_flat_inputs), so a
+        per-slot push would silently not take effect there.  Demote the
+        broken fields to windowed (dense arrays already hold correct
+        values) and retrace.  Returns True if a full re-marshal handled
+        it instead (sharded state)."""
+        shape = self._shape
+        if shape is None or not any(shape.stencil_uniform):
+            return False
+        fam = self._sp_family[idx]
+        in_st = fam >= 0
+        if not np.any(in_st):
+            return False
+        st, dt = self._store, self.config.np_dtype
+        fis = fam[in_st]
+        rows = np.asarray(idx)[in_st]
+        uniform = list(shape.stencil_uniform)
+        changed = False
+        for uf_i, f in enumerate(("k", "rest", "damping", "type", "omega")):
+            if not uniform[uf_i]:
+                continue
+            scal = self._fam_scalars.get(f)
+            if scal is None:
+                continue
+            host_f = "s_type" if f == "type" else f
+            fdt = np.int8 if f == "type" else dt
+            vals = getattr(st, host_f)[rows].astype(fdt)
+            if np.any(vals != scal[fis]):
+                uniform[uf_i] = False
+                changed = True
+        if not changed:
+            return False
+        if getattr(self, "_mesh", None) is not None:
+            self._remarshal_preserving_store_rows(mass_idx=None,
+                                                  spring_idx=idx)
+            return True
+        self._shape = dataclasses.replace(
+            self._shape, stencil_uniform=tuple(uniform))
+        self._fam_scalars = {
+            f: (self._fam_scalars.get(f) if uniform[i_] else None)
+            for i_, f in enumerate(("k", "rest", "damping", "type",
+                                    "omega"))}
+        self._chunk = _chunk_for(self._shape)
+        self._rate = None
+        self._timed_chunks = 0
+        return False
+
+    def _sync_full_preserving_edits(self) -> None:
+        """Pull the FULL live device state into the host store without
+        clobbering any journaled paused-time edit (the fallback-side twin
+        of the incremental apply's per-row refresh).
+
+        Per-field rules: ``valid``/``m``/``extern_force`` of touched rows
+        always come from the store (host-authoritative; the device copy
+        is just the last push), ``pos``/``vel``/``T`` only where the user
+        actually wrote them, ``rest`` for written rows, and whole fields
+        a bulk write owns (journal.skip_pull) are kept entirely."""
+        if not self._started or self._state is None:
+            return
+        j = self._journal
+        if j is None:
+            self.getAll()
+            return
+        if j.store_fresh:
+            return  # already synced (e.g. right before a compact())
+        st = self._store
+        saved = []
+        for f in j.skip_pull:
+            saved.append((f, slice(None), getattr(st, f).copy()))
+        rows = j.mass_rows(self._n_marshaled)
+        if len(rows):
+            for f in ("valid", "m", "extern_force"):
+                saved.append((f, rows, getattr(st, f)[rows].copy()))
+        for f in ("pos", "vel", "T", "m", "extern_force"):
+            wr = j.written_rows(f)
+            wr = wr[wr < self._n_marshaled]
+            if len(wr):
+                saved.append((f, wr, getattr(st, f)[wr].copy()))
+        wr = j.rest_written_rows()
+        wr = wr[wr < self._s_marshaled]
+        if len(wr):
+            saved.append(("rest", wr, st.rest[wr].copy()))
+        self.getAll()
+        for f, rows_, vals in saved:
+            getattr(st, f)[rows_] = vals
+        j.store_fresh = True
+
+    def _push_mass_rows_full(self, idx: np.ndarray) -> None:
+        """Push EVERY mass-store field of the given rows to the device
+        (incremental topology apply: new rows + touched rows whose
+        evolving fields were refreshed first).  Unlike _push_masses this
+        includes acc and T and skips the feature-flip checks -- the
+        caller has already recomputed the shape."""
+        st, dt = self._store, self.config.np_dtype
+        idx = np.asarray(idx, dtype=np.int64)
+        m = self._state.masses
+        m = dataclasses.replace(
+            m,
+            pos=m.pos.at[:, idx].set(st.pos[idx].T.astype(dt)),
+            vel=m.vel.at[:, idx].set(st.vel[idx].T.astype(dt)),
+            acc=m.acc.at[:, idx].set(st.acc[idx].T.astype(dt)),
+            extern_force=m.extern_force.at[:, idx].set(
+                st.extern_force[idx].T.astype(dt)),
+            m=m.m.at[idx].set(st.m[idx].astype(dt)),
+            T=m.T.at[idx].set(st.T[idx].astype(dt)),
+            fixed=m.fixed.at[idx].set(st.fixed[idx]),
+            valid=m.valid.at[idx].set(st.valid[idx]),
+            drag=m.drag.at[idx].set(st.drag[idx].astype(dt)),
+            mag_rad=m.mag_rad.at[idx].set(st.mag_rad[idx].astype(dt)),
+            mag_stiffness=m.mag_stiffness.at[idx].set(
+                st.mag_stiffness[idx].astype(dt)),
+            mag_maxf=m.mag_maxf.at[idx].set(st.mag_maxf[idx].astype(dt)),
+            mag_scale=m.mag_scale.at[idx].set(st.mag_scale[idx].astype(dt)),
+        )
+        self._state = dataclasses.replace(self._state, masses=m)
+
+    def _upgrade_shape(self) -> None:
+        """Recompute the feature flags of the static shape from the host
+        store (parameters are host-authoritative) and retrace the chunk.
+
+        This replaces the round-3 full pull + re-marshal for set() calls
+        that enable a feature the current trace lacks: every feature's
+        backing arrays are ALWAYS staged (mag_*/drag/omega/... travel in
+        MassState/StencilState/SpringState regardless of flags), so a
+        flag flip needs only a retrace -- a compile-cache hit in steady
+        state -- never a re-stage."""
+        flags = _feature_flags(self._store, self.config)
+        new_shape = dataclasses.replace(self._shape, **flags)
+        if new_shape != self._shape:
+            self._shape = new_shape
+            self._chunk = _chunk_for(new_shape)
+            self._rate = None
+            self._timed_chunks = 0
 
     def _remarshal_preserving_store_rows(self, mass_idx, spring_idx) -> None:
         """set() needed a feature the current trace lacks (breathing springs,
@@ -1163,9 +1288,17 @@ class Simulation:
         compacted entities raise on next use."""
         self._check_can_edit()
         self._sync_store_before_structural_edit()
+        # compaction rearranges store rows: sync the live device state in
+        # first (preserving journaled edits), then mark the journal
+        # store-fresh so the full re-marshal at resume doesn't pull again
+        # through now-stale index maps
+        self._sync_full_preserving_edits()
         self._compact_store()
         if self._started:
             self._structure_dirty = True
+            if self._journal is not None:
+                self._journal.force_full = True
+                self._journal.store_fresh = True
 
     def _compact_store(self) -> None:
         mass_remap, spring_remap = self._store.compact()
@@ -1195,26 +1328,253 @@ class Simulation:
         return i
 
     # ------------------------------------------------------------ struct edits
-    def _mark_structure_dirty(self) -> None:
+    def _mark_structure_dirty(self, mass_index: Optional[int] = None) -> None:
+        """A local-constraint record changed (entities.addConstraint /
+        clearConstraints); journal it for the incremental lcon rebuild."""
         if self._started:
             self._sync_store_before_structural_edit()
             self._structure_dirty = True
+            j = self._journal
+            if j is not None:
+                j.lcon_dirty = True
+                if mass_index is not None:
+                    j.touched_m.add(int(mass_index))
 
     def _sync_store_before_structural_edit(self) -> None:
-        """Before the first structural edit after a pause, pull the live
-        device state into the store so the re-marshal at resume() doesn't
-        lose simulation progress for untouched entities."""
-        if self._started and not self._structure_dirty and self._state is not None:
-            if self._running:
-                raise RuntimeError("The simulation is running. Stop the "
-                                   "simulation to make changes.")
-            self.getAll()
+        """Guard: structural edits require a paused (or unstarted) sim.
+
+        Round 4: the full device pull that used to live here is gone --
+        edits are journaled and applied incrementally at the next
+        resume() (runtime/incremental.py); the fallback full re-marshal
+        pulls the live state then, preserving every journaled row."""
+        if (self._started and self._state is not None and self._running):
+            raise RuntimeError("The simulation is running. Stop the "
+                               "simulation to make changes.")
+
+    # -- journal recording (no-ops before start) ------------------------------
+    def _touch_mass(self, rows, field: Optional[str] = None) -> None:
+        j = self._journal
+        if j is None or not self._started:
+            return
+        if np.isscalar(rows) or isinstance(rows, (int, np.integer)):
+            j.touched_m.add(int(rows))
+            if field is not None and field in j.m_written:
+                j.m_written[field].append(np.array([int(rows)], np.int64))
+        else:
+            rows = np.asarray(rows)
+            j.m_arrays.append(rows)
+            if field is not None and field in j.m_written:
+                j.m_written[field].append(rows)
+
+    def _touch_spring(self, rows, rest: bool = False) -> None:
+        j = self._journal
+        if j is None or not self._started:
+            return
+        if np.isscalar(rows) or isinstance(rows, (int, np.integer)):
+            j.touched_s.add(int(rows))
+            if rest:
+                j.s_rest_written.append(np.array([int(rows)], np.int64))
+        else:
+            rows = np.asarray(rows)
+            j.s_arrays.append(rows)
+            if rest:
+                j.s_rest_written.append(rows)
+
+    def _journal_bulk(self, *skip_pull_fields: str) -> None:
+        """A whole-store write: incremental apply can't express it."""
+        j = self._journal
+        if j is None or not self._started:
+            return
+        j.bulk = True
+        j.skip_pull.update(skip_pull_fields)
+
+    def _refresh_mass_rows(self, idx, skip=None) -> None:
+        """Pull the device-evolving fields (pos/vel/acc/T) of the given
+        EXISTING rows into the host store, honoring per-field user-write
+        skips (a row whose pos the user just wrote keeps the write)."""
+        if not self._started or self._state is None:
+            return
+        j = self._journal
+        if j is not None and j.store_fresh:
+            return  # store already holds live state (e.g. post-compact)
+        idx = np.asarray(idx, dtype=np.int64)
+        idx = idx[idx < self._n_marshaled]
+        if not len(idx):
+            return
+        state = self._snapshot()
+        ti = jnp.asarray(idx)
+        m = state.masses
+        pos, vel, acc, T = jax.device_get(
+            (m.pos[:, ti], m.vel[:, ti], m.acc[:, ti], m.T[ti]))
+        st = self._store
+        for f, dev in (("pos", np.asarray(pos).T), ("vel", np.asarray(vel).T),
+                       ("T", np.asarray(T))):
+            keep = None
+            if skip is not None and skip.get(f):
+                wr = np.concatenate(
+                    [np.asarray(a, np.int64).ravel() for a in skip[f]])
+                keep = np.isin(idx, wr)
+            if keep is None or not keep.any():
+                getattr(st, f)[idx] = dev
+            else:
+                getattr(st, f)[idx[~keep]] = dev[~keep]
+        st.acc[idx] = np.asarray(acc).T
 
 
 def _np3(v) -> np.ndarray:
     if isinstance(v, Vec):
         return v.numpy()
     return np.asarray(v, dtype=np.float64).reshape(3)
+
+
+def _feature_flags(st: HostStore, cfg: SimConfig) -> dict:
+    """SceneShape feature flags computed from the host store.
+
+    All inputs are host-authoritative: spring/mass PARAMETERS (k, type,
+    damping, mag_*, drag) and validity are only ever edited host-side
+    (the device mutates pos/vel/acc/T and actuated REST, none of which
+    feed a flag), so these flags are correct even while the device state
+    has advanced.  Shared by _marshal and the incremental topology-edit
+    path (runtime/incremental.py) so both compute identical shapes."""
+    n, s = st.n_masses, st.n_springs
+    has_breathing = bool(np.any(
+        (st.s_type[:s] != PASSIVE_SOFT) & (st.s_type[:s] != PASSIVE_STIFF)))
+    has_actuated = bool(np.any(
+        (st.s_type[:s] == ACTUATED_EXPAND)
+        | (st.s_type[:s] == ACTUATED_CONTRACT)))
+    has_magnets = bool(np.any(st.mag_maxf[:n] != 0.0)
+                       or np.any(st.mag_rad[:n] != 0.0))
+    n_magnetic = int(np.count_nonzero(
+        st.valid[:n] & ((st.mag_maxf[:n] != 0) | (st.mag_rad[:n] != 0)
+                        | (st.mag_scale[:n] != 0)
+                        | (st.mag_stiffness[:n] != 0))))
+    magnet_binned = ()
+    magnet_grid = False
+    magnet_receivers = 0
+    if has_magnets and n_magnetic >= cfg.magnet_binned_threshold:
+        # the bin table holds every VALID mass (all are shell-contact
+        # sources, matching the reference OG's insert-everything,
+        # sim.cu:842), so it is sized by the valid count, not the
+        # magnetic count
+        n_valid_cnt = int(np.count_nonzero(st.valid[:n]))
+        magnet_binned = (pad_to(max(n_valid_cnt, 1), 8),
+                         cfg.magnet_cell_cap)
+        # receiver compaction (state.py SceneShape.magnet_receivers):
+        # EXACT only when no mass has a shell radius -- shell contact
+        # on a zero-param receiver is then impossible and the receiver
+        # set is statically {valid & mag_maxf != 0}.  Engaged when
+        # those attractors are sparse (< 1/4 of the scene): the binned
+        # pass is receiver-gather bound, so this is the difference
+        # between ~1 s and ~ms per force pass at 1M masses.
+        n_recv = int(np.count_nonzero(st.valid[:n]
+                                      & (st.mag_maxf[:n] != 0.0)))
+        if (not np.any(st.mag_rad[:n] != 0.0)
+                and n_recv < n_valid_cnt // 4):
+            magnet_receivers = pad_to(max(n_recv, 1), 8)
+        # use_pallas=False must keep the whole step Pallas-free (the
+        # flag's documented purpose is an XLA-only escape hatch);
+        # compacted-receiver scenes prefer binned+compaction (the grid
+        # kernel's per-slot compute scans every SOURCE slot, wasted
+        # when almost nothing receives)
+        magnet_grid = (cfg.use_pallas
+                       and magnet_receivers == 0
+                       and n_magnetic >= cfg.magnet_grid_threshold
+                       and cfg.dtype == "float32"
+                       and cfg.magnet_cell_cap % 8 == 0)
+    return dict(
+        has_magnets=has_magnets, magnet_binned=magnet_binned,
+        magnet_grid=magnet_grid, magnet_receivers=magnet_receivers,
+        has_drag=bool(np.any(st.drag[:n] != 0.0)),
+        has_breathing=has_breathing, has_actuated=has_actuated,
+        has_damping=bool(np.any(st.damping[:s] != 0.0)),
+        # all_valid = no soft-deleted REAL masses; padding slots are
+        # already excluded by the stencil mask / remainder valid flags
+        all_valid=bool(np.all(st.valid[:n])),
+    )
+
+
+def _remainder_degree_span(st: HostStore, rem_idx: np.ndarray, n: int):
+    """(max vertex degree, max index span) over the remainder springs."""
+    if rem_idx.shape[0]:
+        ids = np.concatenate([st.right[rem_idx], st.left[rem_idx]])
+        max_deg = int(np.bincount(ids, minlength=n).max())
+        rem_span = int(np.max(np.abs(st.right[rem_idx] - st.left[rem_idx])))
+    else:
+        max_deg = 1
+        rem_span = 0
+    return max(max_deg, 1), rem_span
+
+
+def _build_remainder_states(st: HostStore, rem_idx: np.ndarray, N: int,
+                            S: int, max_degree: int, dt,
+                            cfg: SimConfig):
+    """Device SpringState + Topology for the remainder springs (the
+    general gather/segment path).  Shared by _marshal and the incremental
+    topology-edit rebuild so both produce bitwise-identical staging."""
+    s_rem = int(rem_idx.shape[0])
+
+    def ssc(a, fill=0.0, dtype=None):
+        out = np.full(S, fill, dtype=dtype or dt)
+        out[:s_rem] = a[rem_idx]
+        return jnp.asarray(out)
+
+    left = np.zeros(S, dtype=np.int32)
+    right = np.zeros(S, dtype=np.int32)
+    left[:s_rem] = st.left[rem_idx]
+    right[:s_rem] = st.right[rem_idx]
+    s_valid = np.zeros(S, dtype=bool)
+    s_valid[:s_rem] = True  # rem_idx already filtered to valid+attached
+
+    springs = SpringState(
+        left=jnp.asarray(left), right=jnp.asarray(right),
+        valid=jnp.asarray(s_valid),
+        k=ssc(st.k), rest=ssc(st.rest), damping=ssc(st.damping),
+        type=ssc(st.s_type, dtype=np.int8),
+        omega=ssc(st.omega), l_max=ssc(st.l_max), l_min=ssc(st.l_min),
+        rate=ssc(st.rate),
+    )
+
+    if s_rem and cfg.scatter == ScatterMode.GATHER:
+        inc_idx, inc_sign = builders.build_incidence(
+            left[:s_rem], right[:s_rem], N, S)
+        if inc_idx.shape[1] < max_degree:
+            padc = max_degree - inc_idx.shape[1]
+            inc_idx = np.pad(inc_idx, ((0, 0), (0, padc)),
+                             constant_values=S)
+            inc_sign = np.pad(inc_sign, ((0, 0), (0, padc)))
+        seg_perm = np.zeros(2, dtype=np.int32)
+        seg_ids = np.zeros(2, dtype=np.int32)
+    elif s_rem:
+        perm, ids = builders.build_segment_sort(left, right)
+        seg_perm, seg_ids = perm, ids
+        inc_idx = np.zeros((1, 1), dtype=np.int32)
+        inc_sign = np.zeros((1, 1))
+    else:
+        inc_idx = np.full((N, 1), S, dtype=np.int32)
+        inc_sign = np.zeros((N, 1))
+        seg_perm = np.zeros(2, dtype=np.int32)
+        seg_ids = np.zeros(2, dtype=np.int32)
+    topo = Topology(
+        inc_idx=jnp.asarray(inc_idx),
+        inc_sign=jnp.asarray(inc_sign.astype(dt)),
+        seg_perm=jnp.asarray(seg_perm), seg_ids=jnp.asarray(seg_ids),
+    )
+    return springs, topo, left.astype(np.int64), right.astype(np.int64)
+
+
+def _build_gcon(planes, balls, dt) -> GlobalConstraints:
+    """Global plane/ball constraint arrays (tiny; rebuilt whole on edit)."""
+    P, B = len(planes), len(balls)
+    return GlobalConstraints(
+        plane_normal=jnp.asarray(
+            np.array([p[0] for p in planes], dtype=dt).reshape(P, 3)),
+        plane_offset=jnp.asarray(np.array([p[1] for p in planes], dtype=dt)),
+        plane_fk=jnp.asarray(np.array([p[2] for p in planes], dtype=dt)),
+        plane_fs=jnp.asarray(np.array([p[3] for p in planes], dtype=dt)),
+        ball_center=jnp.asarray(
+            np.array([b[0] for b in balls], dtype=dt).reshape(B, 3)),
+        ball_radius=jnp.asarray(np.array([b[1] for b in balls], dtype=dt)),
+    )
 
 
 def _local_caps(st: HostStore):
