@@ -114,6 +114,13 @@ class Container:
         self._sim._store.fixed[self._mass_idx] = True
         self._sim._touch_mass(self._mass_idx)
 
+    def setColor(self, c) -> None:
+        """Color every member mass (beyond-reference convenience; the
+        reference only exposes per-mass ``color`` and RobotLink::setColor).
+        Host-side graphics data -- no device push needed."""
+        v = Vec(c).numpy() if isinstance(c, Vec) else np.asarray(c)
+        self._sim._store.color[self._mass_idx] = v
+
     def addConstraint(self, ctype: int, v, d: float) -> None:
         """Reference Container::addConstraint (object.cu:32-36)."""
         for m in self.masses:
@@ -259,8 +266,11 @@ class RobotLink(Container):
         self.ml.m = mass / 2
         self.mr.m = mass / 2
 
-    def setColor(self, c) -> None:  # graphics-only in the reference; no-op
-        pass
+    def setColor(self, c) -> None:
+        """Color the two link masses (reference object.cu:455-459)."""
+        v = Vec(c).numpy() if isinstance(c, Vec) else np.asarray(c)
+        self._sim._store.color[self.ml._i] = v
+        self._sim._store.color[self.mr._i] = v
 
     def setStiffness(self, k: float) -> None:
         self.k_link = k

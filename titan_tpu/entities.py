@@ -107,6 +107,18 @@ class Mass:
         """Reference mass.h:34."""
         return Vec(self._sim._store.acc[self._i].copy())
 
+    @property
+    def color(self) -> Vec:
+        """Render color, rgb in [0, 1] (reference mass.h:50; default
+        (1.0, 0.2, 0.2), mass.cu:17).  Host-side graphics data: consumed
+        by the live viewer and HTML export, never staged to the device."""
+        return Vec(self._sim._store.color[self._i].copy())
+
+    @color.setter
+    def color(self, v) -> None:
+        self._sim._store.color[self._i] = \
+            Vec(v).numpy() if isinstance(v, Vec) else np.asarray(v)
+
     def setExternalForce(self, v) -> None:
         """Persistent user external force (reference mass.h:33; see
         SimConfig.persistent_extern_force for the semantics note)."""

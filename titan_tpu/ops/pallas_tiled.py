@@ -57,6 +57,7 @@ slot planes ride the auto-pipelined blocked inputs (no halo windows).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -994,6 +995,13 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
     deltas = shape.stencil_deltas
     h = _round_up(max(abs(d) for d in deltas), 1024)
     t_size = _tile_size(h, shape)
+    # A/B hook (scripts/tpu_tiled_multistep_ab.py): widen the halo by an
+    # integer factor at the SAME tile size.  Physics is unchanged (the
+    # extra halo rows are redundant compute); the measured rate vs factor
+    # is the marginal cost of window rows -- exactly what a k-step-per-
+    # launch kernel would pay (k*H halos), so it prices that design
+    # without building it.  Bound at build time, like CARRY_MODE.
+    h *= max(1, int(os.environ.get("TITAN_HALO_AB", "1")))
     n_tiles = -(-n // t_size)            # ceil: last tile covers padding
     n_t = n_tiles * t_size
     pad_n = n_t - n

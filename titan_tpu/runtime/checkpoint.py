@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import Integrator, ScatterMode, SimConfig
 
-_MASS_F3 = ("pos", "vel", "acc", "extern_force")
+_MASS_F3 = ("pos", "vel", "acc", "extern_force", "color")
 _MASS_F1 = ("m", "T", "drag", "mag_rad", "mag_stiffness", "mag_maxf",
             "mag_scale", "fixed", "valid", "hole")
 _SPRING_F = ("left", "right", "s_valid", "k", "rest", "damping", "s_type",
@@ -121,6 +121,8 @@ def load(path: str, config: Optional[SimConfig] = None):
         for f in _MASS_F3 + _MASS_F1:
             if "m_" + f in data:        # "hole" absent in v1 checkpoints
                 getattr(st, f)[:n] = data["m_" + f]
+        if "m_color" not in data:       # absent pre-round-4: default
+            st.color[:n] = st.DEFAULT_COLOR
         for f in _SPRING_F:
             getattr(st, f)[:s] = data["s_" + f]
         for i_str, rec in meta["local"].items():

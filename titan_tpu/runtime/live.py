@@ -136,8 +136,13 @@ class LiveViewer:
         edges = edges[(edges[:, 0] >= 0) & (edges[:, 1] >= 0)
                       & (edges < n_cap).all(axis=1)]
         cam = getattr(self.sim, "_camera", None)
+        # per-mass render colors (mass.h:50; Mass.color / setColor)
+        cols = np.clip(st.color[:n_cap], 0.0, 1.0)
+        hexes = [f"#{int(r*255):02x}{int(g*255):02x}{int(b*255):02x}"
+                 for r, g, b in cols]
         return {
             "edges": edges.tolist(),
+            "colors": hexes,
             "planes": [[p[0].tolist(), float(p[1])]
                        for p in self.sim._planes],
             "balls": [[b[0].tolist(), float(b[1])]
@@ -211,6 +216,7 @@ const cv = document.getElementById('c'), ctx = cv.getContext('2d');
 let W, H; function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight;}
 rs(); addEventListener('resize', rs);
 let yaw = 0.6, pitch = 0.4, dist = 2.5, topo = null, frame = null;
+let colorGroups = null;
 let drag = false, lx, ly;
 cv.onmousedown = e => {drag = true; lx = e.clientX; ly = e.clientY;};
 onmouseup = () => drag = false;
@@ -268,8 +274,23 @@ function draw(){
         }
       ctx.stroke();
     }
-    ctx.fillStyle='#ff5a5a';
-    for (const p of pts) ctx.fillRect(p[0]-1.5, p[1]-1.5, 3, 3);
+    if (topo && topo.colors && !colorGroups) {
+      colorGroups = new Map();
+      topo.colors.forEach((c, i) => {
+        if (!colorGroups.has(c)) colorGroups.set(c, []);
+        colorGroups.get(c).push(i);
+      });
+    }
+    if (colorGroups) {
+      for (const [col, idxs] of colorGroups) {
+        ctx.fillStyle = col;
+        for (const i of idxs) if (i < pts.length)
+          ctx.fillRect(pts[i][0]-1.5, pts[i][1]-1.5, 3, 3);
+      }
+    } else {
+      ctx.fillStyle='#ff5a5a';
+      for (const p of pts) ctx.fillRect(p[0]-1.5, p[1]-1.5, 3, 3);
+    }
     document.getElementById('hud').textContent =
       't=' + frame.t.toFixed(3) + 's  ' +
       (frame.running ? 'running' : 'paused') +

@@ -212,6 +212,18 @@ class Simulation:
     def _register_built(self, c: Container) -> Container:
         if self._started:
             self._structure_dirty = True
+        # per-container default palette (beyond-reference nicety): each
+        # container gets a distinct render color, cycling; rows the
+        # builder already colored keep their value.  Host-side graphics
+        # data only -- never staged to the device.
+        if len(c._mass_idx):
+            rows = c._mass_idx
+            col = self._store.color[rows]
+            default = np.asarray(HostStore.DEFAULT_COLOR)
+            untouched = np.all(col == default, axis=1)
+            if untouched.any():
+                self._store.color[rows[untouched]] = _CONTAINER_PALETTE[
+                    len(self.containers) % len(_CONTAINER_PALETTE)]
         self.containers.append(c)
         return c
 
@@ -1425,6 +1437,14 @@ def _np3(v) -> np.ndarray:
     if isinstance(v, Vec):
         return v.numpy()
     return np.asarray(v, dtype=np.float64).reshape(3)
+
+
+# distinct hues for per-container default colors (_register_built)
+_CONTAINER_PALETTE = np.array([
+    (0.96, 0.35, 0.32), (0.36, 0.65, 0.96), (0.42, 0.82, 0.47),
+    (0.98, 0.77, 0.33), (0.73, 0.52, 0.94), (0.40, 0.85, 0.83),
+    (0.95, 0.55, 0.77), (0.80, 0.80, 0.50),
+])
 
 
 def _feature_flags(st: HostStore, cfg: SimConfig) -> dict:

@@ -123,10 +123,16 @@ def build_viewer_html(sim, frames, times, max_springs: int = 20000) -> str:
     # (yaw, pitch, distance) about the scene center -- roll (up vector)
     # is not represented
     cam = getattr(sim, "_camera", None)
+    # per-mass colors (mass.h:50; Mass.color / setColor): ship one hex
+    # string per mass so the canvas can batch points by color
+    cols = np.clip(st.color[:frames.shape[1]], 0.0, 1.0)
+    hexes = [f"#{int(r*255):02x}{int(g*255):02x}{int(b*255):02x}"
+             for r, g, b in cols]
     data = {
         "times": [round(float(t), 5) for t in times],
         "frames": np.round(frames, 4).tolist(),
         "edges": edges.tolist(),
+        "colors": hexes,
         # constraint objects (reference renders checkerboard planes and
         # icospheres, object.cu:667-898; here: grid lines and circles)
         "planes": [[p[0].tolist(), float(p[1])]
@@ -162,6 +168,14 @@ for (const f of D.frames) for (const p of f) for (let i=0;i<3;i++)
   { mn[i]=Math.min(mn[i],p[i]); mx[i]=Math.max(mx[i],p[i]); }
 const ctr = mn.map((v,i)=>(v+mx[i])/2);
 const scl = 1/Math.max(mx[0]-mn[0], mx[1]-mn[1], mx[2]-mn[2], 1e-9);
+// batch points by color (per-mass colors, Mass.color)
+const colorGroups = new Map();
+(D.colors || []).forEach((c, i) => {
+  if (!colorGroups.has(c)) colorGroups.set(c, []);
+  colorGroups.get(c).push(i);
+});
+if (!colorGroups.size)
+  colorGroups.set('#ff5a5a', D.frames[0].map((_, i) => i));
 if (D.camera) {  // initial view from Simulation.setViewport
   const [cp, tg] = D.camera;
   const v = [cp[0]-tg[0], cp[1]-tg[1], cp[2]-tg[2]];
@@ -213,8 +227,10 @@ function draw(){
   for (const [a,b] of D.edges){ ctx.moveTo(pts[a][0],pts[a][1]);
     ctx.lineTo(pts[b][0],pts[b][1]); }
   ctx.stroke();
-  ctx.fillStyle='#ff5a5a';
-  for (const p of pts) ctx.fillRect(p[0]-1.5, p[1]-1.5, 3, 3);
+  for (const [col, idxs] of colorGroups) {
+    ctx.fillStyle = col;
+    for (const i of idxs) ctx.fillRect(pts[i][0]-1.5, pts[i][1]-1.5, 3, 3);
+  }
   document.getElementById('hud').textContent =
     't=' + D.times[fi].toFixed(3) + 's  frame ' + (fi+1) + '/' +
     D.frames.length + '  (drag=rotate, wheel=zoom, space=pause)';

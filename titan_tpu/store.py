@@ -39,7 +39,11 @@ class HostStore:
     giant scenes -- at 100^3 the f64 store alone is ~1.5 GB.
     """
 
-    _MASS_FIELDS_3 = ("pos", "vel", "acc", "extern_force")
+    _MASS_FIELDS_3 = ("pos", "vel", "acc", "extern_force", "color")
+
+    #: reference default mass color (mass.cu:17); GRAPHICS-only data that
+    #: lives host-side only -- it never reaches the device state
+    DEFAULT_COLOR = (1.0, 0.2, 0.2)
     _MASS_FIELDS_1 = ("m", "T", "drag", "mag_rad", "mag_stiffness",
                       "mag_maxf", "mag_scale")
 
@@ -126,6 +130,7 @@ class HostStore:
         self.mag_stiffness[i] = stiffness
         self.mag_maxf[i] = max_mag_force
         self.mag_scale[i] = mag_scale_factor
+        self.color[i] = self.DEFAULT_COLOR
         self.fixed[i] = fixed
         self.valid[i] = True
         self.n_masses += 1
@@ -149,6 +154,7 @@ class HostStore:
         self.mag_stiffness[i0:i1] = stiffness
         self.mag_maxf[i0:i1] = 0.0
         self.mag_scale[i0:i1] = 0.0
+        self.color[i0:i1] = self.DEFAULT_COLOR
         self.fixed[i0:i1] = False if fixed is None else fixed
         self.valid[i0:i1] = True
         self.n_masses = i1
