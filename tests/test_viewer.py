@@ -271,3 +271,21 @@ def test_mass_colors_render_and_roundtrip(tmp_path):
     sim.stop()
     sim2 = checkpoint.load(ck)
     assert np.allclose(sim2._store.color[link.ml._i], (0, 1, 0))
+
+
+def test_projection_matrix():
+    """getProjectionMatrix (sim.h:128): perspective MVP from the
+    setViewport camera; a point at the look-at target must project to
+    the screen center (NDC x = y = 0) and in front of the camera."""
+    sim = Simulation(SimConfig())
+    sim.createMass(Vec(0, 0, 0))
+    sim.setViewport(Vec(10, 0, 2), Vec(0, 0, 2), Vec(0, 0, 1))
+    mvp = sim.getProjectionMatrix()
+    assert mvp.shape == (4, 4)
+    target = np.array([0.0, 0.0, 2.0, 1.0])
+    clip = mvp @ target
+    ndc = clip[:3] / clip[3]
+    assert abs(ndc[0]) < 1e-9 and abs(ndc[1]) < 1e-9
+    assert -1 < ndc[2] < 1          # inside the depth range
+    behind = mvp @ np.array([20.0, 0.0, 2.0, 1.0])
+    assert behind[3] < 0            # behind the camera: negative w

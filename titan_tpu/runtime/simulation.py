@@ -826,6 +826,35 @@ class Simulation:
         self._camera = (_np3(camera_position), _np3(target_location),
                         _np3(up_vector))
 
+    def getProjectionMatrix(self) -> np.ndarray:
+        """The current model-view-projection matrix (reference sim.h:128,
+        graphics.cpp::getProjection): perspective 45 deg FOV, 4:3 aspect,
+        near 0.01 / far 200, looking from the setViewport camera.  Returns
+        a [4, 4] row-major numpy array (the reference returns a glm::mat4;
+        same matrix, column-major there)."""
+        cam, look, up = getattr(self, "_camera",
+                                (np.array([15.0, 15.0, 7.0]),
+                                 np.array([0.0, 0.0, 2.0]),
+                                 np.array([0.0, 0.0, 1.0])))
+        fovy, aspect, near, far = math.radians(45.0), 4.0 / 3.0, 0.01, 200.0
+        f = 1.0 / math.tan(fovy / 2)
+        proj = np.zeros((4, 4))
+        proj[0, 0] = f / aspect
+        proj[1, 1] = f
+        proj[2, 2] = (far + near) / (near - far)
+        proj[2, 3] = 2 * far * near / (near - far)
+        proj[3, 2] = -1.0
+        fwd = look - cam
+        fwd = fwd / np.linalg.norm(fwd)
+        s = np.cross(fwd, up / np.linalg.norm(up))
+        s = s / np.linalg.norm(s)
+        u = np.cross(s, fwd)
+        view = np.eye(4)
+        view[0, :3], view[0, 3] = s, -np.dot(s, cam)
+        view[1, :3], view[1, 3] = u, -np.dot(u, cam)
+        view[2, :3], view[2, 3] = -fwd, np.dot(fwd, cam)
+        return proj @ view
+
     def moveViewport(self, displacement) -> None:
         """Reference sim.cu:1651-1661."""
         if self._running:
