@@ -411,13 +411,24 @@ def test_worker_learns_step_rate():
     sim.wait(0.05)          # 500 steps: probe chunks then rated chunks
     assert sim._rate is not None and sim._rate > 0
     assert abs(sim.time() - 0.05) < 1e-12   # exact-time semantics intact
-    # a re-marshal (topology edit) resets the probe state; the sim is
-    # ALREADY paused after wait() (an extra pause(time()) here would push
-    # a stale breakpoint that resume() pops into an instant re-pause,
+    # round 4: an in-capacity createMass at a pause is a journaled row
+    # push (runtime/incremental.py) -- the shape and therefore the
+    # learned rate SURVIVE the resume (no re-probe).  The sim is ALREADY
+    # paused after wait() (an extra pause(time()) here would push a
+    # stale breakpoint that resume() pops into an instant re-pause,
     # making the next wait() a documented no-op)
     sim.createMass(Vec(0, 0, 5))
     sim.resume()
-    assert sim._rate is None         # reset by the resume-time re-marshal
+    assert sim._rate is not None     # journal path kept the chunk + rate
     sim.wait(0.02)
-    assert sim._rate is not None and abs(sim.time() - 0.07) < 1e-12
+    assert abs(sim.time() - 0.07) < 1e-12
+    # a full re-marshal (here: forced via the journal's escape hatch, the
+    # path capacity overflow / bulk writes / compact() take) DOES reset
+    # the probe state so the fresh chunk fn is re-rated
+    sim.createMass(Vec(0, 0, 6))
+    sim._journal.force_full = True
+    sim.resume()
+    assert sim._rate is None         # reset by the resume-time re-marshal
+    sim.wait(0.01)
+    assert sim._rate is not None and abs(sim.time() - 0.08) < 1e-12
     sim.stop()

@@ -313,3 +313,106 @@ def test_tiled_matches_xla_random_combo(seed, monkeypatch):
     np.testing.assert_allclose(np.asarray(t30.masses.vel)[:, :n],
                                np.asarray(x30.masses.vel)[:, :n],
                                atol=5e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------- mega
+# Round 4: the resident grid ("mega") kernel -- one pallas_call advances
+# MEGA_SEG steps over a (k_seg, n_tiles) grid with the state in two
+# parity-alternating HBM buffers -- must reproduce the per-step launch
+# path exactly.  The halo-width A/B decomposed the 100^3 per-step launch
+# as ~80% fixed cost (docs/PERFORMANCE.md), which is what this amortizes.
+
+_MEGA_VARIANTS = ["plain", "friction", "damping", "breathing", "drag",
+                  "deleted", "nonuniform_k", "verlet", "actuated",
+                  "actuated_breathing_damped", "actuated_verlet",
+                  "local_pl"]
+
+
+def _mega_vs_per_step(sim, monkeypatch, steps=10, seg=4):
+    """10 steps with seg=4 covers two mega segments + a 2-step per-step
+    tail in one call."""
+    _interpret_tiled(monkeypatch)
+    monkeypatch.setenv("TITAN_MEGA", "0")
+    ref = pallas_tiled.build_tiled_chunk(sim._shape)(
+        sim._state, jnp.int32(steps))
+    monkeypatch.delenv("TITAN_MEGA")
+    monkeypatch.setenv("TITAN_MEGA_SEG", str(seg))
+    out = pallas_tiled.build_tiled_chunk(sim._shape)(
+        sim._state, jnp.int32(steps))
+    return ref, out
+
+
+def _assert_mega_equal(ref, out, damping):
+    for f in ("pos", "vel", "acc"):
+        a = np.asarray(getattr(ref.masses, f))
+        b = np.asarray(getattr(out.masses, f))
+        if not damping:
+            np.testing.assert_array_equal(a, b, err_msg=f)
+        else:
+            # damping scenes: the mega and single kernel BODIES compile
+            # to 1-2 ulp different roundings of the identical damping
+            # force chain (XLA CPU fuses/contracts the two programs
+            # differently in interpret mode -- verified: seg=2 and seg=4
+            # agree BITWISE with each other, every input plane is
+            # bitwise identical, and all non-damping variants are exact;
+            # same mechanism as the shard_map rk2/breathing 1-ulp note
+            # in parallel/halo_adjoint.py).  acc is the k-amplified view
+            # of the same noise.
+            tol = dict(atol=5e-6, rtol=3e-6) if f == "acc" else \
+                dict(atol=5e-8, rtol=1e-6)
+            np.testing.assert_allclose(a, b, err_msg=f, **tol)
+    np.testing.assert_array_equal(np.asarray(ref.stencil.rest),
+                                  np.asarray(out.stencil.rest))
+
+
+@pytest.mark.parametrize("variant", _MEGA_VARIANTS)
+def test_mega_matches_per_step(variant, monkeypatch):
+    sim = _scene(**VARIANTS[variant])
+    assert pallas_tiled._mega_seg(sim._shape, 32768, 1024) > 0
+    ref, out = _mega_vs_per_step(sim, monkeypatch)
+    _assert_mega_equal(ref, out, "damp" in variant)
+
+
+def test_mega_envelope():
+    # glue scenes and RK2 stay on per-step launches
+    assert pallas_tiled._mega_seg(_scene(magnets=True)._shape,
+                                  32768, 1024) == 0
+    assert pallas_tiled._mega_seg(_scene(remainder=True)._shape,
+                                  32768, 1024) == 0
+    assert pallas_tiled._mega_seg(_scene(integrator="rk2")._shape,
+                                  32768, 1024) == 0
+    # k_seg is forced even (the final state must land in buffer A)
+    assert pallas_tiled._mega_seg(_scene()._shape, 32768, 1024) % 2 == 0
+
+
+def test_mega_multitile_cross_prefetch(monkeypatch):
+    """Shrunken tiles force a real multi-tile grid (n_tiles >= 4), which
+    engages the cross-step window prefetch ((s, n-1) prefetches
+    (s+1, 0)'s window from rows written earlier in step s) -- the path
+    the default one-tile interpret scenes never touch."""
+    from titan_tpu import Simulation, SimConfig, Vec as V
+    monkeypatch.setattr(pallas_tiled, "_tile_size",
+                        lambda h, shape=None: 1024)
+    sim = Simulation(SimConfig())
+    sim.createLattice(V(0, 0, 3), V(4, 1, 1), 130, 6, 6)
+    sim.setAllSpringConstantValues(800.0)
+    sim.createPlane(V(0, 0, 1), 0, 0.4, 0.6)
+    sim.setGlobalAcceleration(V(0, 0, -9.8))
+    sim.setTimeStep(0.0001)
+    sim._T = 0.0
+    sim._marshal()
+    assert -(-sim._shape.n_masses // 1024) >= 4
+    ref, out = _mega_vs_per_step(sim, monkeypatch, steps=6, seg=2)
+    _assert_mega_equal(ref, out, damping=False)
+
+
+def test_mega_multitile_no_cross_prefetch(monkeypatch):
+    """n_tiles == 2 disables cross-step prefetch (h > (n_tiles-2)*T:
+    tile 0's next-step window overlaps rows this step's LAST tile is
+    still writing) -- each step's first cell self-issues instead."""
+    monkeypatch.setattr(pallas_tiled, "_tile_size",
+                        lambda h, shape=None: 1024)
+    sim = _scene(friction=False)
+    assert -(-sim._shape.n_masses // 1024) == 2
+    ref, out = _mega_vs_per_step(sim, monkeypatch, steps=6, seg=2)
+    _assert_mega_equal(ref, out, damping=False)

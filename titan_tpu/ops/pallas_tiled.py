@@ -203,7 +203,7 @@ def tiled_supported(shape: SceneShape) -> bool:
 
 
 def _build_kernel(shape: SceneShape, t_size: int, h: int,
-                  mode: str = "single"):
+                  mode: str = "single", k_seg: int = 0, n_tiles_s: int = 0):
     """mode selects the integrate tail: "single" is one launch per step
     (Euler or Verlet); "rk2a"/"rk2b" are the two launches of one RK2 step
     (midpoint predictor / corrector, reference sim.cu:1778-1799 +
@@ -211,7 +211,25 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
     planes/balls/local constraints/drag on tile rows) is identical in all
     modes -- rk2a receives (pos, vel) and emits (pos_half, vel_half, vel1);
     rk2b receives (pos_half, vel_half) windows plus blocked original pos,
-    pass-1 vel1, and pre-step vel0, and emits the final (pos, vel, acc)."""
+    pass-1 vel1, and pre-step vel0, and emits the final (pos, vel, acc).
+
+    mode="mega" is the RESIDENT GRID kernel (round 4): ONE pallas_call
+    advances ``k_seg`` whole steps over a grid of (k_seg, n_tiles) cells.
+    State (pos, vel, acc) lives in TWO HBM buffers, window-layout
+    [9, (n_t + 2h)/128, 128]: step s reads windows from buffer A (s even)
+    or B (s odd) and writes its tile's rows to the other, so each cell
+    sees exactly the one-step path's s-1 state (the TPU grid executes
+    sequentially; pads are never written and stay zero).  Step 0 reads
+    the aliased INPUT buffer so correctness never depends on
+    input_output_aliasing being observable in-kernel.  This amortizes the
+    measured ~320 us per-launch fixed cost of the one-step path (80% of
+    the 401 us step at 100^3 -- docs/PERFORMANCE.md round-4
+    decomposition) over k_seg steps and removes the per-step XLA
+    pad/reshape glue entirely; per-step physics is op-for-op the
+    "single"-mode kernel (equivalence pinned in test_pallas_tiled.py).
+    Envelope: Euler/Verlet, no magnet/remainder glue (glue needs XLA
+    between steps).  Euler writes only pos+vel planes per step (acc joins
+    on the segment's last step); Verlet reads+writes acc every step."""
     deltas = shape.stencil_deltas
     w = t_size + 2 * h
     wr, tr, hr = w // 128, t_size // 128, h // 128
@@ -220,7 +238,8 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
     clamp = shape.config.velocity_clamp
     rk2a = mode == "rk2a"
     rk2b = mode == "rk2b"
-    verlet = (mode == "single"
+    mega = mode == "mega"
+    verlet = (mode in ("single", "mega")
               and shape.config.integrator is Integrator.VERLET)
     has_damping = shape.has_damping
     has_breathing = shape.has_breathing
@@ -232,6 +251,10 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
     from .forces import use_rsqrt
     rsqrt_norms = use_rsqrt(jnp.float32)
     offsets, n_param, n_state = _plan(shape)
+    if mega:
+        # state windows always carry pos+vel (vel must ride the dynamic
+        # buffer -- it changes per fused step); Verlet also windows acc
+        n_state = 9 if verlet else 6
     nf = len(deltas)
     u_k = shape.stencil_uniform[0]
     has_pwin = n_param > 0
@@ -240,16 +263,19 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
     def kernel(*refs):
         (scal_ref, plane_ref, ball_ref, fparam_ref, state_hbm) = refs[:5]
         i = 5
+        if mega:
+            _state_b_in = refs[i]   # aliased to out_b; never read
+            i += 1
         if has_pwin:
             param_hbm = refs[i]
             i += 1
         if u_k:
             mask_hbm = refs[i]
             i += 1
-        if not has_damping:
+        if not has_damping and not mega:
             vel_ref = refs[i]
             i += 1
-        if verlet:
+        if verlet and not mega:
             acc_ref = refs[i]
             i += 1
         cforce_ref, minv_ref, fixed_ref = refs[i:i + 3]
@@ -263,8 +289,12 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
         if has_local:
             lc_ref = refs[i]    # [P_lc, tr, 128] stacked slot planes
             i += 1
-        opos_ref, ovel_ref, oacc_ref = refs[i:i + 3]
-        i += 3
+        if mega:
+            out_a, out_b = refs[i:i + 2]
+            i += 2
+        else:
+            opos_ref, ovel_ref, oacc_ref = refs[i:i + 3]
+            i += 3
         swin = refs[i]
         i += 1
         if has_pwin:
@@ -273,7 +303,12 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
         if u_k:
             mwin = refs[i]
             i += 1
+        if mega:
+            wstage = refs[i]    # [9, tr, 128] write staging (Mosaic needs
+            i += 1              # ANY-dest DMAs staged + sublane-aligned)
         sem = refs[i]
+        if mega:
+            wsem = refs[i + 1]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
 
@@ -297,17 +332,53 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
             z = jnp.where(lane < 128 - r, a, b)
             return pltpu.roll(z, r, 2)
 
-        t = pl.program_id(0)
-        n_tiles = pl.num_programs(0)
-        dt = scal_ref[0]
-        t_now = scal_ref[1]
-        slot = jax.lax.rem(t, 2)
+        if mega:
+            s = pl.program_id(0)
+            t = pl.program_id(1)
+            n_tiles = pl.num_programs(1)
+            lidx = s * n_tiles + t
+            slot = jax.lax.rem(lidx, 2)
+            s_f = s.astype(jnp.float32)
+            dt = scal_ref[0]
+            t_now = scal_ref[1] + s_f * dt
+            adv_base = scal_ref[2] + s_f
+        else:
+            t = pl.program_id(0)
+            n_tiles = pl.num_programs(0)
+            slot = jax.lax.rem(t, 2)
+            dt = scal_ref[0]
+            t_now = scal_ref[1]
+            adv_base = scal_ref[2]
 
-        def issue(tile_idx, into):
+        def issue(tile_idx, into, s_n=None):
             row0 = tile_idx * tr
-            pltpu.make_async_copy(
-                state_hbm.at[:, pl.ds(row0, wr), :], swin.at[into],
-                sem.at[into, 0]).start()
+            if mega:
+                # parity-selected state source: step 0 reads the (aliased)
+                # INPUT buffer, odd steps read out_b, even steps out_a --
+                # the TPU grid runs cells sequentially, so the source
+                # always holds exactly the previous step's state
+                def cp(src):
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(0, n_state), pl.ds(row0, wr), :],
+                        swin.at[into], sem.at[into, 0]).start()
+
+                @pl.when(s_n == 0)
+                def _():
+                    cp(state_hbm)
+
+                odd = jax.lax.rem(s_n, 2) == 1
+
+                @pl.when((s_n > 0) & odd)
+                def _():
+                    cp(out_b)
+
+                @pl.when((s_n > 0) & ~odd)
+                def _():
+                    cp(out_a)
+            else:
+                pltpu.make_async_copy(
+                    state_hbm.at[:, pl.ds(row0, wr), :], swin.at[into],
+                    sem.at[into, 0]).start()
             if has_pwin:
                 pltpu.make_async_copy(
                     param_hbm.at[:, pl.ds(row0, wr), :], pwin.at[into],
@@ -317,14 +388,44 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
                     mask_hbm.at[:, pl.ds(row0, wr), :], mwin.at[into],
                     sem.at[into, mask_sem]).start()
 
-        @pl.when(t == 0)
-        def _():
-            issue(0, 0)
+        if mega:
+            @pl.when(lidx == 0)
+            def _():
+                issue(0, 0, s_n=jnp.int32(0))
 
-        # prefetch the next tile's windows before computing this one
-        @pl.when(t + 1 < n_tiles)
-        def _():
-            issue(t + 1, 1 - slot)
+            # cross-step prefetch is safe only when the next step's first
+            # window [0, w) lies entirely in rows already written this
+            # step (tiles 0..n_tiles-2 plus the never-written zero pads):
+            # w <= h + (n_tiles - 1) * t_size  <=>  h <= (n_tiles-2)*t_size
+            cross_ok = h <= (n_tiles_s - 2) * t_size
+            if cross_ok:
+                t_n = t + 1
+                wrap = t_n == n_tiles
+                s_n = s + wrap.astype(jnp.int32)
+                t_n = jnp.where(wrap, 0, t_n)
+
+                @pl.when(lidx + 1 < k_seg * n_tiles)
+                def _():
+                    issue(t_n, 1 - slot, s_n=s_n)
+            else:
+                @pl.when(t + 1 < n_tiles)
+                def _():
+                    issue(t + 1, 1 - slot, s_n=s)
+
+                # each step's first cell issues its own window instead
+                # (prefetching it would race this step's last writes)
+                @pl.when((t == 0) & (s > 0))
+                def _():
+                    issue(0, slot, s_n=s)
+        else:
+            @pl.when(t == 0)
+            def _():
+                issue(0, 0)
+
+            # prefetch the next tile's windows before computing this one
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                issue(t + 1, 1 - slot)
 
         row0 = t * tr
         pltpu.make_async_copy(
@@ -341,7 +442,7 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
 
         sw = swin[slot]                              # [n_state, WR, 128]
         pw = sw[0:3]
-        if has_damping:
+        if has_damping or mega:
             vw = sw[3:6]
         if has_pwin:
             pv = pwin[slot]                          # [n_param, WR, 128]
@@ -387,7 +488,7 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
                 # s the reference has applied min(s + 1, s_stop) per-step
                 # increments (advance-then-use, one-sided bound with the
                 # final overshoot retained, sim.cu:1173-1181)
-                adv = jnp.minimum(scal_ref[2] + 1.0,
+                adv = jnp.minimum(adv_base + 1.0,
                                   pv[offsets["sstop"] + fi])
                 rest = rest + adv * pv[offsets["aratedt"] + fi]
             if has_breathing:
@@ -416,7 +517,10 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
         # extract the tile's rows (aligned slice) and add mass-level forces
         pos = pw[:, hr:hr + tr, :]
         f_acc = fw[:, hr:hr + tr, :] + cforce_ref[:]
-        vel = vw[:, hr:hr + tr, :] if has_damping else vel_ref[:]
+        if mega or has_damping:
+            vel = vw[:, hr:hr + tr, :]
+        else:
+            vel = vel_ref[:]
         vel_in = vel   # pre-constraint vel: frozen masses keep this
         for p in range(n_planes):
             nx, ny, nz = plane_ref[p, 0], plane_ref[p, 1], plane_ref[p, 2]
@@ -559,22 +663,73 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
             opos_ref[:] = pos0_ref[:] + vel * dt * not_fixed
             ovel_ref[:] = v2
             oacc_ref[:] = acc * not_fixed
-        elif verlet:
-            # reference 'Verlet' (sim.cu:1350-1354)
-            v2 = vel + 0.5 * (acc_ref[:] + acc) * dt
-            v2 = v2 * not_fixed + vel_in * fixed_ref[:]
-            opos_ref[:] = pos + (v2 * dt + 0.5 * acc * dt * dt) * not_fixed
-            ovel_ref[:] = v2
-            oacc_ref[:] = acc * not_fixed
         else:
-            v2 = vel + acc * dt
-            if clamp:
-                vn = jnp.sqrt(jnp.sum(v2 * v2, axis=0))
-                v2 = jnp.where(vn > 1.0, v2 / jnp.where(vn > 0, vn, 1.0), v2)
-            v2 = v2 * not_fixed + vel_in * fixed_ref[:]
-            opos_ref[:] = pos + v2 * dt * not_fixed
-            ovel_ref[:] = v2
-            oacc_ref[:] = acc * not_fixed
+            if verlet:
+                # reference 'Verlet' (sim.cu:1350-1354)
+                acc_prev = sw[6:9, hr:hr + tr, :] if mega else acc_ref[:]
+                v2 = vel + 0.5 * (acc_prev + acc) * dt
+                v2 = v2 * not_fixed + vel_in * fixed_ref[:]
+                po = pos + (v2 * dt + 0.5 * acc * dt * dt) * not_fixed
+            else:
+                v2 = vel + acc * dt
+                if clamp:
+                    vn = jnp.sqrt(jnp.sum(v2 * v2, axis=0))
+                    v2 = jnp.where(vn > 1.0,
+                                   v2 / jnp.where(vn > 0, vn, 1.0), v2)
+                v2 = v2 * not_fixed + vel_in * fixed_ref[:]
+                po = pos + v2 * dt * not_fixed
+            ao = acc * not_fixed
+            if not mega:
+                opos_ref[:] = po
+                ovel_ref[:] = v2
+                oacc_ref[:] = ao
+            else:
+                # stage the tile's new rows in VMEM, then one aligned DMA
+                # into the destination buffer (parity-opposite the source;
+                # Mosaic requires ANY-dest DMAs staged + sublane-aligned,
+                # see CLAUDE.md).  Euler skips the acc planes except on
+                # the segment's last step (nothing reads them earlier);
+                # Verlet reads acc every step.  The wait serializes ~2 us
+                # of write into the cell -- negligible vs the window DMAs.
+                wstage[0:3] = po
+                wstage[3:6] = v2
+                wstage[6:9] = ao
+                even = jax.lax.rem(s, 2) == 0
+                row0w = t * tr + hr
+
+                def wcopy(dst, n_pl):
+                    cp = pltpu.make_async_copy(
+                        wstage.at[pl.ds(0, n_pl)],
+                        dst.at[pl.ds(0, n_pl), pl.ds(row0w, tr), :], wsem)
+                    cp.start()
+                    cp.wait()
+
+                if verlet:
+                    @pl.when(even)
+                    def _():
+                        wcopy(out_b, 9)
+
+                    @pl.when(~even)
+                    def _():
+                        wcopy(out_a, 9)
+                else:
+                    last = s == k_seg - 1
+
+                    @pl.when(even & ~last)
+                    def _():
+                        wcopy(out_b, 6)
+
+                    @pl.when(even & last)
+                    def _():
+                        wcopy(out_b, 9)
+
+                    @pl.when(~even & ~last)
+                    def _():
+                        wcopy(out_a, 6)
+
+                    @pl.when(~even & last)
+                    def _():
+                        wcopy(out_a, 9)
 
     return kernel
 
@@ -659,6 +814,89 @@ def make_tiled_call(shape: SceneShape, t_size: int, h: int, n_tiles: int,
                    for _ in range(3)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
+    )
+
+
+def make_mega_call(shape: SceneShape, t_size: int, h: int, n_tiles: int,
+                   k_seg: int):
+    """The resident grid kernel's pallas_call: ONE launch advances k_seg
+    steps over a grid of (k_seg, n_tiles) cells (see _build_kernel's
+    "mega" docstring).  Takes and returns the two state buffers
+    [9, (n_t + 2h)/128, 128] (pos/vel/acc planes), input_output_aliased
+    for in-place stepping; all other inputs are chunk-constant."""
+    assert k_seg % 2 == 0, "k_seg must be even (final state lands in A)"
+    tr = t_size // 128
+    w = t_size + 2 * h
+    wr = w // 128
+    n_t = n_tiles * t_size
+    rows = (n_t + 2 * h) // 128
+    offsets, n_param, _ = _plan(shape)
+    verlet = shape.config.integrator is Integrator.VERLET
+    n_state = 9 if verlet else 6
+    u_k = shape.stencil_uniform[0]
+    has_pwin = n_param > 0
+    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+    has_local = any(caps)
+    from .pallas_step import _lc_planes
+    p_lc = _lc_planes(shape)
+
+    def blk3(s, t, scal):
+        return (0, t, 0)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # planes
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # balls
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # fparams [5, nf]
+        pl.BlockSpec(memory_space=pl.ANY),       # state buffer A
+        pl.BlockSpec(memory_space=pl.ANY),       # state buffer B
+    ]
+    if has_pwin:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # param wins
+    if u_k:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # mask bits
+    in_specs += [
+        pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),  # cf
+        pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # minv
+        pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # fixd
+    ]
+    if shape.has_drag:
+        in_specs.append(pl.BlockSpec((1, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # drag
+    if has_local:
+        in_specs.append(pl.BlockSpec((p_lc, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # lc slots
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # scal = [dt, t_base, advance base]
+        grid=(k_seg, n_tiles),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=(
+            [pltpu.VMEM((2, n_state, wr, 128), jnp.float32)]  # state wins
+            + ([pltpu.VMEM((2, n_param, wr, 128), jnp.float32)]
+               if has_pwin else [])                          # param wins
+            + ([pltpu.VMEM((2, 1, wr, 128), jnp.int32)]
+               if u_k else [])                               # mask bits
+            + [pltpu.VMEM((9, tr, 128), jnp.float32)]        # write stage
+            + [pltpu.SemaphoreType.DMA((2, 1 + has_pwin + u_k)),
+               pltpu.SemaphoreType.DMA(())]                  # write sem
+        ),
+    )
+
+    # input_output_aliases indexes the FLAT call operands, scalar-prefetch
+    # included: scal=0, planes=1, balls=2, fparams=3, A=4, B=5 (validated
+    # loudly against output shapes by pallas_call)
+    return pl.pallas_call(
+        _build_kernel(shape, t_size, h, "mega", k_seg=k_seg,
+                      n_tiles_s=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((9, rows, 128), jnp.float32)
+                   for _ in range(2)],
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary")),
     )
 
 
@@ -983,9 +1221,48 @@ def make_step_setup(shape: SceneShape, t_size: int, h: int, n_tiles: int,
     return setup
 
 
+#: steps per resident-grid ("mega") launch.  Even (the final state must
+#: land back in buffer A); the n_steps % MEGA_SEG tail runs through the
+#: per-step path.  Measured at 100^3 (scripts/tpu_mega_ab.py, one
+#: process): seg 16 = 64 = 128 within noise (3,433/3,434/3,419 steps/s)
+#: -- the amortized launch cost is gone by 16, so keep the small segment
+#: (cheaper per-step tail, more of a short control-plane chunk rides the
+#: mega path).  A/B hook: TITAN_MEGA=0 disables, TITAN_MEGA_SEG=k
+#: overrides (bound at build time, like CARRY_MODE).
+MEGA_SEG = 16
+
+
+def _mega_seg(shape: SceneShape, t_size: int, h: int) -> int:
+    """Steps per mega launch for this scene; 0 = use per-step launches.
+
+    Envelope: Euler/Verlet only (RK2 is two coupled launches per step)
+    and no magnet/remainder glue (glue needs XLA between steps).  VMEM:
+    the mega windows carry 6/9 state planes (vel -- and acc under Verlet
+    -- must ride the dynamic buffers) vs the one-step kernel's 3/6, plus
+    the [9, T] write stage."""
+    if os.environ.get("TITAN_MEGA", "1") == "0":
+        return 0
+    cfg = shape.config
+    if cfg.integrator not in (Integrator.EULER, Integrator.VERLET):
+        return 0
+    if shape.has_remainder or shape.has_magnets:
+        return 0
+    n_state = 9 if cfg.integrator is Integrator.VERLET else 6
+    _, _, n_state1 = _plan(shape)
+    w = t_size + 2 * h
+    extra = 2 * 4 * w * (n_state - n_state1) + 4 * 9 * t_size
+    if _vmem_bytes(shape, t_size, h) + extra >= _VMEM_EST_BUDGET:
+        return 0
+    k = int(os.environ.get("TITAN_MEGA_SEG", str(MEGA_SEG)))
+    return max(2, k + (k % 2))
+
+
 def build_tiled_chunk(shape: SceneShape, donate: bool = False):
-    """Jitted chunk(state, n_steps): fori_loop of per-step tiled launches
-    (the shared make_step_setup machinery).
+    """Jitted chunk(state, n_steps): n_steps // MEGA_SEG resident-grid
+    launches (one pallas_call per MEGA_SEG steps -- the round-4 answer to
+    the measured 80% per-launch fixed cost) plus a per-step-launch tail,
+    both op-for-op the same physics (the shared make_step_setup
+    machinery; scenes outside the mega envelope run per-step throughout).
 
     donate=True donates the input state's buffers (exclusive-owner callers
     like bench.py and the scale probes -- at the ~200^3 HBM ceiling the
@@ -1008,6 +1285,9 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
     rk2 = shape.config.integrator is Integrator.RK2
     carry_legacy = CARRY_MODE == "legacy"   # bound at build time, not trace
     setup = make_step_setup(shape, t_size, h, n_tiles, carry_legacy)
+    k_seg = 0 if carry_legacy else _mega_seg(shape, t_size, h)
+    mega_call = (make_mega_call(shape, t_size, h, n_tiles, k_seg)
+                 if k_seg else None)
 
     def chunk(state: SimState, n_steps) -> SimState:
         m = state.masses
@@ -1031,8 +1311,45 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
         init = (m.pos, m.vel, m.acc) if carry_legacy else \
             (padf(m.pos), padf(m.vel), padf(m.acc))
 
+        lower = jnp.int32(0)
+        if mega_call is not None:
+            # n_steps // k_seg resident-grid launches advance the bulk of
+            # the chunk; the state rides the two aliased window-layout
+            # buffers (final state in A: k_seg is even)
+            r3 = lambda x: x.reshape(x.shape[0], -1, 128)
+            a0 = r3(jnp.pad(jnp.concatenate(init, axis=0), ((0, 0), (h, h))))
+            b0 = jnp.zeros_like(a0)
+            margs = [p["planes"], p["balls"], p["fparams"]]
+            tail = []
+            if p["param_flat"] is not None:
+                tail.append(r3(jnp.pad(p["param_flat"],
+                                       ((0, 0), (h, h + pad_n)))))
+            if p["bits_flat"] is not None:
+                tail.append(r3(jnp.pad(p["bits_flat"],
+                                       ((0, 0), (h, h + pad_n)))))
+            zp = lambda x: r3(padf(x))
+            tail += [zp(p["const_flat"]), zp(p["minv_flat"]),
+                     zp(p["fixed_flat"])]
+            if p["drag_flat"] is not None:
+                tail.append(zp(p["drag_flat"]))
+            if p["lc_flat"] is not None:
+                tail.append(zp(p["lc_flat"]))
+            dt32 = state.dt.astype(jnp.float32)
+            t032 = state.t.astype(jnp.float32)
+            n_seg = n_steps // k_seg
+
+            def seg_body(si, ab):
+                base = (si * k_seg).astype(jnp.float32)
+                scal = jnp.stack([dt32, t032 + base * dt32, base])
+                return mega_call(scal, *margs, ab[0], ab[1], *tail)
+
+            a_buf, _ = jax.lax.fori_loop(0, n_seg, seg_body, (a0, b0))
+            flat = a_buf.reshape(9, -1)[:, h:h + n_t]
+            init = (flat[0:3], flat[3:6], flat[6:9])
+            lower = n_seg * k_seg
+
         pos, vel, acc, rem_rest = jax.lax.fori_loop(
-            0, n_steps, body, init + (state.springs.rest,))
+            lower, n_steps, body, init + (state.springs.rest,))
         pos, vel, acc = pos[:, :n], vel[:, :n], acc[:, :n]
         # the kernel zeroes frozen masses' acc each step; the reference
         # (massForcesAndUpdate early-return) and the VMEM kernel preserve

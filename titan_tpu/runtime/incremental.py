@@ -51,6 +51,28 @@ def _cat_rows(*parts) -> np.ndarray:
         np.zeros(0, np.int64)
 
 
+def _pad_rows(idx: np.ndarray, min_len: int = 8) -> np.ndarray:
+    """Pad a row-index array to the next power-of-two length by repeating
+    its last entry.
+
+    Every distinct index-array LENGTH makes the eager ``.at[idx].set`` /
+    gather programs a fresh compile -- seconds per new program on the
+    axon backend, and edit bursts produce a new length almost every
+    cycle (measured: the 100^3 churn soak spent most of its ~3.5 s/cycle
+    there).  Power-of-two buckets keep the program set tiny so steady
+    state is all cache hits.  Scatter duplicates are safe: the repeated
+    row carries the identical payload; gather callers slice the first
+    ``len(idx)`` results."""
+    n = len(idx)
+    if n == 0:
+        return idx
+    m = max(min_len, 1 << (n - 1).bit_length())
+    if m == n:
+        return np.asarray(idx)
+    return np.concatenate(
+        [idx, np.full(m - n, idx[-1], np.asarray(idx).dtype)])
+
+
 class EditJournal:
     """Record of paused-time edits since the last (re)marshal."""
 
@@ -261,6 +283,21 @@ def _try_incremental(sim) -> bool:
         s_rem_new = int(rem_idx.shape[0])
         S = max(128, ((max(s_rem_new, 1) + 127) // 128) * 128)
         max_deg, rem_span = _remainder_degree_span(st, rem_idx, n)
+        # MONOTONIC shape fields: S/max_degree/remainder_span are padded
+        # capacities (larger is always safe -- inc_idx pads with sign-0
+        # columns, span is a routing threshold), and SceneShape is the
+        # chunk-trace cache key, so shrinking or jittering them retraces
+        # (an axon compile, seconds) on every churn cycle.  Growth
+        # rounds up to the next power of two for the same reason.
+        S = max(S, shape.n_springs)
+        if max_deg > shape.max_degree:
+            max_deg = 1 << (max_deg - 1).bit_length()
+        else:
+            max_deg = shape.max_degree
+        if rem_span > shape.remainder_span:
+            rem_span = 1 << (rem_span - 1).bit_length()
+        else:
+            rem_span = shape.remainder_span
         new_springs_state, new_topo, rem_left, rem_right = \
             _build_remainder_states(st, rem_idx, N, S, max_deg, dt, cfg)
         fam[rem_idx] = -1
@@ -285,15 +322,15 @@ def _try_incremental(sim) -> bool:
             updates = {}
             msk = stc.mask
             if unfill:
-                fi_a = np.array([u[0] for u in unfill], np.int32)
-                lp_a = np.array([u[1] for u in unfill], np.int64)
+                fi_a = _pad_rows(np.array([u[0] for u in unfill], np.int32))
+                lp_a = _pad_rows(np.array([u[1] for u in unfill], np.int64))
                 msk = msk.at[fi_a, lp_a].set(False)
                 for fi, lp in unfill:
                     mask[fi, lp] = False
             if fills:
-                fi_a = np.array([f[1] for f in fills], np.int32)
-                lp_a = np.array([f[2] for f in fills], np.int64)
-                rows = np.array([f[0] for f in fills], np.int64)
+                fi_a = _pad_rows(np.array([f[1] for f in fills], np.int32))
+                lp_a = _pad_rows(np.array([f[2] for f in fills], np.int64))
+                rows = _pad_rows(np.array([f[0] for f in fills], np.int64))
                 msk = msk.at[fi_a, lp_a].set(True)
                 for dev_f, host_f in _SPRING_FIELDS:
                     arr = getattr(stc, dev_f)

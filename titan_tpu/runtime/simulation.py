@@ -44,7 +44,7 @@ from ..state import (GlobalConstraints, LocalConstraints, MassState,
                      Topology, pad_to)
 from ..store import HostStore
 from ..vec import Vec
-from .incremental import EditJournal, apply_structural_edits
+from .incremental import EditJournal, _pad_rows, apply_structural_edits
 from .logging import get_logger
 
 # step-function cache: one compiled chunk fn per static scene shape
@@ -989,14 +989,19 @@ class Simulation:
         fam, slot = self._sp_family[idx], self._sp_slot[idx]
         in_st = fam >= 0
         if np.any(in_st):
+            # power-of-two padded gathers keep the programs shape-stable
+            # across edit bursts (see incremental._pad_rows)
+            k = int(in_st.sum())
             vals = jax.device_get(state.stencil.rest[
-                jnp.asarray(fam[in_st]), jnp.asarray(slot[in_st])])
-            st.rest[idx[in_st]] = np.asarray(vals)
+                jnp.asarray(_pad_rows(fam[in_st])),
+                jnp.asarray(_pad_rows(slot[in_st]))])
+            st.rest[idx[in_st]] = np.asarray(vals)[:k]
         in_rem = (fam < 0) & (slot >= 0)
         if np.any(in_rem):
+            k = int(in_rem.sum())
             vals = jax.device_get(
-                state.springs.rest[jnp.asarray(slot[in_rem])])
-            st.rest[idx[in_rem]] = np.asarray(vals)
+                state.springs.rest[jnp.asarray(_pad_rows(slot[in_rem]))])
+            st.rest[idx[in_rem]] = np.asarray(vals)[:k]
 
     def _pull_masses(self, idx: np.ndarray) -> None:
         state = self._snapshot()
@@ -1142,7 +1147,10 @@ class Simulation:
         with self._cv:
             if np.any(in_st):
                 stc = self._state.stencil
-                fi, sl, si = fam[in_st], slot[in_st], idx[in_st]
+                # power-of-two padded rows: shape-stable scatter programs
+                # (each distinct length is a fresh axon compile)
+                fi, sl, si = (_pad_rows(fam[in_st]), _pad_rows(slot[in_st]),
+                              _pad_rows(idx[in_st]))
                 updates = {}
                 for dev_f, host_f in fields:
                     host = getattr(st, host_f)[si]
@@ -1153,7 +1161,7 @@ class Simulation:
                 self._state = dataclasses.replace(self._state, stencil=stc)
             if np.any(in_rem):
                 sp = self._state.springs
-                ri, si = slot[in_rem], idx[in_rem]
+                ri, si = _pad_rows(slot[in_rem]), _pad_rows(idx[in_rem])
                 updates = {}
                 for dev_f, host_f in fields:
                     host = getattr(st, host_f)[si]
@@ -1259,7 +1267,7 @@ class Simulation:
         includes acc and T and skips the feature-flip checks -- the
         caller has already recomputed the shape."""
         st, dt = self._store, self.config.np_dtype
-        idx = np.asarray(idx, dtype=np.int64)
+        idx = _pad_rows(np.asarray(idx, dtype=np.int64))
         m = self._state.masses
         m = dataclasses.replace(
             m,
@@ -1443,13 +1451,15 @@ class Simulation:
         if not len(idx):
             return
         state = self._snapshot()
-        ti = jnp.asarray(idx)
+        k = len(idx)
+        ti = jnp.asarray(_pad_rows(idx))   # shape-stable gather program
         m = state.masses
         pos, vel, acc, T = jax.device_get(
             (m.pos[:, ti], m.vel[:, ti], m.acc[:, ti], m.T[ti]))
         st = self._store
-        for f, dev in (("pos", np.asarray(pos).T), ("vel", np.asarray(vel).T),
-                       ("T", np.asarray(T))):
+        for f, dev in (("pos", np.asarray(pos)[:, :k].T),
+                       ("vel", np.asarray(vel)[:, :k].T),
+                       ("T", np.asarray(T)[:k])):
             keep = None
             if skip is not None and skip.get(f):
                 wr = np.concatenate(
@@ -1459,7 +1469,7 @@ class Simulation:
                 getattr(st, f)[idx] = dev
             else:
                 getattr(st, f)[idx[~keep]] = dev[~keep]
-        st.acc[idx] = np.asarray(acc).T
+        st.acc[idx] = np.asarray(acc)[:, :k].T
 
 
 def _np3(v) -> np.ndarray:
