@@ -251,14 +251,22 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
     from .forces import use_rsqrt
     rsqrt_norms = use_rsqrt(jnp.float32)
     offsets, n_param, n_state = _plan(shape)
+    n_tp = tp0 = 0
     if mega:
-        # state windows always carry pos+vel (vel must ride the dynamic
-        # buffer -- it changes per fused step); Verlet also windows acc
-        n_state = 9 if verlet else 6
+        # vel and acc ride the dynamic state buffers (layout pos 0:3,
+        # vel 3:6, acc 6:9), but only DAMPING needs vel on HALO rows
+        # (the roll-gathered damping term); everything else reads vel --
+        # and acc under Verlet -- as TILE rows via a second, smaller DMA
+        # (~12% of the window traffic on the no-damping bench scene,
+        # and the kernel is measured HBM-bound)
+        n_state = 6 if has_damping else 3          # windowed planes
+        tp0 = 6 if has_damping else 3              # tile-rows DMA start
+        n_tp = (0 if has_damping else 3) + (3 if verlet else 0)
     nf = len(deltas)
     u_k = shape.stencil_uniform[0]
     has_pwin = n_param > 0
     mask_sem = 2 if has_pwin else 1
+    tp_sem = 1 + has_pwin + u_k                    # mega tile-rows sem
 
     def kernel(*refs):
         (scal_ref, plane_ref, ball_ref, fparam_ref, state_hbm) = refs[:5]
@@ -302,6 +310,9 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
             i += 1
         if u_k:
             mwin = refs[i]
+            i += 1
+        if mega and n_tp:
+            vtile = refs[i]     # [2, n_tp, tr, 128] vel/acc tile rows
             i += 1
         if mega:
             wstage = refs[i]    # [9, tr, 128] write staging (Mosaic needs
@@ -361,6 +372,11 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
                     pltpu.make_async_copy(
                         src.at[pl.ds(0, n_state), pl.ds(row0, wr), :],
                         swin.at[into], sem.at[into, 0]).start()
+                    if n_tp:
+                        pltpu.make_async_copy(
+                            src.at[pl.ds(tp0, n_tp),
+                                   pl.ds(row0 + hr, tr), :],
+                            vtile.at[into], sem.at[into, tp_sem]).start()
 
                 @pl.when(s_n == 0)
                 def _():
@@ -428,9 +444,22 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
                 issue(t + 1, 1 - slot)
 
         row0 = t * tr
-        pltpu.make_async_copy(
-            state_hbm.at[:, pl.ds(row0, wr), :], swin.at[slot],
-            sem.at[slot, 0]).wait()
+        if mega:
+            # wait descriptors built with shape-matched source slices
+            # (the source REF here is arbitrary -- only the semaphore and
+            # byte count matter -- but the shapes must agree)
+            pltpu.make_async_copy(
+                state_hbm.at[pl.ds(0, n_state), pl.ds(row0, wr), :],
+                swin.at[slot], sem.at[slot, 0]).wait()
+            if n_tp:
+                pltpu.make_async_copy(
+                    state_hbm.at[pl.ds(tp0, n_tp),
+                                 pl.ds(row0 + hr, tr), :],
+                    vtile.at[slot], sem.at[slot, tp_sem]).wait()
+        else:
+            pltpu.make_async_copy(
+                state_hbm.at[:, pl.ds(row0, wr), :], swin.at[slot],
+                sem.at[slot, 0]).wait()
         if has_pwin:
             pltpu.make_async_copy(
                 param_hbm.at[:, pl.ds(row0, wr), :], pwin.at[slot],
@@ -442,7 +471,7 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
 
         sw = swin[slot]                              # [n_state, WR, 128]
         pw = sw[0:3]
-        if has_damping or mega:
+        if has_damping:
             vw = sw[3:6]
         if has_pwin:
             pv = pwin[slot]                          # [n_param, WR, 128]
@@ -517,8 +546,10 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
         # extract the tile's rows (aligned slice) and add mass-level forces
         pos = pw[:, hr:hr + tr, :]
         f_acc = fw[:, hr:hr + tr, :] + cforce_ref[:]
-        if mega or has_damping:
+        if has_damping:
             vel = vw[:, hr:hr + tr, :]
+        elif mega:
+            vel = vtile[slot][0:3]
         else:
             vel = vel_ref[:]
         vel_in = vel   # pre-constraint vel: frozen masses keep this
@@ -666,7 +697,11 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
         else:
             if verlet:
                 # reference 'Verlet' (sim.cu:1350-1354)
-                acc_prev = sw[6:9, hr:hr + tr, :] if mega else acc_ref[:]
+                if mega:
+                    acc_prev = (vtile[slot][0:3] if has_damping
+                                else vtile[slot][3:6])
+                else:
+                    acc_prev = acc_ref[:]
                 v2 = vel + 0.5 * (acc_prev + acc) * dt
                 v2 = v2 * not_fixed + vel_in * fixed_ref[:]
                 po = pos + (v2 * dt + 0.5 * acc * dt * dt) * not_fixed
@@ -832,7 +867,10 @@ def make_mega_call(shape: SceneShape, t_size: int, h: int, n_tiles: int,
     rows = (n_t + 2 * h) // 128
     offsets, n_param, _ = _plan(shape)
     verlet = shape.config.integrator is Integrator.VERLET
-    n_state = 9 if verlet else 6
+    # mirrors _build_kernel's mega plane split: pos (+vel under damping)
+    # windowed; vel (+acc under Verlet) as tile rows
+    n_state = 6 if shape.has_damping else 3
+    n_tp = ((0 if shape.has_damping else 3) + (3 if verlet else 0))
     u_k = shape.stencil_uniform[0]
     has_pwin = n_param > 0
     caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
@@ -878,8 +916,10 @@ def make_mega_call(shape: SceneShape, t_size: int, h: int, n_tiles: int,
                if has_pwin else [])                          # param wins
             + ([pltpu.VMEM((2, 1, wr, 128), jnp.int32)]
                if u_k else [])                               # mask bits
+            + ([pltpu.VMEM((2, n_tp, tr, 128), jnp.float32)]
+               if n_tp else [])                              # vel/acc tiles
             + [pltpu.VMEM((9, tr, 128), jnp.float32)]        # write stage
-            + [pltpu.SemaphoreType.DMA((2, 1 + has_pwin + u_k)),
+            + [pltpu.SemaphoreType.DMA((2, 1 + has_pwin + u_k + (n_tp > 0))),
                pltpu.SemaphoreType.DMA(())]                  # write sem
         ),
     )
@@ -1247,10 +1287,11 @@ def _mega_seg(shape: SceneShape, t_size: int, h: int) -> int:
         return 0
     if shape.has_remainder or shape.has_magnets:
         return 0
-    n_state = 9 if cfg.integrator is Integrator.VERLET else 6
-    _, _, n_state1 = _plan(shape)
-    w = t_size + 2 * h
-    extra = 2 * 4 * w * (n_state - n_state1) + 4 * 9 * t_size
+    # mega windows match _plan's state plane count (pos, +vel if
+    # damping); the extras are the vel/acc tile-row buffers + write stage
+    n_tp = ((0 if shape.has_damping else 3)
+            + (3 if cfg.integrator is Integrator.VERLET else 0))
+    extra = 2 * 4 * t_size * n_tp + 4 * 9 * t_size
     if _vmem_bytes(shape, t_size, h) + extra >= _VMEM_EST_BUDGET:
         return 0
     k = int(os.environ.get("TITAN_MEGA_SEG", str(MEGA_SEG)))
