@@ -374,13 +374,15 @@ def test_mega_matches_per_step(variant, monkeypatch):
 
 
 def test_mega_envelope():
-    # glue scenes and RK2 stay on per-step launches
+    # glue scenes stay on per-step launches (magnet/remainder forces are
+    # per-step XLA glue, which cannot run inside one launch); RK2 joined
+    # via the fused two-pass cell
     assert pallas_tiled._mega_seg(_scene(magnets=True)._shape,
                                   32768, 1024) == 0
     assert pallas_tiled._mega_seg(_scene(remainder=True)._shape,
                                   32768, 1024) == 0
     assert pallas_tiled._mega_seg(_scene(integrator="rk2")._shape,
-                                  32768, 1024) == 0
+                                  32768, 1024) > 0
     # k_seg is forced even (the final state must land in buffer A)
     assert pallas_tiled._mega_seg(_scene()._shape, 32768, 1024) % 2 == 0
 
@@ -414,5 +416,38 @@ def test_mega_multitile_no_cross_prefetch(monkeypatch):
                         lambda h, shape=None: 1024)
     sim = _scene(friction=False)
     assert -(-sim._shape.n_masses // 1024) == 2
+    ref, out = _mega_vs_per_step(sim, monkeypatch, steps=6, seg=2)
+    _assert_mega_equal(ref, out, damping=False)
+
+
+@pytest.mark.parametrize("variant", ["rk2", "rk2_actuated",
+                                     "rk2_damped_friction",
+                                     "rk2_local_pl_drag"])
+def test_mega_rk2_matches_per_step(variant, monkeypatch):
+    """The fused-RK2 resident grid kernel (grid (k_seg, 2, n_tiles), one
+    cell per RK2 pass, midpoint buffer M between them) must reproduce
+    the two-launch per-step RK2 path exactly."""
+    sim = _scene(**VARIANTS[variant])
+    assert pallas_tiled._mega_seg(sim._shape, 32768, 1024) > 0
+    ref, out = _mega_vs_per_step(sim, monkeypatch)
+    _assert_mega_equal(ref, out, "damp" in variant)
+
+
+def test_mega_rk2_multitile(monkeypatch):
+    """Multi-tile fused RK2: cross-pass prefetch ((s,0,nt-1) prefetches
+    (s,1,0)'s midpoint window from tiles written earlier in pass A)."""
+    from titan_tpu import Simulation, SimConfig, Vec as V
+    from titan_tpu.config import Integrator as I
+    monkeypatch.setattr(pallas_tiled, "_tile_size",
+                        lambda h, shape=None: 1024)
+    sim = Simulation(SimConfig(integrator=I.RK2))
+    sim.createLattice(V(0, 0, 3), V(4, 1, 1), 130, 6, 6)
+    sim.setAllSpringConstantValues(800.0)
+    sim.createPlane(V(0, 0, 1), 0, 0.4, 0.6)
+    sim.setGlobalAcceleration(V(0, 0, -9.8))
+    sim.setTimeStep(0.0001)
+    sim._T = 0.0
+    sim._marshal()
+    assert -(-sim._shape.n_masses // 1024) >= 4
     ref, out = _mega_vs_per_step(sim, monkeypatch, steps=6, seg=2)
     _assert_mega_equal(ref, out, damping=False)

@@ -239,6 +239,7 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
     rk2a = mode == "rk2a"
     rk2b = mode == "rk2b"
     mega = mode == "mega"
+    megark2 = mode == "megark2"
     verlet = (mode in ("single", "mega")
               and shape.config.integrator is Integrator.VERLET)
     has_damping = shape.has_damping
@@ -262,17 +263,32 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
         n_state = 6 if has_damping else 3          # windowed planes
         tp0 = 6 if has_damping else 3              # tile-rows DMA start
         n_tp = (0 if has_damping else 3) + (3 if verlet else 0)
+    if megark2:
+        # ONE swin scratch serves both passes: pass A windows S = pos
+        # (+vel under damping), pass B windows M = ph (+vh) -- the same
+        # plane count.  Pass A's vel tiles ride vtile; pass B reads vh
+        # (when not damping) + v1 from M and pos0/vel0 from S as tiles.
+        n_state = 6 if has_damping else 3
+        tp0 = 3                                    # pass-A vel tile start
+        n_tp = 0 if has_damping else 3
+        m_t0 = 6 if has_damping else 3             # M tile-rows start
+        n_mt = 9 - m_t0                            # vh?+v1 planes
     nf = len(deltas)
     u_k = shape.stencil_uniform[0]
     has_pwin = n_param > 0
     mask_sem = 2 if has_pwin else 1
     tp_sem = 1 + has_pwin + u_k                    # mega tile-rows sem
+    mt_sem = tp_sem + 1                            # megark2 M-tiles sem
+    s0_sem = tp_sem + 2                            # megark2 S-tiles sem
 
     def kernel(*refs):
         (scal_ref, plane_ref, ball_ref, fparam_ref, state_hbm) = refs[:5]
         i = 5
-        if mega:
+        if mega or megark2:
             _state_b_in = refs[i]   # aliased to out_b; never read
+            i += 1
+        if megark2:
+            _state_m_in = refs[i]   # aliased to out_m; never read
             i += 1
         if has_pwin:
             param_hbm = refs[i]
@@ -280,7 +296,7 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
         if u_k:
             mask_hbm = refs[i]
             i += 1
-        if not has_damping and not mega:
+        if not has_damping and not (mega or megark2):
             vel_ref = refs[i]
             i += 1
         if verlet and not mega:
@@ -300,6 +316,9 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
         if mega:
             out_a, out_b = refs[i:i + 2]
             i += 2
+        elif megark2:
+            out_a, out_b, out_m = refs[i:i + 3]
+            i += 3
         else:
             opos_ref, ovel_ref, oacc_ref = refs[i:i + 3]
             i += 3
@@ -311,14 +330,18 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
         if u_k:
             mwin = refs[i]
             i += 1
-        if mega and n_tp:
+        if (mega or megark2) and n_tp:
             vtile = refs[i]     # [2, n_tp, tr, 128] vel/acc tile rows
             i += 1
-        if mega:
+        if megark2:
+            mtile = refs[i]     # [2, n_mt, tr, 128] M tiles (vh? + v1)
+            s0tile = refs[i + 1]  # [2, 6, tr, 128] pos0 + vel0 tiles
+            i += 2
+        if mega or megark2:
             wstage = refs[i]    # [9, tr, 128] write staging (Mosaic needs
             i += 1              # ANY-dest DMAs staged + sublane-aligned)
         sem = refs[i]
-        if mega:
+        if mega or megark2:
             wsem = refs[i + 1]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
@@ -343,7 +366,27 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
             z = jnp.where(lane < 128 - r, a, b)
             return pltpu.roll(z, r, 2)
 
-        if mega:
+        if megark2:
+            # one cell = ONE RK2 pass: p_id 0 = midpoint predictor (reads
+            # S_s, writes M), p_id 1 = corrector (reads M + S_s tiles,
+            # writes S_{s+1}).  Pass A of step s fully precedes pass B
+            # (sequential grid), so pass B's M windows are complete.
+            s = pl.program_id(0)
+            p_id = pl.program_id(1)
+            t = pl.program_id(2)
+            n_tiles = pl.num_programs(2)
+            lidx = (s * 2 + p_id) * n_tiles + t
+            slot = jax.lax.rem(lidx, 2)
+            s_f = s.astype(jnp.float32)
+            p_f = p_id.astype(jnp.float32)
+            dt = scal_ref[0]
+            # pass B evaluates at the midpoint time; ACTUATED rest
+            # advances TWICE per dt (reference double-pass quirk,
+            # sim.cu:1778-1799): pass A sees 2s+1 advances (the +1 is in
+            # the family loop), pass B 2s+2
+            t_now = scal_ref[1] + (s_f + 0.5 * p_f) * dt
+            adv_base = scal_ref[2] + 2.0 * s_f + p_f
+        elif mega:
             s = pl.program_id(0)
             t = pl.program_id(1)
             n_tiles = pl.num_programs(1)
@@ -404,7 +447,96 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
                     mask_hbm.at[:, pl.ds(row0, wr), :], mwin.at[into],
                     sem.at[into, mask_sem]).start()
 
-        if mega:
+        def issue_rk2(s_n, p_n, tile_idx, into):
+            row0 = tile_idx * tr
+
+            def s_src(fn):
+                # parity-selected S_{s_n} source (step 0 = aliased input)
+                @pl.when(s_n == 0)
+                def _():
+                    fn(state_hbm)
+
+                odd = jax.lax.rem(s_n, 2) == 1
+
+                @pl.when((s_n > 0) & odd)
+                def _():
+                    fn(out_b)
+
+                @pl.when((s_n > 0) & ~odd)
+                def _():
+                    fn(out_a)
+
+            def cpw(src):
+                pltpu.make_async_copy(
+                    src.at[pl.ds(0, n_state), pl.ds(row0, wr), :],
+                    swin.at[into], sem.at[into, 0]).start()
+
+            @pl.when(p_n == 0)
+            def _():
+                s_src(cpw)
+
+            @pl.when(p_n == 1)
+            def _():
+                cpw(out_m)
+
+            if has_pwin:
+                pltpu.make_async_copy(
+                    param_hbm.at[:, pl.ds(row0, wr), :], pwin.at[into],
+                    sem.at[into, 1]).start()
+            if u_k:
+                pltpu.make_async_copy(
+                    mask_hbm.at[:, pl.ds(row0, wr), :], mwin.at[into],
+                    sem.at[into, mask_sem]).start()
+            if n_tp:
+                # vel (pass A, from S) / vh (pass B, from M) tile rows
+                def cpv(src):
+                    pltpu.make_async_copy(
+                        src.at[pl.ds(3, 3), pl.ds(row0 + hr, tr), :],
+                        vtile.at[into], sem.at[into, tp_sem]).start()
+
+                @pl.when(p_n == 0)
+                def _():
+                    s_src(cpv)
+
+                @pl.when(p_n == 1)
+                def _():
+                    cpv(out_m)
+
+            @pl.when(p_n == 1)
+            def _():
+                # corrector extras: v1 from M, pos0+vel0 from S_{s_n}
+                pltpu.make_async_copy(
+                    out_m.at[pl.ds(6, 3), pl.ds(row0 + hr, tr), :],
+                    mtile.at[into], sem.at[into, mt_sem]).start()
+                s_src(lambda src: pltpu.make_async_copy(
+                    src.at[pl.ds(0, 6), pl.ds(row0 + hr, tr), :],
+                    s0tile.at[into], sem.at[into, s0_sem]).start())
+
+        if megark2:
+            @pl.when(lidx == 0)
+            def _():
+                issue_rk2(jnp.int32(0), jnp.int32(0), 0, 0)
+
+            cross_ok = h <= (n_tiles_s - 2) * t_size
+            if cross_ok:
+                t_n = t + 1
+                wrapt = t_n == n_tiles
+                t_n = jnp.where(wrapt, 0, t_n)
+                p_n = jax.lax.rem(p_id + wrapt.astype(jnp.int32), 2)
+                s_n = s + (wrapt & (p_id == 1)).astype(jnp.int32)
+
+                @pl.when(lidx + 1 < k_seg * 2 * n_tiles)
+                def _():
+                    issue_rk2(s_n, p_n, t_n, 1 - slot)
+            else:
+                @pl.when(t + 1 < n_tiles)
+                def _():
+                    issue_rk2(s, p_id, t + 1, 1 - slot)
+
+                @pl.when((t == 0) & (lidx > 0))
+                def _():
+                    issue_rk2(s, p_id, 0, slot)
+        elif mega:
             @pl.when(lidx == 0)
             def _():
                 issue(0, 0, s_n=jnp.int32(0))
@@ -444,7 +576,7 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
                 issue(t + 1, 1 - slot)
 
         row0 = t * tr
-        if mega:
+        if mega or megark2:
             # wait descriptors built with shape-matched source slices
             # (the source REF here is arbitrary -- only the semaphore and
             # byte count matter -- but the shapes must agree)
@@ -456,6 +588,15 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
                     state_hbm.at[pl.ds(tp0, n_tp),
                                  pl.ds(row0 + hr, tr), :],
                     vtile.at[slot], sem.at[slot, tp_sem]).wait()
+            if megark2:
+                @pl.when(p_id == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        state_hbm.at[pl.ds(6, 3), pl.ds(row0 + hr, tr), :],
+                        mtile.at[slot], sem.at[slot, mt_sem]).wait()
+                    pltpu.make_async_copy(
+                        state_hbm.at[pl.ds(0, 6), pl.ds(row0 + hr, tr), :],
+                        s0tile.at[slot], sem.at[slot, s0_sem]).wait()
         else:
             pltpu.make_async_copy(
                 state_hbm.at[:, pl.ds(row0, wr), :], swin.at[slot],
@@ -478,7 +619,6 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
         if u_k:
             mbits = mwin[slot][0]                    # [WR, 128] int32
 
-        fw = jnp.zeros_like(pw)                      # window-wide force
         # shared-subexpression force form (TPU only, gated like the rsqrt
         # norms; measured +3% on the VMEM kernel, one-process A/B):
         # c = k*(rest*inv - 1) never materializes ln, damping folds in via
@@ -486,193 +626,260 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
         import os as _os
         fmath_shared = (rsqrt_norms
                         and _os.environ.get("TITAN_FMATH", "") != "legacy")
-        for fi, d in enumerate(deltas):
-            pr = roll_gather(pw, d)
-            diff = pr - pw
-            # one rsqrt on TPU, matching forces.inv_norm's backend gate
-            # (measured +8% on the VMEM kernel; keeps cross-path
-            # equivalence tight on every backend)
-            d2 = jnp.sum(diff * diff, axis=0)
-            if rsqrt_norms:
-                inv = jnp.where(
-                    d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
-                ln = None if fmath_shared else d2 * inv
-            else:
-                ln = jnp.where(d2 > 0,
-                               jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
-                inv = jnp.where(ln > 0,
-                                1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
-            if u_k:
-                # family fi's existence mask is bit fi of the packed bitmask
-                mf = ((mbits >> fi) & 1).astype(jnp.float32)
-                k = fparam_ref[0, fi] * mf
-            else:
-                k = pv[offsets["k"] + fi]
-            if "rest" in offsets:
-                rest = pv[offsets["rest"] + fi]
-            else:
-                rest = fparam_ref[1, fi]
-            if has_actuated:
-                # closed-form ACTUATED advance (module docstring): at step
-                # s the reference has applied min(s + 1, s_stop) per-step
-                # increments (advance-then-use, one-sided bound with the
-                # final overshoot retained, sim.cu:1173-1181)
-                adv = jnp.minimum(adv_base + 1.0,
-                                  pv[offsets["sstop"] + fi])
-                rest = rest + adv * pv[offsets["aratedt"] + fi]
-            if has_breathing:
-                bsign = (pv[offsets["bsign"] + fi] if "bsign" in offsets
-                         else fparam_ref[3, fi])
-                bomega = (pv[offsets["bomega"] + fi] if "bomega" in offsets
-                          else fparam_ref[4, fi])
-                rest = rest * (1.0 + bsign * jnp.sin(bomega * t_now))
-            if fmath_shared:
-                c = k * (rest * inv - 1.0)
-                if has_damping:
-                    dmp = pv[offsets["damping"] + fi]
-                    vr = roll_gather(vw, d)
-                    axdot = jnp.sum((vw - vr) * diff, axis=0)
-                    c = c + (axdot * dmp) * (inv * inv)
-                f = c * diff
-            else:
-                mag = k * (rest - ln)
-                if has_damping:
-                    dmp = pv[offsets["damping"] + fi]
-                    vr = roll_gather(vw, d)
-                    axial = jnp.sum((vw - vr) * diff, axis=0) * inv
-                    mag = mag + axial * dmp
-                f = (mag * inv) * diff
-            fw = fw - f + roll_scatter(f, d)
+
+        def family_forces(pw, vw, t_now, adv_base):
+            """Window-wide stencil spring forces (a reusable pass: the
+            fused mega-RK2 cell runs this twice per dt)."""
+            fw = jnp.zeros_like(pw)
+            for fi, d in enumerate(deltas):
+                pr = roll_gather(pw, d)
+                diff = pr - pw
+                # one rsqrt on TPU, matching forces.inv_norm's backend
+                # gate (measured +8% on the VMEM kernel; keeps cross-path
+                # equivalence tight on every backend)
+                d2 = jnp.sum(diff * diff, axis=0)
+                if rsqrt_norms:
+                    inv = jnp.where(
+                        d2 > 0, jax.lax.rsqrt(jnp.where(d2 > 0, d2, 1.0)),
+                        0.0)
+                    ln = None if fmath_shared else d2 * inv
+                else:
+                    ln = jnp.where(d2 > 0,
+                                   jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
+                    inv = jnp.where(ln > 0,
+                                    1.0 / jnp.where(ln > 0, ln, 1.0), 0.0)
+                if u_k:
+                    # family fi's existence mask is bit fi of the bitmask
+                    mf = ((mbits >> fi) & 1).astype(jnp.float32)
+                    k = fparam_ref[0, fi] * mf
+                else:
+                    k = pv[offsets["k"] + fi]
+                if "rest" in offsets:
+                    rest = pv[offsets["rest"] + fi]
+                else:
+                    rest = fparam_ref[1, fi]
+                if has_actuated:
+                    # closed-form ACTUATED advance (module docstring): at
+                    # step s the reference has applied min(s + 1, s_stop)
+                    # per-step increments (advance-then-use, one-sided
+                    # bound, overshoot retained, sim.cu:1173-1181)
+                    adv = jnp.minimum(adv_base + 1.0,
+                                      pv[offsets["sstop"] + fi])
+                    rest = rest + adv * pv[offsets["aratedt"] + fi]
+                if has_breathing:
+                    bsign = (pv[offsets["bsign"] + fi] if "bsign" in offsets
+                             else fparam_ref[3, fi])
+                    bomega = (pv[offsets["bomega"] + fi]
+                              if "bomega" in offsets else fparam_ref[4, fi])
+                    rest = rest * (1.0 + bsign * jnp.sin(bomega * t_now))
+                if fmath_shared:
+                    c = k * (rest * inv - 1.0)
+                    if has_damping:
+                        dmp = pv[offsets["damping"] + fi]
+                        vr = roll_gather(vw, d)
+                        axdot = jnp.sum((vw - vr) * diff, axis=0)
+                        c = c + (axdot * dmp) * (inv * inv)
+                    f = c * diff
+                else:
+                    mag = k * (rest - ln)
+                    if has_damping:
+                        dmp = pv[offsets["damping"] + fi]
+                        vr = roll_gather(vw, d)
+                        axial = jnp.sum((vw - vr) * diff, axis=0) * inv
+                        mag = mag + axial * dmp
+                    f = (mag * inv) * diff
+                fw = fw - f + roll_scatter(f, d)
+            return fw
+
+        fw = family_forces(pw, vw if has_damping else None, t_now, adv_base)
         # extract the tile's rows (aligned slice) and add mass-level forces
         pos = pw[:, hr:hr + tr, :]
         f_acc = fw[:, hr:hr + tr, :] + cforce_ref[:]
         if has_damping:
             vel = vw[:, hr:hr + tr, :]
-        elif mega:
+        elif mega or megark2:
             vel = vtile[slot][0:3]
         else:
             vel = vel_ref[:]
         vel_in = vel   # pre-constraint vel: frozen masses keep this
-        for p in range(n_planes):
-            nx, ny, nz = plane_ref[p, 0], plane_ref[p, 1], plane_ref[p, 2]
-            off, fk, fs = plane_ref[p, 3], plane_ref[p, 4], plane_ref[p, 5]
-            disp = pos[0] * nx + pos[1] * ny + pos[2] * nz - off
-            nvec = jnp.stack([jnp.full_like(disp, nx),
-                              jnp.full_like(disp, ny),
-                              jnp.full_like(disp, nz)])
-            inside = disp < 0
-            if plane_friction[p]:
-                fn_mag = f_acc[0] * nx + f_acc[1] * ny + f_acc[2] * nz
-                f_n = fn_mag * nvec
-                has_fric = (fs > 0) | (fk > 0)
-                vdotn = vel[0] * nx + vel[1] * ny + vel[2] * nz
-                v_perp = vel - vdotn * nvec
-                v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))
-                kinetic = v_norm > 1e-16
-                fn_abs = jnp.abs(fn_mag)
-                safe_vn = jnp.where(kinetic, v_norm, 1.0)
-                f_kin = f_acc - v_perp * (fk * fn_abs / safe_vn)
-                f_perp = f_acc - f_n
-                fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
-                f_sta = jnp.where(fs * fn_abs > fp_norm,
-                                  f_acc - f_perp, f_acc)
-                f_fric = jnp.where(kinetic, f_kin, f_sta)
-                f_acc = jnp.where(inside & has_fric, f_fric, f_acc)
-            contact = jnp.where(inside, -disp * normal_coeff, 0.0)
-            f_acc = f_acc + contact * nvec
-        for b in range(n_balls):
-            cx, cy, cz = ball_ref[b, 0], ball_ref[b, 1], ball_ref[b, 2]
-            rad = ball_ref[b, 3]
-            d0, d1, d2 = pos[0] - cx, pos[1] - cy, pos[2] - cz
-            dist = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
-            safe = jnp.where(dist > 0, dist, 1.0)
-            push = jnp.where((dist <= rad) & (dist > 0),
-                             normal_coeff / safe, 0.0)
-            f_acc = f_acc + jnp.stack([d0, d1, d2]) * push
-        if has_local:
-            # per-mass local constraint slots in reference order: contact
-            # planes, balls, constraint planes, directions
-            # (sim.cu:1311-1326); constraint planes and directions MUTATE
-            # vel, which drag and the integrator then consume -- same
-            # block as the VMEM kernel (pallas_step.py), on tile rows.
-            o = 0
-            for _ in range(caps[0]):             # contact planes
-                act = lc_ref[o] > 0.5
-                nvec = lc_ref[o + 1:o + 4]       # [3, tr, 128] per-mass
-                off = lc_ref[o + 4]
-                fk = lc_ref[o + 5]
-                fs = lc_ref[o + 6]
-                o += 7
-                disp = jnp.sum(pos * nvec, axis=0) - off
+        def mass_tail(pos, vel, f_acc):
+            """Planes/balls/local-constraint/drag tail on tile
+            rows (constraint planes and directions MUTATE vel,
+            which the integrator consumes); reusable -- the fused
+            mega-RK2 cell runs it once per pass."""
+            for p in range(n_planes):
+                nx, ny, nz = plane_ref[p, 0], plane_ref[p, 1], plane_ref[p, 2]
+                off, fk, fs = plane_ref[p, 3], plane_ref[p, 4], plane_ref[p, 5]
+                disp = pos[0] * nx + pos[1] * ny + pos[2] * nz - off
+                nvec = jnp.stack([jnp.full_like(disp, nx),
+                                  jnp.full_like(disp, ny),
+                                  jnp.full_like(disp, nz)])
                 inside = disp < 0
-                fn_mag = jnp.sum(f_acc * nvec, axis=0)
-                f_n = fn_mag * nvec
-                has_fric = (fs > 0) | (fk > 0)
-                vdotn = jnp.sum(vel * nvec, axis=0)
-                v_perp = vel - vdotn * nvec
-                v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))
-                kinetic = v_norm > 1e-16
-                fn_abs = jnp.abs(fn_mag)
-                safe_vn = jnp.where(kinetic, v_norm, 1.0)
-                f_kin = f_acc - v_perp * (fk * fn_abs / safe_vn)
-                f_perp = f_acc - f_n
-                fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
-                f_sta = jnp.where(fs * fn_abs > fp_norm,
-                                  f_acc - f_perp, f_acc)
-                f_fric = jnp.where(kinetic, f_kin, f_sta)
-                f_new = jnp.where(inside & has_fric, f_fric, f_acc)
-                f_new = f_new + jnp.where(inside, -disp * normal_coeff,
-                                          0.0) * nvec
-                f_acc = jnp.where(act, f_new, f_acc)
-            for _ in range(caps[1]):             # balls
-                act = lc_ref[o] > 0.5
-                cvec = lc_ref[o + 1:o + 4]
-                rad = lc_ref[o + 4]
-                o += 5
-                dvec = pos - cvec
-                dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=0))
+                if plane_friction[p]:
+                    fn_mag = f_acc[0] * nx + f_acc[1] * ny + f_acc[2] * nz
+                    f_n = fn_mag * nvec
+                    has_fric = (fs > 0) | (fk > 0)
+                    vdotn = vel[0] * nx + vel[1] * ny + vel[2] * nz
+                    v_perp = vel - vdotn * nvec
+                    v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))
+                    kinetic = v_norm > 1e-16
+                    fn_abs = jnp.abs(fn_mag)
+                    safe_vn = jnp.where(kinetic, v_norm, 1.0)
+                    f_kin = f_acc - v_perp * (fk * fn_abs / safe_vn)
+                    f_perp = f_acc - f_n
+                    fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
+                    f_sta = jnp.where(fs * fn_abs > fp_norm,
+                                      f_acc - f_perp, f_acc)
+                    f_fric = jnp.where(kinetic, f_kin, f_sta)
+                    f_acc = jnp.where(inside & has_fric, f_fric, f_acc)
+                contact = jnp.where(inside, -disp * normal_coeff, 0.0)
+                f_acc = f_acc + contact * nvec
+            for b in range(n_balls):
+                cx, cy, cz = ball_ref[b, 0], ball_ref[b, 1], ball_ref[b, 2]
+                rad = ball_ref[b, 3]
+                d0, d1, d2 = pos[0] - cx, pos[1] - cy, pos[2] - cz
+                dist = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
                 safe = jnp.where(dist > 0, dist, 1.0)
                 push = jnp.where((dist <= rad) & (dist > 0),
                                  normal_coeff / safe, 0.0)
-                f_acc = jnp.where(act, f_acc + dvec * push, f_acc)
-            for _ in range(caps[2]):             # constraint planes
-                act = lc_ref[o] > 0.5
-                nvec = lc_ref[o + 1:o + 4]
-                fric = lc_ref[o + 4]
-                o += 5
-                # reference quirk (object.cu:118-127): |v| taken BEFORE
-                # the normal component is removed, friction applied to
-                # the UPDATED velocity over the OLD norm
-                nf_ = jnp.sum(f_acc * nvec, axis=0)
-                f2 = f_acc - nvec * nf_
-                v_norm = jnp.sqrt(jnp.sum(vel * vel, axis=0))
-                moving = v_norm >= 1e-16
-                v2c = vel - nvec * jnp.sum(vel * nvec, axis=0)
-                safe_vn = jnp.where(moving, v_norm, 1.0)
-                f3 = f2 - fric * nf_ * v2c / safe_vn
-                f_acc = jnp.where(act, jnp.where(moving, f3, f2), f_acc)
-                vel = jnp.where(act & moving, v2c, vel)
-            for _ in range(caps[3]):             # directions
-                act = lc_ref[o] > 0.5
-                tvec = lc_ref[o + 1:o + 4]
-                fric = lc_ref[o + 4]
-                o += 5
-                nf_ = f_acc - tvec * jnp.sum(f_acc * tvec, axis=0)
-                f2 = f_acc - nf_
-                v_norm = jnp.sqrt(jnp.sum(vel * vel, axis=0))
-                moving = v_norm >= 1e-16
-                nf_norm = jnp.sqrt(jnp.sum(nf_ * nf_, axis=0))
-                f3 = f2 - nf_norm * fric * tvec
-                f_acc = jnp.where(act, jnp.where(moving, f3, f2), f_acc)
-                vel = jnp.where(act & moving,
-                                tvec * jnp.sum(vel * tvec, axis=0), vel)
-        if has_drag:
-            vn = jnp.sqrt(jnp.sum(vel * vel, axis=0))
-            f_acc = f_acc - drag_ref[:] * vn * vel
+                f_acc = f_acc + jnp.stack([d0, d1, d2]) * push
+            if has_local:
+                # per-mass local constraint slots in reference order: contact
+                # planes, balls, constraint planes, directions
+                # (sim.cu:1311-1326); constraint planes and directions MUTATE
+                # vel, which drag and the integrator then consume -- same
+                # block as the VMEM kernel (pallas_step.py), on tile rows.
+                o = 0
+                for _ in range(caps[0]):             # contact planes
+                    act = lc_ref[o] > 0.5
+                    nvec = lc_ref[o + 1:o + 4]       # [3, tr, 128] per-mass
+                    off = lc_ref[o + 4]
+                    fk = lc_ref[o + 5]
+                    fs = lc_ref[o + 6]
+                    o += 7
+                    disp = jnp.sum(pos * nvec, axis=0) - off
+                    inside = disp < 0
+                    fn_mag = jnp.sum(f_acc * nvec, axis=0)
+                    f_n = fn_mag * nvec
+                    has_fric = (fs > 0) | (fk > 0)
+                    vdotn = jnp.sum(vel * nvec, axis=0)
+                    v_perp = vel - vdotn * nvec
+                    v_norm = jnp.sqrt(jnp.sum(v_perp * v_perp, axis=0))
+                    kinetic = v_norm > 1e-16
+                    fn_abs = jnp.abs(fn_mag)
+                    safe_vn = jnp.where(kinetic, v_norm, 1.0)
+                    f_kin = f_acc - v_perp * (fk * fn_abs / safe_vn)
+                    f_perp = f_acc - f_n
+                    fp_norm = jnp.sqrt(jnp.sum(f_perp * f_perp, axis=0))
+                    f_sta = jnp.where(fs * fn_abs > fp_norm,
+                                      f_acc - f_perp, f_acc)
+                    f_fric = jnp.where(kinetic, f_kin, f_sta)
+                    f_new = jnp.where(inside & has_fric, f_fric, f_acc)
+                    f_new = f_new + jnp.where(inside, -disp * normal_coeff,
+                                              0.0) * nvec
+                    f_acc = jnp.where(act, f_new, f_acc)
+                for _ in range(caps[1]):             # balls
+                    act = lc_ref[o] > 0.5
+                    cvec = lc_ref[o + 1:o + 4]
+                    rad = lc_ref[o + 4]
+                    o += 5
+                    dvec = pos - cvec
+                    dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=0))
+                    safe = jnp.where(dist > 0, dist, 1.0)
+                    push = jnp.where((dist <= rad) & (dist > 0),
+                                     normal_coeff / safe, 0.0)
+                    f_acc = jnp.where(act, f_acc + dvec * push, f_acc)
+                for _ in range(caps[2]):             # constraint planes
+                    act = lc_ref[o] > 0.5
+                    nvec = lc_ref[o + 1:o + 4]
+                    fric = lc_ref[o + 4]
+                    o += 5
+                    # reference quirk (object.cu:118-127): |v| taken BEFORE
+                    # the normal component is removed, friction applied to
+                    # the UPDATED velocity over the OLD norm
+                    nf_ = jnp.sum(f_acc * nvec, axis=0)
+                    f2 = f_acc - nvec * nf_
+                    v_norm = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+                    moving = v_norm >= 1e-16
+                    v2c = vel - nvec * jnp.sum(vel * nvec, axis=0)
+                    safe_vn = jnp.where(moving, v_norm, 1.0)
+                    f3 = f2 - fric * nf_ * v2c / safe_vn
+                    f_acc = jnp.where(act, jnp.where(moving, f3, f2), f_acc)
+                    vel = jnp.where(act & moving, v2c, vel)
+                for _ in range(caps[3]):             # directions
+                    act = lc_ref[o] > 0.5
+                    tvec = lc_ref[o + 1:o + 4]
+                    fric = lc_ref[o + 4]
+                    o += 5
+                    nf_ = f_acc - tvec * jnp.sum(f_acc * tvec, axis=0)
+                    f2 = f_acc - nf_
+                    v_norm = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+                    moving = v_norm >= 1e-16
+                    nf_norm = jnp.sqrt(jnp.sum(nf_ * nf_, axis=0))
+                    f3 = f2 - nf_norm * fric * tvec
+                    f_acc = jnp.where(act, jnp.where(moving, f3, f2), f_acc)
+                    vel = jnp.where(act & moving,
+                                    tvec * jnp.sum(vel * tvec, axis=0), vel)
+            if has_drag:
+                vn = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+                f_acc = f_acc - drag_ref[:] * vn * vel
+            return f_acc, vel
+
+        f_acc, vel = mass_tail(pos, vel, f_acc)
 
         not_fixed = 1.0 - fixed_ref[:]
         acc = f_acc * minv_ref[:]
-        if rk2a:
+        if megark2:
+            # the fused two-pass RK2 cell: pass A = the rk2a tail below
+            # written to M, pass B = the rk2b tail written to S_{s+1};
+            # `vel` is the pass's constraint-mutated velocity (vel1 / vel2)
+            even = jax.lax.rem(s, 2) == 0
+            row0w = t * tr + hr
+
+            def wcopy_rk2(dst, n_pl):
+                cp = pltpu.make_async_copy(
+                    wstage.at[pl.ds(0, n_pl)],
+                    dst.at[pl.ds(0, n_pl), pl.ds(row0w, tr), :], wsem)
+                cp.start()
+                cp.wait()
+
+            @pl.when(p_id == 0)
+            def _():
+                ph = pos + 0.5 * vel * dt
+                vh = vel + 0.5 * acc * dt
+                wstage[0:3] = ph * not_fixed + pos * fixed_ref[:]
+                wstage[3:6] = vh * not_fixed + vel * fixed_ref[:]
+                wstage[6:9] = vel                    # v1
+                wcopy_rk2(out_m, 9)
+
+            @pl.when(p_id == 1)
+            def _():
+                v1 = mtile[slot][0:3]
+                pos0 = s0tile[slot][0:3]
+                vel0 = s0tile[slot][3:6]
+                v2 = ((v1 + acc * dt) * not_fixed
+                      + vel0 * fixed_ref[:])
+                wstage[0:3] = pos0 + vel * dt * not_fixed
+                wstage[3:6] = v2
+                wstage[6:9] = acc * not_fixed
+                last = s == k_seg - 1
+
+                @pl.when(even & ~last)
+                def _():
+                    wcopy_rk2(out_b, 6)
+
+                @pl.when(even & last)
+                def _():
+                    wcopy_rk2(out_b, 9)
+
+                @pl.when(~even & ~last)
+                def _():
+                    wcopy_rk2(out_a, 6)
+
+                @pl.when(~even & last)
+                def _():
+                    wcopy_rk2(out_a, 9)
+        elif rk2a:
             # RK2 midpoint predictor (sim.cu:1336-1343): half-step state
             # from the pass-1 forces; fixed masses keep pos, and their
             # pass-2 velocity input stays vel1 (the constraint-mutated
@@ -937,6 +1144,89 @@ def make_mega_call(shape: SceneShape, t_size: int, h: int, n_tiles: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary")),
+    )
+
+
+def make_mega_rk2_call(shape: SceneShape, t_size: int, h: int,
+                       n_tiles: int, k_seg: int):
+    """The fused-RK2 resident grid kernel's pallas_call: grid
+    (k_seg, 2, n_tiles), one cell per RK2 PASS (see _build_kernel's
+    megark2 branch).  Buffers: the two parity state buffers plus the
+    midpoint buffer M ([ph, vh, v1]), all input_output_aliased."""
+    assert k_seg % 2 == 0, "k_seg must be even (final state lands in A)"
+    tr = t_size // 128
+    w = t_size + 2 * h
+    wr = w // 128
+    n_t = n_tiles * t_size
+    rows = (n_t + 2 * h) // 128
+    offsets, n_param, _ = _plan(shape)
+    n_state = 6 if shape.has_damping else 3
+    n_tp = 0 if shape.has_damping else 3
+    u_k = shape.stencil_uniform[0]
+    has_pwin = n_param > 0
+    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+    has_local = any(caps)
+    from .pallas_step import _lc_planes
+    p_lc = _lc_planes(shape)
+
+    def blk3(s, p, t, scal):
+        return (0, t, 0)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # planes
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # balls
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # fparams [5, nf]
+        pl.BlockSpec(memory_space=pl.ANY),       # state buffer A
+        pl.BlockSpec(memory_space=pl.ANY),       # state buffer B
+        pl.BlockSpec(memory_space=pl.ANY),       # midpoint buffer M
+    ]
+    if has_pwin:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # param wins
+    if u_k:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # mask bits
+    in_specs += [
+        pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),  # cf
+        pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # minv
+        pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # fixd
+    ]
+    if shape.has_drag:
+        in_specs.append(pl.BlockSpec((1, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # drag
+    if has_local:
+        in_specs.append(pl.BlockSpec((p_lc, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # lc slots
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # scal = [dt, t_base, 2*advance base]
+        grid=(k_seg, 2, n_tiles),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        scratch_shapes=(
+            [pltpu.VMEM((2, n_state, wr, 128), jnp.float32)]  # windows
+            + ([pltpu.VMEM((2, n_param, wr, 128), jnp.float32)]
+               if has_pwin else [])                          # param wins
+            + ([pltpu.VMEM((2, 1, wr, 128), jnp.int32)]
+               if u_k else [])                               # mask bits
+            + ([pltpu.VMEM((2, n_tp, tr, 128), jnp.float32)]
+               if n_tp else [])                              # vel/vh tiles
+            + [pltpu.VMEM((2, 3, tr, 128), jnp.float32)]     # v1 tiles
+            + [pltpu.VMEM((2, 6, tr, 128), jnp.float32)]     # pos0+vel0
+            + [pltpu.VMEM((9, tr, 128), jnp.float32)]        # write stage
+            + [pltpu.SemaphoreType.DMA((2, 4 + has_pwin + u_k)),
+               pltpu.SemaphoreType.DMA(())]                  # write sem
+        ),
+    )
+
+    return pl.pallas_call(
+        _build_kernel(shape, t_size, h, "megark2", k_seg=k_seg,
+                      n_tiles_s=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((9, rows, 128), jnp.float32)
+                   for _ in range(3)],
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
     )
 
 
@@ -1272,6 +1562,16 @@ def make_step_setup(shape: SceneShape, t_size: int, h: int, n_tiles: int,
 MEGA_SEG = 16
 
 
+def _mega_env_ok(shape: SceneShape) -> bool:
+    """Non-VMEM mega envelope: f32 Euler/Verlet/RK2 without glue."""
+    if os.environ.get("TITAN_MEGA", "1") == "0":
+        return False
+    if shape.config.integrator not in (Integrator.EULER, Integrator.VERLET,
+                                       Integrator.RK2):
+        return False
+    return not (shape.has_remainder or shape.has_magnets)
+
+
 def _mega_seg(shape: SceneShape, t_size: int, h: int) -> int:
     """Steps per mega launch for this scene; 0 = use per-step launches.
 
@@ -1280,17 +1580,17 @@ def _mega_seg(shape: SceneShape, t_size: int, h: int) -> int:
     the mega windows carry 6/9 state planes (vel -- and acc under Verlet
     -- must ride the dynamic buffers) vs the one-step kernel's 3/6, plus
     the [9, T] write stage."""
-    if os.environ.get("TITAN_MEGA", "1") == "0":
+    if not _mega_env_ok(shape):
         return 0
     cfg = shape.config
-    if cfg.integrator not in (Integrator.EULER, Integrator.VERLET):
-        return 0
-    if shape.has_remainder or shape.has_magnets:
-        return 0
     # mega windows match _plan's state plane count (pos, +vel if
-    # damping); the extras are the vel/acc tile-row buffers + write stage
-    n_tp = ((0 if shape.has_damping else 3)
-            + (3 if cfg.integrator is Integrator.VERLET else 0))
+    # damping); the extras are the vel/acc (RK2: +v1, +pos0/vel0)
+    # tile-row buffers + write stage
+    if cfg.integrator is Integrator.RK2:
+        n_tp = (0 if shape.has_damping else 3) + 9
+    else:
+        n_tp = ((0 if shape.has_damping else 3)
+                + (3 if cfg.integrator is Integrator.VERLET else 0))
     extra = 2 * 4 * t_size * n_tp + 4 * 9 * t_size
     if _vmem_bytes(shape, t_size, h) + extra >= _VMEM_EST_BUDGET:
         return 0
@@ -1320,15 +1620,33 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
     # launch kernel would pay (k*H halos), so it prices that design
     # without building it.  Bound at build time, like CARRY_MODE.
     h *= max(1, int(os.environ.get("TITAN_HALO_AB", "1")))
+    rk2 = shape.config.integrator is Integrator.RK2
+    carry_legacy = CARRY_MODE == "legacy"   # bound at build time, not trace
+    k_seg = 0 if carry_legacy else _mega_seg(shape, t_size, h)
+    if k_seg == 0 and not carry_legacy and _mega_env_ok(shape):
+        # beyond ~160^3 the _tile_size pick sits at the VMEM-budget edge
+        # and the mega scratch (vel/acc tiles + write stage) pushes the
+        # estimate over; a SMALLER tile restores it.  Halo-DMA overhead is
+        # measured free and the mega launch win dwarfs it, so shrink
+        # (halving, toward one halo) until mega fits -- tile size never
+        # changes the physics (bitwise, pinned by the tile A/Bs).
+        floor = _round_up(h, 1024)
+        t2 = t_size
+        while t2 > floor and _mega_seg(shape, t2, h) == 0:
+            t2 = _round_up(max(t2 // 2, floor), 1024)
+        if _mega_seg(shape, t2, h):
+            t_size = t2
+            k_seg = _mega_seg(shape, t2, h)
     n_tiles = -(-n // t_size)            # ceil: last tile covers padding
     n_t = n_tiles * t_size
     pad_n = n_t - n
-    rk2 = shape.config.integrator is Integrator.RK2
-    carry_legacy = CARRY_MODE == "legacy"   # bound at build time, not trace
     setup = make_step_setup(shape, t_size, h, n_tiles, carry_legacy)
-    k_seg = 0 if carry_legacy else _mega_seg(shape, t_size, h)
-    mega_call = (make_mega_call(shape, t_size, h, n_tiles, k_seg)
-                 if k_seg else None)
+    if not k_seg:
+        mega_call = None
+    elif rk2:
+        mega_call = make_mega_rk2_call(shape, t_size, h, n_tiles, k_seg)
+    else:
+        mega_call = make_mega_call(shape, t_size, h, n_tiles, k_seg)
 
     def chunk(state: SimState, n_steps) -> SimState:
         m = state.masses
@@ -1360,6 +1678,7 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
             r3 = lambda x: x.reshape(x.shape[0], -1, 128)
             a0 = r3(jnp.pad(jnp.concatenate(init, axis=0), ((0, 0), (h, h))))
             b0 = jnp.zeros_like(a0)
+            bufs0 = (a0, b0, jnp.zeros_like(a0)) if rk2 else (a0, b0)
             margs = [p["planes"], p["balls"], p["fparams"]]
             tail = []
             if p["param_flat"] is not None:
@@ -1379,12 +1698,15 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
             t032 = state.t.astype(jnp.float32)
             n_seg = n_steps // k_seg
 
-            def seg_body(si, ab):
+            def seg_body(si, bufs):
                 base = (si * k_seg).astype(jnp.float32)
-                scal = jnp.stack([dt32, t032 + base * dt32, base])
-                return mega_call(scal, *margs, ab[0], ab[1], *tail)
+                # RK2 advances ACTUATED rest twice per dt: scal[2] is the
+                # advance count already applied (2 per completed step)
+                scal = jnp.stack([dt32, t032 + base * dt32,
+                                  2.0 * base if rk2 else base])
+                return tuple(mega_call(scal, *margs, *bufs, *tail))
 
-            a_buf, _ = jax.lax.fori_loop(0, n_seg, seg_body, (a0, b0))
+            a_buf = jax.lax.fori_loop(0, n_seg, seg_body, bufs0)[0]
             flat = a_buf.reshape(9, -1)[:, h:h + n_t]
             init = (flat[0:3], flat[3:6], flat[6:9])
             lower = n_seg * k_seg
