@@ -80,6 +80,32 @@ def edit_mass():
     s._k = 100.0
 timed("create_mass_and_spring", edit_mass)
 
+# 1b-4b. WARM repeats (the first of each kind pays the one-time compile
+# of its surgery programs / retraced chunk; steady state is what the
+# reference's O(1) device-side edit should be compared against)
+timed("delete_stencil_spring_warm",
+      lambda: sim.deleteSpring(sim.springs[3000]))
+
+
+def edit_set2():
+    s = sim.springs[4000]
+    s._k = 998.0
+    sim.set(s)
+timed("set_one_spring_k_warm", edit_set2)
+
+
+def edit_create2():
+    s = sim.createSpring(sim.masses[20], sim.masses[600000])
+    s._k = 100.0
+timed("create_remainder_spring_warm", edit_create2)
+
+
+def edit_mass2():
+    m = sim.createMass(Vec(0, 1, 8))
+    s = sim.createSpring(sim.masses[1], m)
+    s._k = 100.0
+timed("create_mass_and_spring_warm", edit_mass2)
+
 # 5. control: forced FULL re-marshal for a one-spring delete (round-3 path)
 def edit_full():
     sim.deleteSpring(sim.springs[1001])
