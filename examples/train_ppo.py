@@ -197,10 +197,21 @@ def make_task(name, n_envs):
         # pusher reward is -distance (already "higher is better")
         return env, agent, 1.0
     if name == "walker":
+        # log-scale actions (see rl.walker_env): the zero-mean initial
+        # policy starts at frequency multiplier 1.0, inside the graded
+        # part of the measured reward landscape -- the linear [0.25, 4]
+        # squash started at ~2.1, a plateau, and PPO never moved
         env = rl.walker_env(n_envs=n_envs, control_dt=0.05,
                             episode_length=20, reset_noise=0.02,
-                            observe=stationary_obs)
-        agent = Agent(obs_dim=4, act_dim=1, a_mid=2.125, a_half=1.875)
+                            observe=stationary_obs, log_actions=True)
+        import numpy as _np
+        lg4 = float(_np.log(4.0))
+        # tight initial std: the gait reward needs TEMPORALLY COHERENT
+        # frequencies (a constant scale-1.0 action returns 20x more
+        # |signal| than iid per-step draws at the default std, measured
+        # on hardware) -- exploration must be mostly in the MEAN
+        agent = Agent(obs_dim=4, act_dim=1, a_mid=0.0, a_half=lg4,
+                      log_std=-2.0)
         # walker reward is +x progress; walking direction is -x
         return env, agent, -1.0
     raise SystemExit(f"unknown task {name!r}")

@@ -27,9 +27,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import train_ppo
 
-N_ENVS, ITERS, ROLLOUT = 256, 120, 16
+# rollout_len == episode_length: each rollout covers exactly one
+# episode, so the mean return is phase-aligned (a 16-step rollout over
+# the 24-step episode cycle gave a period-3 oscillating curve that
+# obscured the learning signal)
+TASK = sys.argv[1] if len(sys.argv) > 1 else "pusher"
+N_ENVS, ITERS = 256, 400
+ROLLOUT = {"pusher": 24, "walker": 20}[TASK]
 
-env, agent, sign = train_ppo.make_task("pusher", N_ENVS)
+env, agent, sign = train_ppo.make_task(TASK, N_ENVS)
 key = jax.random.key(0)
 key, ki = jax.random.split(key)
 params = agent.init(ki)
@@ -60,7 +66,7 @@ wall = time.perf_counter() - t0
 phys_per_ctrl = env.steps_per_control
 ctrl_steps = (ITERS - 1) * ROLLOUT * N_ENVS
 print(json.dumps({
-    "task": "pusher", "n_envs": N_ENVS, "iterations": ITERS,
+    "task": TASK, "n_envs": N_ENVS, "iterations": ITERS,
     "curve_every5": [round(c, 3) for c in curve[::5]],
     "first_return": round(curve[0], 3),
     "best_return": round(max(curve), 3),

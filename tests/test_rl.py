@@ -35,6 +35,16 @@ def test_step_is_pure_and_jittable(env):
     assert float(s1.t) == pytest.approx(0.05, abs=1e-6)
 
 
+def test_walker_accepts_column_actions(env):
+    """Policy networks with act_dim=1 emit [n_envs, 1] actions; the
+    walker's apply_action must accept them (the PPO walker path hit
+    this as a broadcast error on the TPU artifact run -- round 4)."""
+    state, _ = env.reset()
+    flat = env.step(state, jnp.full(8, 2.0, jnp.float32))
+    col = env.step(state, jnp.full((8, 1), 2.0, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(flat[2]), np.asarray(col[2]))
+
+
 def test_actions_have_signal(env):
     """Different gait frequencies produce different trajectories/rewards."""
     state, _ = env.reset()

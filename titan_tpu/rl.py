@@ -302,7 +302,7 @@ def _com_x_progress(prev, state, env):
 
 
 def walker_env(n_envs: int = 256, control_dt: float = 0.05, n: int = 3,
-               omega: float = 6.0, k: float = 2000.0,
+               omega: float = 6.0, k: float = 2000.0, log_actions=False,
                config=None, **episode_kwargs) -> BatchedEnv:
     """The flagship locomotion benchmark: a batch of breathing-gait walkers
     on a friction plane (models.walker physics; BASELINE config 4/5).
@@ -312,6 +312,14 @@ def walker_env(n_envs: int = 256, control_dt: float = 0.05, n: int = 3,
     bounded, and directly controls the gait.  Reward: COM x-progress per
     control step (walking direction is -x for this actuation pattern, so
     learning to stand still is also visible as reward ~ 0).
+
+    ``log_actions=True``: actions are LOG frequency multipliers
+    (exp-mapped before the clip).  Frequency is a geometric quantity;
+    for policy networks this centers the initial (zero-mean) policy at
+    multiplier 1.0, where the measured reward landscape has usable
+    gradient -- a linear [0.25, 4] squash centers at ~2.1, a measured
+    plateau (travel-vs-scale sweep: 0.25 -> +0.161 m/s, 1.0 -> -0.054,
+    2.0 -> -0.024, 3.0+ -> ~0), which left PPO with no signal.
     """
     from . import Simulation, SimConfig, Vec, models
 
@@ -323,8 +331,13 @@ def walker_env(n_envs: int = 256, control_dt: float = 0.05, n: int = 3,
 
     def apply_action(state, action, env):
         import dataclasses
-        scale = jnp.clip(jnp.asarray(action, state.stencil.omega.dtype),
-                         0.25, 4.0)
+        # accept [n_envs] or [n_envs, 1] (policy networks with act_dim=1
+        # emit the latter -- the PPO walker path hit this as a broadcast
+        # error, regression-pinned in test_rl.py)
+        scale = jnp.asarray(action, state.stencil.omega.dtype).reshape(-1)
+        if log_actions:
+            scale = jnp.exp(scale)
+        scale = jnp.clip(scale, 0.25, 4.0)
         per_lane = scale[env.env_of_lane()]                # [N]
         base = env._state0.stencil.omega                   # [F, N] template
         st = dataclasses.replace(state.stencil,
