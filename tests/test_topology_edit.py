@@ -339,3 +339,66 @@ def test_one_spring_edit_cost_scales_with_rows_not_scene(monkeypatch):
     # the big per-mass arrays were not re-staged (same device buffers)
     assert sim._state.masses.pos is masses_before
     sim.stop()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_edit_interleaving_fuzz(seed):
+    """Seeded random interleavings of every edit kind through the journal
+    (round 4: the named tests cover single kinds; bursts mixing deletes,
+    slot fills, remainder flips, param writes and plane adds in ONE
+    journal exercise the plan/unfill/fill/retarget interactions).  Short
+    post-edit horizons: family reorder under the forced-full path makes
+    the comparison f32-ulp (module docstring)."""
+    rng = np.random.RandomState(900 + seed)
+    ops = []
+    for _ in range(10):
+        ops.append(rng.randint(0, 6))
+    plan = {"made": []}
+
+    def edit(sim):
+        n0 = sim._store.n_masses
+        for op in ops:
+            if op == 0:
+                sim.deleteSpring(sim.springs[int(rng.randint(0, 100))])
+            elif op == 1:
+                m = sim.createMass(Vec(rng.rand(), rng.rand(), 5.5))
+                s = sim.createSpring(sim.masses[int(rng.randint(0, n0))], m)
+                s._k = 77.0
+            elif op == 2:
+                s = sim.createSpring(sim.masses[int(rng.randint(0, 8))],
+                                     sim.masses[int(rng.randint(40, 60))])
+                s._k = 55.0
+            elif op == 3:
+                sp = sim.springs[int(rng.randint(0, 100))]
+                sp._k = float(900 + rng.randint(0, 100))
+                sim.set(sp)
+            elif op == 4:
+                sim.deleteMass(sim.masses[int(rng.randint(20, 40))])
+            else:
+                mm = sim.masses[int(rng.randint(0, n0))]
+                mm.pos = Vec(rng.rand(), rng.rand(), 5.2)
+                sim.set(mm)
+
+    # one burst, then a second burst over the mutated scene (same RNG
+    # stream both paths: re-seed per sim)
+    outs = []
+    for force_full in (False, True):
+        rng = np.random.RandomState(900 + seed)
+        for _ in range(10):
+            rng.randint(0, 6)          # re-draw ops (same values)
+        sim = build_scene(nx=5)
+        sim.start()
+        sim.wait(0.01)
+        for _ in range(2):
+            edit(sim)
+            if force_full and sim._journal is not None:
+                sim._journal.force_full = True
+            sim.resume()
+            sim.wait(0.004)
+        sim.getAll()
+        n = sim._store.n_masses
+        outs.append((sim._store.pos[:n].copy(),
+                     sim._store.vel[:n].copy(),
+                     sim._store.rest[:sim._store.n_springs].copy()))
+        sim.stop()
+    assert_pair_equal(outs, atol=5e-5)
