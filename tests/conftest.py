@@ -46,6 +46,7 @@ _SMOKE_MODULES = {
     "test_api_surface",    # sim.h parity surface
     "test_rl",             # RL env API
     "test_topology_edit",  # incremental structural edits
+    "test_smoke_kernels",  # one interpret-mode rep per Pallas kernel path
 }
 
 

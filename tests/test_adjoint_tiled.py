@@ -269,13 +269,88 @@ def test_trace_replay_is_bitwise_primal(monkeypatch):
     chunk = pallas_tiled.build_tiled_chunk(shape)
     s = state
     for i in range(seg):
-        flat = np.asarray(trace[i]).reshape(6, n_t + 2 * hw)
+        # per-step trace = 6 planes; mega trace = 9 (pos 0:3 / vel 3:6
+        # in both)
+        flat = np.asarray(trace[i]).reshape(trace.shape[1], n_t + 2 * hw)
         got = flat[:, hw:hw + n]
         np.testing.assert_array_equal(got[0:3],
                                       np.asarray(s.masses.pos)[:, :n])
         np.testing.assert_array_equal(got[3:6],
                                       np.asarray(s.masses.vel)[:, :n])
         s = chunk(s, 1)
+
+
+def test_mega_adjoint_trace_is_bitwise_primal(monkeypatch):
+    """With the segment a multiple of the primal mega segment, the trace
+    replay runs megatrace launches that must reproduce the primal's
+    states bitwise (same kernel math, same per-launch scalars)."""
+    monkeypatch.setenv("TITAN_MEGA_SEG", "4")
+    _interpret(monkeypatch)
+    sim = _scene(damping=12.0)
+    shape, state = sim._shape, sim._state
+    assert adjoint_tiled._mega_adjoint_ok(shape)
+    seg = 8                               # 2 megatrace launches of 4
+    trace, rtrace = adjoint_tiled.build_tiled_trace(shape, seg)(state)
+    assert rtrace is None
+    assert trace.shape[0] == seg + 1 and trace.shape[1] == 9
+    _, hw, _, _, _, n_t = adjoint_tiled._geom(shape)
+    n = shape.n_masses
+    chunk = pallas_tiled.build_tiled_chunk(shape)
+    s = state
+    for i in range(seg):
+        flat = np.asarray(trace[i]).reshape(9, n_t + 2 * hw)
+        got = flat[:, hw:hw + n]
+        np.testing.assert_array_equal(got[0:3],
+                                      np.asarray(s.masses.pos)[:, :n])
+        np.testing.assert_array_equal(got[3:6],
+                                      np.asarray(s.masses.vel)[:, :n])
+        s = chunk(s, 1)
+
+
+@pytest.mark.parametrize("variant", ["plain", "damping_friction",
+                                     "verlet", "breathing", "actuated"])
+def test_mega_adjoint_grads_match_xla(variant, monkeypatch):
+    """Gradients through the round-5 mega adjoint (megatrace launches +
+    the one-launch reverse-sweep backward) vs jax.grad of the XLA path.
+    TITAN_MEGA_SEG=4 so seg=8 exercises real resident-grid launches."""
+    monkeypatch.setenv("TITAN_MEGA_SEG", "4")
+    _interpret(monkeypatch)
+    sim = _scene(**VARIANTS[variant])
+    assert adjoint_tiled._mega_adjoint_ok(sim._shape)
+    _check_grads(sim, 8, 8)
+
+
+def test_mega_adjoint_matches_per_step_backward(monkeypatch):
+    """The mega backward is the per-step backward re-orchestrated (same
+    per-cell math, same accumulation order); its gradients must match the
+    TITAN_MEGA_ADJ=0 path to interpret-fusion ulps."""
+    _interpret(monkeypatch)
+    monkeypatch.setenv("TITAN_MEGA_SEG", "4")
+    sim = _scene(damping=12.0, friction=True)
+    shape, state = sim._shape, sim._state
+    rng = np.random.RandomState(0)
+    n = sim._store.n_masses
+    npad = state.masses.pos.shape[1]
+    w = jnp.asarray(rng.normal(0, 1, (3, npad)),
+                    jnp.float32).at[:, n:].set(0.0)
+
+    def loss(s):
+        out = adjoint_tiled.tiled_adjoint_rollout(shape, s, 8, segment=8)
+        return jnp.sum(out.masses.pos * w)
+
+    def grads():
+        adjoint_tiled._tiled_adjoint_segment_cached.cache_clear()
+        return jax.grad(
+            lambda p: loss(dataclasses.replace(
+                state, masses=dataclasses.replace(state.masses, pos=p))))(
+            state.masses.pos)
+
+    monkeypatch.setenv("TITAN_MEGA_ADJ", "1")
+    g_mega = np.asarray(grads())
+    monkeypatch.setenv("TITAN_MEGA_ADJ", "0")
+    g_step = np.asarray(grads())
+    scale = max(np.abs(g_step).max(), 1e-8)
+    assert float((np.abs(g_mega - g_step) / scale).max()) < 1e-5
 
 
 def test_trace_replay_glue_is_bitwise_primal(monkeypatch):

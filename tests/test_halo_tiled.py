@@ -154,6 +154,92 @@ def test_halo_tiled_matches_single_tiled(variant, monkeypatch):
     assert len(out_d.masses.pos.sharding.device_set) == 8
 
 
+DIST_MEGA_VARIANTS = {
+    "plain": dict(friction=False),
+    "friction": dict(),
+    "damping_nofric": dict(damping=0.4, friction=False),
+    "damping_friction": dict(damping=0.4),
+    "verlet": dict(integrator="verlet", friction=False),
+    "breathing_actuated": dict(breathing=True, actuated=True,
+                               friction=False),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(DIST_MEGA_VARIANTS))
+def test_dist_mega_matches_single_mega(variant, monkeypatch):
+    """Distributed mega (per-shard resident-grid segments over the
+    KH-extended block) vs the single-device mega chunk.  Bitwise: the
+    per-shard kernel is the UNCHANGED mega kernel, and every exact row's
+    window holds the same values.  Exception (documented): scenes with
+    BOTH damping and friction drift 1-2 f32 ulp in CPU interpret only
+    (XLA fuses the different-geometry kernel bodies differently; a
+    friction static/kinetic select flip then amplifies acc) -- the same
+    class as test_pallas_tiled._assert_mega_equal; hardware is bitwise
+    (scripts/tpu_dist_mega_check.py)."""
+    import jax
+    from jax.sharding import Mesh
+    sim = _scene(**DIST_MEGA_VARIANTS[variant])
+    _interpret_tiled(monkeypatch)
+    monkeypatch.setenv("TITAN_MEGA_SEG", "2")
+    monkeypatch.setenv("TITAN_DIST_MEGA", "1")
+    from titan_tpu.parallel import halo_tiled as ht
+    h, b, t = ht._geometry(sim._shape, 2)
+    k, KH = ht._dist_mega_plan(sim._shape, b, t, h)
+    assert k == 2 and KH % t == 0
+    mesh = Mesh(np.array(jax.devices()[:2]), ("shard",))
+    sharded = place(sim._state, mesh)
+    # 7 steps = 3 mega segments of 2 + 1 per-step tail
+    out_d = build_halo_tiled_chunk(sim._shape, mesh)(sharded, jnp.int32(7))
+    out_s = pallas_tiled.build_tiled_chunk(sim._shape)(sim._state,
+                                                       jnp.int32(7))
+    n = sim._store.n_masses
+    mixed = DIST_MEGA_VARIANTS[variant].get("damping") and \
+        DIST_MEGA_VARIANTS[variant].get("friction", True)
+    for f in ("pos", "vel", "acc"):
+        a = np.asarray(getattr(out_d.masses, f))[:, :n]
+        x = np.asarray(getattr(out_s.masses, f))[:, :n]
+        if mixed:
+            tol = dict(atol=1e-3, rtol=1e-4) if f == "acc" else \
+                dict(atol=1e-6, rtol=1e-6)
+            np.testing.assert_allclose(a, x, err_msg=f, **tol)
+        else:
+            np.testing.assert_array_equal(a, x, err_msg=f)
+    np.testing.assert_array_equal(np.asarray(out_d.stencil.rest),
+                                  np.asarray(out_s.stencil.rest))
+
+
+def test_dist_mega_engagement(monkeypatch):
+    """_dist_mega_plan gating: the >= ~1M-rows/shard auto threshold, the
+    TITAN_DIST_MEGA force hooks, the KH <= block bound, and the glue
+    exclusion."""
+    from titan_tpu.parallel import halo_tiled as ht
+    sim = _scene(friction=False)
+    shape = sim._shape
+    h, b, t = ht._geometry(shape, 8)
+    monkeypatch.delenv("TITAN_DIST_MEGA", raising=False)
+    # CPU-test blocks sit far below the threshold: stays per-step
+    assert b < ht.DIST_MEGA_MIN_BLOCK
+    assert ht._dist_mega_plan(shape, b, t, h) == (0, 0)
+    # a block at the threshold engages without forcing
+    k, KH = ht._dist_mega_plan(shape, ht.DIST_MEGA_MIN_BLOCK, t, h)
+    assert k > 0 and KH % t == 0
+    # forced on for tests
+    monkeypatch.setenv("TITAN_DIST_MEGA", "1")
+    k, KH = ht._dist_mega_plan(shape, b, t, h)
+    assert k > 0 and KH <= b
+    # k-step halo exceeding the block: stays per-step even when forced
+    assert ht._dist_mega_plan(shape, t, t, t) == (0, 0)
+    # forced off
+    monkeypatch.setenv("TITAN_DIST_MEGA", "0")
+    assert ht._dist_mega_plan(shape, ht.DIST_MEGA_MIN_BLOCK, t, h) \
+        == (0, 0)
+    # glue scenes never ride mega (XLA glue between steps)
+    monkeypatch.setenv("TITAN_DIST_MEGA", "1")
+    simg = _scene(remainder=True)
+    assert ht._dist_mega_plan(simg._shape, ht.DIST_MEGA_MIN_BLOCK, t, h) \
+        == (0, 0)
+
+
 VARIANTS_GLUE = {
     "magnets": dict(magnets="attract"),
     "magnets_deleted": dict(magnets="attract", deleted=True),

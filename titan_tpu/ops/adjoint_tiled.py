@@ -191,23 +191,52 @@ def _bar_plan(shape: SceneShape):
     return offs, p
 
 
-def _bwd_vmem_est(shape: SceneShape, t: int, hw: int) -> int:
+def _mega_adjoint_ok(shape: SceneShape) -> bool:
+    """True when BOTH adjoint passes ride resident grids (round 5): the
+    trace replay runs megatrace launches mirroring the primal chunk's
+    mega segmentation, and the backward is ONE reverse-sweep pallas_call
+    per segment (parity-alternating cotangent buffers + in-kernel bar
+    accumulation).  Envelope: the primal mega envelope (f32 Euler/Verlet,
+    no glue -- RK2 keeps the per-step split path).  A/B hook:
+    TITAN_MEGA_ADJ=0 falls back to the round-4 per-step trace/backward."""
+    if _os.environ.get("TITAN_MEGA_ADJ", "1") == "0":
+        return False
+    if pallas_tiled.CARRY_MODE == "legacy":
+        return False
+    if shape.config.integrator not in (Integrator.EULER, Integrator.VERLET):
+        return False
+    if not pallas_tiled._mega_env_ok(shape):
+        return False
+    h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
+    t = pallas_tiled._tile_size(h, shape)
+    _, k = pallas_tiled._mega_fit(shape, t, h)
+    return k > 0
+
+
+def _bwd_vmem_est(shape: SceneShape, t: int, hw: int,
+                  mega: bool = False) -> int:
     """Backward-kernel VMEM estimate at tile size t, window halo hw."""
     _, ni = _inv_plan(shape)
     _, nb = _bar_plan(shape)
     wr = (t + 2 * hw) // 128
     win = 2 * 4 * wr * 128 * (_tr_planes(shape) + 9 + ni)  # dbl-buf windows
-    gout = 12 if _rk2_glue(shape) else 9       # rk2b emits midpoint too
-    blk = 2 * 4 * (t // 128) * 128 * (gout + nb)  # blocked outputs
+    if mega:
+        # megabwd: no blocked outs; bars RMW blocks (2x read + 1 write
+        # stage) + the 9-plane cotangent write stage
+        blk = 4 * (t // 128) * 128 * (3 * nb + 9)
+    else:
+        gout = 12 if _rk2_glue(shape) else 9   # rk2b emits midpoint too
+        blk = 2 * 4 * (t // 128) * 128 * (gout + nb)  # blocked outputs
     tmp = 4 * wr * 128 * 48                    # transpose temporaries
     return win + blk + tmp
 
 
-def _shrink_bwd_tile(shape: SceneShape, t: int, hw: int) -> int:
+def _shrink_bwd_tile(shape: SceneShape, t: int, hw: int,
+                     mega: bool = False) -> int:
     """Halve the backward tile (1024-aligned, dividing the forward tile
     hence the padded layout) until the VMEM estimate fits."""
     while (t % 2048 == 0 and t > 2048
-           and _bwd_vmem_est(shape, t, hw) >= _BWD_VMEM_BUDGET):
+           and _bwd_vmem_est(shape, t, hw, mega) >= _BWD_VMEM_BUDGET):
         t //= 2
     return t
 
@@ -217,16 +246,21 @@ def _geom(shape: SceneShape):
     geometry (the trace replay must reproduce it exactly) plus the
     backward's window halo hw = mult * h and its own tile size t_bwd
     (halved toward the VMEM budget; t_bwd divides t_fwd so both walk the
-    same padded-flat [., n_t] layout)."""
+    same padded-flat [., n_t] layout).  When the mega adjoint engages,
+    t_fwd is the primal chunk's mega-fitted tile (pallas_tiled._mega_fit
+    -- the trace buffer layout must match the megatrace launches)."""
     n = shape.n_masses
     h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
     # late-bound so tests that shrink pallas_tiled._tile_size reshape the
     # primal chunk, the trace replay, and this backward consistently
     t_fwd = pallas_tiled._tile_size(h, shape)
+    mega = _mega_adjoint_ok(shape)
+    if mega:
+        t_fwd, _ = pallas_tiled._mega_fit(shape, t_fwd, h)
     n_tiles = -(-n // t_fwd)
     n_t = n_tiles * t_fwd
     hw = _halo_mult(shape) * h
-    t_bwd = _shrink_bwd_tile(shape, t_fwd, hw)
+    t_bwd = _shrink_bwd_tile(shape, t_fwd, hw, mega)
     return h, hw, t_fwd, t_bwd, n_tiles, n_t
 
 
@@ -244,7 +278,7 @@ def tiled_adjoint_reject_reason(shape: SceneShape):
     # halo_adjoint_reject_reason applies, so a scene the shrink loop
     # could not fit is cleanly rejected on every tier instead of built
     # into a kernel that overflows VMEM at runtime
-    need = _bwd_vmem_est(shape, t_bwd, hw)
+    need = _bwd_vmem_est(shape, t_bwd, hw, _mega_adjoint_ok(shape))
     if need >= _BWD_VMEM_BUDGET:
         return (f"backward tile needs ~{need >> 20} MB of VMEM > "
                 f"{_BWD_VMEM_BUDGET >> 20} MB budget even at the minimum "
@@ -353,6 +387,10 @@ def build_tiled_trace(shape: SceneShape, seg: int):
     setup = pallas_tiled.make_step_setup(shape, t_fwd, h, n_tiles,
                                          carry_legacy=False)
 
+    if _mega_adjoint_ok(shape):
+        return _build_megatrace_run(shape, seg, h, hw, t_fwd, n_tiles,
+                                    n_t, twr, setup)
+
     def run(state: SimState):
         m = state.masses
         step, _ = setup(state)
@@ -393,6 +431,89 @@ def build_tiled_trace(shape: SceneShape, seg: int):
                            state.springs.rest, trace0, rtrace0))
         return (trace.reshape(seg, np_tr, twr, 128),
                 rtrace if shape.has_remainder else None)
+
+    return run
+
+
+def _build_megatrace_run(shape: SceneShape, seg: int, h: int, hw: int,
+                         t_fwd: int, n_tiles: int, n_t: int, twr: int,
+                         setup):
+    """Mega trace replay: (state) -> (T, None) where T is the
+    [seg + 1, 9, twr, 128] trace buffer -- entry s = the padded-flat
+    (pos, vel, acc) state BEFORE step s, with the backward's hw halo
+    pads.  seg // k_prim megatrace launches mirror the primal chunk's
+    mega segments (same k_prim, same per-launch scalars -> bitwise the
+    primal); the seg % k_prim tail replays through the shared per-step
+    machinery, writing its (pos, vel) trace entries XLA-side."""
+    n = shape.n_masses
+    pad_n = n_t - n
+    _, k_prim = pallas_tiled._mega_fit(
+        shape, pallas_tiled._tile_size(h, shape), h)
+    assert k_prim > 0 and t_fwd * n_tiles == n_t
+    n_seg = seg // k_prim
+    lower = n_seg * k_prim
+    mtrace_call = pallas_tiled.make_megatrace_call(
+        shape, t_fwd, h, hw, n_tiles, k_prim, seg) if n_seg else None
+
+    def run(state: SimState):
+        m = state.masses
+        step, p = setup(state)
+        padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
+        r3hw = lambda x: jnp.pad(x, ((0, 0), (hw, hw))).reshape(
+            x.shape[0], twr, 128)
+        init9 = jnp.concatenate(
+            [padf(m.pos), padf(m.vel), padf(m.acc)], axis=0)
+        T = jnp.zeros((seg + 1, 9, twr, 128), jnp.float32
+                      ).at[0].set(r3hw(init9))
+        dt32 = state.dt.astype(jnp.float32)
+        t032 = state.t.astype(jnp.float32)
+
+        if n_seg:
+            r3 = lambda x: x.reshape(x.shape[0], -1, 128)
+            margs = [p["planes"], p["balls"], p["fparams"]]
+            tail = []
+            if p["param_flat"] is not None:
+                tail.append(r3(jnp.pad(p["param_flat"],
+                                       ((0, 0), (h, h + pad_n)))))
+            if p["bits_flat"] is not None:
+                tail.append(r3(jnp.pad(p["bits_flat"],
+                                       ((0, 0), (h, h + pad_n)))))
+            zp = lambda x: r3(padf(x))
+            tail += [zp(p["const_flat"]), zp(p["minv_flat"]),
+                     zp(p["fixed_flat"])]
+            if p["drag_flat"] is not None:
+                tail.append(zp(p["drag_flat"]))
+            if p["lc_flat"] is not None:
+                tail.append(zp(p["lc_flat"]))
+
+            def seg_body(si, T):
+                # scal[0:3] EXACTLY as build_tiled_chunk's seg_body (the
+                # bitwise-replay requirement); scal[3] = absolute trace
+                # base (exact in f32: integer < 2^24)
+                base = (si * k_prim).astype(jnp.float32)
+                scal = jnp.stack([dt32, t032 + base * dt32, base, base])
+                (T,) = mtrace_call(scal, *margs, T, *tail)
+                return T
+
+            T = jax.lax.fori_loop(0, n_seg, seg_body, T)
+
+        if lower < seg:
+            # per-step tail (shared machinery = bitwise the primal tail);
+            # each step writes its INPUT (pos, vel) into its trace entry
+            flat = T[lower].reshape(9, -1)[:, hw:hw + n_t]
+            carry0 = (flat[0:3], flat[3:6], flat[6:9],
+                      state.springs.rest, T)
+
+            def body(i, carry):
+                pos, vel, acc, rem_rest, T = carry
+                e = r3hw(jnp.concatenate([pos, vel], axis=0))
+                T = jax.lax.dynamic_update_slice(T, e[None], (i, 0, 0, 0))
+                p2, v2, a2, rem_rest, _aux = step(i, pos, vel, acc,
+                                                  rem_rest)
+                return p2, v2, a2, rem_rest, T
+
+            T = jax.lax.fori_loop(lower, seg, body, carry0)[4]
+        return T, None
 
     return run
 
@@ -584,6 +705,310 @@ def _make_bwd_call(shape: SceneShape, t_size: int, hw: int, n_tiles: int,
     )
 
 
+def _build_megabwd_run(shape: SceneShape, seg: int):
+    """build_tiled_bwd's mega form: ONE reverse-sweep pallas_call per
+    segment (same gradient dict contract; mega envelope is non-glue, so
+    no per-step-vjp keys)."""
+    h, hw, t_fwd, t_bwd, n_tiles_f, n_t = _geom(shape)
+    n = shape.n_masses
+    pad_n = n_t - n
+    n_tiles_b = n_t // t_bwd
+    offs, ni = _inv_plan(shape)
+    boffs, nb = _bar_plan(shape)
+    nf = len(shape.stencil_deltas)
+    call = _make_megabwd_call(shape, t_bwd, hw, n_tiles_b, offs, ni,
+                              boffs, nb, seg)
+
+    def run(state: SimState, trace, rtrace, gpos, gvel, gacc, grest=None):
+        st = _stage(shape, state, hw, n_t)
+        dt32 = state.dt.astype(jnp.float32)
+        t032 = state.t.astype(jnp.float32)
+        padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
+        cotA0 = jnp.pad(
+            jnp.concatenate([padf(gpos), padf(gvel), padf(gacc)], axis=0),
+            ((0, 0), (hw, hw))).reshape(9, (n_t + 2 * hw) // 128, 128)
+        cotB0 = jnp.zeros_like(cotA0)
+        bars0 = jnp.zeros((nb, n_t // 128, 128), jnp.float32)
+        scal = jnp.stack([dt32, t032])
+        outA, outB, bars = call(scal, st["planes"], st["balls"], trace,
+                                cotA0, cotB0, bars0, st["inv_hbm"])
+        # last backward step j = seg-1 writes B when j is even (seg odd)
+        final = outB if seg % 2 == 1 else outA
+        flat = final.reshape(9, -1)[:, hw:hw + n_t]
+        bars = bars.reshape(nb, n_t)
+
+        def bar(name, count):
+            o = boffs[name]
+            return bars[o:o + count, :n]
+
+        g = {"pos": flat[0:3, :n], "vel": flat[3:6, :n],
+             "acc": flat[6:9, :n],
+             "cf": bar("cf", 3), "minv": bar("minv", 1)[0],
+             "k": bar("k", nf), "rest": bar("rest", nf),
+             "pair_ok": st["pair_ok"]}
+        if shape.has_damping:
+            g["damping"] = bar("damping", nf)
+        if shape.has_breathing:
+            g["omega"] = bar("omega", nf)
+        if shape.has_actuated:
+            g["aratedt"] = bar("aratedt", nf)
+        if shape.has_drag:
+            g["drag"] = bar("drag", 1)[0]
+        return g
+
+    return run
+
+
+def _build_megabwd_kernel(shape: SceneShape, t_size: int, hw: int,
+                          offs, ni: int, boffs, nb: int, seg: int,
+                          n_tiles_s: int):
+    """Reverse-sweep resident-grid backward (round 5): ONE pallas_call
+    runs all ``seg`` backward steps over a grid of (seg, n_tiles) cells.
+    The cotangent state (gpos, gvel, gacc -- 9 planes, hw halo pads)
+    lives in two parity-alternating HBM buffers exactly like the forward
+    mega kernel's state (j even reads A/writes B; j = 0 reads the
+    aliased input); per-spring/per-mass bar gradients accumulate by
+    read-modify-write of an aliased [NB, n_t] HBM accumulator (safe:
+    the sequential grid revisits a tile's rows only on later steps, and
+    the accumulation order matches the per-step XLA fori bitwise).  The
+    per-cell math IS the fused per-step backward tile kernel's
+    (ops/adjoint.backward_step on the halo'd window)."""
+    wr = (t_size + 2 * hw) // 128
+    tr = t_size // 128
+    hwr = hw // 128
+    nf = len(shape.stencil_deltas)
+    np_tr = 6     # (pos, vel) read from the 9-plane mega trace entries
+
+    def kernel(scal_ref, plane_ref, ball_ref, trace_hbm, cotA_in, cotB_in,
+               bars_in, inv_hbm, outA, outB, bars_hbm,
+               swin, cwin, iwin, bstage, bwrite, wstage, sem, wsem, bsem):
+        j = pl.program_id(0)
+        t = pl.program_id(1)
+        n_tiles = pl.num_programs(1)
+        lidx = j * n_tiles + t
+        slot = jax.lax.rem(lidx, 2)
+        s = (seg - 1) - j
+        s_f = s.astype(jnp.float32)
+        dt = scal_ref[0]
+        t_now = scal_ref[1] + s_f * dt
+
+        def issue(j_n, tile_idx, into):
+            row0 = tile_idx * tr
+            s_n = (seg - 1) - j_n
+            pltpu.make_async_copy(
+                trace_hbm.at[s_n, pl.ds(0, np_tr), pl.ds(row0, wr), :],
+                swin.at[into], sem.at[into, 0]).start()
+
+            def cpc(src):
+                pltpu.make_async_copy(
+                    src.at[pl.ds(0, 9), pl.ds(row0, wr), :],
+                    cwin.at[into], sem.at[into, 1]).start()
+
+            @pl.when(j_n == 0)
+            def _():
+                cpc(cotA_in)
+
+            odd = jax.lax.rem(j_n, 2) == 1
+
+            @pl.when((j_n > 0) & ~odd)
+            def _():
+                cpc(outA)
+
+            @pl.when((j_n > 0) & odd)
+            def _():
+                cpc(outB)
+
+            pltpu.make_async_copy(
+                inv_hbm.at[:, pl.ds(row0, wr), :], iwin.at[into],
+                sem.at[into, 2]).start()
+
+            def cpb(src):
+                pltpu.make_async_copy(
+                    src.at[:, pl.ds(tile_idx * tr, tr), :],
+                    bstage.at[into], sem.at[into, 3]).start()
+
+            @pl.when(j_n == 0)
+            def _():
+                cpb(bars_in)
+
+            @pl.when(j_n > 0)
+            def _():
+                cpb(bars_hbm)
+
+        @pl.when(lidx == 0)
+        def _():
+            issue(jnp.int32(0), 0, 0)
+
+        cross_ok = hw <= (n_tiles_s - 2) * t_size
+        if cross_ok:
+            t_n = t + 1
+            wrap = t_n == n_tiles
+            j_n = j + wrap.astype(jnp.int32)
+            t_n = jnp.where(wrap, 0, t_n)
+
+            @pl.when(lidx + 1 < seg * n_tiles)
+            def _():
+                issue(j_n, t_n, 1 - slot)
+        else:
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                issue(j, t + 1, 1 - slot)
+
+            @pl.when((t == 0) & (j > 0))
+            def _():
+                issue(j, 0, slot)
+
+        row0 = t * tr
+        pltpu.make_async_copy(
+            trace_hbm.at[0, pl.ds(0, np_tr), pl.ds(row0, wr), :],
+            swin.at[slot], sem.at[slot, 0]).wait()
+        pltpu.make_async_copy(
+            cotA_in.at[pl.ds(0, 9), pl.ds(row0, wr), :],
+            cwin.at[slot], sem.at[slot, 1]).wait()
+        pltpu.make_async_copy(
+            inv_hbm.at[:, pl.ds(row0, wr), :], iwin.at[slot],
+            sem.at[slot, 2]).wait()
+        pltpu.make_async_copy(
+            bars_in.at[:, pl.ds(row0, tr), :], bstage.at[slot],
+            sem.at[slot, 3]).wait()
+
+        sw = swin[slot]
+        pos, vel = sw[0:3], sw[3:6]
+        cw = cwin[slot]
+        iw = iwin[slot]
+
+        def inv(name, count):
+            o = offs[name]
+            return iw[o:o + count]
+
+        P = _make_P(
+            shape,
+            k_ref=inv("k", nf), rest_ref=inv("rest", nf),
+            damp_ref=(inv("damping", nf) if shape.has_damping else None),
+            minv=inv("minv", 1), fixed=inv("fixed", 1), cf=inv("cf", 3),
+            drag=(inv("drag", 1) if shape.has_drag else None),
+            plane_ref=plane_ref, ball_ref=ball_ref, dt=dt,
+            bsign=(inv("bsign", nf) if shape.has_breathing else None),
+            bomega=(inv("bomega", nf) if shape.has_breathing else None),
+            aratedt=(inv("aratedt", nf) if shape.has_actuated else None),
+            sstop=(inv("sstop", nf) if shape.has_actuated else None),
+            lc=(iw[offs["lc"]:] if "lc" in offs else None))
+        P["has_remainder"] = False
+        P["has_magnets"] = False
+
+        from .pallas_step import make_rolls
+        rg, rs = make_rolls(wr)
+        c = slice(hwr, hwr + tr)
+
+        gp2, gv2, ga2 = cw[0:3], cw[3:6], cw[6:9]
+        gp, gv, ga, bars = backward_step(
+            pos, vel, gp2, gv2, ga2, P, rg, rs, t_now=t_now, s_idx=s_f)
+
+        # new cotangent tile rows -> the parity-opposite buffer
+        wstage[0:3] = gp[:, c]
+        wstage[3:6] = gv[:, c]
+        wstage[6:9] = ga[:, c]
+        row0w = t * tr + hwr
+
+        def wcopy(dst):
+            cp = pltpu.make_async_copy(
+                wstage, dst.at[pl.ds(0, 9), pl.ds(row0w, tr), :], wsem)
+            cp.start()
+            cp.wait()
+
+        even = jax.lax.rem(j, 2) == 0
+
+        @pl.when(even)
+        def _():
+            wcopy(outB)
+
+        @pl.when(~even)
+        def _():
+            wcopy(outA)
+
+        # bars RMW: prior accumulator block + this (step, tile)'s
+        # contribution, written back in place (same addition order as
+        # the per-step XLA `bars + bars_s` fori)
+        bs = bstage[slot]
+        o = boffs["cf"]
+        bwrite[o:o + 3] = bs[o:o + 3] + bars["cf"][:, c]
+        o = boffs["minv"]
+        bwrite[o:o + 1] = bs[o:o + 1] + bars["minv"][:, c]
+        for fi in range(nf):
+            bwrite[boffs["k"] + fi] = bs[boffs["k"] + fi] + bars["k"][fi][c]
+            bwrite[boffs["rest"] + fi] = (bs[boffs["rest"] + fi]
+                                          + bars["rest"][fi][c])
+            if shape.has_damping:
+                bwrite[boffs["damping"] + fi] = (
+                    bs[boffs["damping"] + fi] + bars["damping"][fi][c])
+            if shape.has_breathing:
+                bwrite[boffs["omega"] + fi] = (
+                    bs[boffs["omega"] + fi] + bars["omega"][fi][c])
+            if shape.has_actuated:
+                bwrite[boffs["aratedt"] + fi] = (
+                    bs[boffs["aratedt"] + fi] + bars["aratedt"][fi][c])
+        if shape.has_drag:
+            o = boffs["drag"]
+            bwrite[o:o + 1] = bs[o:o + 1] + bars["drag"][:, c]
+        bcp = pltpu.make_async_copy(
+            bwrite, bars_hbm.at[:, pl.ds(row0, tr), :], bsem)
+        bcp.start()
+        bcp.wait()
+
+    return kernel
+
+
+def _make_megabwd_call(shape: SceneShape, t_size: int, hw: int,
+                       n_tiles: int, offs, ni: int, boffs, nb: int,
+                       seg: int):
+    tr = t_size // 128
+    wr = (t_size + 2 * hw) // 128
+    n_t = n_tiles * t_size
+    rows = (n_t + 2 * hw) // 128
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                 # scal = [dt, t0]
+        grid=(seg, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # planes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # balls
+            pl.BlockSpec(memory_space=pl.ANY),       # mega trace buffer
+            pl.BlockSpec(memory_space=pl.ANY),       # cotangent A
+            pl.BlockSpec(memory_space=pl.ANY),       # cotangent B
+            pl.BlockSpec(memory_space=pl.ANY),       # bars accumulator
+            pl.BlockSpec(memory_space=pl.ANY),       # invariant windows
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((2, 6, wr, 128), jnp.float32),   # traced windows
+            pltpu.VMEM((2, 9, wr, 128), jnp.float32),   # cot windows
+            pltpu.VMEM((2, ni, wr, 128), jnp.float32),  # invariant wins
+            pltpu.VMEM((2, nb, tr, 128), jnp.float32),  # bars RMW read
+            pltpu.VMEM((nb, tr, 128), jnp.float32),     # bars write stage
+            pltpu.VMEM((9, tr, 128), jnp.float32),      # cot write stage
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA(()),                # cot write
+            pltpu.SemaphoreType.DMA(()),                # bars write
+        ],
+    )
+    # flat operand indices: scal=0, planes=1, balls=2, trace=3, cotA=4,
+    # cotB=5, bars=6, inv=7
+    return pl.pallas_call(
+        _build_megabwd_kernel(shape, t_size, hw, offs, ni, boffs, nb,
+                              seg, n_tiles),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((9, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((9, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_t // 128, 128), jnp.float32),
+        ],
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )
+
+
 def build_tiled_bwd(shape: SceneShape, seg: int):
     """(state0, trace, rtrace, gpos, gvel, gacc [3, N], grest) -> gradient
     dict with the keys assemble_ct consumes (pos/vel/acc/cf/minv [.., N];
@@ -604,6 +1029,8 @@ def build_tiled_bwd(shape: SceneShape, seg: int):
     through the XLA binned/pairwise pass (xla_only_shape) -- the same
     physics to ~1e-9 rel (ops/magnets_grid.py), and Pallas kernels define
     no VJP."""
+    if _mega_adjoint_ok(shape):
+        return _build_megabwd_run(shape, seg)
     h, hw, t_fwd, t_bwd, n_tiles_f, n_t = _geom(shape)
     n = shape.n_masses
     pad_n = n_t - n
@@ -855,12 +1282,16 @@ def _tiled_adjoint_segment(shape: SceneShape, seg: int):
     from . import pallas_tiled as _pt
     return _tiled_adjoint_segment_cached(
         shape, seg, _os.environ.get("TITAN_FMATH", ""), _pt.CARRY_MODE,
+        _os.environ.get("TITAN_MEGA", "1"),
+        _os.environ.get("TITAN_MEGA_SEG", ""),
+        _os.environ.get("TITAN_MEGA_ADJ", "1"),
         _pt._tile_size, pl.pallas_call)
 
 
 @functools.lru_cache(maxsize=16)
 def _tiled_adjoint_segment_cached(shape: SceneShape, seg: int,
                                   _fmath: str, _carry: str,
+                                  _mega: str, _mseg: str, _madj: str,
                                   _tile, _pcall):
     from .pallas_tiled import build_tiled_chunk
     fwd_chunk = build_tiled_chunk(shape)
@@ -901,10 +1332,21 @@ def tiled_adjoint_rollout(shape: SceneShape, state: SimState, n_steps: int,
         raise ValueError(f"n_steps must be >= 1, got {n_steps}")
     if segment is None:
         _, hw, _, _, _, n_t = _geom(shape)
-        cap = max(1, int(1.5e9 // (4 * _tr_planes(shape)
-                                   * (n_t + 2 * hw))))
-        segment = next(s for s in range(min(n_steps, 64, cap), 0, -1)
-                       if n_steps % s == 0)
+        mega = _mega_adjoint_ok(shape)
+        planes = 9 if mega else _tr_planes(shape)
+        cap = max(1, int(1.5e9 // (4 * planes * (n_t + 2 * hw))))
+        hi = min(n_steps, 64, cap)
+        segment = next(s for s in range(hi, 0, -1) if n_steps % s == 0)
+        if mega:
+            # prefer a multiple of the primal mega segment so the trace
+            # replay has no per-step tail (pure resident-grid launches)
+            h = _round_up(max(abs(d) for d in shape.stencil_deltas), 1024)
+            _, k_prim = pallas_tiled._mega_fit(
+                shape, pallas_tiled._tile_size(h, shape), h)
+            best = next((s for s in range(hi - hi % k_prim, 0, -k_prim)
+                         if n_steps % s == 0), None)
+            if best:
+                segment = best
     seg = segment
     if n_steps % seg != 0:
         raise ValueError(f"segment {seg} does not divide n_steps {n_steps}")

@@ -203,7 +203,8 @@ def tiled_supported(shape: SceneShape) -> bool:
 
 
 def _build_kernel(shape: SceneShape, t_size: int, h: int,
-                  mode: str = "single", k_seg: int = 0, n_tiles_s: int = 0):
+                  mode: str = "single", k_seg: int = 0, n_tiles_s: int = 0,
+                  hw: int = 0):
     """mode selects the integrate tail: "single" is one launch per step
     (Euler or Verlet); "rk2a"/"rk2b" are the two launches of one RK2 step
     (midpoint predictor / corrector, reference sim.cu:1778-1799 +
@@ -229,7 +230,17 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
     "single"-mode kernel (equivalence pinned in test_pallas_tiled.py).
     Envelope: Euler/Verlet, no magnet/remainder glue (glue needs XLA
     between steps).  Euler writes only pos+vel planes per step (acc joins
-    on the segment's last step); Verlet reads+writes acc every step."""
+    on the segment's last step); Verlet reads+writes acc every step.
+
+    mode="megatrace" is the adjoint TRACE variant of mega (round 5): the
+    per-cell physics is op-for-op the mega cell, but instead of two
+    parity buffers the state flows through consecutive entries of ONE
+    [seg+1, 9, rows_hw, 128] trace buffer with the BACKWARD's halo pads
+    ``hw`` (step s reads entry s0+s and writes entry s0+s+1; ``s0`` rides
+    scal[3], so one launch per k_seg-step slice reproduces the primal
+    chunk's mega segmentation -- and hence its per-launch t_now / advance
+    scalars -- BITWISE).  The filled trace is exactly what the reverse
+    sweep (ops/adjoint_tiled.py mega backward) consumes."""
     deltas = shape.stencil_deltas
     w = t_size + 2 * h
     wr, tr, hr = w // 128, t_size // 128, h // 128
@@ -238,9 +249,12 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
     clamp = shape.config.velocity_clamp
     rk2a = mode == "rk2a"
     rk2b = mode == "rk2b"
-    mega = mode == "mega"
+    megatr = mode == "megatrace"
+    mega = mode == "mega" or megatr
     megark2 = mode == "megark2"
-    verlet = (mode in ("single", "mega")
+    woffr = (hw - h) // 128 if megatr else 0   # trace window read offset
+    hwb = hw // 128 if megatr else 0           # trace tile-row/write offset
+    verlet = (mode in ("single", "mega", "megatrace")
               and shape.config.integrator is Integrator.VERLET)
     has_damping = shape.has_damping
     has_breathing = shape.has_breathing
@@ -284,7 +298,7 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
     def kernel(*refs):
         (scal_ref, plane_ref, ball_ref, fparam_ref, state_hbm) = refs[:5]
         i = 5
-        if mega or megark2:
+        if (mega and not megatr) or megark2:
             _state_b_in = refs[i]   # aliased to out_b; never read
             i += 1
         if megark2:
@@ -313,7 +327,10 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
         if has_local:
             lc_ref = refs[i]    # [P_lc, tr, 128] stacked slot planes
             i += 1
-        if mega:
+        if megatr:
+            out_t = refs[i]
+            i += 1
+        elif mega:
             out_a, out_b = refs[i:i + 2]
             i += 2
         elif megark2:
@@ -396,6 +413,8 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
             dt = scal_ref[0]
             t_now = scal_ref[1] + s_f * dt
             adv_base = scal_ref[2] + s_f
+            if megatr:
+                s0i = scal_ref[3].astype(jnp.int32)  # absolute trace base
         else:
             t = pl.program_id(0)
             n_tiles = pl.num_programs(0)
@@ -406,7 +425,30 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
 
         def issue(tile_idx, into, s_n=None):
             row0 = tile_idx * tr
-            if mega:
+            if megatr:
+                # the state source is trace entry s0+s_n; step 0 of the
+                # launch reads the (aliased) INPUT ref -- for launch 0
+                # that is the XLA-staged initial state, for later launches
+                # the previous launch's final entry (chained aliasing)
+                def cpt(src):
+                    pltpu.make_async_copy(
+                        src.at[s0i + s_n, pl.ds(0, n_state),
+                               pl.ds(woffr + row0, wr), :],
+                        swin.at[into], sem.at[into, 0]).start()
+                    if n_tp:
+                        pltpu.make_async_copy(
+                            src.at[s0i + s_n, pl.ds(tp0, n_tp),
+                                   pl.ds(row0 + hwb, tr), :],
+                            vtile.at[into], sem.at[into, tp_sem]).start()
+
+                @pl.when(s_n == 0)
+                def _():
+                    cpt(state_hbm)
+
+                @pl.when(s_n > 0)
+                def _():
+                    cpt(out_t)
+            elif mega:
                 # parity-selected state source: step 0 reads the (aliased)
                 # INPUT buffer, odd steps read out_b, even steps out_a --
                 # the TPU grid runs cells sequentially, so the source
@@ -580,13 +622,14 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
             # wait descriptors built with shape-matched source slices
             # (the source REF here is arbitrary -- only the semaphore and
             # byte count matter -- but the shapes must agree)
+            shp_src = state_hbm.at[0] if megatr else state_hbm
             pltpu.make_async_copy(
-                state_hbm.at[pl.ds(0, n_state), pl.ds(row0, wr), :],
+                shp_src.at[pl.ds(0, n_state), pl.ds(row0, wr), :],
                 swin.at[slot], sem.at[slot, 0]).wait()
             if n_tp:
                 pltpu.make_async_copy(
-                    state_hbm.at[pl.ds(tp0, n_tp),
-                                 pl.ds(row0 + hr, tr), :],
+                    shp_src.at[pl.ds(tp0, n_tp),
+                               pl.ds(row0 + hr, tr), :],
                     vtile.at[slot], sem.at[slot, tp_sem]).wait()
             if megark2:
                 @pl.when(p_id == 1)
@@ -925,6 +968,35 @@ def _build_kernel(shape: SceneShape, t_size: int, h: int,
                 opos_ref[:] = po
                 ovel_ref[:] = v2
                 oacc_ref[:] = ao
+            elif megatr:
+                # single destination: trace entry s0+s+1 (no parity);
+                # plane count matches the mega write policy so the traced
+                # stepping is op-for-op the mega cell
+                wstage[0:3] = po
+                wstage[3:6] = v2
+                wstage[6:9] = ao
+                row0w = t * tr + hwb
+
+                def wcopy_t(n_pl):
+                    cp = pltpu.make_async_copy(
+                        wstage.at[pl.ds(0, n_pl)],
+                        out_t.at[s0i + s + 1, pl.ds(0, n_pl),
+                                 pl.ds(row0w, tr), :], wsem)
+                    cp.start()
+                    cp.wait()
+
+                if verlet:
+                    wcopy_t(9)
+                else:
+                    last = s == k_seg - 1
+
+                    @pl.when(last)
+                    def _():
+                        wcopy_t(9)
+
+                    @pl.when(~last)
+                    def _():
+                        wcopy_t(6)
             else:
                 # stage the tile's new rows in VMEM, then one aligned DMA
                 # into the destination buffer (parity-opposite the source;
@@ -1227,6 +1299,89 @@ def make_mega_rk2_call(shape: SceneShape, t_size: int, h: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+    )
+
+
+def make_megatrace_call(shape: SceneShape, t_size: int, h: int, hw: int,
+                        n_tiles: int, k_seg: int, seg_total: int):
+    """The adjoint-trace resident-grid kernel's pallas_call: ONE launch
+    advances ``k_seg`` steps, with the state flowing through consecutive
+    entries of a single [seg_total + 1, 9, (n_t + 2*hw)/128, 128] trace
+    buffer (input_output_aliased; entry s = state BEFORE step s0 + s,
+    s0 = scal[3]).  Running ceil-free slices of k_seg (the primal chunk's
+    mega segment size) reproduces the primal's launches -- and scalars --
+    bitwise, while leaving behind exactly the (pos, vel) trace the mega
+    backward sweep (ops/adjoint_tiled.py) consumes."""
+    tr = t_size // 128
+    w = t_size + 2 * h
+    wr = w // 128
+    n_t = n_tiles * t_size
+    rows = (n_t + 2 * hw) // 128
+    offsets, n_param, _ = _plan(shape)
+    verlet = shape.config.integrator is Integrator.VERLET
+    n_state = 6 if shape.has_damping else 3
+    n_tp = ((0 if shape.has_damping else 3) + (3 if verlet else 0))
+    u_k = shape.stencil_uniform[0]
+    has_pwin = n_param > 0
+    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+    has_local = any(caps)
+    from .pallas_step import _lc_planes
+    p_lc = _lc_planes(shape)
+
+    def blk3(s, t, scal):
+        return (0, t, 0)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # planes
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # balls
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # fparams [5, nf]
+        pl.BlockSpec(memory_space=pl.ANY),       # trace buffer (aliased)
+    ]
+    if has_pwin:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # param wins
+    if u_k:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # mask bits
+    in_specs += [
+        pl.BlockSpec((3, tr, 128), blk3, memory_space=pltpu.VMEM),  # cf
+        pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # minv
+        pl.BlockSpec((1, tr, 128), blk3, memory_space=pltpu.VMEM),  # fixd
+    ]
+    if shape.has_drag:
+        in_specs.append(pl.BlockSpec((1, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # drag
+    if has_local:
+        in_specs.append(pl.BlockSpec((p_lc, tr, 128), blk3,
+                                     memory_space=pltpu.VMEM))  # lc slots
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # scal = [dt, t_base, advance base, s0]
+        grid=(k_seg, n_tiles),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=(
+            [pltpu.VMEM((2, n_state, wr, 128), jnp.float32)]  # state wins
+            + ([pltpu.VMEM((2, n_param, wr, 128), jnp.float32)]
+               if has_pwin else [])                          # param wins
+            + ([pltpu.VMEM((2, 1, wr, 128), jnp.int32)]
+               if u_k else [])                               # mask bits
+            + ([pltpu.VMEM((2, n_tp, tr, 128), jnp.float32)]
+               if n_tp else [])                              # vel/acc tiles
+            + [pltpu.VMEM((9, tr, 128), jnp.float32)]        # write stage
+            + [pltpu.SemaphoreType.DMA((2, 1 + has_pwin + u_k + (n_tp > 0))),
+               pltpu.SemaphoreType.DMA(())]                  # write sem
+        ),
+    )
+
+    return pl.pallas_call(
+        _build_kernel(shape, t_size, h, "megatrace", k_seg=k_seg,
+                      n_tiles_s=n_tiles, hw=hw),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((seg_total + 1, 9, rows, 128),
+                                        jnp.float32)],
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary")),
     )
 
 
@@ -1598,6 +1753,30 @@ def _mega_seg(shape: SceneShape, t_size: int, h: int) -> int:
     return max(2, k + (k % 2))
 
 
+def _mega_fit(shape: SceneShape, t_size: int, h: int):
+    """(t_size', k_seg): the mega-engaged tile size and segment length
+    for this scene.  Beyond ~160^3 the _tile_size pick sits at the
+    VMEM-budget edge and the mega scratch (vel/acc tiles + write stage)
+    pushes the estimate over; a SMALLER tile restores it -- halo-DMA
+    overhead is measured free and the mega launch win dwarfs it, so
+    shrink (halving, toward one halo) until mega fits; tile size never
+    changes the physics (bitwise, pinned by the tile A/Bs).  Returns
+    (t_size, 0) when mega cannot engage at any tile.  Shared by
+    build_tiled_chunk and the adjoint's mega trace replay
+    (ops/adjoint_tiled.py), which must reproduce the primal's mega
+    segmentation exactly."""
+    k_seg = _mega_seg(shape, t_size, h)
+    if k_seg == 0 and _mega_env_ok(shape):
+        floor = _round_up(h, 1024)
+        t2 = t_size
+        while t2 > floor and _mega_seg(shape, t2, h) == 0:
+            t2 = _round_up(max(t2 // 2, floor), 1024)
+        k2 = _mega_seg(shape, t2, h)
+        if k2:
+            return t2, k2
+    return t_size, k_seg
+
+
 def build_tiled_chunk(shape: SceneShape, donate: bool = False):
     """Jitted chunk(state, n_steps): n_steps // MEGA_SEG resident-grid
     launches (one pallas_call per MEGA_SEG steps -- the round-4 answer to
@@ -1622,21 +1801,10 @@ def build_tiled_chunk(shape: SceneShape, donate: bool = False):
     h *= max(1, int(os.environ.get("TITAN_HALO_AB", "1")))
     rk2 = shape.config.integrator is Integrator.RK2
     carry_legacy = CARRY_MODE == "legacy"   # bound at build time, not trace
-    k_seg = 0 if carry_legacy else _mega_seg(shape, t_size, h)
-    if k_seg == 0 and not carry_legacy and _mega_env_ok(shape):
-        # beyond ~160^3 the _tile_size pick sits at the VMEM-budget edge
-        # and the mega scratch (vel/acc tiles + write stage) pushes the
-        # estimate over; a SMALLER tile restores it.  Halo-DMA overhead is
-        # measured free and the mega launch win dwarfs it, so shrink
-        # (halving, toward one halo) until mega fits -- tile size never
-        # changes the physics (bitwise, pinned by the tile A/Bs).
-        floor = _round_up(h, 1024)
-        t2 = t_size
-        while t2 > floor and _mega_seg(shape, t2, h) == 0:
-            t2 = _round_up(max(t2 // 2, floor), 1024)
-        if _mega_seg(shape, t2, h):
-            t_size = t2
-            k_seg = _mega_seg(shape, t2, h)
+    if carry_legacy:
+        k_seg = 0
+    else:
+        t_size, k_seg = _mega_fit(shape, t_size, h)
     n_tiles = -(-n // t_size)            # ceil: last tile covers padding
     n_t = n_tiles * t_size
     pad_n = n_t - n

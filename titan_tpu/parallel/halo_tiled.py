@@ -58,15 +58,57 @@ divides.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Integrator
-from ..ops.pallas_tiled import (_round_up, _tile_size, make_tiled_call,
+from ..ops import pallas_tiled
+from ..ops.pallas_tiled import (_round_up, _tile_size, make_mega_call,
+                                make_mega_rk2_call, make_tiled_call,
                                 prep_flat_inputs, tiled_reject_reason)
 from ..state import SceneShape, SimState
+
+#: Distributed mega (round 5) engagement threshold: per-shard resident-
+#: grid segments pay a redundant-compute tax of 2*KH/b (KH = the k-step
+#: halo, rounded up to a tile) in exchange for the measured ~80%
+#: per-launch fixed cost amortization.  At the 32768-row tile the tax is
+#: ~6% at 1M rows/shard -- the modeled break-even (commit 090404f design
+#: notes; docs/PERFORMANCE.md) -- and 200%+ at CPU-test block sizes, so
+#: auto-engagement needs a big block.  TITAN_DIST_MEGA=1 forces it on
+#: (tests, A/B), =0 off.
+DIST_MEGA_MIN_BLOCK = 1 << 20
+
+
+def _dist_mega_plan(shape: SceneShape, b: int, t_size: int, h: int):
+    """(k_seg, KH): steps per distributed resident-grid launch and the
+    tile-aligned k-step halo width, or (0, 0) to stay per-step.
+
+    The per-shard mega kernel is the UNCHANGED single-device mega kernel
+    run over the block extended by KH rows per side: neighbor halos are
+    exchanged once per segment, the kernel advances k steps computing the
+    halo region redundantly, and garbage creeps inward one force-reach
+    per step (two under RK2's double pass) -- after k steps it has
+    reached exactly KH, so the center block rows are exact (the same
+    redundant-halo-compute trade the backward tile kernel makes,
+    ops/adjoint_tiled.py)."""
+    force = os.environ.get("TITAN_DIST_MEGA", "")
+    if force == "0":
+        return 0, 0
+    if not pallas_tiled._mega_env_ok(shape):
+        return 0, 0
+    k = pallas_tiled._mega_seg(shape, t_size, h)
+    if k == 0:
+        return 0, 0
+    h_step = 2 * h if shape.config.integrator is Integrator.RK2 else h
+    KH = _round_up(k * h_step, t_size)
+    if KH > b:
+        return 0, 0        # halo exceeds the block (one-hop exchange)
+    if force != "1" and b < DIST_MEGA_MIN_BLOCK:
+        return 0, 0
+    return k, KH
 
 
 def _geometry(shape: SceneShape, n_devices: int):
@@ -197,6 +239,18 @@ def build_halo_tiled_chunk(shape: SceneShape, mesh: Mesh,
         call_b = make_tiled_call(shape, t_size, h, n_tiles, "rk2b")
     else:
         step_call = make_tiled_call(shape, t_size, h, n_tiles, "single")
+    # distributed mega (round 5): per-shard resident-grid segments over
+    # the KH-extended block (see _dist_mega_plan); the kernel is the
+    # UNCHANGED single-device mega kernel at n_t = b + 2*KH
+    k_seg, KH = _dist_mega_plan(shape, b, t_size, h)
+    if k_seg:
+        n_tiles_ext = (b + 2 * KH) // t_size
+        if rk2:
+            mega_call = make_mega_rk2_call(shape, t_size, h, n_tiles_ext,
+                                           k_seg)
+        else:
+            mega_call = make_mega_call(shape, t_size, h, n_tiles_ext,
+                                       k_seg)
     to_prev = [(i, (i - 1) % n_dev) for i in range(n_dev)]  # recv from next
     to_next = [(i, (i + 1) % n_dev) for i in range(n_dev)]  # recv from prev
 
@@ -206,15 +260,17 @@ def build_halo_tiled_chunk(shape: SceneShape, mesh: Mesh,
         """Per-device: window the halo'd block and fori the kernel."""
         r3 = lambda x: x.reshape(x.shape[0], -1, 128)
 
-        def ext(x):
-            """[., B] -> [., H + B + H] with both ring neighbors' edges.
+        def ext_w(x, w):
+            """[., B] -> [., W + B + W] with both ring neighbors' edges.
             The global array end is padded/masked, so the ring wrap
             contributes nothing (same masking that kills the global
             jnp.roll wrap in the XLA and single-device tiled paths)."""
-            head_from_next = jax.lax.ppermute(x[:, :h], axis, to_prev)
-            tail_from_prev = jax.lax.ppermute(x[:, -h:], axis, to_next)
+            head_from_next = jax.lax.ppermute(x[:, :w], axis, to_prev)
+            tail_from_prev = jax.lax.ppermute(x[:, -w:], axis, to_next)
             return jnp.concatenate([tail_from_prev, x, head_from_next],
                                    axis=1)
+
+        ext = lambda x: ext_w(x, h)
 
         # chunk-constant windows: ONE parameter halo exchange per chunk
         param_hbm = r3(ext(inp["param"])) if "param" in inp else None
@@ -313,9 +369,56 @@ def build_halo_tiled_chunk(shape: SceneShape, mesh: Mesh,
                     cf_step=cfs))
             return flat(p2), flat(v2), flat(a2), rem_rest
 
+        carry0 = (inp["pos"], inp["vel"], inp["acc"])
+        lower = jnp.int32(0)
+        if k_seg:
+            # distributed mega: fresh KH-wide state halos per SEGMENT, one
+            # resident-grid launch per k_seg steps over the extended
+            # block; chunk-constant planes extended once (params by KH
+            # then the kernel's h window pad, per-mass planes by KH)
+            n_ext = b + 2 * KH
+            padh = lambda x: jnp.pad(x, ((0, 0), (h, h)))
+            param_m = (r3(padh(ext_w(inp["param"], KH)))
+                       if "param" in inp else None)
+            mask_m = (r3(padh(ext_w(inp["bits"], KH)))
+                      if "bits" in inp else None)
+            cf_m = r3(ext_w(inp["cf"], KH))
+            minv_m = r3(ext_w(inp["minv"], KH))
+            fixed_m = r3(ext_w(inp["fixed"], KH))
+            mtail = []
+            if param_m is not None:
+                mtail.append(param_m)
+            if mask_m is not None:
+                mtail.append(mask_m)
+            mtail += [cf_m, minv_m, fixed_m]
+            if "drag" in inp:
+                mtail.append(r3(ext_w(inp["drag"], KH)))
+            if "lc" in inp:
+                mtail.append(r3(ext_w(inp["lc"], KH)))
+
+            def seg_body(si, carry):
+                pos, vel, acc = carry
+                ext9 = jnp.concatenate(
+                    [ext_w(pos, KH), ext_w(vel, KH), ext_w(acc, KH)],
+                    axis=0)
+                a0 = r3(padh(ext9))
+                b0 = jnp.zeros_like(a0)
+                bufs = (a0, b0, jnp.zeros_like(a0)) if rk2 else (a0, b0)
+                base = (si * k_seg).astype(jnp.float32)
+                scal = jnp.stack([dt32, t032 + base * dt32,
+                                  2.0 * base if rk2 else base])
+                out = mega_call(scal, planes, balls, fparams, *bufs,
+                                *mtail)
+                flat = out[0].reshape(9, -1)[:, h:h + n_ext]
+                return (flat[0:3, KH:KH + b], flat[3:6, KH:KH + b],
+                        flat[6:9, KH:KH + b])
+
+            n_seg = inp["n_steps"] // k_seg
+            carry0 = jax.lax.fori_loop(0, n_seg, seg_body, carry0)
+            lower = n_seg * k_seg
+
         pos, vel, acc, rem_rest = jax.lax.fori_loop(
-            0, inp["n_steps"], body,
-            (inp["pos"], inp["vel"], inp["acc"], inp["rem_rest"]))
+            lower, inp["n_steps"], body, carry0 + (inp["rem_rest"],))
         return pos, vel, acc, rem_rest
 
     def chunk(state: SimState, n_steps) -> SimState:

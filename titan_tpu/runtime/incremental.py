@@ -132,8 +132,13 @@ def apply_structural_edits(sim) -> str:
     """
     if _try_incremental(sim):
         return "incremental"
-    sim._sync_full_preserving_edits()
-    sim._marshal()
+    # Hold the lock through pull + re-marshal: the worker is parked so
+    # stepping can't race, but concurrent readers (LiveViewer snapshot
+    # polls) must never observe a torn shape/state pair mid-marshal.
+    # sim._lock is an RLock, so the inner `with sim._cv` blocks nest.
+    with sim._cv:
+        sim._sync_full_preserving_edits()
+        sim._marshal()
     return "full"
 
 
@@ -194,6 +199,20 @@ def _try_incremental(sim) -> bool:
             return int(sim._rem_left[sl]), int(sim._rem_right[sl])
         return None
 
+    def check_uniform(i, fi):
+        """A staged/pushed stencil row whose params differ from the family
+        scalar (in device dtype) demotes that field to windowed -- the
+        tiled kernel reads ONE SMEM scalar per uniform family, so a
+        per-slot write would silently not take effect there."""
+        for uf_i, f in enumerate(_UNIFORM_FIELDS):
+            if not uniform[uf_i] or fam_scalars.get(f) is None:
+                continue
+            host_f = "s_type" if f == "type" else f
+            fdt = np.int8 if f == "type" else dt
+            if np.asarray(getattr(st, host_f)[i]).astype(fdt) \
+                    != fam_scalars[f][fi]:
+                uniform[uf_i] = False
+
     unfill = []            # (fi, lpos) stencil slots to clear
     retarget_rows = set()  # store rows whose placement is removed
     candidates = []        # store rows needing (re)placement, in order
@@ -207,7 +226,12 @@ def _try_incremental(sim) -> bool:
                 rem_changed = True  # can only have been left unplaced
             continue
         if want and old == (int(st.left[i]), int(st.right[i])):
-            continue  # pure param edit; handled by the push below
+            # pure param edit; handled by the per-row push below.  The
+            # push runs with _incremental=True (skips _check_uniform_
+            # break), so the demotion must happen HERE (r4 advisor).
+            if fam[i] >= 0:
+                check_uniform(i, int(fam[i]))
+            continue
         retarget_rows.add(i)
         if fam[i] >= 0:
             unfill.append((int(fam[i]), int(slot[i])))
@@ -230,16 +254,7 @@ def _try_incremental(sim) -> bool:
                 and ((not mask[fi, li]) or (fi, li) in freed)
                 and (fi, li) not in reserved)
         if free:
-            # uniformity: a fill whose params differ from the family
-            # scalar (in device dtype) demotes that field to windowed
-            for uf_i, f in enumerate(_UNIFORM_FIELDS):
-                if not uniform[uf_i] or fam_scalars.get(f) is None:
-                    continue
-                host_f = "s_type" if f == "type" else f
-                fdt = np.int8 if f == "type" else dt
-                if np.asarray(getattr(st, host_f)[i]).astype(fdt) \
-                        != fam_scalars[f][fi]:
-                    uniform[uf_i] = False
+            check_uniform(i, fi)
             fills.append((i, fi, li))
             reserved.add((fi, li))
         else:
@@ -289,7 +304,10 @@ def _try_incremental(sim) -> bool:
         # chunk-trace cache key, so shrinking or jittering them retraces
         # (an axon compile, seconds) on every churn cycle.  Growth
         # rounds up to the next power of two for the same reason.
-        S = max(S, shape.n_springs)
+        if S > shape.n_springs:
+            S = 1 << (S - 1).bit_length()
+        else:
+            S = shape.n_springs
         if max_deg > shape.max_degree:
             max_deg = 1 << (max_deg - 1).bit_length()
         else:

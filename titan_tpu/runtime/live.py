@@ -224,8 +224,17 @@ onmousemove = e => { if (drag) { yaw += (e.clientX-lx)*0.01;
   pitch += (e.clientY-ly)*0.01; lx = e.clientX; ly = e.clientY; } };
 cv.onwheel = e => { dist *= Math.exp(e.deltaY*0.001); };
 let ctr = [0,0,0], scl = 1;
-fetch('/topology').then(r => r.json()).then(t => {
+function refreshTopo(t){
   topo = t;
+  colorGroups = null;  // re-derive: colors/edges may have been edited
+}
+// topology (edges, colors) can change while the page is open
+// (incremental edits, setColor at a pause) -- re-pull every ~2 s
+setInterval(() => {
+  fetch('/topology').then(r => r.json()).then(refreshTopo).catch(()=>{});
+}, 2000);
+fetch('/topology').then(r => r.json()).then(t => {
+  refreshTopo(t);
   if (t.record) {
     const a = document.createElement('a');
     a.href = '/export.html'; a.download = 'titan_live_recording.html';
