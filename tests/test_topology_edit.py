@@ -402,3 +402,116 @@ def test_random_edit_interleaving_fuzz(seed):
                      sim._store.rest[:sim._store.n_springs].copy()))
         sim.stop()
     assert_pair_equal(outs, atol=5e-5)
+
+
+def _run_mesh_pair(edit_fn, edits=1, t0=0.03, t1=0.02):
+    """The run_pair protocol on a 2-device mesh: the incremental leg must
+    actually take the row-surgery path (asserted via a spy), the full leg
+    is forced; trajectories must match to the family-reorder ulp
+    tolerance."""
+    import jax
+    from jax.sharding import Mesh
+
+    import titan_tpu.runtime.simulation as rsim
+    from titan_tpu.runtime.incremental import apply_structural_edits
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("shard",))
+    out = []
+    for force_full in (False, True):
+        paths = []
+        orig = rsim.apply_structural_edits
+
+        def spy(sim):
+            p = orig(sim)
+            paths.append(p)
+            return p
+
+        rsim.apply_structural_edits = spy
+        try:
+            sim = build_scene()
+            sim.distribute(mesh)
+            sim.start()
+            sim.wait(t0)
+            for _ in range(edits):
+                edit_fn(sim)
+                if force_full and sim._journal is not None:
+                    sim._journal.force_full = True
+                sim.resume()
+                sim.wait(t1)
+            sim.getAll()
+            n = sim._store.n_masses
+            out.append((sim._store.pos[:n].copy(),
+                        sim._store.vel[:n].copy(),
+                        sim._store.rest[:sim._store.n_springs].copy()))
+            assert len(sim._state.masses.pos.sharding.device_set) == 2
+            sim.stop()
+        finally:
+            rsim.apply_structural_edits = orig
+        expected = "full" if force_full else "incremental"
+        assert paths and all(p == expected for p in paths), paths
+    return out
+
+
+def test_mesh_incremental_delete_matches_full():
+    """Round 5: journaled row surgery on a mesh-sharded scene (the round-4
+    mesh bailout is lifted) -- a spring delete lands as device surgery on
+    the sharded arrays, no re-staging."""
+    def edit(sim):
+        sim.deleteSpring(sim.springs[10])
+    assert_pair_equal(_run_mesh_pair(edit), atol=5e-5)
+
+
+def test_mesh_incremental_create_matches_full():
+    """A created remainder spring under a mesh: shape retrace + remainder
+    rebuild through the distributed chunk cache, still no re-staging."""
+    def edit(sim):
+        s = sim.createSpring(sim.masses[0], sim.masses[37])
+        s._k = 500.0
+    assert_pair_equal(_run_mesh_pair(edit), atol=5e-5)
+
+
+def test_mesh_incremental_chunk_cache_hit():
+    """A shape-preserving edit on a mesh must reuse the SAME distributed
+    chunk program (the _DIST_CHUNK_CACHE hit -- a rebuild would be a full
+    retrace + device compile per edit cycle)."""
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:2]), ("shard",))
+    sim = build_scene()
+    sim.distribute(mesh)
+    sim.start()
+    sim.wait(0.02)
+    chunk_before = sim._chunk
+    sim.masses[3].pos = Vec(0.1, 0.1, 5.2)   # row write
+    sim.deleteSpring(sim.springs[10])        # mask-bit surgery, same shape
+    from titan_tpu.runtime.incremental import _try_incremental
+    assert _try_incremental(sim)
+    assert sim._chunk is chunk_before
+    sim.resume()
+    sim.wait(0.01)
+    sim.stop()
+
+
+def test_uniform_break_while_structure_dirty():
+    """r4 advisor (medium): a pure-param edit journaled while the
+    structure is already dirty bypassed the uniform-family demotion
+    (phase A only checked fills; _push_springs(_incremental=True) skips
+    _check_uniform_break), silently leaving the tiled kernel on the
+    stale SMEM family scalar.  The demotion must now happen in phase A
+    for push rows too."""
+    sim = build_scene()
+    sim.start()
+    sim.wait(0.01)
+    assert sim._shape.stencil_uniform[0]          # fresh lattice: uniform k
+    sim.deleteSpring(sim.springs[50])             # structure now dirty
+    sim.springs[7]._k = 50.0                      # pure param edit
+    from titan_tpu.runtime.incremental import _try_incremental
+    assert _try_incremental(sim)
+    assert not sim._shape.stencil_uniform[0], \
+        "family-uniform k not demoted by a dirty-journal param edit"
+    fam, slot = int(sim._sp_family[7]), int(sim._sp_slot[7])
+    assert fam >= 0
+    assert float(np.asarray(sim._state.stencil.k)[fam, slot]) == 50.0
+    sim.resume()
+    sim.wait(0.01)
+    sim.stop()

@@ -40,7 +40,21 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import numpy as np
+
+
+@jax.jit
+def _jit_stencil_surgery(stc, ufi, ulp, ffi, flp, fvals):
+    """Slot clears + fills + the 8 filled-field planes in ONE program
+    (the eager per-field chain was ~10 tunnel dispatches; see
+    simulation.py's fused-surgery block).  Empty index arrays no-op."""
+    msk = stc.mask.at[ufi, ulp].set(False)
+    msk = msk.at[ffi, flp].set(True)
+    updates = {f: getattr(stc, f).at[ffi, flp].set(fvals[f])
+               for f in fvals}
+    updates["mask"] = msk
+    return dataclasses.replace(stc, **updates)
 
 
 def _cat_rows(*parts) -> np.ndarray:
@@ -154,8 +168,11 @@ def _try_incremental(sim) -> bool:
         return False
     if j.force_full or j.bulk:
         return False
-    if getattr(sim, "_mesh", None) is not None:
-        return False
+    # mesh-sharded scenes take this path too (round 5): the row-level
+    # .at[].set surgery dispatches on the sharded arrays via implicit
+    # SPMD, and the epilogue re-places the state / pulls the distributed
+    # chunk from its cache -- a full re-marshal would re-STAGE the whole
+    # scene, which is most expensive exactly when it is sharded
     n, s = st.n_masses, st.n_springs
     n0, s0 = sim._n_marshaled, sim._s_marshaled
     N = shape.n_masses
@@ -337,29 +354,31 @@ def _try_incremental(sim) -> bool:
         # be refilled by a different spring in the same journal)
         stc = state.stencil
         if unfill or fills:
-            updates = {}
-            msk = stc.mask
             if unfill:
-                fi_a = _pad_rows(np.array([u[0] for u in unfill], np.int32))
-                lp_a = _pad_rows(np.array([u[1] for u in unfill], np.int64))
-                msk = msk.at[fi_a, lp_a].set(False)
+                ufi = _pad_rows(np.array([u[0] for u in unfill], np.int32))
+                ulp = _pad_rows(np.array([u[1] for u in unfill], np.int64))
                 for fi, lp in unfill:
                     mask[fi, lp] = False
+            else:
+                ufi = np.zeros(0, np.int32)
+                ulp = np.zeros(0, np.int64)
+            fvals = {}
             if fills:
-                fi_a = _pad_rows(np.array([f[1] for f in fills], np.int32))
-                lp_a = _pad_rows(np.array([f[2] for f in fills], np.int64))
+                ffi = _pad_rows(np.array([f[1] for f in fills], np.int32))
+                flp = _pad_rows(np.array([f[2] for f in fills], np.int64))
                 rows = _pad_rows(np.array([f[0] for f in fills], np.int64))
-                msk = msk.at[fi_a, lp_a].set(True)
                 for dev_f, host_f in _SPRING_FIELDS:
-                    arr = getattr(stc, dev_f)
-                    updates[dev_f] = arr.at[fi_a, lp_a].set(
-                        getattr(st, host_f)[rows].astype(arr.dtype))
+                    fvals[dev_f] = getattr(st, host_f)[rows].astype(
+                        getattr(stc, dev_f).dtype)
                 for row, fi, lp in fills:
                     fam[row] = fi
                     slot[row] = lp
                     mask[fi, lp] = True
-            updates["mask"] = msk
-            stc = dataclasses.replace(stc, **updates)
+            else:
+                ffi = np.zeros(0, np.int32)
+                flp = np.zeros(0, np.int64)
+            # one fused surgery program (clears + fills + field planes)
+            stc = _jit_stencil_surgery(stc, ufi, ulp, ffi, flp, fvals)
             state = dataclasses.replace(state, stencil=stc)
         sim._sp_family, sim._sp_slot = fam, slot
 
@@ -397,7 +416,17 @@ def _try_incremental(sim) -> bool:
             sim._state = dataclasses.replace(
                 sim._state, gcon=_build_gcon(sim._planes, sim._balls, dt))
 
-        if new_shape != shape:
+        mesh = getattr(sim, "_mesh", None)
+        if mesh is not None:
+            # normalize the surgery's implicitly-sharded outputs back to
+            # the distributed placement and fetch the (cached) chunk for
+            # the possibly-retraced shape -- _DIST_CHUNK_CACHE makes the
+            # steady state a cache hit, not a recompile
+            sim._place_distributed(new_shape, mesh)
+            if new_shape != shape:
+                sim._rate = None
+                sim._timed_chunks = 0
+        elif new_shape != shape:
             sim._chunk = _chunk_for(new_shape)
             sim._rate = None
             sim._timed_chunks = 0

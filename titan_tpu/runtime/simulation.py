@@ -50,6 +50,14 @@ from .logging import get_logger
 # step-function cache: one compiled chunk fn per static scene shape
 _CHUNK_CACHE: Dict[SceneShape, object] = {}
 
+# distributed chunk cache: one program per (shape, mesh, axis, path).
+# Without it every mesh re-place (e.g. an incremental topology edit's
+# chunk rebuild) would mint a fresh jit wrapper = a full retrace + axon
+# compile per edit cycle.  Mega env hooks and the (monkeypatchable)
+# pallas_call join the key so A/Bs and interpret-mode tests are never
+# served a chunk built under a different execution mode.
+_DIST_CHUNK_CACHE: Dict[tuple, object] = {}
+
 
 class SimulationDivergedError(RuntimeError):
     """Raised (check_finite=True) when the state contains NaN/Inf."""
@@ -60,6 +68,79 @@ def _chunk_for(shape: SceneShape):
     if fn is None:
         fn = build_chunk_fn(shape)
         _CHUNK_CACHE[shape] = fn
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Fused edit-surgery programs (round 5, VERDICT item 4): the topology-edit
+# steady state was dispatch-bound -- a ~35-op eager chain of per-field
+# .at[].set / gather programs at ~10-15 ms tunnel latency each (measured
+# 0.70 s/cycle at 100^3, scripts/tpu_topo_edit_bench.py).  Each helper
+# below folds one surgery group into ONE jitted program; together with the
+# _pad_rows shape-stabilized index arrays the steady state is a handful of
+# cache-hit dispatches instead of dozens.
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _jit_push_mass_rows(m: MassState, idx, vals):
+    """Scatter every mass field of the given rows in one program.
+    ``vals``: dict of host-converted row payloads keyed by field."""
+    return dataclasses.replace(
+        m,
+        pos=m.pos.at[:, idx].set(vals["pos"]),
+        vel=m.vel.at[:, idx].set(vals["vel"]),
+        acc=m.acc.at[:, idx].set(vals["acc"]),
+        extern_force=m.extern_force.at[:, idx].set(vals["extern_force"]),
+        m=m.m.at[idx].set(vals["m"]),
+        T=m.T.at[idx].set(vals["T"]),
+        fixed=m.fixed.at[idx].set(vals["fixed"]),
+        valid=m.valid.at[idx].set(vals["valid"]),
+        drag=m.drag.at[idx].set(vals["drag"]),
+        mag_rad=m.mag_rad.at[idx].set(vals["mag_rad"]),
+        mag_stiffness=m.mag_stiffness.at[idx].set(vals["mag_stiffness"]),
+        mag_maxf=m.mag_maxf.at[idx].set(vals["mag_maxf"]),
+        mag_scale=m.mag_scale.at[idx].set(vals["mag_scale"]),
+    )
+
+
+@jax.jit
+def _jit_push_spring_fields(tree, rows, vals):
+    """Scatter the 8 per-spring param planes of one subsystem (stencil:
+    rows = (fi, sl); remainder: rows = (ri,)) in one program."""
+    updates = {f: getattr(tree, f).at[rows].set(vals[f]) for f in vals}
+    return dataclasses.replace(tree, **updates)
+
+
+@jax.jit
+def _jit_refresh_mass_gather(m: MassState, ti):
+    """One program gathering the device-evolving fields of given rows."""
+    return m.pos[:, ti], m.vel[:, ti], m.acc[:, ti], m.T[ti]
+
+
+def _dist_chunk_for(shape: SceneShape, mesh, axis: str, kind: str,
+                    state=None):
+    import os as _os
+
+    from jax.experimental import pallas as _pl
+    key = (shape, mesh, axis, kind,
+           _os.environ.get("TITAN_MEGA", "1"),
+           _os.environ.get("TITAN_MEGA_SEG", ""),
+           _os.environ.get("TITAN_DIST_MEGA", ""),
+           _pl.pallas_call)
+    fn = _DIST_CHUNK_CACHE.get(key)
+    if fn is None:
+        if kind == "halo_tiled":
+            from ..parallel.halo_tiled import build_halo_tiled_chunk
+            fn = build_halo_tiled_chunk(shape, mesh, axis)
+        elif kind == "halo":
+            from ..parallel.halo import build_halo_chunk
+            # make(state) only reads the pytree STRUCTURE (sharding spec
+            # derivation), which is a function of shape -- cacheable
+            fn = build_halo_chunk(shape, mesh, axis)(state)
+        else:
+            from ..parallel.sharded import build_sharded_chunk
+            fn = build_sharded_chunk(shape, mesh, axis)
+        _DIST_CHUNK_CACHE[key] = fn
     return fn
 
 
@@ -544,11 +625,9 @@ class Simulation:
         back to XLA's automatic SPMD.  Re-marshal (feature flips, topology
         edits) re-places automatically."""
         from ..ops.pallas_step import pallas_supported
-        from ..parallel.halo import build_halo_chunk, halo_reject_reason, \
-            place
-        from ..parallel.halo_tiled import (build_halo_tiled_chunk,
-                                           halo_tiled_reject_reason)
-        from ..parallel.sharded import build_sharded_chunk, shard_state
+        from ..parallel.halo import halo_reject_reason, place
+        from ..parallel.halo_tiled import halo_tiled_reject_reason
+        from ..parallel.sharded import shard_state
         axis = self._mesh_axis
         ht_reason = halo_tiled_reject_reason(shape, mesh.shape[axis])
         if ht_reason is None and not pallas_supported(shape):
@@ -556,7 +635,7 @@ class Simulation:
             # (the envelope rule is conservative -- smaller scenes keep the
             # XLA halo path, whose per-step cost at small blocks is known)
             self._state = place(self._state, mesh, axis)
-            self._chunk = build_halo_tiled_chunk(shape, mesh, axis)
+            self._chunk = _dist_chunk_for(shape, mesh, axis, "halo_tiled")
             get_logger().info(
                 "distributed over %d devices via the per-shard tiled "
                 "Pallas kernel", mesh.devices.size)
@@ -564,7 +643,8 @@ class Simulation:
         reason = halo_reject_reason(shape, mesh.shape[axis])
         if reason is None:
             self._state = place(self._state, mesh, axis)
-            self._chunk = build_halo_chunk(shape, mesh, axis)(self._state)
+            self._chunk = _dist_chunk_for(shape, mesh, axis, "halo",
+                                          state=self._state)
             path = "halo"
         else:
             # the automatic partitioner is a measured ~3.1x step-rate cliff
@@ -575,7 +655,7 @@ class Simulation:
                 "XLA's automatic SPMD partitioner (~3x slower per "
                 "step): %s", reason)
             self._state = shard_state(self._state, mesh, axis)
-            self._chunk = build_sharded_chunk(shape, mesh, axis)
+            self._chunk = _dist_chunk_for(shape, mesh, axis, "sharded")
             path = "sharded"
         get_logger().info("distributed over %d devices via %s path",
                           mesh.devices.size, path)
@@ -1148,26 +1228,22 @@ class Simulation:
             if np.any(in_st):
                 stc = self._state.stencil
                 # power-of-two padded rows: shape-stable scatter programs
-                # (each distinct length is a fresh axon compile)
+                # (each distinct length is a fresh axon compile); one fused
+                # program for all 8 field planes
                 fi, sl, si = (_pad_rows(fam[in_st]), _pad_rows(slot[in_st]),
                               _pad_rows(idx[in_st]))
-                updates = {}
-                for dev_f, host_f in fields:
-                    host = getattr(st, host_f)[si]
-                    arr = getattr(stc, dev_f)
-                    updates[dev_f] = arr.at[fi, sl].set(
-                        host.astype(arr.dtype))
-                stc = dataclasses.replace(stc, **updates)
+                vals = {dev_f: getattr(st, host_f)[si].astype(
+                            getattr(stc, dev_f).dtype)
+                        for dev_f, host_f in fields}
+                stc = _jit_push_spring_fields(stc, (fi, sl), vals)
                 self._state = dataclasses.replace(self._state, stencil=stc)
             if np.any(in_rem):
                 sp = self._state.springs
                 ri, si = _pad_rows(slot[in_rem]), _pad_rows(idx[in_rem])
-                updates = {}
-                for dev_f, host_f in fields:
-                    host = getattr(st, host_f)[si]
-                    arr = getattr(sp, dev_f)
-                    updates[dev_f] = arr.at[ri].set(host.astype(arr.dtype))
-                sp = dataclasses.replace(sp, **updates)
+                vals = {dev_f: getattr(st, host_f)[si].astype(
+                            getattr(sp, dev_f).dtype)
+                        for dev_f, host_f in fields}
+                sp = _jit_push_spring_fields(sp, (ri,), vals)
                 self._state = dataclasses.replace(self._state, springs=sp)
 
     def _check_uniform_break(self, idx: np.ndarray) -> bool:
@@ -1268,25 +1344,23 @@ class Simulation:
         caller has already recomputed the shape."""
         st, dt = self._store, self.config.np_dtype
         idx = _pad_rows(np.asarray(idx, dtype=np.int64))
-        m = self._state.masses
-        m = dataclasses.replace(
-            m,
-            pos=m.pos.at[:, idx].set(st.pos[idx].T.astype(dt)),
-            vel=m.vel.at[:, idx].set(st.vel[idx].T.astype(dt)),
-            acc=m.acc.at[:, idx].set(st.acc[idx].T.astype(dt)),
-            extern_force=m.extern_force.at[:, idx].set(
-                st.extern_force[idx].T.astype(dt)),
-            m=m.m.at[idx].set(st.m[idx].astype(dt)),
-            T=m.T.at[idx].set(st.T[idx].astype(dt)),
-            fixed=m.fixed.at[idx].set(st.fixed[idx]),
-            valid=m.valid.at[idx].set(st.valid[idx]),
-            drag=m.drag.at[idx].set(st.drag[idx].astype(dt)),
-            mag_rad=m.mag_rad.at[idx].set(st.mag_rad[idx].astype(dt)),
-            mag_stiffness=m.mag_stiffness.at[idx].set(
-                st.mag_stiffness[idx].astype(dt)),
-            mag_maxf=m.mag_maxf.at[idx].set(st.mag_maxf[idx].astype(dt)),
-            mag_scale=m.mag_scale.at[idx].set(st.mag_scale[idx].astype(dt)),
-        )
+        vals = {
+            "pos": st.pos[idx].T.astype(dt),
+            "vel": st.vel[idx].T.astype(dt),
+            "acc": st.acc[idx].T.astype(dt),
+            "extern_force": st.extern_force[idx].T.astype(dt),
+            "m": st.m[idx].astype(dt),
+            "T": st.T[idx].astype(dt),
+            "fixed": st.fixed[idx],
+            "valid": st.valid[idx],
+            "drag": st.drag[idx].astype(dt),
+            "mag_rad": st.mag_rad[idx].astype(dt),
+            "mag_stiffness": st.mag_stiffness[idx].astype(dt),
+            "mag_maxf": st.mag_maxf[idx].astype(dt),
+            "mag_scale": st.mag_scale[idx].astype(dt),
+        }
+        # one fused scatter program (13 eager dispatches otherwise)
+        m = _jit_push_mass_rows(self._state.masses, idx, vals)
         self._state = dataclasses.replace(self._state, masses=m)
 
     def _upgrade_shape(self) -> None:
@@ -1453,9 +1527,9 @@ class Simulation:
         state = self._snapshot()
         k = len(idx)
         ti = jnp.asarray(_pad_rows(idx))   # shape-stable gather program
-        m = state.masses
+        # one fused gather program + one readback (4 dispatches otherwise)
         pos, vel, acc, T = jax.device_get(
-            (m.pos[:, ti], m.vel[:, ti], m.acc[:, ti], m.T[ti]))
+            _jit_refresh_mass_gather(state.masses, ti))
         st = self._store
         for f, dev in (("pos", np.asarray(pos)[:, :k].T),
                        ("vel", np.asarray(vel)[:, :k].T),
