@@ -196,6 +196,14 @@ def make_task(name, n_envs):
         agent = Agent(obs_dim=6, act_dim=2, a_mid=0.0, a_half=f_max)
         # pusher reward is -distance (already "higher is better")
         return env, agent, 1.0
+    if name == "pusher2":
+        # the multi-dim-action benchmark: two cubes per env, 4-D force
+        # action, 8-D observation (per-cube COM error + velocity)
+        f_max = 1.5
+        env = rl.pusher2_env(n_envs=n_envs, control_dt=0.05, f_max=f_max,
+                             episode_length=24, reset_noise=0.02)
+        agent = Agent(obs_dim=8, act_dim=4, a_mid=0.0, a_half=f_max)
+        return env, agent, 1.0
     if name == "walker":
         # log-scale actions (see rl.walker_env): the zero-mean initial
         # policy starts at frequency multiplier 1.0, inside the graded

@@ -33,7 +33,7 @@ import train_ppo
 # obscured the learning signal)
 TASK = sys.argv[1] if len(sys.argv) > 1 else "pusher"
 N_ENVS, ITERS = 256, 400
-ROLLOUT = {"pusher": 24, "walker": 20}[TASK]
+ROLLOUT = {"pusher": 24, "pusher2": 24, "walker": 20}[TASK]
 
 env, agent, sign = train_ppo.make_task(TASK, N_ENVS)
 key = jax.random.key(0)

@@ -110,6 +110,12 @@ VARIANTS = {
 @pytest.mark.parametrize("variant", sorted(VARIANTS))
 def test_halo_adjoint_matches_single_tiled(variant, monkeypatch):
     _interpret(monkeypatch)
+    # pin the single-device side to the round-4 per-step trace/backward:
+    # the distributed adjoint runs per-step kernels, and the round-5
+    # mega adjoint's differently-fused interpret programs drift ulps
+    # (the CROSS-PATH TEST TRAP, CLAUDE.md; hardware is checked by
+    # scripts/tpu_mega_adjoint_check.py)
+    monkeypatch.setenv("TITAN_MEGA_ADJ", "0")
     sim = _scene(**VARIANTS[variant])
     shape, state = sim._shape, sim._state
     mesh = _mesh2()
@@ -158,6 +164,7 @@ def test_eight_shards(monkeypatch):
     rest are inert padding -- grads still bitwise the single-device
     tiled adjoint."""
     _interpret(monkeypatch, tile=2048)
+    monkeypatch.setenv("TITAN_MEGA_ADJ", "0")   # cross-path pin (above)
     sim = _scene(nx=240)                 # 8640 masses, b=2048 -> 5 real
     shape, state = sim._shape, sim._state
     mesh = make_mesh(("shard",))

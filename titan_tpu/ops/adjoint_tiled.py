@@ -213,20 +213,100 @@ def _mega_adjoint_ok(shape: SceneShape) -> bool:
     return k > 0
 
 
+def _mega_inv_plan(shape: SceneShape):
+    """Invariant plan for the MEGA backward: family-uniform param fields
+    ride SMEM scalars (prep_flat_inputs' fparams table) plus ONE packed
+    pair_ok bitmask plane instead of nf HBM window planes each.
+    Value-exact: scalar * bit == the masked plane bitwise (bit in {0,1};
+    at masked lanes the uniform plane holds exactly the scalar), and the
+    compacted fields were the dominant backward window traffic (38 of 44
+    planes on the damped 100^3 scene, measured round 5).  Returns
+    (offs, ni, uni) -- ``uni``: field -> True when SMEM-compacted."""
+    u_k, u_rest, u_damp, u_type, u_omega = shape.stencil_uniform
+    nf = len(shape.stencil_deltas)
+    uni = {"k": u_k,
+           "rest": False,
+           "damping": u_damp and shape.has_damping,
+           "bsign": u_type and shape.has_breathing,
+           "bomega": u_omega and shape.has_breathing}
+    # AT MOST TWO compacted fields, and never rest (hardware-bisected,
+    # round 5): compacting k+rest+damping together mis-executed on real
+    # Mosaic (grads 0.018-0.15 rel vs <= 1.2e-6 for every single field
+    # and every PAIR, same scene, same seg -- a compiler sensitivity at
+    # the all-compacted ni=6 layout, not a value error; interpret is
+    # exact in all cases).  k+damping keeps most of the win: 44 -> 20
+    # invariant planes on the damped 100^3 scene.
+    n_on = 0
+    for f in ("k", "damping", "bsign", "bomega"):
+        if uni[f]:
+            n_on += 1
+            if n_on > 2:
+                uni[f] = False
+    # A/B + bisect hook: TITAN_MEGA_COMPACT="none" disables the SMEM
+    # compaction entirely; a comma list (e.g. "k,damping") limits it to
+    # those fields (bypasses the two-field cap -- bisect use only)
+    sel = _os.environ.get("TITAN_MEGA_COMPACT")
+    if sel is not None:
+        allow = set() if sel == "none" else set(sel.split(","))
+        uni = {"k": u_k, "rest": u_rest and not shape.has_actuated,
+               "damping": u_damp and shape.has_damping,
+               "bsign": u_type and shape.has_breathing,
+               "bomega": u_omega and shape.has_breathing}
+        uni = {f: (v and f in allow) for f, v in uni.items()}
+    offs, p = {}, 0
+
+    def add(name, count):
+        nonlocal p
+        offs[name] = p
+        p += count
+
+    if uni["k"] or uni["damping"]:
+        add("bits", 1)                  # packed pair_ok (f32-bitcast)
+    if not uni["k"]:
+        add("k", nf)
+    if not uni["rest"]:
+        add("rest", nf)
+    if shape.has_damping and not uni["damping"]:
+        add("damping", nf)
+    if shape.has_breathing and not uni["bsign"]:
+        add("bsign", nf)
+    if shape.has_breathing and not uni["bomega"]:
+        add("bomega", nf)
+    if shape.has_actuated:
+        add("aratedt", nf)
+        add("sstop", nf)
+    add("minv", 1)
+    add("fixed", 1)
+    add("cf", 3)                        # mega envelope is non-glue
+    if shape.has_drag:
+        add("drag", 1)
+    caps = (shape.cap_cp, shape.cap_ball, shape.cap_pl, shape.cap_dir)
+    if any(caps):
+        from .pallas_step import _lc_planes
+        add("lc", _lc_planes(shape))
+    return offs, p, uni
+
+
 def _bwd_vmem_est(shape: SceneShape, t: int, hw: int,
                   mega: bool = False) -> int:
     """Backward-kernel VMEM estimate at tile size t, window halo hw."""
-    _, ni = _inv_plan(shape)
     _, nb = _bar_plan(shape)
+    nf = len(shape.stencil_deltas)
     wr = (t + 2 * hw) // 128
-    win = 2 * 4 * wr * 128 * (_tr_planes(shape) + 9 + ni)  # dbl-buf windows
     if mega:
-        # megabwd: no blocked outs; bars RMW blocks (2x read + 1 write
-        # stage) + the 9-plane cotangent write stage
+        _, ni, uni = _mega_inv_plan(shape)
+        # megabwd: 6-plane trace windows; compacted fields materialize
+        # [nf, wr, 128] values in VMEM (single-buffered); no blocked
+        # outs; bars RMW blocks (2x read + 1 write stage) + the 9-plane
+        # cotangent write stage
+        win = 2 * 4 * wr * 128 * (6 + 9 + ni)
+        mat = 4 * wr * 128 * nf * sum(uni.values())
         blk = 4 * (t // 128) * 128 * (3 * nb + 9)
-    else:
-        gout = 12 if _rk2_glue(shape) else 9   # rk2b emits midpoint too
-        blk = 2 * 4 * (t // 128) * 128 * (gout + nb)  # blocked outputs
+        return win + mat + blk + 4 * wr * 128 * 48
+    _, ni = _inv_plan(shape)
+    win = 2 * 4 * wr * 128 * (_tr_planes(shape) + 9 + ni)  # dbl-buf windows
+    gout = 12 if _rk2_glue(shape) else 9       # rk2b emits midpoint too
+    blk = 2 * 4 * (t // 128) * 128 * (gout + nb)  # blocked outputs
     tmp = 4 * wr * 128 * 48                    # transpose temporaries
     return win + blk + tmp
 
@@ -359,6 +439,69 @@ def _stage(shape: SceneShape, state: SimState, hw: int, n_t: int):
     st["inv_hbm"] = jnp.pad(st["inv_flat"], ((0, 0), (hw, n_t - n + hw))
                             ).reshape(ni, (n_t + 2 * hw) // 128, 128)
     return st
+
+
+def _stage_mega(shape: SceneShape, state: SimState, hw: int, n_t: int):
+    """The mega backward's staging: _mega_inv_plan's compacted invariant
+    windows (uniform fields -> the fparams SMEM table + a packed pair_ok
+    bitmask plane, f32-bitcast to share the one stacked array)."""
+    p = prep_flat_inputs(shape, state)
+    offs, ni, uni = _mega_inv_plan(shape)
+    stc = state.stencil
+    m = state.masses
+    nf = len(shape.stencil_deltas)
+    n = shape.n_masses
+
+    pair_ok = stc.mask
+    if not shape.all_valid:
+        pair_ok = jnp.stack([
+            pair_ok[fi] & m.valid & jnp.roll(m.valid, -d)
+            for fi, d in enumerate(shape.stencil_deltas)])
+
+    parts = []
+    if "bits" in offs:
+        bits = jnp.zeros(pair_ok.shape[1], jnp.int32)
+        for fi in range(nf):
+            bits = bits | (pair_ok[fi].astype(jnp.int32) << fi)
+        parts.append(jax.lax.bitcast_convert_type(
+            bits, jnp.float32)[None])
+    if "k" in offs:
+        parts.append(jnp.where(pair_ok, stc.k, 0.0).astype(jnp.float32))
+    if "rest" in offs:
+        parts.append(stc.rest.astype(jnp.float32))
+    if "damping" in offs:
+        parts.append(jnp.where(pair_ok, stc.damping, 0.0)
+                     .astype(jnp.float32))
+    if "bsign" in offs or "bomega" in offs:
+        from ..config import (ACTIVE_CONTRACT_THEN_EXPAND,
+                              ACTIVE_EXPAND_THEN_CONTRACT)
+        styp = stc.type
+        bsign = jnp.where(
+            styp == ACTIVE_CONTRACT_THEN_EXPAND, -0.2,
+            jnp.where(styp == ACTIVE_EXPAND_THEN_CONTRACT, 0.2,
+                      0.0)).astype(jnp.float32)
+        if "bsign" in offs:
+            parts.append(bsign)
+        if "bomega" in offs:
+            parts.append(stc.omega.astype(jnp.float32))
+    if shape.has_actuated:
+        aratedt, sstop = _actuation_inputs(state, pair_ok)
+        parts += [aratedt, sstop]
+    parts += [p["minv_flat"].astype(jnp.float32),
+              p["fixed_flat"].astype(jnp.float32),
+              p["const_flat"].astype(jnp.float32)]
+    if shape.has_drag:
+        parts.append(p["drag_flat"].astype(jnp.float32))
+    if p["lc_flat"] is not None:
+        parts.append(p["lc_flat"])
+    inv_flat = jnp.concatenate([x if x.ndim == 2 else x[None]
+                                for x in parts], axis=0)
+    assert inv_flat.shape[0] == ni, (inv_flat.shape, ni)
+    inv_hbm = jnp.pad(inv_flat, ((0, 0), (hw, n_t - n + hw))
+                      ).reshape(ni, (n_t + 2 * hw) // 128, 128)
+    return dict(inv_hbm=inv_hbm, planes=p["planes"], balls=p["balls"],
+                fscal=p["fparams"], pair_ok=pair_ok,
+                fixed_flat=p["fixed_flat"])
 
 
 # ---------------------------------------------------------------------------
@@ -713,14 +856,14 @@ def _build_megabwd_run(shape: SceneShape, seg: int):
     n = shape.n_masses
     pad_n = n_t - n
     n_tiles_b = n_t // t_bwd
-    offs, ni = _inv_plan(shape)
+    offs, ni, uni = _mega_inv_plan(shape)
     boffs, nb = _bar_plan(shape)
     nf = len(shape.stencil_deltas)
-    call = _make_megabwd_call(shape, t_bwd, hw, n_tiles_b, offs, ni,
+    call = _make_megabwd_call(shape, t_bwd, hw, n_tiles_b, offs, ni, uni,
                               boffs, nb, seg)
 
     def run(state: SimState, trace, rtrace, gpos, gvel, gacc, grest=None):
-        st = _stage(shape, state, hw, n_t)
+        st = _stage_mega(shape, state, hw, n_t)
         dt32 = state.dt.astype(jnp.float32)
         t032 = state.t.astype(jnp.float32)
         padf = lambda x: jnp.pad(x, ((0, 0), (0, pad_n)))
@@ -730,8 +873,9 @@ def _build_megabwd_run(shape: SceneShape, seg: int):
         cotB0 = jnp.zeros_like(cotA0)
         bars0 = jnp.zeros((nb, n_t // 128, 128), jnp.float32)
         scal = jnp.stack([dt32, t032])
-        outA, outB, bars = call(scal, st["planes"], st["balls"], trace,
-                                cotA0, cotB0, bars0, st["inv_hbm"])
+        outA, outB, bars = call(scal, st["planes"], st["balls"],
+                                st["fscal"], trace, cotA0, cotB0, bars0,
+                                st["inv_hbm"])
         # last backward step j = seg-1 writes B when j is even (seg odd)
         final = outB if seg % 2 == 1 else outA
         flat = final.reshape(9, -1)[:, hw:hw + n_t]
@@ -760,7 +904,7 @@ def _build_megabwd_run(shape: SceneShape, seg: int):
 
 
 def _build_megabwd_kernel(shape: SceneShape, t_size: int, hw: int,
-                          offs, ni: int, boffs, nb: int, seg: int,
+                          offs, ni: int, uni, boffs, nb: int, seg: int,
                           n_tiles_s: int):
     """Reverse-sweep resident-grid backward (round 5): ONE pallas_call
     runs all ``seg`` backward steps over a grid of (seg, n_tiles) cells.
@@ -779,8 +923,8 @@ def _build_megabwd_kernel(shape: SceneShape, t_size: int, hw: int,
     nf = len(shape.stencil_deltas)
     np_tr = 6     # (pos, vel) read from the 9-plane mega trace entries
 
-    def kernel(scal_ref, plane_ref, ball_ref, trace_hbm, cotA_in, cotB_in,
-               bars_in, inv_hbm, outA, outB, bars_hbm,
+    def kernel(scal_ref, plane_ref, ball_ref, fscal_ref, trace_hbm,
+               cotA_in, cotB_in, bars_in, inv_hbm, outA, outB, bars_hbm,
                swin, cwin, iwin, bstage, bwrite, wstage, sem, wsem, bsem):
         j = pl.program_id(0)
         t = pl.program_id(1)
@@ -881,15 +1025,40 @@ def _build_megabwd_kernel(shape: SceneShape, t_size: int, hw: int,
             o = offs[name]
             return iw[o:o + count]
 
+        bits = None
+        if "bits" in offs:
+            bits = jax.lax.bitcast_convert_type(iw[offs["bits"]],
+                                                jnp.int32)   # [wr, 128]
+
+        def famvals(name, row, masked):
+            """[nf, wr, 128] field values: the HBM window plane, or the
+            SMEM scalar (times the pair_ok bit for masked fields --
+            bitwise the plane, see _mega_inv_plan)."""
+            if not uni.get(name):
+                return inv(name, nf)
+            vals = []
+            for fi in range(nf):
+                v = fscal_ref[row, fi]
+                if masked:
+                    b = ((bits >> fi) & 1).astype(jnp.float32)
+                    vals.append(b * v)
+                else:
+                    vals.append(jnp.zeros((wr, 128), jnp.float32) + v)
+            return jnp.stack(vals)
+
         P = _make_P(
             shape,
-            k_ref=inv("k", nf), rest_ref=inv("rest", nf),
-            damp_ref=(inv("damping", nf) if shape.has_damping else None),
+            k_ref=famvals("k", 0, True),
+            rest_ref=famvals("rest", 1, False),
+            damp_ref=(famvals("damping", 2, True)
+                      if shape.has_damping else None),
             minv=inv("minv", 1), fixed=inv("fixed", 1), cf=inv("cf", 3),
             drag=(inv("drag", 1) if shape.has_drag else None),
             plane_ref=plane_ref, ball_ref=ball_ref, dt=dt,
-            bsign=(inv("bsign", nf) if shape.has_breathing else None),
-            bomega=(inv("bomega", nf) if shape.has_breathing else None),
+            bsign=(famvals("bsign", 3, False)
+                   if shape.has_breathing else None),
+            bomega=(famvals("bomega", 4, False)
+                    if shape.has_breathing else None),
             aratedt=(inv("aratedt", nf) if shape.has_actuated else None),
             sstop=(inv("sstop", nf) if shape.has_actuated else None),
             lc=(iw[offs["lc"]:] if "lc" in offs else None))
@@ -959,7 +1128,7 @@ def _build_megabwd_kernel(shape: SceneShape, t_size: int, hw: int,
 
 
 def _make_megabwd_call(shape: SceneShape, t_size: int, hw: int,
-                       n_tiles: int, offs, ni: int, boffs, nb: int,
+                       n_tiles: int, offs, ni: int, uni, boffs, nb: int,
                        seg: int):
     tr = t_size // 128
     wr = (t_size + 2 * hw) // 128
@@ -972,6 +1141,7 @@ def _make_megabwd_call(shape: SceneShape, t_size: int, hw: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # planes
             pl.BlockSpec(memory_space=pltpu.SMEM),   # balls
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # fscal [5, nf]
             pl.BlockSpec(memory_space=pl.ANY),       # mega trace buffer
             pl.BlockSpec(memory_space=pl.ANY),       # cotangent A
             pl.BlockSpec(memory_space=pl.ANY),       # cotangent B
@@ -991,18 +1161,18 @@ def _make_megabwd_call(shape: SceneShape, t_size: int, hw: int,
             pltpu.SemaphoreType.DMA(()),                # bars write
         ],
     )
-    # flat operand indices: scal=0, planes=1, balls=2, trace=3, cotA=4,
-    # cotB=5, bars=6, inv=7
+    # flat operand indices: scal=0, planes=1, balls=2, fscal=3, trace=4,
+    # cotA=5, cotB=6, bars=7, inv=8
     return pl.pallas_call(
-        _build_megabwd_kernel(shape, t_size, hw, offs, ni, boffs, nb,
-                              seg, n_tiles),
+        _build_megabwd_kernel(shape, t_size, hw, offs, ni, uni, boffs,
+                              nb, seg, n_tiles),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((9, rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((9, rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((nb, n_t // 128, 128), jnp.float32),
         ],
-        input_output_aliases={4: 0, 5: 1, 6: 2},
+        input_output_aliases={5: 0, 6: 1, 7: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary")),
@@ -1284,7 +1454,8 @@ def _tiled_adjoint_segment(shape: SceneShape, seg: int):
         shape, seg, _os.environ.get("TITAN_FMATH", ""), _pt.CARRY_MODE,
         _os.environ.get("TITAN_MEGA", "1"),
         _os.environ.get("TITAN_MEGA_SEG", ""),
-        _os.environ.get("TITAN_MEGA_ADJ", "1"),
+        _os.environ.get("TITAN_MEGA_ADJ", "1")
+        + _os.environ.get("TITAN_MEGA_COMPACT", "*"),
         _pt._tile_size, pl.pallas_call)
 
 

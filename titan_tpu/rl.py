@@ -390,3 +390,88 @@ def pusher_env(n_envs: int = 256, control_dt: float = 0.05,
     return BatchedEnv(src, n_envs, control_dt=control_dt,
                       apply_action=apply_action, reward=reward,
                       **episode_kwargs)
+
+
+def pusher2_env(n_envs: int = 256, control_dt: float = 0.05,
+                targets=((1.0, 0.5), (-1.0, -0.5)), f_max: float = 1.5,
+                config=None, **episode_kwargs) -> BatchedEnv:
+    """TWO soft cubes per env, each pushed to its own target: the
+    multi-dimensional-action PPO benchmark (act_dim = 4).
+
+    Action [n_envs, 4] = (fx1, fy1, fx2, fy2), clipped to +-f_max and
+    applied as the persistent external force on the corresponding cube's
+    masses -- the policy must route force components to the right body
+    from the observation (per-cube COM/velocity relative to its target,
+    8-D), a genuine joint credit-assignment problem over 4 continuous
+    action dimensions rather than two independent scalars.  Reward:
+    -(dist1 + dist2), dense per control step like pusher_env.
+
+    The cubes share no springs/magnets, so their dynamics are
+    independent; the COUPLING is entirely in the shared policy network
+    and the joint PPO update.
+    """
+    import dataclasses
+
+    import numpy as np_
+
+    from . import Simulation, SimConfig, Vec
+
+    src = Simulation(config or SimConfig())
+    cubes = []
+    for cx in (-0.35, 0.35):
+        cube = src.createCube(Vec(cx, 0, 0.25), 0.4)
+        cube.setSpringConstants(2000.0)
+        cubes.append(cube)
+    src.createPlane(Vec(0, 0, 1), 0, 0.3, 0.4)
+    src.setGlobalAcceleration(Vec(0, 0, -9.8))
+    src.setTimeStep(1e-4)
+    n_t = src._store.n_masses
+    body_t = np_.zeros(n_t, np_.int32)
+    body_t[np_.asarray(cubes[1]._mass_idx)] = 1
+    idx0 = np_.asarray(cubes[0]._mass_idx)
+    idx1 = np_.asarray(cubes[1]._mass_idx)
+    tgt = jnp.asarray(targets, jnp.float32)                # [2, 2]
+
+    def body_of_lane(env):
+        lane = np_.arange(env.shape.n_masses, dtype=np_.int64)
+        return jnp.asarray(body_t[lane % n_t], jnp.int32)
+
+    def body_means(x, env, idx):
+        """Per-env mean of x over one cube's template-mass subset."""
+        e, n = env.n_envs, env.n_per_env
+        per = x[..., : e * n].reshape(*x.shape[:-1], e, n)
+        return per[..., idx].mean(axis=-1)                 # [..., e]
+
+    def apply_action(state, action, env):
+        a = jnp.clip(jnp.asarray(action, state.masses.pos.dtype),
+                     -f_max, f_max)                        # [n_envs, 4]
+        ev = env.env_of_lane()                             # [N]
+        bd = body_of_lane(env)                             # [N]
+        fx = jnp.where(bd == 0, a[ev, 0], a[ev, 2])
+        fy = jnp.where(bd == 0, a[ev, 1], a[ev, 3])
+        ef = jnp.stack([fx, fy, jnp.zeros_like(fx)])       # [3, N]
+        return dataclasses.replace(
+            state, masses=dataclasses.replace(state.masses,
+                                              extern_force=ef))
+
+    def com_err(state, env):
+        """[n_envs, 2, 2]: per-cube COM (x, y) minus its target."""
+        c0 = body_means(state.masses.pos[:2], env, idx0).T  # [e, 2]
+        c1 = body_means(state.masses.pos[:2], env, idx1).T
+        return jnp.stack([c0 - tgt[0][None, :],
+                          c1 - tgt[1][None, :]], axis=1)
+
+    def observe(state, env):
+        err = com_err(state, env)                          # [e, 2, 2]
+        v0 = body_means(state.masses.vel[:2], env, idx0).T
+        v1 = body_means(state.masses.vel[:2], env, idx1).T
+        return jnp.concatenate([err[:, 0], v0, err[:, 1], v1], axis=1)
+
+    def reward(prev, state, env):
+        err = com_err(state, env)
+        return -(jnp.linalg.norm(err[:, 0], axis=1)
+                 + jnp.linalg.norm(err[:, 1], axis=1))
+
+    return BatchedEnv(src, n_envs, control_dt=control_dt,
+                      apply_action=apply_action, observe=observe,
+                      reward=reward, **episode_kwargs)

@@ -223,6 +223,19 @@ onmouseup = () => drag = false;
 onmousemove = e => { if (drag) { yaw += (e.clientX-lx)*0.01;
   pitch += (e.clientY-ly)*0.01; lx = e.clientX; ly = e.clientY; } };
 cv.onwheel = e => { dist *= Math.exp(e.deltaY*0.001); };
+// keyboard camera control during a live run (the reference polls keys
+// inside its render loop, sim.cu:1816-1837): arrows/WASD orbit,
+// +/- zoom, R resets
+onkeydown = e => {
+  const s = 0.08;
+  if (e.key === 'ArrowLeft' || e.key === 'a') yaw -= s;
+  else if (e.key === 'ArrowRight' || e.key === 'd') yaw += s;
+  else if (e.key === 'ArrowUp' || e.key === 'w') pitch -= s;
+  else if (e.key === 'ArrowDown' || e.key === 's') pitch += s;
+  else if (e.key === '+' || e.key === '=') dist *= 0.9;
+  else if (e.key === '-') dist *= 1.1;
+  else if (e.key === 'r') { yaw = 0.6; pitch = 0.4; dist = 2.5; }
+};
 let ctr = [0,0,0], scl = 1;
 function refreshTopo(t){
   topo = t;
