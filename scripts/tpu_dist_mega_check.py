@@ -93,8 +93,8 @@ print(json.dumps({"geom100": {"b": b, "t": t, "k": k, "KH": KH,
 sharded = place(sim._state, mesh)
 steps = 3200
 runs = [("dist_mega", lambda: build_halo_tiled_chunk(sim._shape, mesh)),
-        ("single_mega", lambda: lambda s, ns: pallas_tiled
-            .build_tiled_chunk(sim._shape)(s, ns))]
+        ("single_mega",
+         lambda: pallas_tiled.build_tiled_chunk(sim._shape))]
 results = {}
 for tag, mk in runs:
     fn = mk()

@@ -71,14 +71,22 @@ from ..ops.pallas_tiled import (_round_up, _tile_size, make_mega_call,
                                 prep_flat_inputs, tiled_reject_reason)
 from ..state import SceneShape, SimState
 
-#: Distributed mega (round 5) engagement threshold: per-shard resident-
-#: grid segments pay a redundant-compute tax of 2*KH/b (KH = the k-step
-#: halo, rounded up to a tile) in exchange for the measured ~80%
-#: per-launch fixed cost amortization.  At the 32768-row tile the tax is
-#: ~6% at 1M rows/shard -- the modeled break-even (commit 090404f design
-#: notes; docs/PERFORMANCE.md) -- and 200%+ at CPU-test block sizes, so
-#: auto-engagement needs a big block.  TITAN_DIST_MEGA=1 forces it on
+#: Distributed mega (round 5) engagement gate: per-shard resident-grid
+#: segments pay a redundant-compute tax of 2*KH/b (KH = the k-step halo,
+#: rounded up to a tile) in exchange for the measured ~80% per-launch
+#: fixed-cost amortization.  MEASURED on hardware (1-dev mesh, 100^3,
+#: scripts/tpu_dist_mega_check.py): at b = 1M rows with this scene's
+#: h = 10240 the tax is 32% and distributed mega is PARITY with the
+#: per-step path (2,237 vs 2,268 steps/s) -- the launch win and the tax
+#: cancel.  So the gate is TAX-BASED, not a flat row count: engage only
+#: when 2*KH/b <= DIST_MEGA_MAX_TAX, which reproduces the round-4
+#: design note's ~1M-rows/shard figure for h = 1024 topologies
+#: (KH = 32768 -> b >= 0.8M) and correctly demands ~4M rows/shard for
+#: 100^3-like topologies (h = 10240).  TITAN_DIST_MEGA=1 forces it on
 #: (tests, A/B), =0 off.
+DIST_MEGA_MAX_TAX = 0.08
+#: kept for reference/tests: the h=1024 break-even block implied by the
+#: tax gate
 DIST_MEGA_MIN_BLOCK = 1 << 20
 
 
@@ -106,8 +114,8 @@ def _dist_mega_plan(shape: SceneShape, b: int, t_size: int, h: int):
     KH = _round_up(k * h_step, t_size)
     if KH > b:
         return 0, 0        # halo exceeds the block (one-hop exchange)
-    if force != "1" and b < DIST_MEGA_MIN_BLOCK:
-        return 0, 0
+    if force != "1" and 2 * KH > DIST_MEGA_MAX_TAX * b:
+        return 0, 0        # redundant-compute tax would eat the win
     return k, KH
 
 
