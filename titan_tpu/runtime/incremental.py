@@ -423,13 +423,25 @@ def _try_incremental(sim) -> bool:
             # the possibly-retraced shape -- _DIST_CHUNK_CACHE makes the
             # steady state a cache hit, not a recompile
             sim._place_distributed(new_shape, mesh)
-            if new_shape != shape:
-                sim._rate = None
-                sim._timed_chunks = 0
         elif new_shape != shape:
             sim._chunk = _chunk_for(new_shape)
-            sim._rate = None
-            sim._timed_chunks = 0
+        if new_shape != shape:
+            # a fresh probe costs two extra dispatches (~0.2 s over the
+            # tunnel) per edit cycle.  Only a COST-CLASS change (feature
+            # flags / uniformity) invalidates the learned step rate;
+            # pure capacity growth (S, max_degree, span, constraint
+            # caps) keeps it and merely schedules an early re-measure
+            # (the worker still clamps by max_chunk_seconds).
+            cost_flags = ("has_damping", "has_breathing", "has_actuated",
+                          "has_drag", "has_magnets", "has_remainder",
+                          "stencil_uniform", "magnet_binned",
+                          "magnet_grid", "magnet_receivers")
+            if any(getattr(new_shape, f) != getattr(shape, f)
+                   for f in cost_flags):
+                sim._rate = None
+                sim._timed_chunks = 0
+            else:
+                sim._timed_chunks = 1
 
         sim._n_marshaled = n
         sim._s_marshaled = s
