@@ -78,12 +78,22 @@ def rate(sim, steps=3000):
     state = sim._state
     state = chunk(state, jnp.int32(1))
     sync(state)
-    state = chunk(state, jnp.int32(400))
+    # probe, then chunk every dispatch under the ~30 s tunnel kill
+    # (the magnet glue at 1M masses runs ~10 steps/s; a single 3000-step
+    # dispatch crashed the worker on the first cut of this script)
+    t0 = time.perf_counter()
+    state = chunk(state, jnp.int32(20))
+    sync(state)
+    probe = 20 / (time.perf_counter() - t0)
+    per_disp = max(1, min(steps, int(probe * 15)))
+    n_disp = max(1, min(steps // per_disp, 40))
+    state = chunk(state, jnp.int32(per_disp))     # warm
     sync(state)
     t0 = time.perf_counter()
-    state = chunk(state, jnp.int32(steps))
+    for _ in range(n_disp):
+        state = chunk(state, jnp.int32(per_disp))
     sync(state)
-    return steps / (time.perf_counter() - t0)
+    return (n_disp * per_disp) / (time.perf_counter() - t0)
 
 
 def main():
