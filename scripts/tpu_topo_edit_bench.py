@@ -40,8 +40,16 @@ sim.setTimeStep(0.0001)
 sim.setGlobalAcceleration(Vec(0, 0, -9.8))
 sim.defaultRestLengths()
 sim.createPlane(Vec(0, 0, 1), 0)
+use_mesh = os.environ.get("TITAN_TOPO_MESH", "") == "1"
+if use_mesh:
+    # distributed edit churn (round 5: the incremental path runs on
+    # mesh-sharded state too); 1-dev mesh on the one real chip --
+    # exercises the full place/shard_map/journal path, ICI excluded
+    from jax.sharding import Mesh
+    sim.distribute(Mesh(np.asarray(jax.devices()[:1]), ("shard",)))
 print(json.dumps({"setup_s": round(time.perf_counter() - t0, 1),
-                  "springs": sim._store.n_springs}), flush=True)
+                  "springs": sim._store.n_springs,
+                  "mesh": use_mesh}), flush=True)
 
 sim.start()
 sim.wait(0.002)   # compile + a short run; park at a pause boundary
